@@ -1,0 +1,180 @@
+"""Deterministic synthetic changelog generator (seeded, numpy-vectorized).
+
+Produces the epoch-directory layout of FIXTURES.md §F4, mirroring the
+reference's checkpointed base directory
+(``dataPipelines/gc_ingest/tools/checkpoint/README.md:5-9``,
+``common/utils/s3.py:34-54``) and its universal-test-harness replay corpus
+(four sequential timestamped batches re-uploading updated docs,
+``dev_tools/universal_test_harness/cli.py:23-69``):
+
+    out_dir/
+      epoch=000001/ part-00000.parquet ... _MANIFEST.json   # ready marker
+      epoch=000002/ ...
+
+Event mix ≈ 70% insert / 25% update / 5% delete, plus duplicate deliveries
+and out-of-order rows within an epoch (the (lsn, seq) order is NOT the file
+row order). Optional zipf hot-key skew and schema-evolution epochs (F3:
+column add, int widen, enum growth).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+READY_MARKER = "_MANIFEST.json"
+EPOCH_PREFIX = "epoch="
+
+SOURCES = np.array(["us_code", "dod_issuances", "navy", "dfar", "manual.ingest"])
+EVOLVED_SOURCES = np.array(["us_code", "dod_issuances", "navy", "dfar", "manual.ingest", "rpa_upload"])
+LANGS = np.array(["en", "es", "fr"])
+
+
+def epoch_dir(base: str, epoch: int) -> str:
+    return os.path.join(base, f"{EPOCH_PREFIX}{epoch:06d}")
+
+
+def _tokens_list_array(rng: np.random.Generator, n_tok: np.ndarray, vocab: int = 50257) -> pa.ListArray:
+    offsets = np.zeros(len(n_tok) + 1, dtype=np.int64)
+    np.cumsum(n_tok, out=offsets[1:])
+    values = rng.integers(0, vocab, size=int(offsets[-1]), dtype=np.int32)
+    return pa.ListArray.from_arrays(pa.array(offsets, pa.int64()), pa.array(values, pa.int32()))
+
+
+def generate_epoch_table(
+    epoch: int,
+    events_per_epoch: int,
+    num_keys: int,
+    seed: int = 42,
+    zipf_a: float = 0.0,
+    mean_tokens: int = 64,
+    evolution: bool = False,
+    dup_frac: float = 0.02,
+) -> pa.Table:
+    """One epoch's events as an Arrow table (deterministic in all args).
+
+    ``zipf_a > 1`` draws doc ids from a zipfian distribution → hot keys.
+    ``evolution`` applies FIXTURES.md §F3 per epoch number:
+      epoch >= 3 → adds nullable ``lang`` column (E1)
+      epoch >= 4 → ``n_tok`` as int64 (E2) and new source enum value (E3)
+    """
+    rng = np.random.default_rng(np.random.SeedSequence([seed, epoch]))
+    n = events_per_epoch
+    if zipf_a and zipf_a > 1.0:
+        kidx = (rng.zipf(zipf_a, size=n) - 1) % num_keys
+    else:
+        kidx = rng.integers(0, num_keys, size=n)
+    # op mix: keys whose index < 0.7*num_keys first appear as I in epoch 1;
+    # simpler deterministic mix: 70/25/5 by draw.
+    draw = rng.random(n)
+    op = np.where(draw < 0.05, "D", np.where(draw < 0.30, "U", "I"))
+    lsn = np.full(n, epoch, dtype=np.int64)
+    seq = np.arange(n, dtype=np.int64)
+    n_tok = np.clip(rng.lognormal(np.log(mean_tokens), 0.6, size=n), 1, 4096).astype(np.int32)
+    tokens = _tokens_list_array(rng, n_tok)
+    evolved = evolution and epoch >= 4
+    src_pool = EVOLVED_SOURCES if evolved else SOURCES
+    source = src_pool[rng.integers(0, len(src_pool), size=n)]
+    doc_id = np.char.add("doc-", np.char.zfill(kidx.astype(str), 8))
+    # content hash: deterministic function of (doc_id, lsn, seq) — duplicates
+    # of a delivery share it, distinct versions differ.
+    vh = np.char.add(np.char.add(doc_id, lsn.astype(str)), seq.astype(str))
+
+    cols: dict[str, pa.Array] = {
+        "op": pa.array(op),
+        "lsn": pa.array(lsn),
+        "seq": pa.array(seq),
+        "version_hash": pa.array(vh),
+        "doc_id": pa.array(doc_id),
+        "tokens": tokens,
+        "n_tok": pa.array(n_tok, pa.int64() if evolved else pa.int32()),
+        "source": pa.array(source),
+    }
+    if evolution and epoch >= 3:
+        cols["lang"] = pa.array(LANGS[rng.integers(0, len(LANGS), size=n)])
+    t = pa.table(cols)
+
+    # null payload for deletes
+    if t.num_rows:
+        import pyarrow.compute as pc
+
+        is_del = pc.equal(t["op"], "D")
+        keep = pc.invert(is_del)
+        for c in ("tokens", "n_tok"):
+            col = t[c]
+            nulled = pc.if_else(keep, col, pa.nulls(t.num_rows, type=col.type))
+            t = t.set_column(t.schema.get_field_index(c), c, nulled)
+
+    # duplicate deliveries: re-emit a deterministic sample of rows verbatim
+    if dup_frac > 0 and n > 0:
+        k = max(1, int(n * dup_frac))
+        dup_idx = rng.integers(0, n, size=k)
+        t = pa.concat_tables([t, t.take(pa.array(dup_idx, pa.int64()))])
+
+    # out-of-order delivery within the epoch
+    perm = rng.permutation(t.num_rows)
+    return t.take(pa.array(perm, pa.int64()))
+
+
+def write_changelog(
+    out_dir: str,
+    num_epochs: int,
+    events_per_epoch: int,
+    num_keys: int,
+    seed: int = 42,
+    zipf_a: float = 0.0,
+    mean_tokens: int = 64,
+    evolution: bool = False,
+    rows_per_file: int = 250_000,
+    dup_frac: float = 0.02,
+) -> list[str]:
+    """Write epoch directories (with ready markers); returns epoch dir paths.
+
+    Idempotent: an epoch dir that already has its ready marker is skipped,
+    so the generator itself is resumable.
+    """
+    paths = []
+    for e in range(1, num_epochs + 1):
+        d = epoch_dir(out_dir, e)
+        paths.append(d)
+        marker = os.path.join(d, READY_MARKER)
+        if os.path.exists(marker):
+            continue
+        os.makedirs(d, exist_ok=True)
+        t = generate_epoch_table(
+            e, events_per_epoch, num_keys, seed=seed, zipf_a=zipf_a,
+            mean_tokens=mean_tokens, evolution=evolution, dup_frac=dup_frac,
+        )
+        files = []
+        for i in range(0, t.num_rows, rows_per_file):
+            fname = f"part-{i // rows_per_file:05d}.parquet"
+            pq.write_table(t.slice(i, rows_per_file), os.path.join(d, fname))
+            files.append(fname)
+        with open(marker + ".tmp", "w") as f:
+            json.dump({"epoch": e, "files": files, "events": t.num_rows}, f)
+        os.replace(marker + ".tmp", marker)  # marker write is the visibility gate
+    return paths
+
+
+def ready_epochs(base: str, after: int = 0) -> list[int]:
+    """Epoch numbers under ``base`` with a ready marker, strictly greater
+    than ``after``, ascending — the reference's 'process strictly-greater
+    timestamps in order' rule (``checkpoint/utils.py:104-119``,
+    ``common/utils/s3.py:494-504``)."""
+    out = []
+    if not os.path.isdir(base):
+        return out
+    for name in os.listdir(base):
+        if not name.startswith(EPOCH_PREFIX):
+            continue
+        try:
+            e = int(name[len(EPOCH_PREFIX):])
+        except ValueError:
+            continue
+        if e > after and os.path.exists(os.path.join(base, name, READY_MARKER)):
+            out.append(e)
+    return sorted(out)

@@ -1,0 +1,238 @@
+"""The CDC replay engine — changelog tail → lake upsert, Ray-Data-first.
+
+Pipeline per epoch (all streaming, zero-copy Arrow batches):
+
+    read_parquet(epoch files)
+      → map_batches(normalize)        # conform to unified schema, partial
+                                      # LWW reduce (combiner), add part col
+      → groupby("part")               # ONE hash shuffle, on the engine's
+                                      # single partitioning key hash(doc_id)%P
+      → map_groups(merge_write)       # partition-local: read current state
+                                      # file, LWW merge, write deterministic
+                                      # data-eEEEEEE.parquet, emit counters
+      → (tiny counters dataset)       # driver commits manifest atomically
+
+Scale properties:
+- the combiner collapses duplicate/hot-key events per batch BEFORE the
+  shuffle (LWW is associative), so zipf-skewed keys ship at most one row
+  per key per input block — the salted-split answer to hot keys;
+- only partitions touched by the epoch are rewritten (partition pruning via
+  manifest carry-forward);
+- state is read inside the merge task (partition-local I/O), never
+  broadcast or materialized on the driver;
+- the counters dataset is O(P) rows — the only thing the driver collects.
+
+Reference lifecycle analog: ``gci pipelines core ingest checkpoint``
+(``dataPipelines/gc_ingest/pipelines/core/cli.py:77-120``): tail
+timestamped prefixes newer than checkpoint → transform → upsert → publish,
+with at-least-once tailing + idempotent sink = exactly-once observable.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import ray.data
+
+from ..core import changelog as cl
+from ..core.hashing import partition_ids
+from ..core.merge import lww_reduce_weighted, merge_partition
+from ..core.reconcile import conform, unify_all, unify_schemas
+from ..state import manifest as mf
+
+PART_COLUMN = "_part"
+COUNTER_KEYS = ("events_in", "upserts", "deletes", "tombstones", "rows_out", "watermark_lsn")
+
+
+def _epoch_files(changelog_dir: str, epoch: int) -> list[str]:
+    d = cl.epoch_dir(changelog_dir, epoch)
+    return sorted(
+        os.path.join(d, f) for f in os.listdir(d) if f.endswith(".parquet")
+    )
+
+
+def _partition_path(epoch: int, part: int) -> str:
+    return os.path.join(f"part={part:05d}", f"data-e{epoch:06d}.parquet")
+
+
+def make_normalizer(unified_b64: str, num_partitions: int):
+    """Stateless map_batches fn: conform → partial LWW reduce → add part."""
+    def normalize(batch: pa.Table) -> pa.Table:
+        schema = mf.schema_from_b64(unified_b64)
+        batch = conform(batch, schema)
+        batch = lww_reduce_weighted(batch)  # combiner: ≤1 row per key per batch
+        part = partition_ids(batch["doc_id"], num_partitions)
+        return batch.append_column(PART_COLUMN, pc.cast(part, pa.int32()))
+
+    return normalize
+
+
+def make_merge_writer(
+    table_dir: str,
+    epoch: int,
+    unified_b64: str,
+    state_files: dict[int, str],
+):
+    """map_groups fn for one hash partition: merge events against the
+    partition's current state file and write the new deterministic file.
+    Returns a one-row counters table (the only data the driver sees)."""
+
+    def merge_write(group: pa.Table) -> pa.Table:
+        schema = mf.schema_from_b64(unified_b64)
+        part = int(group[PART_COLUMN][0].as_py())
+        events = group.drop_columns([PART_COLUMN])
+        state = None
+        rel = state_files.get(part)
+        if rel is not None:
+            state = conform(pq.read_table(os.path.join(table_dir, rel)), schema)
+        merged, counters = merge_partition(state, events)
+        out_rel = _partition_path(epoch, part)
+        out_abs = os.path.join(table_dir, out_rel)
+        os.makedirs(os.path.dirname(out_abs), exist_ok=True)
+        tmp = out_abs + f".inprogress"
+        pq.write_table(merged, tmp)
+        os.replace(tmp, out_abs)
+        row = {
+            "part": [part],
+            "file": [out_rel],
+            **{k: [int(counters[k])] for k in COUNTER_KEYS},
+        }
+        return pa.table(row)
+
+    return merge_write
+
+
+def apply_epoch(
+    changelog_dir: str,
+    table_dir: str,
+    epoch: int,
+    num_partitions: int = 32,
+) -> mf.TableManifest | None:
+    """Apply one ready epoch to the table; returns the committed manifest.
+
+    Idempotent: if ``epoch`` is already committed, no-op (returns None).
+    Crash-safe: data files are written under deterministic names before the
+    manifest pointer swap; a rerun overwrites them identically.
+    """
+    current = mf.load_current(table_dir)
+    if current is not None and current.epoch >= epoch:
+        return None
+
+    files = _epoch_files(changelog_dir, epoch)
+    # unify: footer schemas of the epoch's files + current table schema.
+    incoming = unify_all([pq.read_schema(f) for f in files])
+    unified = (
+        unify_schemas(current.schema, incoming) if current is not None else incoming
+    )
+    unified_b64 = mf.schema_to_b64(unified)
+    state_files = (
+        {int(k): v["file"] for k, v in current.partitions.items()} if current else {}
+    )
+
+    ds = ray.data.read_parquet(files)
+    ds = ds.map_batches(
+        make_normalizer(unified_b64, num_partitions), batch_format="pyarrow"
+    )
+    counters_ds = ds.groupby(PART_COLUMN).map_groups(
+        make_merge_writer(table_dir, epoch, unified_b64, state_files),
+        batch_format="pyarrow",
+    )
+    counter_rows = counters_ds.take_all()  # O(num_partitions) rows — tiny
+
+    # build the new manifest: carry forward untouched partitions
+    partitions = dict(current.partitions) if current else {}
+    epoch_counters: dict[str, Any] = {"per_partition": {}, **{k: 0 for k in COUNTER_KEYS}}
+    for r in counter_rows:
+        p = str(r["part"])
+        partitions[p] = {
+            "file": r["file"],
+            "rows": int(r["rows_out"]),
+            "watermark_lsn": int(r["watermark_lsn"]),
+        }
+        epoch_counters["per_partition"][p] = {k: int(r[k]) for k in COUNTER_KEYS}
+        for k in COUNTER_KEYS:
+            if k != "watermark_lsn":
+                epoch_counters[k] += int(r[k])
+    epoch_counters["watermark_lsn"] = max(
+        (int(r["watermark_lsn"]) for r in counter_rows), default=0
+    )
+
+    totals = dict(current.totals) if current else {}
+    for k in ("events_in", "upserts", "deletes", "tombstones"):
+        totals[k] = totals.get(k, 0) + epoch_counters[k]
+    totals["rows"] = sum(p["rows"] for p in partitions.values())
+
+    manifest = mf.TableManifest(
+        epoch=epoch,
+        schema_b64=unified_b64,
+        partitions=partitions,
+        epoch_counters=epoch_counters,
+        totals=totals,
+    )
+    os.makedirs(table_dir, exist_ok=True)
+    if not mf.commit(table_dir, manifest):
+        return None  # fenced out by a concurrent/stale attempt
+    return manifest
+
+
+def replay(
+    changelog_dir: str,
+    table_dir: str,
+    num_partitions: int = 32,
+    up_to_epoch: int | None = None,
+) -> mf.TableManifest | None:
+    """Tail-and-apply loop: process every ready epoch strictly greater than
+    the committed checkpoint, ascending (``checkpoint/utils.py:104-119``).
+    Resumable from any crash point."""
+    os.makedirs(table_dir, exist_ok=True)
+    last = None
+    for e in cl.ready_epochs(changelog_dir, after=mf.committed_epoch(table_dir)):
+        if up_to_epoch is not None and e > up_to_epoch:
+            break
+        m = apply_epoch(changelog_dir, table_dir, e, num_partitions=num_partitions)
+        if m is not None:
+            last = m
+    return last if last is not None else mf.load_current(table_dir)
+
+
+def read_table(
+    table_dir: str, payload_only: bool = False, columns: list[str] | None = None
+) -> ray.data.Dataset:
+    """The committed table as a streaming Dataset (conformed to the table
+    schema, since old partition files may predate a schema evolution)."""
+    current = mf.load_current(table_dir)
+    if current is None or not current.partitions:
+        return ray.data.from_arrow(pa.table({}))
+    schema = current.schema
+    if payload_only:
+        drop = {"op"}
+        schema = pa.schema([f for f in schema if f.name not in drop])
+    if columns:
+        schema = pa.schema([schema.field(schema.get_field_index(c)) for c in columns])
+    b64 = mf.schema_to_b64(schema)
+
+    def conform_batch(t: pa.Table) -> pa.Table:
+        return conform(t, mf.schema_from_b64(b64))
+
+    ds = ray.data.read_parquet(current.data_files(table_dir))
+    return ds.map_batches(conform_batch, batch_format="pyarrow")
+
+
+def table_to_arrow(table_dir: str, sort_by_key: bool = True) -> pa.Table:
+    """Driver-side full read — for tests/small tables only."""
+    current = mf.load_current(table_dir)
+    if current is None or not current.partitions:
+        return pa.table({})
+    schema = current.schema
+    tabs = [
+        conform(pq.read_table(f), schema) for f in sorted(current.data_files(table_dir))
+    ]
+    t = pa.concat_tables(tabs)
+    if sort_by_key and t.num_rows:
+        t = t.take(pc.sort_indices(t, sort_keys=[("doc_id", "ascending")]))
+    return t

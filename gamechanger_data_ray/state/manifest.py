@@ -1,0 +1,129 @@
+"""Table manifests + checkpoint pointer — the exactly-once commit protocol.
+
+Reference analogs:
+- ``checkpoint.txt`` advance-after-processing (at-least-once tail):
+  ``dataPipelines/gc_ingest/tools/checkpoint/utils.py:154-191``
+- idempotent sink identity (ES ``_id = sha256(filename)`` replay-safe put):
+  ``gc_elasticsearch_publisher.py:79-100``
+- blue/green publish via alias swap (manifest pointer swap here):
+  ``gc_elasticsearch_publisher.py:131-172``
+- backup refuses to clobber an existing ts-prefix (fencing):
+  ``dataPipelines/gc_ingest/tools/snapshot/utils.py:193-195``
+
+Protocol: data files have deterministic names ``part=K/data-eEEEEEE.parquet``
+(a re-run of an epoch overwrites byte-identically); a manifest JSON lists the
+exact current file per partition; ``_CURRENT`` is an atomically-replaced
+pointer naming the committed manifest + epoch. Observable state = whatever
+``_CURRENT`` points at, so a crash between data write and pointer swap is
+invisible and replay reconverges — exactly-once observable semantics on top
+of Ray's at-least-once tasks.
+"""
+
+from __future__ import annotations
+
+import base64
+import json
+import os
+from dataclasses import dataclass, field
+from typing import Any
+
+import pyarrow as pa
+
+CURRENT_POINTER = "_CURRENT"
+MANIFEST_DIR = "_manifests"
+
+
+def schema_to_b64(schema: pa.Schema) -> str:
+    return base64.b64encode(schema.serialize().to_pybytes()).decode("ascii")
+
+
+def schema_from_b64(s: str) -> pa.Schema:
+    return pa.ipc.read_schema(pa.BufferReader(base64.b64decode(s)))
+
+
+@dataclass
+class TableManifest:
+    epoch: int
+    schema_b64: str
+    # partition id (str) -> {"file": relpath, "rows": int, "watermark_lsn": int}
+    partitions: dict[str, dict[str, Any]] = field(default_factory=dict)
+    # lineage: per-epoch counters for THIS epoch + running totals
+    epoch_counters: dict[str, Any] = field(default_factory=dict)
+    totals: dict[str, int] = field(default_factory=dict)
+
+    @property
+    def schema(self) -> pa.Schema:
+        return schema_from_b64(self.schema_b64)
+
+    def data_files(self, table_dir: str) -> list[str]:
+        return [os.path.join(table_dir, p["file"]) for p in self.partitions.values()]
+
+    def to_json(self) -> str:
+        return json.dumps(
+            {
+                "epoch": self.epoch,
+                "schema_b64": self.schema_b64,
+                "schema_repr": str(self.schema).replace("\n", "; "),
+                "partitions": self.partitions,
+                "epoch_counters": self.epoch_counters,
+                "totals": self.totals,
+            },
+            indent=1,
+        )
+
+    @staticmethod
+    def from_json(s: str) -> "TableManifest":
+        d = json.loads(s)
+        return TableManifest(
+            epoch=d["epoch"],
+            schema_b64=d["schema_b64"],
+            partitions=d.get("partitions", {}),
+            epoch_counters=d.get("epoch_counters", {}),
+            totals=d.get("totals", {}),
+        )
+
+
+def _atomic_write(path: str, data: str) -> None:
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        f.write(data)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, path)
+
+
+def load_current(table_dir: str) -> TableManifest | None:
+    """The committed manifest, or None for a fresh table."""
+    ptr = os.path.join(table_dir, CURRENT_POINTER)
+    if not os.path.exists(ptr):
+        return None
+    with open(ptr) as f:
+        p = json.load(f)
+    with open(os.path.join(table_dir, MANIFEST_DIR, p["manifest"])) as f:
+        return TableManifest.from_json(f.read())
+
+
+def commit(table_dir: str, manifest: TableManifest) -> bool:
+    """Atomically publish ``manifest`` as the table's current state.
+
+    Epoch fencing: refuses (returns False) if the committed epoch is already
+    >= manifest.epoch — a stale/duplicate attempt must not move the table
+    backwards (reference fence: ``snapshot/utils.py:193-195``).
+    """
+    cur = load_current(table_dir)
+    if cur is not None and cur.epoch >= manifest.epoch:
+        return False
+    mdir = os.path.join(table_dir, MANIFEST_DIR)
+    os.makedirs(mdir, exist_ok=True)
+    name = f"manifest-{manifest.epoch:06d}.json"
+    _atomic_write(os.path.join(mdir, name), manifest.to_json())
+    _atomic_write(
+        os.path.join(table_dir, CURRENT_POINTER),
+        json.dumps({"epoch": manifest.epoch, "manifest": name}),
+    )
+    return True
+
+
+def committed_epoch(table_dir: str) -> int:
+    cur = load_current(table_dir)
+    return cur.epoch if cur else 0
