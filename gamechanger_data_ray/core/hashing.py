@@ -41,8 +41,20 @@ def fnv1a64(arr: pa.Array | pa.ChunkedArray) -> np.ndarray:
 
 
 def partition_ids(keys: pa.Array | pa.ChunkedArray, num_partitions: int) -> pa.Array:
-    """hash(key) % P as an int32 Arrow array."""
-    h = fnv1a64(keys)
+    """hash(key) % P as an int32 Arrow array. String keys use FNV-1a;
+    integer keys use a Fibonacci/splitmix-style multiplicative hash."""
+    typ = keys.type
+    if pa.types.is_integer(typ):
+        if isinstance(keys, pa.ChunkedArray):
+            keys = keys.combine_chunks()
+        v = keys.cast(pa.int64()).to_numpy(zero_copy_only=False).astype(np.uint64)
+        np.seterr(over="ignore")
+        h = v * np.uint64(0x9E3779B97F4A7C15)
+        h ^= h >> np.uint64(29)
+        h *= np.uint64(0xBF58476D1CE4E5B9)
+        h ^= h >> np.uint64(32)
+    else:
+        h = fnv1a64(keys)
     return pa.array((h % np.uint64(num_partitions)).astype(np.int32))
 
 

@@ -1,0 +1,123 @@
+"""CDC queries over the driver's testdata — the flagship LWW replay in a
+SQL-checkable form.
+
+``cdc_lww_replay`` derives a deterministic 3-epoch changelog from the
+``documents`` table (insert-all, update doc_id%3==0, delete doc_id%7==0 —
+mirroring the universal test harness's re-uploaded/changed docs across
+sequential batches, ``dev_tools/universal_test_harness/cli.py:23-69``) and
+runs it through the engine's real merge path: per-batch combiner →
+hash-partition shuffle → partition-local LWW reduce. The oracle is the
+reference snapshot-view window query
+(``dataPipelines/gc_db_utils/orch/sql/create_views.sql:16-44``).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+from ..core.hashing import partition_ids
+from ..core.merge import drop_tombstones, lww_reduce
+from . import common as cm
+
+ORACLES: dict[str, str] = {}
+
+_PART = "_part"
+
+
+def _derive_changelog(sf_dir: str) -> ray.data.Dataset:
+    """documents → 3 epochs of I/U/D events (deterministic, SQL-mirrorable)."""
+    docs = cm.read(sf_dir, "documents", columns=["doc_id", "text", "source"])
+
+    def to_events(t: pa.Table) -> pa.Table:
+        did = t["doc_id"]
+        nulls_s = pa.nulls(t.num_rows, pa.string())
+
+        def ep(op, lsn, mask, text, source):
+            tt = pa.table(
+                {
+                    "op": pa.array([op] * t.num_rows),
+                    "lsn": pa.array([lsn] * t.num_rows, pa.int64()),
+                    "seq": pc.cast(did, pa.int64()),
+                    "doc_id": did,
+                    "text": text,
+                    "source": source,
+                }
+            )
+            return tt.filter(mask) if mask is not None else tt
+
+        e1 = ep("I", 1, None, t["text"], t["source"])
+        # doc_id % 3 == 0 updates, doc_id % 7 == 0 deletes
+        did_np = did.to_numpy(zero_copy_only=False) if not isinstance(did, pa.ChunkedArray) else did.combine_chunks().to_numpy(zero_copy_only=False)
+        m3 = pa.array(did_np % 3 == 0)
+        m7 = pa.array(did_np % 7 == 0)
+        e2 = ep("U", 2, m3, pc.binary_join_element_wise(t["text"], pa.array(["v2"] * t.num_rows), " "), t["source"])
+        e3 = ep("D", 3, m7, nulls_s, nulls_s)
+        return pa.concat_tables([e1, e2, e3])
+
+    return docs.map_batches(to_events, batch_format="pyarrow")
+
+
+def cdc_lww_replay(sf_dir: str, num_partitions: int = 16):
+    """Replay the derived changelog to the final table via the engine's
+    combiner + hash-partitioned LWW merge. Returns (doc_id, text, source)."""
+    ev = _derive_changelog(sf_dir)
+
+    def combine(t: pa.Table) -> pa.Table:
+        t = lww_reduce(t)  # per-batch partial: ≤1 row per key
+        return t.append_column(_PART, partition_ids(t["doc_id"], num_partitions))
+
+    ev = ev.map_batches(combine, batch_format="pyarrow")
+
+    def merge(group: pa.Table) -> pa.Table:
+        out = drop_tombstones(lww_reduce(group.drop_columns([_PART])))
+        return out.select(["doc_id", "text", "source"])
+
+    return ev.groupby(_PART).map_groups(merge, batch_format="pyarrow")
+
+
+ORACLES["cdc_lww_replay"] = """
+WITH ev AS (
+  SELECT 'I' AS op, 1 AS lsn, doc_id AS seq, doc_id, text, source FROM documents
+  UNION ALL
+  SELECT 'U', 2, doc_id, doc_id, text || ' v2', source FROM documents WHERE doc_id % 3 = 0
+  UNION ALL
+  SELECT 'D', 3, doc_id, doc_id, NULL, NULL FROM documents WHERE doc_id % 7 = 0
+)
+SELECT doc_id, text, source FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY lsn DESC, seq DESC) AS rn
+  FROM ev
+) WHERE rn = 1 AND op <> 'D'
+"""
+
+
+def cdc_dedup_versions(sf_dir: str):
+    """Exact version dedup within the derived changelog: distinct
+    (doc_id, lsn) event count per op — the J4 version-hash dedup analog
+    (``rpa/rpa_landing_zone_mover.py:100-129``) expressed as a grouped
+    distinct."""
+    ev = _derive_changelog(sf_dir)
+
+    def distinct_partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df[["op", "lsn", "doc_id"]].drop_duplicates()
+
+    ev = ev.map_batches(distinct_partial, batch_format="pandas")
+
+    def count_group(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.drop_duplicates()
+        return pd.DataFrame({"op": [d["op"].iloc[0]], "n_versions": [len(d)]})
+
+    return ev.groupby("op").map_groups(count_group, batch_format="pandas")
+
+
+ORACLES["cdc_dedup_versions"] = """
+SELECT op, COUNT(*) AS n_versions FROM (
+  SELECT DISTINCT op, lsn, doc_id FROM (
+    SELECT 'I' AS op, 1 AS lsn, doc_id FROM documents
+    UNION ALL SELECT 'U', 2, doc_id FROM documents WHERE doc_id % 3 = 0
+    UNION ALL SELECT 'D', 3, doc_id FROM documents WHERE doc_id % 7 = 0
+  )
+) GROUP BY op
+"""

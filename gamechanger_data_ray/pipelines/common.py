@@ -1,0 +1,115 @@
+"""Shared pipeline helpers: pruned reads, broadcast small-side joins,
+partial (combiner) aggregation before the shuffle.
+
+Scale stance: every read prunes columns at the parquet footer; every
+groupby over a large input is preceded by a per-batch partial aggregate so
+the all-to-all shuffle moves one row per (batch, key) instead of one per
+event; small sides are broadcast via ``ray.put`` once and read per actor,
+never re-shipped per batch and never shuffled.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Iterable
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+
+
+def read(sf_dir: str, table: str, columns: list[str] | None = None) -> ray.data.Dataset:
+    """Pruned parquet read of one testdata table (SURVEY.md §2.1 S1/S4)."""
+    return ray.data.read_parquet(
+        os.path.join(sf_dir, f"{table}.parquet"), columns=columns
+    )
+
+
+def read_arrow(sf_dir: str, table: str, columns: list[str] | None = None) -> pa.Table:
+    """Driver-side Arrow read — ONLY for small dimension tables that will be
+    broadcast (region/nation/supplier-sized), never the fact tables."""
+    import pyarrow.parquet as pq
+
+    return pq.read_table(os.path.join(sf_dir, f"{table}.parquet"), columns=columns)
+
+
+def broadcast(obj: Any) -> "ray.ObjectRef":
+    """``ray.put`` once on the driver; stages ``ray.get`` it in ``__init__``
+    (actor pool) or at first use — the J6/J7 broadcast-join pattern
+    (``common/document_parser/lib/entities.py:18-25`` loads its lookup trie
+    once per process; we load once per cluster + zero-copy per node)."""
+    return ray.put(obj)
+
+
+class BroadcastJoiner:
+    """Actor-pool stage: left-join each batch against a broadcast pandas
+    dimension table (reference analog: crawler_info dim lookup,
+    ``common/document_parser/parsers/policy_analytics/parse.py:112-126``)."""
+
+    def __init__(self, dim_ref, on: str, how: str = "inner"):
+        self.dim: pd.DataFrame = ray.get(dim_ref)
+        self.on = on
+        self.how = how
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.merge(self.dim, on=self.on, how=self.how)
+
+
+def semi_filter(ds: ray.data.Dataset, column: str, keys_ref, keep: bool = True) -> ray.data.Dataset:
+    """Semi/anti join by broadcast key set (J3/J5 alive-set pattern,
+    ``gc_crawler_status_tracker.py:55-82``): keep rows whose ``column`` is
+    (not) in the broadcast key set. No shuffle."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        keys = ray.get(keys_ref)
+        mask = pc.is_in(batch[column], value_set=pa.array(keys))
+        if not keep:
+            mask = pc.invert(mask)
+        return batch.filter(mask)
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def partial_groupby_sum(
+    ds: ray.data.Dataset,
+    keys: list[str],
+    sums: dict[str, str],
+    counts: str | None = None,
+) -> ray.data.Dataset:
+    """Combiner + final aggregate: per-batch pandas groupby-sum (one row per
+    key per batch), then a small ``groupby().sum()`` over the partials.
+    ``sums`` maps input column -> output name. ``counts`` names a row-count
+    output column. The shuffle moves O(batches × distinct keys), not O(rows).
+    """
+    from ray.data.aggregate import Sum
+
+    sum_items = list(sums.items())
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        agg: dict[str, Any] = {}
+        for src, out in sum_items:
+            agg[out] = (src, "sum")
+        if counts:
+            agg[counts] = (keys[0], "size")
+        g = batch.groupby(keys, as_index=False, sort=False).agg(**agg)
+        return g
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+    aggs = [Sum(out, alias_name=out) for _, out in sum_items]
+    if counts:
+        aggs.append(Sum(counts, alias_name=counts))
+    return partials.groupby(keys).aggregate(*aggs)
+
+
+def to_pandas_sorted(result, by: list[str]) -> pd.DataFrame:
+    """Small-result materialization with deterministic order (tests only)."""
+    if isinstance(result, ray.data.Dataset):
+        df = result.to_pandas()
+    elif isinstance(result, pa.Table):
+        df = result.to_pandas()
+    else:
+        df = result
+    return df.sort_values(by).reset_index(drop=True)

@@ -1,0 +1,73 @@
+"""Distributed joins, Ray-Data-first.
+
+Two strategies (SURVEY.md §2.5; ray_guide.md "Joins and lookups"):
+
+- broadcast join (small side): ``common.BroadcastJoiner`` / ``semi_filter``
+  — the side is `ray.put` once, looked up per batch, NO shuffle.
+- partitioned hash join (both sides large): add ``bucket = hash(key) % B``
+  to both sides, tag the side, union, ``groupby(bucket)`` (ONE shuffle for
+  both inputs), and pandas-merge within each bucket. Skewed hot keys can be
+  salted into sub-buckets by raising B; bucket count B is the explicit
+  partitioning knob a cluster sizes to.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+from ..core.hashing import partition_ids
+from ..core.reconcile import conform, unify_schemas
+
+_SIDE = "_join_side"
+_BUCKET = "_join_bucket"
+
+
+def hash_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    on: str,
+    num_buckets: int = 64,
+    how: str = "inner",
+) -> ray.data.Dataset:
+    """Partitioned hash join of two Datasets on one equi-key.
+
+    Both inputs are bucketed by ``hash(on) % num_buckets``, conformed to one
+    unified schema (non-key columns of the other side as nulls), and
+    co-shuffled in a single ``groupby(bucket)``; each bucket joins with a
+    pandas merge. Non-key column names must be disjoint — project/rename
+    before joining.
+    """
+    lschema, rschema = left.schema(), right.schema()
+    lcols, rcols = list(lschema.names), list(rschema.names)
+    overlap = (set(lcols) & set(rcols)) - {on}
+    if overlap:
+        raise ValueError(f"rename overlapping non-key columns before join: {overlap}")
+    unified = unify_schemas(
+        pa.schema(list(zip(lschema.names, lschema.types))),
+        pa.schema(list(zip(rschema.names, rschema.types))),
+    )
+    import base64
+
+    uni_b64 = base64.b64encode(unified.serialize().to_pybytes()).decode()
+
+    def prep(side: int):
+        def add(batch: pa.Table) -> pa.Table:
+            target = pa.ipc.read_schema(pa.BufferReader(base64.b64decode(uni_b64)))
+            b = partition_ids(batch[on], num_buckets)
+            batch = conform(batch, target)
+            batch = batch.append_column(_BUCKET, b)
+            return batch.append_column(_SIDE, pa.array([side] * batch.num_rows, pa.int8()))
+
+        return add
+
+    l = left.map_batches(prep(0), batch_format="pyarrow")
+    r = right.map_batches(prep(1), batch_format="pyarrow")
+
+    def join_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        lg = group[group[_SIDE] == 0][lcols]
+        rg = group[group[_SIDE] == 1][rcols]
+        return lg.merge(rg, on=on, how=how)
+
+    return l.union(r).groupby(_BUCKET).map_groups(join_bucket, batch_format="pandas")

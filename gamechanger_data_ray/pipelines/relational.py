@@ -1,0 +1,387 @@
+"""Relational operator parity: filters, projections/renames, grouped
+aggregates, top-k, distinct, joins (broadcast + partitioned hash),
+anti/semi joins, windowed and sessionized event aggregates, hashing.
+
+Each query function takes ``sf_dir`` and returns a Dataset / DataFrame /
+Arrow table; ``ORACLES[name]`` holds the equivalent DuckDB SQL with
+IDENTICAL output column names. Reference analogs cited per function.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+from ray.data.aggregate import Count, Max, Min, Sum
+
+from ..core.hashing import version_hash_column
+from . import common as cm
+from .joins import hash_join
+
+ORACLES: dict[str, str] = {}
+
+
+# ---------------------------------------------------------------------------
+# Aggregates (SURVEY.md §2.6 A1/A2; combiner-before-shuffle per §7.2-6)
+# ---------------------------------------------------------------------------
+
+def q1_pricing_summary(sf_dir: str):
+    """TPC-H-Q1-shaped grouped aggregate over lineitem: filter → per-batch
+    partial sums (combiner) → small groupby → derived averages.
+    Ref analog: grouped counters/aggregates A1/A10."""
+    ds = cm.read(
+        sf_dir,
+        "lineitem",
+        columns=[
+            "l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+            "l_discount", "l_tax", "l_shipdate",
+        ],
+    )
+    cutoff = pa.scalar(pd.Timestamp("1998-09-02"))
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less_equal(t["l_shipdate"], cutoff))
+        disc_price = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        charge = pc.multiply(disc_price, pc.add(pa.scalar(1.0), t["l_tax"]))
+        t = t.append_column("disc_price", disc_price)
+        t = t.append_column("charge", charge)
+        return t.drop_columns(["l_shipdate", "l_tax"])
+
+    ds = ds.map_batches(prep, batch_format="pyarrow")
+    out = cm.partial_groupby_sum(
+        ds,
+        keys=["l_returnflag", "l_linestatus"],
+        sums={
+            "l_quantity": "sum_qty",
+            "l_extendedprice": "sum_base_price",
+            "disc_price": "sum_disc_price",
+            "charge": "sum_charge",
+            "l_discount": "sum_disc",
+        },
+        counts="count_order",
+    )
+    df = out.to_pandas()  # |flags × statuses| rows — tiny
+    df["avg_qty"] = df["sum_qty"] / df["count_order"]
+    df["avg_price"] = df["sum_base_price"] / df["count_order"]
+    df["avg_disc"] = df["sum_disc"] / df["count_order"]
+    df = df.drop(columns=["sum_disc"])
+    return df
+
+
+ORACLES["q1_pricing_summary"] = """
+SELECT l_returnflag, l_linestatus,
+       SUM(l_quantity)                                       AS sum_qty,
+       SUM(l_extendedprice)                                  AS sum_base_price,
+       SUM(l_extendedprice * (1 - l_discount))               AS sum_disc_price,
+       SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)) AS sum_charge,
+       COUNT(*)                                              AS count_order,
+       SUM(l_quantity) / COUNT(*)                            AS avg_qty,
+       SUM(l_extendedprice) / COUNT(*)                       AS avg_price,
+       SUM(l_discount) / COUNT(*)                            AS avg_disc
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q3_shipping_priority(sf_dir: str):
+    """Filter + broadcast semi-join (small dim side) + partitioned hash join
+    (two large sides) + grouped revenue + deterministic top-10.
+    Ref analogs: J1 equi-join, J7 broadcast dim, M8 top-k."""
+    cutoff = pd.Timestamp("1995-03-15")
+    cust = cm.read_arrow(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    building = cust.filter(pc.equal(cust["c_mktsegment"], "BUILDING"))["c_custkey"].to_pylist()
+    keys_ref = cm.broadcast(building)
+
+    orders = cm.read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"])
+    orders = orders.map_batches(
+        lambda t: t.filter(pc.less(t["o_orderdate"], pa.scalar(cutoff))),
+        batch_format="pyarrow",
+    )
+    orders = cm.semi_filter(orders, "o_custkey", keys_ref)
+    orders = orders.map_batches(
+        lambda t: t.rename_columns(["l_orderkey", "o_custkey", "o_orderdate"]).select(
+            ["l_orderkey", "o_orderdate"]
+        ),
+        batch_format="pyarrow",
+    )
+
+    li = cm.read(sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"])
+
+    def li_prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater(t["l_shipdate"], pa.scalar(cutoff)))
+        rev = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        return t.append_column("rev", rev).select(["l_orderkey", "rev"])
+
+    li = li.map_batches(li_prep, batch_format="pyarrow")
+
+    joined = hash_join(li, orders, on="l_orderkey", num_buckets=16)
+    agg = cm.partial_groupby_sum(joined, keys=["l_orderkey", "o_orderdate"], sums={"rev": "revenue"})
+    top = agg.sort(["revenue", "l_orderkey"], descending=[True, False]).limit(10)
+    return top
+
+
+ORACLES["q3_shipping_priority"] = """
+SELECT l_orderkey, o_orderdate, SUM(l_extendedprice * (1 - l_discount)) AS revenue
+FROM customer JOIN orders ON c_custkey = o_custkey
+              JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1995-03-15'
+  AND l_shipdate  > TIMESTAMP '1995-03-15'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+
+def customers_per_region(sf_dir: str):
+    """Broadcast dim-join chain region ⋈ nation ⋈ customer → counts.
+    Ref analog: J7 crawler_info dim lookup (``parse.py:112-126``)."""
+    region = cm.read_arrow(sf_dir, "region").to_pandas()
+    nation = cm.read_arrow(sf_dir, "nation").to_pandas()
+    dim = nation.merge(region, left_on="n_regionkey", right_on="r_regionkey")[
+        ["n_nationkey", "r_name"]
+    ].rename(columns={"n_nationkey": "c_nationkey"})
+    dim_ref = cm.broadcast(dim)
+
+    cust = cm.read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+    enriched = cust.map_batches(
+        cm.BroadcastJoiner, fn_constructor_args=(dim_ref, "c_nationkey"),
+        batch_format="pandas", concurrency=2,
+    )
+    out = cm.partial_groupby_sum(enriched, keys=["r_name"], sums={}, counts="n_customers")
+    return out
+
+
+ORACLES["customers_per_region"] = """
+SELECT r_name, COUNT(*) AS n_customers
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+              JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
+def topk_part_types(sf_dir: str):
+    """Grouped count → deterministic top-10 (M8 keyword-top-k analog,
+    ``common/document_parser/lib/keywords.py:4-11``)."""
+    ds = cm.read(sf_dir, "part", columns=["p_type"])
+    out = cm.partial_groupby_sum(ds, keys=["p_type"], sums={}, counts="cnt")
+    return out.sort(["cnt", "p_type"], descending=[True, False]).limit(10)
+
+
+ORACLES["topk_part_types"] = """
+SELECT p_type, COUNT(*) AS cnt FROM part GROUP BY p_type
+ORDER BY cnt DESC, p_type LIMIT 10
+"""
+
+
+def distinct_sources(sf_dir: str):
+    """Distinct values (A8 distinct crawlers,
+    ``gc_crawler_status_tracker.py:36-37``)."""
+    ds = cm.read(sf_dir, "documents", columns=["source"])
+    return pa.table({"source": pa.array(sorted(ds.unique("source")))})
+
+
+ORACLES["distinct_sources"] = "SELECT DISTINCT source FROM documents"
+
+
+def filter_project_rename(sf_dir: str):
+    """Filter + projection with suffix renames — the M14 post-process
+    projection (``parsers/policy_analytics/parse.py:154-205``:
+    ``crawler_used → crawler_used_s`` etc.)."""
+    ds = cm.read(sf_dir, "documents", columns=["doc_id", "lang", "source", "n_chars"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["lang"], "en"))
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "source_s": t["source"],
+                "n_chars_i": t["n_chars"],
+                "is_long_b": pc.greater(t["n_chars"], 500),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+ORACLES["filter_project_rename"] = """
+SELECT doc_id, source AS source_s, n_chars AS n_chars_i, n_chars > 500 AS is_long_b
+FROM documents WHERE lang = 'en'
+"""
+
+
+def version_hash_documents(sf_dir: str):
+    """Content version-hash column (M19,
+    ``gc_ingest/tools/metadata/metadata.py:9-28``): sha256 over
+    pipe-joined fields."""
+    ds = cm.read(sf_dir, "documents", columns=["doc_id", "source", "n_chars"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        vh = version_hash_column(t, ["doc_id", "source", "n_chars"])
+        return pa.table({"doc_id": t["doc_id"], "version_hash": vh})
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+ORACLES["version_hash_documents"] = """
+SELECT doc_id,
+       sha256(CAST(doc_id AS VARCHAR) || '|' || source || '|' || CAST(n_chars AS VARCHAR))
+         AS version_hash
+FROM documents
+"""
+
+
+def customers_without_orders(sf_dir: str):
+    """Anti-join by broadcast key set — the J3 revocation alive-set
+    pattern (absence is an event,
+    ``gc_crawler_status_tracker.py:55-82``): customers absent from the
+    set of big-order placers become 'revoked'."""
+    big = cm.read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    big = big.map_batches(
+        lambda t: t.filter(pc.greater(t["o_totalprice"], pa.scalar(300000.0))).select(["o_custkey"]),
+        batch_format="pyarrow",
+    )
+    keys_ref = cm.broadcast(big.unique("o_custkey"))
+    cust = cm.read(sf_dir, "customer", columns=["c_custkey", "c_name"])
+    return cm.semi_filter(cust, "c_custkey", keys_ref, keep=False)
+
+
+ORACLES["customers_without_orders"] = """
+SELECT c_custkey, c_name FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 300000)
+"""
+
+
+def events_tumbling_window(sf_dir: str):
+    """Tumbling 1-hour event-time window per user: count + sum(value).
+    Streaming-shaped workload as grouped batch aggregate (§2.10; window =
+    checkpoint-prefix analog)."""
+    ds = cm.read(sf_dir, "events", columns=["user_id", "ts", "value"])
+
+    def bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(window_start=df["ts"].dt.floor("h"))
+        return df[["user_id", "window_start", "value"]]
+
+    ds = ds.map_batches(bucket, batch_format="pandas")
+    return cm.partial_groupby_sum(
+        ds, keys=["user_id", "window_start"], sums={"value": "sum_value"}, counts="n_events"
+    )
+
+
+ORACLES["events_tumbling_window"] = """
+SELECT user_id, date_trunc('hour', ts) AS window_start,
+       SUM(value) AS sum_value, COUNT(*) AS n_events
+FROM events GROUP BY user_id, date_trunc('hour', ts)
+"""
+
+
+def events_sessionize(sf_dir: str):
+    """Session windows (30-min inactivity gap) per user → session count.
+    Per-key ordered state via groupby(user).map_groups over ts-sorted
+    groups (ray_guide.md streaming-shaped pattern)."""
+    gap = pd.Timedelta(minutes=30)
+    ds = cm.read(sf_dir, "events", columns=["user_id", "ts"])
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("ts")
+        new_sess = (g["ts"].diff() > gap).cumsum()
+        return pd.DataFrame(
+            {"user_id": [g["user_id"].iloc[0]], "n_sessions": [int(new_sess.iloc[-1]) + 1]}
+        )
+
+    return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+
+
+ORACLES["events_sessionize"] = """
+SELECT user_id, 1 + SUM(is_new) AS n_sessions FROM (
+  SELECT user_id,
+         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS is_new
+  FROM events
+) GROUP BY user_id
+"""
+
+
+def latest_event_per_user(sf_dir: str):
+    """LWW compaction over the events stream: latest row per user_id by
+    (ts, event_id) — the J2/A1 snapshot-view analog
+    (``create_views.sql:16-39``) on a generic stream."""
+    from ..core.merge import lww_reduce
+
+    ds = cm.read(sf_dir, "events", columns=["user_id", "ts", "event_id", "event_type", "value"])
+    reduce_batch = lambda t: lww_reduce(t, key="user_id", order=("ts", "event_id"))
+    ds = ds.map_batches(reduce_batch, batch_format="pyarrow")  # combiner
+    out = ds.groupby("user_id").map_groups(
+        lambda t: lww_reduce(t, key="user_id", order=("ts", "event_id")),
+        batch_format="pyarrow",
+    )
+    return out.select_columns(["user_id", "ts", "event_id", "event_type", "value"])
+
+
+ORACLES["latest_event_per_user"] = """
+SELECT user_id, ts, event_id, event_type, value FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) rn
+  FROM events
+) WHERE rn = 1
+"""
+
+
+def user_ingest_dates(sf_dir: str):
+    """Min/max event time per key (A2 ingest-date enrichment,
+    ``parse.py:92-109`` — done as one aggregate, not per-row SQL)."""
+    ds = cm.read(sf_dir, "events", columns=["user_id", "ts"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("user_id", as_index=False).agg(
+            original_ingest=("ts", "min"), current_ingest=("ts", "max")
+        )
+        return g
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+    return partials.groupby("user_id").aggregate(
+        Min("original_ingest", alias_name="original_ingest"),
+        Max("current_ingest", alias_name="current_ingest"),
+    )
+
+
+ORACLES["user_ingest_dates"] = """
+SELECT user_id, MIN(ts) AS original_ingest, MAX(ts) AS current_ingest
+FROM events GROUP BY user_id
+"""
+
+
+def event_type_dim_enrich(sf_dir: str):
+    """Broadcast enrichment against an inline dimension (J7/M16
+    ``crawler_info`` → display-name lookup): events per display name."""
+    dim = pd.DataFrame(
+        {
+            "event_type": ["click", "view", "purchase", "login", "logout"],
+            "display_name": ["Click", "Page View", "Purchase", "Log In", "Log Out"],
+        }
+    )
+    dim_ref = cm.broadcast(dim)
+    ds = cm.read(sf_dir, "events", columns=["event_type"])
+    enriched = ds.map_batches(
+        cm.BroadcastJoiner, fn_constructor_args=(dim_ref, "event_type", "left"),
+        batch_format="pandas", concurrency=2,
+    )
+
+    def fill(df: pd.DataFrame) -> pd.DataFrame:
+        df["display_name"] = df["display_name"].fillna("Unknown")
+        return df
+
+    enriched = enriched.map_batches(fill, batch_format="pandas")
+    return cm.partial_groupby_sum(enriched, keys=["display_name"], sums={}, counts="n")
+
+
+ORACLES["event_type_dim_enrich"] = """
+WITH dim(event_type, display_name) AS (VALUES
+  ('click','Click'), ('view','Page View'), ('purchase','Purchase'),
+  ('login','Log In'), ('logout','Log Out'))
+SELECT COALESCE(display_name, 'Unknown') AS display_name, COUNT(*) AS n
+FROM events LEFT JOIN dim USING (event_type)
+GROUP BY COALESCE(display_name, 'Unknown')
+"""
