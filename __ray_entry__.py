@@ -1,44 +1,82 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship CDC replay (synthetic tokens changelog →
+exactly-once lake table) end-to-end; ``queries()`` exposes every
+implemented operator/pipeline from SURVEY.md §2 over a given sf_dir;
+``oracle_sql()`` gives the DuckDB-equivalent SQL where expressible.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here calls ``ray.init()`` / ``ray.shutdown()``.
 """
 
 from __future__ import annotations
 
+import shutil
+import tempfile
 from collections.abc import Callable
 from typing import Any
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline: generate a deterministic 4-epoch tokens changelog
+    (insert/update/delete + dup deliveries + schema evolution + zipf skew),
+    replay it through the CDC engine (combiner → hash-partition merge →
+    exactly-once sink), and return the committed final table as a Dataset."""
+    from gamechanger_data_ray.core.changelog import write_changelog
+    from gamechanger_data_ray.engine.cdc import read_table, replay
+
+    base = tempfile.mkdtemp(prefix="gcdr_entry_", dir="/tmp")
+    changelog_dir, table_dir = f"{base}/changelog", f"{base}/table"
+    write_changelog(
+        changelog_dir,
+        num_epochs=4,
+        events_per_epoch=2000,
+        num_keys=400,
+        evolution=True,
+        zipf_a=1.5,
+    )
+    replay(changelog_dir, table_dir, num_partitions=8)
+    return read_table(table_dir, payload_only=True)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    """One entry per implemented operator/pipeline (SURVEY.md §2)."""
+    from gamechanger_data_ray.pipelines import analysis_queries as A
+    from gamechanger_data_ray.pipelines import cdc_queries as C
+    from gamechanger_data_ray.pipelines import relational as R
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    names_r = [
+        "q1_pricing_summary", "q3_shipping_priority", "customers_per_region",
+        "topk_part_types", "distinct_sources", "filter_project_rename",
+        "version_hash_documents", "customers_without_orders",
+        "events_tumbling_window", "events_sessionize", "latest_event_per_user",
+        "user_ingest_dates", "event_type_dim_enrich",
+    ]
+    names_c = ["cdc_lww_replay", "cdc_dedup_versions"]
+    names_a = [
+        "text_token_count", "text_quality", "text_langid", "text_fingerprint",
+        "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
+        "dedup_ngram_jaccard", "ann_topk_cosine", "ann_ivf",
+        "embedding_dedup_cosine", "multimodal_decode",
+    ]
+    out: dict[str, Callable[[str], Any]] = {}
+    for mod, names in ((R, names_r), (C, names_c), (A, names_a)):
+        for n in names:
+            out[n] = getattr(mod, n)
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-equivalent SQL per query (omitted for heuristic/approximate
+    ops — langid, fingerprint, MinHash/SimHash/IVF — which the driver
+    records as rows-only checks; they are verified against pure-python
+    oracles in tests/)."""
+    from gamechanger_data_ray.pipelines import analysis_queries as A
+    from gamechanger_data_ray.pipelines import cdc_queries as C
+    from gamechanger_data_ray.pipelines import relational as R
+
+    out: dict[str, str] = {}
+    out.update(R.ORACLES)
+    out.update(C.ORACLES)
+    out.update(A.ORACLES)
+    return out

@@ -1,0 +1,137 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata,
+decode / feature-extract / frame-sample as actor-pool stages.
+
+Reference parity: raw PDF binary handling + thumbnail rendering
+(``dataPipelines/gc_thumbnails/utils.py:31-47`` renders page 1 → PNG in a
+process pool; ``common/document_parser/lib/pdf_reader.py:7-14`` opens the
+binary doc). Here the Ray-side plumbing (schema, batch sizing, actor
+signature, output layout) is real and tested; the actual codec is STUBBED —
+image/audio libraries are not available in this environment. ``FakeDecoder``
+is a clearly-marked deterministic stand-in: a real deployment subclasses
+``Decoder`` and implements ``decode_one`` with PIL/ffmpeg, keeping
+everything else unchanged.
+
+Design notes for 100 TB: binary rows are wide → small ``batch_size`` (e.g.
+16–64) and a dedicated actor pool with ``num_cpus=1`` per actor so decode
+does not starve the readers; outputs carry only features/metadata, never
+re-emit the payload.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+
+MEDIA_SCHEMA = pa.schema(
+    [
+        pa.field("media_id", pa.int64()),
+        pa.field("payload", pa.binary()),  # opaque encoded bytes
+        pa.field("mime", pa.string()),
+        pa.field("n_bytes", pa.int64()),
+    ]
+)
+
+
+def to_media_table(ids, payloads: list[bytes], mime: str) -> pa.Table:
+    return pa.table(
+        {
+            "media_id": pa.array(ids, pa.int64()),
+            "payload": pa.array(payloads, pa.binary()),
+            "mime": pa.array([mime] * len(payloads)),
+            "n_bytes": pa.array([len(p) for p in payloads], pa.int64()),
+        }
+    )
+
+
+class Decoder:
+    """Actor-pool decode stage base. Subclass and implement ``decode_one``.
+
+    __init__ is the once-per-actor codec setup hook (load codecs/models);
+    __call__ decodes a batch and emits features only (payload dropped)."""
+
+    feature_dim = 8
+
+    def __init__(self):
+        self.setup()
+
+    def setup(self) -> None:  # codec init hook
+        pass
+
+    def decode_one(self, payload: bytes, mime: str) -> np.ndarray:
+        raise NotImplementedError(
+            "real media decoding requires PIL/ffmpeg — not available in this "
+            "environment; use FakeDecoder for plumbing tests"
+        )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        feats = np.vstack(
+            [
+                self.decode_one(p.as_py(), m.as_py())
+                for p, m in zip(batch["payload"], batch["mime"])
+            ]
+        )
+        n = batch.num_rows
+        return pa.table(
+            {
+                "media_id": batch["media_id"],
+                "n_bytes": batch["n_bytes"],
+                "feature": pa.FixedSizeListArray.from_arrays(
+                    pa.array(feats.ravel(), pa.float32()), self.feature_dim
+                ),
+            }
+        )
+
+
+class FakeDecoder(Decoder):
+    """STUB codec — deterministic byte-statistics 'features' standing in for
+    a real image/audio decode. Keeps the distributed plumbing honest."""
+
+    def decode_one(self, payload: bytes, mime: str) -> np.ndarray:
+        b = np.frombuffer(payload, dtype=np.uint8)
+        if len(b) == 0:
+            return np.zeros(self.feature_dim, dtype=np.float32)
+        digest = hashlib.sha256(payload).digest()
+        return np.array(
+            [
+                float(len(b)),
+                float(b.mean()),
+                float(b.std()),
+                float(b.min()),
+                float(b.max()),
+                float(int.from_bytes(digest[:4], "little") % 1000) / 1000.0,
+                float(b[: len(b) // 2].mean()),
+                float(b[len(b) // 2 :].mean()),
+            ],
+            dtype=np.float32,
+        )
+
+
+class FrameSampler:
+    """Frame-sampling plumbing: emit one row per sampled 'frame' offset
+    (every ``stride`` bytes stands in for every Nth video frame).
+    flat_map-shaped: input row → ≤ max_frames output rows."""
+
+    def __init__(self, stride: int = 1000, max_frames: int = 8):
+        self.stride = stride
+        self.max_frames = max_frames
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, frame_idx, offsets = [], [], []
+        for mid, nb in zip(
+            batch["media_id"].to_pylist(), batch["n_bytes"].to_pylist()
+        ):
+            n = min(self.max_frames, max(1, nb // self.stride))
+            for i in range(n):
+                ids.append(mid)
+                frame_idx.append(i)
+                offsets.append(i * self.stride)
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "frame_idx": pa.array(frame_idx, pa.int32()),
+                "byte_offset": pa.array(offsets, pa.int64()),
+            }
+        )

