@@ -1,0 +1,187 @@
+"""Benchmark harness — prints ONE JSON line with headline + per-query times.
+
+Headline: end-to-end CDC replay throughput (events/sec) — generate (cached)
+a deterministic tokens changelog sized to the sf dir, replay it through the
+engine to a fresh table, measure wall time of the replay only.
+
+Env:
+  GRAFT_SF_DIR    input dir (default /root/testdata/sf0.1)
+  RAY_GRAFT_CPUS  num_cpus for ray.init (default 32)
+
+``python bench.py --scaling`` runs the headline job at num_cpus=8 and 32 in
+fresh subprocesses on the same input and reports throughputs + scaling
+efficiency (the two-cluster-size criterion evidence; BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+# changelog scale per sf dir: sf0.1 → 2M events over 200k keys
+_SF_EVENTS = {"sf0.001": 20_000, "sf0.01": 200_000, "sf0.1": 2_000_000}
+_NUM_EPOCHS = 4
+
+
+def _sf_name() -> str:
+    return os.path.basename(os.path.normpath(SF_DIR))
+
+
+def changelog_events() -> int:
+    return _SF_EVENTS.get(_sf_name(), 200_000)
+
+
+def ensure_changelog() -> str:
+    """Generate (once, cached across runs/processes) the bench changelog."""
+    from gamechanger_data_ray.core.changelog import write_changelog
+
+    n = changelog_events()
+    out = f"/tmp/gcdr_bench/changelog_{_sf_name()}_{n}"
+    write_changelog(
+        out,
+        num_epochs=_NUM_EPOCHS,
+        events_per_epoch=n // _NUM_EPOCHS,
+        num_keys=max(1000, n // 10),
+        zipf_a=1.3,
+        mean_tokens=96,
+        evolution=True,
+        dup_frac=0.02,
+    )
+    return out
+
+
+def bench_cdc_replay() -> tuple[float, int]:
+    """Wall time of a full cold replay (all epochs) to a fresh table."""
+    from gamechanger_data_ray.engine.cdc import replay
+
+    changelog_dir = ensure_changelog()
+    table_dir = f"/tmp/gcdr_bench/table_{os.getpid()}"
+    shutil.rmtree(table_dir, ignore_errors=True)
+    t0 = time.perf_counter()
+    m = replay(changelog_dir, table_dir, num_partitions=max(16, NUM_CPUS))
+    dt = time.perf_counter() - t0
+    events = m.totals["events_in"]
+    shutil.rmtree(table_dir, ignore_errors=True)
+    return dt, events
+
+
+QUERY_NAMES = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "cdc_lww_replay",
+    "latest_event_per_user",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "ann_topk_cosine",
+    "text_token_count",
+    "text_quality",
+    "multimodal_decode",
+]
+
+
+def consume(result) -> None:
+    import pandas as pd
+    import pyarrow as pa
+
+    import ray.data
+
+    if isinstance(result, ray.data.Dataset):
+        for _ in result.iter_batches(batch_size=65536, batch_format="pyarrow"):
+            pass
+    # DataFrame / Table results are already materialized
+
+
+def run_bench() -> dict:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=NUM_CPUS,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    import __ray_entry__ as entrymod
+
+    queries = entrymod.queries()
+
+    # warm page cache: one untimed pruned read of each input
+    ensure_changelog()
+    import pyarrow.parquet as pq
+
+    for t in ("lineitem", "orders", "customer", "events", "documents", "embeddings"):
+        p = os.path.join(SF_DIR, f"{t}.parquet")
+        if os.path.exists(p):
+            pq.read_table(p)
+
+    headline_sec, n_events = bench_cdc_replay()
+
+    per_query: dict[str, float] = {}
+    for name in QUERY_NAMES:
+        t0 = time.perf_counter()
+        consume(queries[name](SF_DIR))
+        per_query[name] = round(time.perf_counter() - t0, 3)
+
+    result = {
+        "metric": "cdc_replay_end_to_end",
+        "value": round(headline_sec, 3),
+        "unit": "sec",
+        "events": n_events,
+        "events_per_sec": round(n_events / headline_sec, 1),
+        "queries": per_query,
+        "sf": _sf_name(),
+        "num_cpus": NUM_CPUS,
+    }
+    ray.shutdown()
+    return result
+
+
+def run_scaling() -> dict:
+    """Same job, fresh processes, two parallelism levels (N and 4N CPUs)."""
+
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo, r_hi = run(lo), run(hi)
+    tput_lo, tput_hi = r_lo["events_per_sec"], r_hi["events_per_sec"]
+    eff = (tput_hi / tput_lo) / (hi / lo)
+    return {
+        "metric": "cdc_replay_scaling",
+        "cpus_low": lo,
+        "cpus_high": hi,
+        "sec_low": r_lo["value"],
+        "sec_high": r_hi["value"],
+        "events_per_sec_low": tput_lo,
+        "events_per_sec_high": tput_hi,
+        "scaling_efficiency": round(eff, 3),
+        "sf": r_hi["sf"],
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

@@ -38,7 +38,7 @@ def text_token_count(sf_dir: str):
     """BPE-ish regex token counting (M11 word-count analog) — compiled
     pattern once per actor, vectorized batches."""
     ds = cm.read(sf_dir, "documents", columns=["doc_id", "text"])
-    ds = ds.map_batches(TokenCounter, batch_format="pandas", concurrency=2)
+    ds = ds.map_batches(TokenCounter, batch_format="pandas", concurrency=(1, cm.pool_size()))
     return ds.select_columns(["doc_id", "n_tokens"])
 
 
@@ -51,7 +51,7 @@ FROM documents
 def text_quality(sf_dir: str):
     """Quality scoring: word count, stopword ratio, mean word length."""
     ds = cm.read(sf_dir, "documents", columns=["doc_id", "text"])
-    ds = ds.map_batches(QualityScorer, batch_format="pandas", concurrency=2)
+    ds = ds.map_batches(QualityScorer, batch_format="pandas", concurrency=(1, cm.pool_size()))
     return ds.select_columns(["doc_id", "n_words", "stopword_ratio", "mean_word_len"])
 
 
@@ -70,14 +70,14 @@ FROM documents
 def text_langid(sf_dir: str):
     """N-gram-heuristic language ID (no SQL oracle — heuristic)."""
     ds = cm.read(sf_dir, "documents", columns=["doc_id", "text"])
-    ds = ds.map_batches(LangId, batch_format="pandas", concurrency=2)
+    ds = ds.map_batches(LangId, batch_format="pandas", concurrency=(1, cm.pool_size()))
     return ds.select_columns(["doc_id", "lang_pred"])
 
 
 def text_fingerprint(sf_dir: str):
     """Rolling-hash winnowing fingerprint (no SQL oracle)."""
     ds = cm.read(sf_dir, "documents", columns=["doc_id", "text"])
-    ds = ds.map_batches(Fingerprinter, batch_format="pandas", concurrency=2)
+    ds = ds.map_batches(Fingerprinter, batch_format="pandas", concurrency=(1, cm.pool_size()))
     return ds.select_columns(["doc_id", "fingerprint"])
 
 
@@ -153,7 +153,7 @@ def dedup_minhash_lsh(sf_dir: str, tau: float = 0.5):
     Jaccard ≥ tau. Rows-only driver check; recall/precision vs exact
     Jaccard verified in tests."""
     ds = _with_near_copies(sf_dir)
-    sigs = ds.map_batches(dd.MinHasher, batch_format="pandas", concurrency=4)
+    sigs = ds.map_batches(dd.MinHasher, batch_format="pandas", concurrency=(1, cm.pool_size()))
     sig_tbl = sigs.to_pandas()  # (N, 65): small here; at scale keep as Dataset
     sig_map = {int(r.doc_id): np.asarray(r.sig, dtype=np.uint64) for r in sig_tbl.itertuples()}
     sig_ref = cm.broadcast(sig_map)
@@ -187,7 +187,7 @@ def dedup_minhash_lsh(sf_dir: str, tau: float = 0.5):
 def dedup_simhash(sf_dir: str, max_hamming: int = 8):
     """SimHash near-dup pairs via 16-bit chunk bucketing (rows-only)."""
     ds = _with_near_copies(sf_dir)
-    hashed = ds.map_batches(dd.SimHasher, batch_format="pandas", concurrency=4)
+    hashed = ds.map_batches(dd.SimHasher, batch_format="pandas", concurrency=(1, cm.pool_size()))
     chunks = hashed.map_batches(dd.simhash_chunks, batch_format="pandas")
 
     def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
@@ -257,7 +257,7 @@ def ann_topk_cosine(sf_dir: str):
         sim.BruteForceTopK,
         fn_constructor_args=(q_ref, _TOPK),
         batch_format="pyarrow",
-        concurrency=2,
+        concurrency=(1, cm.pool_size()),
     )
     out = sim.global_topk(cands.to_pandas(), _TOPK)
     out["cosine"] = out["cosine"].round(6)
@@ -289,7 +289,7 @@ def ann_ivf(sf_dir: str, nprobe: int = 3, n_clusters: int = 16):
 
     ds = cm.read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     ds = ds.map_batches(
-        sim.IVFAssigner, fn_constructor_args=(cents_ref,), batch_format="pyarrow", concurrency=2
+        sim.IVFAssigner, fn_constructor_args=(cents_ref,), batch_format="pyarrow", concurrency=(1, cm.pool_size())
     )
     probed_buckets = set(probe.ravel().tolist())
     ds = ds.map_batches(
@@ -298,7 +298,7 @@ def ann_ivf(sf_dir: str, nprobe: int = 3, n_clusters: int = 16):
     )
     q_ref = cm.broadcast(q)
     cands = ds.map_batches(
-        sim.BruteForceTopK, fn_constructor_args=(q_ref, _TOPK), batch_format="pyarrow", concurrency=2
+        sim.BruteForceTopK, fn_constructor_args=(q_ref, _TOPK), batch_format="pyarrow", concurrency=(1, cm.pool_size())
     )
     out = sim.global_topk(cands.to_pandas(), _TOPK)
     out["cosine"] = out["cosine"].round(6)
@@ -326,7 +326,7 @@ def embedding_dedup_cosine(sf_dir: str, tau: float = 0.95):
         sim.EmbeddingDupFinder,
         fn_constructor_args=(all_ref, tau),
         batch_format="pyarrow",
-        concurrency=2,
+        concurrency=(1, cm.pool_size()),
     )
     df = pairs.to_pandas().drop_duplicates(["id_a", "id_b"])
     df["cosine"] = df["cosine"].round(5)
@@ -362,9 +362,10 @@ def multimodal_decode(sf_dir: str):
 
     media = docs.map_batches(to_media, batch_format="pyarrow")
     decoded = media.map_batches(
-        mm.FakeDecoder, batch_format="pyarrow", concurrency=2, batch_size=64
+        mm.FakeDecoder, batch_format="pyarrow", concurrency=(1, cm.pool_size()), batch_size=64
     )
-    frames = decoded.map_batches(mm.FrameSampler, batch_format="pyarrow", concurrency=2)
+    # FrameSampler is light/stateless → an instance as a task fn, no pool
+    frames = decoded.map_batches(mm.FrameSampler(), batch_format="pyarrow")
     out = cm.partial_groupby_sum(frames, keys=["media_id"], sums={}, counts="n_frames")
     return out
 

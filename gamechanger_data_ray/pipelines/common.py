@@ -21,6 +21,15 @@ import ray
 import ray.data
 
 
+def pool_size(frac: float = 0.5, minimum: int = 1) -> int:
+    """Actor-pool size that leaves CPUs free for the read/write stages —
+    a pool that reserves every CPU starves the readers and the pipeline
+    livelocks (ray_guide.md 'Stateful stages'). ~frac of the cluster,
+    always ≤ total-2."""
+    total = int(ray.cluster_resources().get("CPU", 4))
+    return max(minimum, min(total - 2, int(total * frac)))
+
+
 def read(sf_dir: str, table: str, columns: list[str] | None = None) -> ray.data.Dataset:
     """Pruned parquet read of one testdata table (SURVEY.md §2.1 S1/S4)."""
     return ray.data.read_parquet(
@@ -78,11 +87,21 @@ def partial_groupby_sum(
     keys: list[str],
     sums: dict[str, str],
     counts: str | None = None,
-) -> ray.data.Dataset:
+    driver_finish: bool = True,
+) -> pd.DataFrame | ray.data.Dataset:
     """Combiner + final aggregate: per-batch pandas groupby-sum (one row per
-    key per batch), then a small ``groupby().sum()`` over the partials.
-    ``sums`` maps input column -> output name. ``counts`` names a row-count
-    output column. The shuffle moves O(batches × distinct keys), not O(rows).
+    key per batch — the distributed heavy lifting), then a final sum over
+    the partials. ``sums`` maps input column -> output name; ``counts``
+    names a row-count output column.
+
+    The shuffle/collect moves O(batches × distinct keys) partial rows, not
+    O(rows). With ``driver_finish=True`` (default) the partials stream to
+    the driver and finish in one pandas groupby — right whenever the key
+    cardinality is bounded (Q1-style rollups, per-source counters): Ray's
+    distributed Aggregate has seconds of fixed overhead that dwarfs a
+    thousand-row finish. Set ``driver_finish=False`` for high-cardinality
+    keys (e.g. per-doc aggregates over 10^9 keys) to keep the finish as a
+    distributed ``groupby().aggregate``.
     """
     from ray.data.aggregate import Sum
 
@@ -98,6 +117,12 @@ def partial_groupby_sum(
         return g
 
     partials = ds.map_batches(partial, batch_format="pandas")
+    if driver_finish:
+        out_cols = [out for _, out in sum_items] + ([counts] if counts else [])
+        df = partials.to_pandas()
+        if df.empty:
+            return df
+        return df.groupby(keys, as_index=False, sort=False)[out_cols].sum()
     aggs = [Sum(out, alias_name=out) for _, out in sum_items]
     if counts:
         aggs.append(Sum(counts, alias_name=counts))

@@ -24,6 +24,9 @@ _SIDE = "_join_side"
 _BUCKET = "_join_bucket"
 
 
+_NATIVE_JOIN_TYPES = {"inner", "left_outer", "right_outer", "full_outer"}
+
+
 def hash_join(
     left: ray.data.Dataset,
     right: ray.data.Dataset,
@@ -33,12 +36,34 @@ def hash_join(
 ) -> ray.data.Dataset:
     """Partitioned hash join of two Datasets on one equi-key.
 
-    Both inputs are bucketed by ``hash(on) % num_buckets``, conformed to one
-    unified schema (non-key columns of the other side as nulls), and
-    co-shuffled in a single ``groupby(bucket)``; each bucket joins with a
-    pandas merge. Non-key column names must be disjoint — project/rename
-    before joining.
+    Uses the native ``Dataset.join`` (hash-partitioned aggregators,
+    Ray >= 2.46) when available; otherwise falls back to the portable
+    bucketed implementation: both inputs bucketed by
+    ``hash(on) % num_buckets``, co-shuffled in a single ``groupby(bucket)``,
+    pandas merge per bucket. Non-key column names must be disjoint —
+    project/rename before joining.
     """
+    if hasattr(left, "join") and how in _NATIVE_JOIN_TYPES:
+        # repartition heals Ray's schema-less empty blocks (a filter that
+        # empties a block drops its schema, which breaks the join's Acero
+        # key resolution); metadata-level consolidation, not a shuffle
+        left = left.repartition(num_buckets)
+        right = right.repartition(num_buckets)
+        return left.join(right, join_type=how, num_partitions=num_buckets, on=(on,))
+    return bucketed_hash_join(left, right, on, num_buckets, how)
+
+
+def bucketed_hash_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    on: str,
+    num_buckets: int = 64,
+    how: str = "inner",
+) -> ray.data.Dataset:
+    """Portable bucketed hash join (the explicit pattern the native join
+    implements): ONE co-shuffle of both tagged sides, bucket-local merges.
+    Kept as the fallback and as the skew-controllable variant (raise
+    ``num_buckets`` / pre-salt the key to split hot buckets)."""
     lschema, rschema = left.schema(), right.schema()
     lcols, rcols = list(lschema.names), list(rschema.names)
     overlap = (set(lcols) & set(rcols)) - {on}

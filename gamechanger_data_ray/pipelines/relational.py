@@ -62,7 +62,7 @@ def q1_pricing_summary(sf_dir: str):
         },
         counts="count_order",
     )
-    df = out.to_pandas()  # |flags × statuses| rows — tiny
+    df = out  # |flags × statuses| rows — tiny
     df["avg_qty"] = df["sum_qty"] / df["count_order"]
     df["avg_price"] = df["sum_base_price"] / df["count_order"]
     df["avg_disc"] = df["sum_disc"] / df["count_order"]
@@ -119,8 +119,8 @@ def q3_shipping_priority(sf_dir: str):
 
     joined = hash_join(li, orders, on="l_orderkey", num_buckets=16)
     agg = cm.partial_groupby_sum(joined, keys=["l_orderkey", "o_orderdate"], sums={"rev": "revenue"})
-    top = agg.sort(["revenue", "l_orderkey"], descending=[True, False]).limit(10)
-    return top
+    top = agg.sort_values(["revenue", "l_orderkey"], ascending=[False, True]).head(10)
+    return top.reset_index(drop=True)
 
 
 ORACLES["q3_shipping_priority"] = """
@@ -149,7 +149,7 @@ def customers_per_region(sf_dir: str):
     cust = cm.read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
     enriched = cust.map_batches(
         cm.BroadcastJoiner, fn_constructor_args=(dim_ref, "c_nationkey"),
-        batch_format="pandas", concurrency=2,
+        batch_format="pandas", concurrency=(1, cm.pool_size()),
     )
     out = cm.partial_groupby_sum(enriched, keys=["r_name"], sums={}, counts="n_customers")
     return out
@@ -168,7 +168,7 @@ def topk_part_types(sf_dir: str):
     ``common/document_parser/lib/keywords.py:4-11``)."""
     ds = cm.read(sf_dir, "part", columns=["p_type"])
     out = cm.partial_groupby_sum(ds, keys=["p_type"], sums={}, counts="cnt")
-    return out.sort(["cnt", "p_type"], descending=[True, False]).limit(10)
+    return out.sort_values(["cnt", "p_type"], ascending=[False, True]).head(10).reset_index(drop=True)
 
 
 ORACLES["topk_part_types"] = """
@@ -314,11 +314,13 @@ def latest_event_per_user(sf_dir: str):
     ds = cm.read(sf_dir, "events", columns=["user_id", "ts", "event_id", "event_type", "value"])
     reduce_batch = lambda t: lww_reduce(t, key="user_id", order=("ts", "event_id"))
     ds = ds.map_batches(reduce_batch, batch_format="pyarrow")  # combiner
-    out = ds.groupby("user_id").map_groups(
-        lambda t: lww_reduce(t, key="user_id", order=("ts", "event_id")),
-        batch_format="pyarrow",
-    )
-    return out.select_columns(["user_id", "ts", "event_id", "event_type", "value"])
+    # final reduce over O(batches × users) partial winners — LWW is
+    # associative, so reducing the partials driver-side is exact; the
+    # billion-key version is the engine's groupby(part) merge (engine/cdc.py)
+    refs = ds.to_arrow_refs()
+    partials = pa.concat_tables([ray.get(r) for r in refs], promote_options="default")
+    out = lww_reduce(partials, key="user_id", order=("ts", "event_id"))
+    return out.select(["user_id", "ts", "event_id", "event_type", "value"])
 
 
 ORACLES["latest_event_per_user"] = """
@@ -341,9 +343,12 @@ def user_ingest_dates(sf_dir: str):
         return g
 
     partials = ds.map_batches(partial, batch_format="pandas")
-    return partials.groupby("user_id").aggregate(
-        Min("original_ingest", alias_name="original_ingest"),
-        Max("current_ingest", alias_name="current_ingest"),
+    # finish over O(batches × users) partial rows on the driver (min/max
+    # compose); switch to groupby().aggregate for 10^9-key cardinalities
+    df = partials.to_pandas()
+    return df.groupby("user_id", as_index=False).agg(
+        original_ingest=("original_ingest", "min"),
+        current_ingest=("current_ingest", "max"),
     )
 
 
@@ -366,7 +371,7 @@ def event_type_dim_enrich(sf_dir: str):
     ds = cm.read(sf_dir, "events", columns=["event_type"])
     enriched = ds.map_batches(
         cm.BroadcastJoiner, fn_constructor_args=(dim_ref, "event_type", "left"),
-        batch_format="pandas", concurrency=2,
+        batch_format="pandas", concurrency=(1, cm.pool_size()),
     )
 
     def fill(df: pd.DataFrame) -> pd.DataFrame:

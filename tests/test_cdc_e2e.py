@@ -142,7 +142,7 @@ def test_ready_marker_gates_visibility(workdir):
 def test_lineage_counters_per_partition(workdir):
     cd, td = os.path.join(workdir, "cl"), os.path.join(workdir, "tb")
     write_changelog(cd, num_epochs=2, events_per_epoch=1000, num_keys=100, dup_frac=0.1)
-    m = replay(cd, td, num_partitions=4)
+    m = replay(cd, td, num_partitions=4, epochs_per_commit=1)
     per_part = m.epoch_counters["per_partition"]
     assert len(per_part) >= 1
     assert sum(c["events_in"] for c in per_part.values()) == m.epoch_counters["events_in"]

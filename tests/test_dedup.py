@@ -1,0 +1,127 @@
+"""Dedup-stage verification against pure-python brute-force oracles."""
+
+from __future__ import annotations
+
+import itertools
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from gamechanger_data_ray.stages import dedup as dd
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    """Deterministic corpus: 60 base docs + near-copies of 10 + exact copy."""
+    rng = np.random.default_rng(5)
+    vocab = [f"w{i}" for i in range(50)]
+    docs = {}
+    for i in range(60):
+        docs[i] = " ".join(rng.choice(vocab, size=40))
+    for i in range(10):  # near-dups: drop last 4 words
+        docs[1000 + i] = " ".join(docs[i].split()[:-4])
+    docs[2000] = docs[0]  # exact dup
+    return docs
+
+
+def brute_pairs(docs, tau):
+    out = set()
+    for a, b in itertools.combinations(sorted(docs), 2):
+        if dd.exact_jaccard(docs[a], docs[b]) >= tau:
+            out.add((a, b))
+    return out
+
+
+def test_minhash_estimates_jaccard(corpus):
+    mh = dd.MinHasher()
+    sigs = {k: mh.signature(v) for k, v in corpus.items()}
+    for a, b in [(0, 1000), (5, 1005), (0, 2000), (0, 1)]:
+        est = dd.estimated_jaccard(sigs[a], sigs[b])
+        exact = dd.exact_jaccard(corpus[a], corpus[b])
+        assert abs(est - exact) < 0.25, (a, b, est, exact)
+
+
+def test_minhash_identical_docs_full_match(corpus):
+    mh = dd.MinHasher()
+    assert dd.estimated_jaccard(mh.signature(corpus[0]), mh.signature(corpus[2000])) == 1.0
+
+
+def test_lsh_recall_on_high_jaccard_pairs(corpus):
+    """Every pair with exact Jaccard ≥ 0.8 must be found by LSH banding."""
+    mh = dd.MinHasher()
+    df = pd.DataFrame({"doc_id": list(corpus), "text": list(corpus.values())})
+    sigs = mh(df.copy())
+    bands = dd.lsh_bands(sigs)
+    found = set()
+    for _, g in bands.groupby(["band_id", "band_hash"]):
+        p = dd.bucket_pairs(g)
+        found.update(zip(p["id_a"], p["id_b"]))
+    want = brute_pairs(corpus, 0.8)
+    assert want, "fixture must contain high-jaccard pairs"
+    missing = want - found
+    assert not missing, f"LSH missed {missing}"
+
+
+def test_simhash_near_dups_close_hamming(corpus):
+    sh = dd.SimHasher()
+    h0 = sh.simhash(corpus[0])
+    h_near = sh.simhash(corpus[1000])
+    h_far = sh.simhash(corpus[40])
+    assert dd.hamming64(h0, h_near) < dd.hamming64(h0, h_far)
+    assert dd.hamming64(h0, sh.simhash(corpus[2000])) == 0
+
+
+def test_simhash_chunk_bucketing_catches_small_hamming(corpus):
+    """Pigeonhole: hamming ≤ 3 pairs share ≥ 1 exact 16-bit chunk."""
+    sh = dd.SimHasher()
+    hashes = {k: sh.simhash(v) for k, v in corpus.items()}
+    for a, b in itertools.combinations(sorted(corpus), 2):
+        if dd.hamming64(hashes[a], hashes[b]) <= 3:
+            chunks_a = [(hashes[a] >> (16 * c)) & 0xFFFF for c in range(4)]
+            chunks_b = [(hashes[b] >> (16 * c)) & 0xFFFF for c in range(4)]
+            assert any(x == y for x, y in zip(chunks_a, chunks_b))
+
+
+def test_bucket_pairs_caps_degenerate_buckets():
+    g = pd.DataFrame({"doc_id": list(range(500))})
+    p = dd.bucket_pairs(g, max_bucket=50)
+    assert len(p) == 50 * 49 // 2  # capped, not 500·499/2
+
+
+def test_exact_jaccard_edges():
+    assert dd.exact_jaccard("", "") == 1.0
+    assert dd.exact_jaccard("a b c", "a b c") == 1.0
+    assert dd.exact_jaccard("a b c d", "x y z w") == 0.0
+
+
+def test_dedup_queries_find_seeded_pairs(sf_dir):
+    """The seeded near-copies (doc_id + 100000) must be recovered."""
+    from gamechanger_data_ray.pipelines.analysis_queries import (
+        dedup_minhash_lsh,
+        dedup_simhash,
+    )
+
+    mh = dedup_minhash_lsh(sf_dir)
+    seeded = mh[mh["id_b"] == mh["id_a"] + 100_000]
+    assert len(seeded) >= 40  # 50 seeded near-copies, high recall expected
+
+    # SimHash chunk-bucketing guarantees recall only for hamming ≤ 3
+    # (pigeonhole over 4 × 16-bit chunks); verify that guarantee exactly,
+    # plus that every emitted pair respects the hamming cutoff.
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    texts = dict(zip(t["doc_id"].to_pylist(), t["text"].to_pylist()))
+    sh = dd.SimHasher()
+    guaranteed = set()
+    for d, txt in texts.items():
+        if d % 10 == 0:
+            pert = " ".join(txt.split()[:-5])
+            if dd.hamming64(sh.simhash(txt), sh.simhash(pert)) <= 3:
+                guaranteed.add((d, d + 100_000))
+    simh = dedup_simhash(sf_dir)
+    got = set(zip(simh["id_a"], simh["id_b"]))
+    assert guaranteed, "fixture must contain hamming<=3 seeded pairs"
+    assert guaranteed <= got, f"missed guaranteed pairs: {sorted(guaranteed - got)[:5]}"
+    assert (simh["hamming"] <= 8).all()

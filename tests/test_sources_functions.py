@@ -1,0 +1,80 @@
+"""Sources (I/U/D manifest, revocation) and scalar function library tests."""
+
+from __future__ import annotations
+
+import os
+from datetime import datetime
+
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data
+
+from gamechanger_data_ray.functions import dates, text_utils as tu
+from gamechanger_data_ray.pipelines.common import broadcast
+from gamechanger_data_ray.sources import manifests as mfs
+
+
+def test_read_iud_manifest(tmp_path):
+    p = str(tmp_path / "manifest.csv")
+    pd.DataFrame(
+        {
+            "doc_id": ["a", "b", "c"],
+            "Process": ["Insert", "Delete", "Update"],
+            "source": ["s1", "s1", "s2"],
+        }
+    ).to_csv(p, index=False)
+    ds = mfs.read_iud_manifest(p, lsn=7)
+    rows = ds.take_all()
+    assert [r["op"] for r in rows] == ["I", "D", "U"]
+    assert [r["seq"] for r in rows] == [0, 1, 2]
+    assert all(r["lsn"] == 7 for r in rows)
+
+
+def test_iud_manifest_rejects_unknown_process(tmp_path):
+    p = str(tmp_path / "bad.csv")
+    pd.DataFrame({"doc_id": ["a"], "Process": ["Upsert"]}).to_csv(p, index=False)
+    with pytest.raises(Exception, match="unknown Process"):
+        mfs.read_iud_manifest(p, lsn=1).take_all()
+
+
+def test_revocation_events_absence_is_an_event():
+    table = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": ["a", "b", "c", "d"],
+                "source": ["s1", "s1", "s2", "s3"],
+            }
+        )
+    )
+    # crawl covered s1 (only a alive) and s2 (c alive); s3 not crawled
+    alive_ref = broadcast({"s1": {"a"}, "s2": {"c"}})
+    tombs = mfs.revocation_events(table, alive_ref, lsn=9).take_all()
+    assert [(r["doc_id"], r["op"], r["lsn"]) for r in tombs] == [("b", "D", 9)]
+
+
+def test_alive_sets():
+    df = pd.DataFrame({"source": ["s1", "s1", "s2"], "doc_id": ["a", "b", "c"]})
+    assert mfs.alive_sets(df) == {"s1": {"a", "b"}, "s2": {"c"}}
+
+
+def test_text_utils_chain():
+    arr = pa.array(['  héllo   "world"  ', "a__b  c"])
+    out = tu.chain_apply(
+        arr, tu.translate_to_ascii, tu.squash_whitespace, tu.double_to_single_quotes
+    )
+    assert out.to_pylist() == ["hllo 'world'", "a__b c"]
+    assert tu.squash_underscores(pa.array(["a___b"])).to_pylist() == ["a_b"]
+    assert tu.squash_non_word(pa.array(["a b-c!"])).to_pylist() == ["a_b_c"]
+    assert tu.size_fmt(2048) == "2.0KiB"
+
+
+def test_date_parsers():
+    assert dates.parse_formatted_timestamp("2021-01-01T11:00:00") == datetime(2021, 1, 1, 11)
+    assert dates.parse_formatted_timestamp("junk") is None
+    assert dates.parse_timestamp("2021-06-01") == datetime(2021, 6, 1)
+    assert dates.parse_timestamp("junk", default="d") == "d"
+    col = dates.parse_timestamp_column(pa.array(["2021-01-01T11:00:00", None]))
+    assert col[0].as_py() == datetime(2021, 1, 1, 11)
+    assert col[1].as_py() is None
+    assert dates.format_timestamp(datetime(2021, 1, 1, 11)) == "2021-01-01T11:00:00"
