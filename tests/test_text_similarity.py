@@ -51,10 +51,20 @@ def test_fingerprint_properties():
     assert f[0] == f[1]  # deterministic
     assert f[0] != f[2]
     assert len(f[3]) == 16  # short-text fallback still fixed width
-    # rotation robustness: a shared long run yields the same minimum
-    a = Fingerprinter()._fp("PREFIX " + "abcdefgh" * 10)
-    b = Fingerprinter()._fp("abcdefgh" * 10 + " SUFFIX")
-    assert a == b
+
+    # parity with a naive per-window Rabin-Karp oracle
+    def naive_fp(s: str, k=8, base=257, mask=(1 << 61) - 1) -> str:
+        b = s.encode()
+        hashes = []
+        for i in range(len(b) - k + 1):
+            h = 0
+            for j in range(k):
+                h = (h * base + b[i + j]) & mask
+            hashes.append(h)
+        return f"{min(hashes):016x}"
+
+    for s in ("abcdefgh" * 10, "the quick brown fox jumps over the lazy dog"):
+        assert Fingerprinter()._fp(s) == naive_fp(s)
 
 
 def brute_topk(m, qids, ids, k):
@@ -106,5 +116,6 @@ def test_multimodal_decoder_stub_contract():
         mm.Decoder().decode_one(b"x", "image/png")
     fs = mm.FrameSampler(stride=4, max_frames=3)
     frames = fs(out.select(["media_id", "n_bytes"]))
-    assert frames["media_id"].to_pylist() == [1, 1, 1, 2]
-    assert frames["frame_idx"].to_pylist() == [0, 1, 2, 0]
+    # 11 bytes / stride 4 → 2 frames; empty payload → 1 sentinel frame
+    assert frames["media_id"].to_pylist() == [1, 1, 2]
+    assert frames["frame_idx"].to_pylist() == [0, 1, 0]
