@@ -1,16 +1,29 @@
 """The CDC replay engine — changelog tail → lake upsert, Ray-Data-first.
 
-Pipeline per epoch (all streaming, zero-copy Arrow batches):
+Pipeline per epoch batch (all streaming, zero-copy Arrow batches):
 
     read_parquet(epoch files)
       → map_batches(normalize)        # conform to unified schema, partial
                                       # LWW reduce (combiner), add part col
-      → groupby("part")               # ONE hash shuffle, on the engine's
-                                      # single partitioning key hash(doc_id)%P
-      → map_groups(merge_write)       # partition-local: read current state
+      → EXCHANGE on hash(doc_id)%P    # the engine's ONE shuffle; two
+                                      # physical strategies, see below
+      → merge per partition           # partition-local: read current state
                                       # file, LWW merge, write deterministic
                                       # data-eEEEEEE.parquet, emit counters
       → (tiny counters dataset)       # driver commits manifest atomically
+
+Exchange strategies (``exchange=`` on apply/replay):
+- ``"staged"`` (default): the combiner output is written as
+  hive-partitioned Parquet (``write_parquet(partition_cols=[_part])``) to
+  an ephemeral staging dir, then P merge tasks each read exactly their
+  partition's staged files — a disk-mediated hash shuffle (Spark-style
+  shuffle files on the shared store). Scales with per-node disk bandwidth
+  and sidesteps the single plasma-store bottleneck; the staged files also
+  make a crashed exchange trivially restartable.
+- ``"sort"``: ``groupby(_part).map_groups`` — the in-object-store sort
+  shuffle. Fewer moving parts; on a single node it serializes through one
+  plasma store and anti-scales beyond ~8 cores at GB-scale inputs
+  (measured: 6M events, 32 cpus: sort 32-39s vs staged 7-10s).
 
 Scale properties:
 - the combiner collapses duplicate/hot-key events per batch BEFORE the
@@ -107,14 +120,66 @@ def make_merge_writer(
     return merge_write
 
 
+def make_staged_merger(
+    table_dir: str,
+    staging_dir: str,
+    epoch: int,
+    unified_b64: str,
+    state_files: dict[int, str],
+):
+    """Merge task for the staged exchange: each input row names one
+    partition; the task reads that partition's staged files (already
+    conformed + weight-carrying) plus its current state file, merges, and
+    writes the deterministic output file."""
+
+    def merge_staged(batch: pa.Table) -> pa.Table:
+        import glob as _glob
+
+        schema = mf.schema_from_b64(unified_b64)
+        out_rows: list[dict] = []
+        for part in batch["part"].to_pylist():
+            part = int(part)
+            staged = sorted(
+                _glob.glob(os.path.join(staging_dir, f"{PART_COLUMN}={part}", "*.parquet"))
+            )
+            if not staged:
+                continue
+            events = pa.concat_tables(
+                [pq.read_table(f) for f in staged], promote_options="default"
+            )
+            state = None
+            rel = state_files.get(part)
+            if rel is not None:
+                state = conform(pq.read_table(os.path.join(table_dir, rel)), schema)
+            merged, counters = merge_partition(state, events)
+            out_rel = _partition_path(epoch, part)
+            out_abs = os.path.join(table_dir, out_rel)
+            os.makedirs(os.path.dirname(out_abs), exist_ok=True)
+            tmp = out_abs + ".inprogress"
+            pq.write_table(merged, tmp)
+            os.replace(tmp, out_abs)
+            out_rows.append(
+                {"part": part, "file": out_rel, **{k: int(counters[k]) for k in COUNTER_KEYS}}
+            )
+        if not out_rows:
+            return pa.table(
+                {"part": pa.array([], pa.int64()), "file": pa.array([], pa.string())}
+                | {k: pa.array([], pa.int64()) for k in COUNTER_KEYS}
+            )
+        return pa.table({k: [r[k] for r in out_rows] for k in out_rows[0]})
+
+    return merge_staged
+
+
 def apply_epoch(
     changelog_dir: str,
     table_dir: str,
     epoch: int,
     num_partitions: int = 32,
+    exchange: str = "staged",
 ) -> mf.TableManifest | None:
     """Apply one ready epoch to the table (see :func:`apply_epochs`)."""
-    return apply_epochs(changelog_dir, table_dir, [epoch], num_partitions)
+    return apply_epochs(changelog_dir, table_dir, [epoch], num_partitions, exchange)
 
 
 def apply_epochs(
@@ -122,6 +187,7 @@ def apply_epochs(
     table_dir: str,
     epochs: list[int],
     num_partitions: int = 32,
+    exchange: str = "staged",
 ) -> mf.TableManifest | None:
     """Apply a run of ready epochs to the table in ONE pipeline; returns the
     committed manifest (at ``max(epochs)``).
@@ -158,11 +224,32 @@ def apply_epochs(
     ds = ds.map_batches(
         make_normalizer(unified_b64, num_partitions), batch_format="pyarrow"
     )
-    counters_ds = ds.groupby(PART_COLUMN).map_groups(
-        make_merge_writer(table_dir, epoch, unified_b64, state_files),
-        batch_format="pyarrow",
-    )
-    counter_rows = counters_ds.take_all()  # O(num_partitions) rows — tiny
+    if exchange == "staged":
+        import shutil
+
+        staging = os.path.join(table_dir, "_staging", f"epoch-{epoch:06d}")
+        shutil.rmtree(staging, ignore_errors=True)  # stale crashed attempt
+        ds.write_parquet(staging, partition_cols=[PART_COLUMN])
+        touched = sorted(
+            int(d.split("=", 1)[1])
+            for d in os.listdir(staging)
+            if d.startswith(PART_COLUMN + "=")
+        )
+        counters_ds = ray.data.from_items([{"part": p} for p in touched]).map_batches(
+            make_staged_merger(table_dir, staging, epoch, unified_b64, state_files),
+            batch_size=1,
+            batch_format="pyarrow",
+        )
+        counter_rows = counters_ds.take_all()  # O(num_partitions) rows — tiny
+        shutil.rmtree(staging, ignore_errors=True)
+    elif exchange == "sort":
+        counters_ds = ds.groupby(PART_COLUMN).map_groups(
+            make_merge_writer(table_dir, epoch, unified_b64, state_files),
+            batch_format="pyarrow",
+        )
+        counter_rows = counters_ds.take_all()  # O(num_partitions) rows — tiny
+    else:
+        raise ValueError(f"unknown exchange strategy: {exchange!r}")
 
     # build the new manifest: carry forward untouched partitions
     partitions = dict(current.partitions) if current else {}
@@ -206,6 +293,7 @@ def replay(
     num_partitions: int = 32,
     up_to_epoch: int | None = None,
     epochs_per_commit: int | None = None,
+    exchange: str = "staged",
 ) -> mf.TableManifest | None:
     """Tail-and-apply loop: process every ready epoch strictly greater than
     the committed checkpoint, ascending (``checkpoint/utils.py:104-119``).
@@ -223,7 +311,9 @@ def replay(
     last = None
     for i in range(0, len(pending), max(1, step)):
         batch = pending[i : i + max(1, step)]
-        m = apply_epochs(changelog_dir, table_dir, batch, num_partitions=num_partitions)
+        m = apply_epochs(
+            changelog_dir, table_dir, batch, num_partitions=num_partitions, exchange=exchange
+        )
         if m is not None:
             last = m
     return last if last is not None else mf.load_current(table_dir)

@@ -36,3 +36,23 @@ def test_batched_equals_per_epoch(tmp_path):
         mf.load_current(t_batch).totals["events_in"]
         == mf.load_current(t_one).totals["events_in"]
     )
+
+
+def test_staged_and_sort_exchanges_identical(tmp_path):
+    """Both physical shuffles must produce byte-identical tables, counters
+    and no leftover staging debris."""
+    import os
+
+    cd = str(tmp_path / "cl")
+    write_changelog(cd, num_epochs=3, events_per_epoch=1500, num_keys=300, zipf_a=1.5)
+    t_staged = str(tmp_path / "staged")
+    t_sort = str(tmp_path / "sorted")
+    replay(cd, t_staged, num_partitions=4, exchange="staged")
+    replay(cd, t_sort, num_partitions=4, exchange="sort")
+    assert table_to_arrow(t_staged).equals(table_to_arrow(t_sort))
+    ms, mo = mf.load_current(t_staged), mf.load_current(t_sort)
+    assert ms.totals == mo.totals
+    assert ms.epoch_counters["per_partition"] == mo.epoch_counters["per_partition"]
+    assert not os.path.exists(os.path.join(t_staged, "_staging")) or not os.listdir(
+        os.path.join(t_staged, "_staging")
+    )
