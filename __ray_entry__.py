@@ -43,6 +43,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     """One entry per implemented operator/pipeline (SURVEY.md §2)."""
     from gamechanger_data_ray.pipelines import analysis_queries as A
     from gamechanger_data_ray.pipelines import cdc_queries as C
+    from gamechanger_data_ray.pipelines import incremental as I
     from gamechanger_data_ray.pipelines import relational as R
 
     names_r = [
@@ -51,8 +52,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "version_hash_documents", "customers_without_orders",
         "events_tumbling_window", "events_sessionize", "latest_event_per_user",
         "user_ingest_dates", "event_type_dim_enrich",
+        "orders_top100_global_sort", "top2_customers_per_nation",
+        "events_sliding_window", "docs_source_dispatch",
     ]
     names_c = ["cdc_lww_replay", "cdc_dedup_versions"]
+    names_i = ["events_checkpoint_incremental", "hash_antijoin_incremental"]
     names_a = [
         "text_token_count", "text_quality", "text_langid", "text_fingerprint",
         "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
@@ -60,7 +64,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_dedup_cosine", "multimodal_decode",
     ]
     out: dict[str, Callable[[str], Any]] = {}
-    for mod, names in ((R, names_r), (C, names_c), (A, names_a)):
+    for mod, names in ((R, names_r), (C, names_c), (I, names_i), (A, names_a)):
         for n in names:
             out[n] = getattr(mod, n)
     return out
@@ -73,10 +77,12 @@ def oracle_sql() -> dict[str, str]:
     oracles in tests/)."""
     from gamechanger_data_ray.pipelines import analysis_queries as A
     from gamechanger_data_ray.pipelines import cdc_queries as C
+    from gamechanger_data_ray.pipelines import incremental as I
     from gamechanger_data_ray.pipelines import relational as R
 
     out: dict[str, str] = {}
     out.update(R.ORACLES)
     out.update(C.ORACLES)
+    out.update(I.ORACLES)
     out.update(A.ORACLES)
     return out

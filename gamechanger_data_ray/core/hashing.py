@@ -71,4 +71,4 @@ def version_hash_column(t: pa.Table, cols: list[str]) -> pa.Array:
     joined = parts[0]
     for p in parts[1:]:
         joined = pc.binary_join_element_wise(joined, p, "|")
-    return pa.array(sha256_hex(joined.to_pylist()))
+    return pa.array(sha256_hex(joined.to_pylist()), pa.string())

@@ -205,23 +205,47 @@ def apply_epochs(
     manifest pointer swap; a rerun overwrites them identically.
     """
     epoch = max(epochs)
+    if mf.committed_epoch(table_dir) >= epoch:
+        return None
+    files = [f for e in sorted(epochs) for f in _epoch_files(changelog_dir, e)]
+    # unify: footer schemas of the epoch's files + current table schema.
+    incoming = unify_all([pq.read_schema(f) for f in files])
+    return apply_events_dataset(
+        ray.data.read_parquet(files),
+        table_dir,
+        epoch,
+        incoming,
+        num_partitions=num_partitions,
+        exchange=exchange,
+    )
+
+
+def apply_events_dataset(
+    events_ds: ray.data.Dataset,
+    table_dir: str,
+    epoch: int,
+    incoming_schema: pa.Schema,
+    num_partitions: int = 32,
+    exchange: str = "staged",
+) -> mf.TableManifest | None:
+    """Apply an arbitrary change-event Dataset (op/lsn/seq/doc_id + payload
+    columns) to the table as ``epoch`` — the core upsert used by epoch
+    replay, manifest-driven I/U/D runs (S7) and revocation sweeps (J3)."""
     current = mf.load_current(table_dir)
     if current is not None and current.epoch >= epoch:
         return None
 
-    files = [f for e in sorted(epochs) for f in _epoch_files(changelog_dir, e)]
-    # unify: footer schemas of the epoch's files + current table schema.
-    incoming = unify_all([pq.read_schema(f) for f in files])
     unified = (
-        unify_schemas(current.schema, incoming) if current is not None else incoming
+        unify_schemas(current.schema, incoming_schema)
+        if current is not None
+        else incoming_schema
     )
     unified_b64 = mf.schema_to_b64(unified)
     state_files = (
         {int(k): v["file"] for k, v in current.partitions.items()} if current else {}
     )
 
-    ds = ray.data.read_parquet(files)
-    ds = ds.map_batches(
+    ds = events_ds.map_batches(
         make_normalizer(unified_b64, num_partitions), batch_format="pyarrow"
     )
     if exchange == "staged":
@@ -232,15 +256,20 @@ def apply_epochs(
         ds.write_parquet(staging, partition_cols=[PART_COLUMN])
         touched = sorted(
             int(d.split("=", 1)[1])
-            for d in os.listdir(staging)
+            for d in (os.listdir(staging) if os.path.isdir(staging) else [])
             if d.startswith(PART_COLUMN + "=")
         )
-        counters_ds = ray.data.from_items([{"part": p} for p in touched]).map_batches(
-            make_staged_merger(table_dir, staging, epoch, unified_b64, state_files),
-            batch_size=1,
-            batch_format="pyarrow",
-        )
-        counter_rows = counters_ds.take_all()  # O(num_partitions) rows — tiny
+        if touched:
+            counters_ds = ray.data.from_items(
+                [{"part": p} for p in touched]
+            ).map_batches(
+                make_staged_merger(table_dir, staging, epoch, unified_b64, state_files),
+                batch_size=1,
+                batch_format="pyarrow",
+            )
+            counter_rows = counters_ds.take_all()  # O(num_partitions) rows — tiny
+        else:
+            counter_rows = []  # empty epoch: nothing merged, manifest still advances
         shutil.rmtree(staging, ignore_errors=True)
     elif exchange == "sort":
         counters_ds = ds.groupby(PART_COLUMN).map_groups(
@@ -317,6 +346,45 @@ def replay(
         if m is not None:
             last = m
     return last if last is not None else mf.load_current(table_dir)
+
+
+def apply_revocation_sweep(
+    table_dir: str,
+    alive_pairs,
+    epoch: int,
+    num_partitions: int = 32,
+    exchange: str = "staged",
+) -> mf.TableManifest | None:
+    """Absence-as-event sweep (J3, ``gc_crawler_status_tracker.py:55-82``):
+    rows of a source COVERED by the crawl manifest whose key is absent from
+    its alive set become tombstones, applied as one epoch.
+
+    ``alive_pairs``: DataFrame with (source, doc_id) of currently-alive
+    docs. Sources not present in it are untouched. The alive sets are
+    broadcast (``ray.put`` once); the sweep is a streaming anti-join over
+    the current table — no shuffle beyond the engine's merge exchange."""
+    from ..pipelines.common import broadcast
+    from ..sources.manifests import alive_sets, revocation_events
+
+    if mf.committed_epoch(table_dir) >= epoch:
+        return None
+    alive_ref = broadcast(alive_sets(alive_pairs))
+    tombstones = revocation_events(
+        read_table(table_dir, columns=["doc_id", "source"]), alive_ref, lsn=epoch
+    )
+    schema = pa.schema(
+        [
+            ("op", pa.string()),
+            ("lsn", pa.int64()),
+            ("seq", pa.int64()),
+            ("doc_id", pa.string()),
+            ("source", pa.string()),
+        ]
+    )
+    return apply_events_dataset(
+        tombstones, table_dir, epoch, schema,
+        num_partitions=num_partitions, exchange=exchange,
+    )
 
 
 def read_table(

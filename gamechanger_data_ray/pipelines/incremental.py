@@ -1,0 +1,132 @@
+"""Checkpointed incremental consumption over the ``events`` stream table —
+the S2/ST7 checkpoint-tail pattern exercised on driver testdata.
+
+``events_checkpoint_incremental`` splits the stream into three
+time-ordered micro-batches (the timestamped-prefix analog,
+``checkpoint/utils.py:104-119``), maintains an incremental per-user count
+state + watermark across batches, and returns the final state — which must
+equal the full recompute (the DuckDB oracle). Crash-resume is modeled by
+the watermark: a batch is only folded in if its upper ts bound is beyond
+the watermark, and refolding an already-processed batch is a no-op.
+
+``hash_antijoin_incremental`` is the J4 cumulative version-hash dedup
+(``rpa/rpa_landing_zone_mover.py:100-129``): only second-half events whose
+content hash was never seen in the first half survive.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import tempfile
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..core.hashing import version_hash_column
+from . import common as cm
+
+ORACLES: dict[str, str] = {}
+
+
+def events_checkpoint_incremental(sf_dir: str, num_batches: int = 3):
+    """Incremental per-user event counts maintained across checkpointed
+    micro-batches; returns the converged state (== full groupby)."""
+    state_dir = tempfile.mkdtemp(prefix="gcdr_ckpt_", dir="/tmp")
+    try:
+        ckpt_path = os.path.join(state_dir, "checkpoint.json")
+        state: pd.DataFrame | None = None
+
+        # batch boundaries: fixed quantiles of ts (deterministic)
+        bounds_tbl = cm.read_arrow(sf_dir, "events", columns=["ts"])
+        ts_sorted = bounds_tbl["ts"].to_pandas().sort_values().reset_index(drop=True)
+        qs = [ts_sorted.iloc[int(len(ts_sorted) * i / num_batches) - (1 if i else 0)] for i in range(num_batches + 1)]
+
+        watermark = None
+        for b in range(num_batches):
+            lo, hi = qs[b], qs[b + 1]
+            if watermark is not None and hi <= watermark:
+                continue  # already folded (resume no-op)
+
+            ds = cm.read(sf_dir, "events", columns=["user_id", "ts"])
+
+            def in_range(t: pa.Table, lo=lo, hi=hi, first=(b == 0)) -> pa.Table:
+                lower = (
+                    pc.greater_equal(t["ts"], pa.scalar(lo))
+                    if first
+                    else pc.greater(t["ts"], pa.scalar(lo))
+                )
+                return t.filter(pc.and_(lower, pc.less_equal(t["ts"], pa.scalar(hi))))
+
+            batch_ds = ds.map_batches(in_range, batch_format="pyarrow")
+            delta = cm.partial_groupby_sum(batch_ds, keys=["user_id"], sums={}, counts="n")
+            if state is None:
+                state = delta
+            else:
+                state = (
+                    pd.concat([state, delta], ignore_index=True)
+                    .groupby("user_id", as_index=False)["n"]
+                    .sum()
+                )
+            watermark = hi
+            with open(ckpt_path, "w") as f:  # watermark durably advanced per batch
+                json.dump({"watermark": str(watermark), "batch": b}, f)
+
+        return state.sort_values("user_id").reset_index(drop=True)
+    finally:
+        shutil.rmtree(state_dir, ignore_errors=True)
+
+
+ORACLES["events_checkpoint_incremental"] = """
+SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id ORDER BY user_id
+"""
+
+
+def hash_antijoin_incremental(sf_dir: str):
+    """Cumulative content-hash anti-join (J4): events in the second half of
+    the stream (by event_id) whose sha256(user_id|event_type) was already
+    seen in the first half are dropped as duplicate deliveries."""
+    mid_tbl = cm.read_arrow(sf_dir, "events", columns=["event_id"])
+    ids = pd.Series(mid_tbl["event_id"].to_pandas())
+    mn, mx = int(ids.min()), int(ids.max())
+    mid = mn + (mx - mn) // 4  # first quartile = the "already ingested" base
+
+    first = cm.read(sf_dir, "events", columns=["event_id", "user_id", "event_type"])
+
+    def hash_first(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less_equal(t["event_id"], pa.scalar(mid)))
+        return pa.table({"h": version_hash_column(t, ["user_id", "event_type"])})
+
+    seen = set()
+    for b in first.map_batches(hash_first, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        seen.update(b["h"].to_pylist())
+    seen_ref = cm.broadcast(sorted(seen))
+
+    second = cm.read(sf_dir, "events", columns=["event_id", "user_id", "event_type"])
+
+    def anti(t: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        t = t.filter(pc.greater(t["event_id"], pa.scalar(mid)))
+        h = version_hash_column(t, ["user_id", "event_type"])
+        mask = pc.invert(pc.is_in(h, value_set=pa.array(_ray.get(seen_ref))))
+        return t.filter(mask).select(["event_id", "user_id", "event_type"])
+
+    return second.map_batches(anti, batch_format="pyarrow")
+
+
+ORACLES["hash_antijoin_incremental"] = """
+WITH mid AS (SELECT MIN(event_id) + (MAX(event_id) - MIN(event_id)) // 4 AS m FROM events),
+first_hashes AS (
+  SELECT DISTINCT sha256(CAST(user_id AS VARCHAR) || '|' || event_type) AS h
+  FROM events, mid WHERE event_id <= m
+)
+SELECT event_id, user_id, event_type
+FROM events, mid
+WHERE event_id > m
+  AND sha256(CAST(user_id AS VARCHAR) || '|' || event_type) NOT IN (SELECT h FROM first_hashes)
+"""

@@ -390,3 +390,93 @@ SELECT COALESCE(display_name, 'Unknown') AS display_name, COUNT(*) AS n
 FROM events LEFT JOIN dim USING (event_type)
 GROUP BY COALESCE(display_name, 'Unknown')
 """
+
+
+def orders_top100_global_sort(sf_dir: str):
+    """Distributed global sort + limit (§2.7 ordering guarantee analog —
+    the changelog's sorted-prefix processing, ``common/utils/s3.py:494-504``
+    — as a relational operator)."""
+    ds = cm.read(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+    return ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(100)
+
+
+ORACLES["orders_top100_global_sort"] = """
+SELECT o_orderkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
+"""
+
+
+def top2_customers_per_nation(sf_dir: str):
+    """Per-group top-k via groupby().map_groups — the A3/M8 within-group
+    top-k generalized to a grouped operator."""
+    ds = cm.read(sf_dir, "customer", columns=["c_nationkey", "c_custkey", "c_acctbal"])
+
+    def top2(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(["c_acctbal", "c_custkey"], ascending=[False, True]).head(2)
+
+    return ds.groupby("c_nationkey").map_groups(top2, batch_format="pandas")
+
+
+ORACLES["top2_customers_per_nation"] = """
+SELECT c_nationkey, c_custkey, c_acctbal FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                               ORDER BY c_acctbal DESC, c_custkey) rn
+  FROM customer
+) WHERE rn <= 2
+"""
+
+
+def events_sliding_window(sf_dir: str):
+    """Sliding 1-hour window, 30-minute slide: each event lands in two
+    windows (flat-map fan-out + grouped count — the streaming-window shape
+    of §2.10 expressed as batch operators)."""
+    ds = cm.read(sf_dir, "events", columns=["ts"])
+
+    def fan_out(df: pd.DataFrame) -> pd.DataFrame:
+        w0 = df["ts"].dt.floor("30min")
+        both = pd.concat(
+            [w0, w0 - pd.Timedelta(minutes=30)], ignore_index=True
+        ).to_frame("window_start")
+        return both
+
+    ds = ds.map_batches(fan_out, batch_format="pandas")
+    return cm.partial_groupby_sum(ds, keys=["window_start"], sums={}, counts="n_events")
+
+
+ORACLES["events_sliding_window"] = """
+SELECT ws AS window_start, COUNT(*) AS n_events FROM (
+  SELECT unnest([time_bucket(INTERVAL '30 minutes', ts),
+                 time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes']) AS ws
+  FROM events
+) GROUP BY ws
+"""
+
+
+def docs_source_dispatch(sf_dir: str):
+    """Per-type strategy dispatch (§2.11 parser registry / plugin API,
+    ``section_parse/add_sections.py:5-27``): different transform per
+    ``source`` value, applied vectorized per row-group within each batch."""
+    from ..stages.registry import StrategyRegistry
+
+    reg = StrategyRegistry(default=lambda g: g.assign(n_out=g["n_chars"]))
+
+    @reg.register("src0")
+    def double(g: pd.DataFrame) -> pd.DataFrame:
+        return g.assign(n_out=g["n_chars"] * 2)
+
+    @reg.register("src1")
+    def negate(g: pd.DataFrame) -> pd.DataFrame:
+        return g.assign(n_out=-g["n_chars"])
+
+    ds = cm.read(sf_dir, "documents", columns=["doc_id", "source", "n_chars"])
+    out = ds.map_batches(reg.make_stage("source"), batch_format="pandas")
+    return out.select_columns(["doc_id", "n_out"])
+
+
+ORACLES["docs_source_dispatch"] = """
+SELECT doc_id,
+       CASE source WHEN 'src0' THEN n_chars * 2
+                   WHEN 'src1' THEN -n_chars
+                   ELSE n_chars END AS n_out
+FROM documents
+"""
