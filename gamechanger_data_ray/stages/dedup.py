@@ -20,7 +20,6 @@ Scale design:
 
 from __future__ import annotations
 
-import hashlib
 import itertools
 
 import numpy as np
@@ -30,17 +29,20 @@ import pyarrow as pa
 NUM_HASHES = 64
 NUM_BANDS = 16  # 16 bands × 4 rows — τ ≈ (1/16)^(1/4) ≈ 0.5
 _MERSENNE = np.uint64((1 << 61) - 1)
+_FNV_OFFSET = np.uint64(0xCBF29CE484222325)
+_FNV_PRIME = np.uint64(0x100000001B3)
 
 
 def _hash_shingles(shingles: list[str]) -> np.ndarray:
-    """Stable uint64 hash per shingle (md5-based, python-hash-free)."""
-    return np.array(
-        [
-            int.from_bytes(hashlib.md5(s.encode("utf-8")).digest()[:8], "little")
-            for s in shingles
-        ],
-        dtype=np.uint64,
-    )
+    """Stable uint64 hash per shingle — vectorized FNV-1a over the whole
+    shingle list at once (no per-string Python hashing)."""
+    import pyarrow as _pa
+
+    from ..core.hashing import fnv1a64
+
+    if not shingles:
+        return np.empty(0, dtype=np.uint64)
+    return fnv1a64(_pa.array(shingles, _pa.string()))
 
 
 def word_shingles(text: str, k: int = 3) -> list[str]:
@@ -55,8 +57,10 @@ class MinHasher:
 
     Universal-hash permutations h_i(x) = (a_i·x + b_i) mod 2^61-1 with
     coefficients drawn once per actor from a fixed seed — every actor in
-    the pool computes identical signatures. Output: + ``sig`` column
-    (fixed-size list<uint64> as list<int64> bits)."""
+    the pool computes identical signatures. The whole batch is hashed in
+    one vectorized pass: all shingles FNV-hashed at once, the (H × S_total)
+    permutation matrix computed in one numpy expression, per-doc minima via
+    ``np.minimum.reduceat`` segment reduction. Output: + ``sig`` column."""
 
     def __init__(self, text_col: str = "text", k: int = 3, seed: int = 1234):
         rng = np.random.default_rng(seed)
@@ -66,36 +70,64 @@ class MinHasher:
         self.k = k
 
     def signature(self, text: str) -> np.ndarray:
-        sh = word_shingles(text, self.k)
-        if not sh:
-            return np.zeros(NUM_HASHES, dtype=np.uint64)
+        return self.signatures([text])[0]
+
+    def signatures(self, texts: list[str]) -> np.ndarray:
+        """(N, NUM_HASHES) uint64 signature matrix for a list of texts."""
         np.seterr(over="ignore")
-        x = _hash_shingles(sh)  # (S,)
-        # (H, S) = a[:,None]*x[None,:] + b  — one matmul-shaped pass
-        hx = (self.a[:, None] * x[None, :] + self.b[:, None]) % _MERSENNE
-        return hx.min(axis=1)
+        sh_lists = [word_shingles(t, self.k) for t in texts]
+        counts = np.array([len(s) for s in sh_lists], dtype=np.int64)
+        flat = [s for lst in sh_lists for s in lst]
+        out = np.zeros((len(texts), NUM_HASHES), dtype=np.uint64)
+        if not flat:
+            return out
+        x = _hash_shingles(flat)  # (S_total,)
+        hx = (self.a[:, None] * x[None, :] + self.b[:, None]) % _MERSENNE  # (H, S)
+        nonempty = counts > 0
+        offsets = np.zeros(len(texts), dtype=np.int64)
+        np.cumsum(counts[:-1], out=offsets[1:])
+        # reduceat needs strictly valid segment starts → reduce over the
+        # non-empty docs only, then scatter back
+        starts = offsets[nonempty]
+        mins = np.minimum.reduceat(hx, starts, axis=1)  # (H, N_nonempty)
+        out[nonempty] = mins.T
+        return out
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        sigs = [self.signature(t).astype(np.int64) for t in batch[self.text_col]]
+        sigs = self.signatures(batch[self.text_col].tolist()).astype(np.int64)
         out = batch[[c for c in batch.columns if c != self.text_col]].copy()
-        out["sig"] = sigs
+        out["sig"] = list(sigs)
         return out
 
 
 def lsh_bands(batch: pd.DataFrame, id_col: str = "doc_id") -> pd.DataFrame:
     """Explode signatures to (band_id, band_hash, doc_id) rows — the LSH
-    bucketing shuffle payload (small fixed width; text never ships)."""
+    bucketing shuffle payload (small fixed width; text never ships).
+    Vectorized: the (N, BANDS, 4) signature cube is FNV-combined along the
+    last axis in four numpy passes."""
+    np.seterr(over="ignore")
+    n = len(batch)
+    if n == 0:
+        return pd.DataFrame(
+            {id_col: pd.Series([], dtype="int64"), "band_id": pd.Series([], dtype="int64"),
+             "band_hash": pd.Series([], dtype="int64")}
+        )
     rows_per_band = NUM_HASHES // NUM_BANDS
-    ids, bands, bhashes = [], [], []
-    for _, r in batch.iterrows():
-        sig = np.asarray(r["sig"], dtype=np.uint64)
-        for b in range(NUM_BANDS):
-            chunk = sig[b * rows_per_band : (b + 1) * rows_per_band]
-            h = int.from_bytes(hashlib.md5(chunk.tobytes()).digest()[:8], "little")
-            ids.append(r[id_col])
-            bands.append(b)
-            bhashes.append(h - (1 << 63))  # to signed int64
-    return pd.DataFrame({id_col: ids, "band_id": bands, "band_hash": bhashes})
+    sigs = np.vstack([np.asarray(s, dtype=np.uint64) for s in batch["sig"]])
+    cube = sigs.reshape(n, NUM_BANDS, rows_per_band)
+    h = np.full((n, NUM_BANDS), _FNV_OFFSET, dtype=np.uint64)
+    for j in range(rows_per_band):
+        v = cube[:, :, j]
+        # mix each uint64 value bytewise-equivalent: xor-multiply twice
+        h = (h ^ v) * _FNV_PRIME
+        h = (h ^ (v >> np.uint64(32))) * _FNV_PRIME
+    return pd.DataFrame(
+        {
+            id_col: np.repeat(batch[id_col].to_numpy(), NUM_BANDS),
+            "band_id": np.tile(np.arange(NUM_BANDS, dtype=np.int64), n),
+            "band_hash": h.reshape(-1).view(np.int64),
+        }
+    )
 
 
 def bucket_pairs(group: pd.DataFrame, id_col: str = "doc_id", max_bucket: int = 200) -> pd.DataFrame:
@@ -125,43 +157,70 @@ class SimHasher:
     """64-bit SimHash over word features (bit-vote of per-word stable
     hashes). Near-dups have small Hamming distance. Candidates are bucketed
     by the 4 × 16-bit chunks (a pair within Hamming ≤ 3 of a 64-bit hash
-    shares at least one exact 16-bit chunk — pigeonhole)."""
+    shares at least one exact 16-bit chunk — pigeonhole).
+
+    Vectorized per batch: every word of every doc FNV-hashed in one pass,
+    the (W_total, 64) bit-vote matrix segment-summed per doc with
+    ``np.add.reduceat``."""
 
     def __init__(self, text_col: str = "text"):
         self.text_col = text_col
+        self.shifts = np.arange(64, dtype=np.uint64)
 
-    @staticmethod
-    def simhash(text: str) -> int:
-        words = text.split()
-        if not words:
-            return 0
-        votes = np.zeros(64, dtype=np.int64)
-        uniq, counts = np.unique(np.array(words), return_counts=True)
-        shifts = np.arange(64, dtype=np.uint64)
-        for w, c in zip(uniq, counts):
-            h = np.uint64(int.from_bytes(hashlib.md5(w.encode()).digest()[:8], "little"))
-            bits = (h >> shifts) & np.uint64(1)
-            votes += np.where(bits == 1, c, -c)
-        return int(((votes > 0).astype(np.uint64) << shifts).sum(dtype=np.uint64))
+    def simhashes(self, texts: list[str]) -> np.ndarray:
+        np.seterr(over="ignore")
+        word_lists = [t.split() for t in texts]
+        counts = np.array([len(w) for w in word_lists], dtype=np.int64)
+        flat = [w for lst in word_lists for w in lst]
+        out = np.zeros(len(texts), dtype=np.uint64)
+        if not flat:
+            return out
+        import pyarrow as _pa
+
+        from ..core.hashing import fnv1a64
+
+        h = fnv1a64(_pa.array(flat, _pa.string()))  # (W_total,)
+        bits = ((h[:, None] >> self.shifts[None, :]) & np.uint64(1)).astype(np.int32)
+        contrib = bits * 2 - 1  # ±1 votes
+        nonempty = counts > 0
+        offsets = np.zeros(len(texts), dtype=np.int64)
+        np.cumsum(counts[:-1], out=offsets[1:])
+        votes = np.add.reduceat(contrib, offsets[nonempty], axis=0)  # (N_ne, 64)
+        sims = ((votes > 0).astype(np.uint64) << self.shifts[None, :]).sum(
+            axis=1, dtype=np.uint64
+        )
+        out[nonempty] = sims
+        return out
+
+    def simhash(self, text: str) -> int:
+        return int(self.simhashes([text])[0])
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         out = batch[[c for c in batch.columns if c != self.text_col]].copy()
-        out["simhash"] = [self.simhash(t) - (1 << 63) for t in batch[self.text_col]]
+        sims = self.simhashes(batch[self.text_col].tolist())
+        out["simhash"] = sims.view(np.int64)
         return out
 
 
 def simhash_chunks(batch: pd.DataFrame, id_col: str = "doc_id") -> pd.DataFrame:
     """Explode each simhash to its 4 × 16-bit chunks for bucketing."""
-    ids, chunk_ids, chunk_vals, hashes = [], [], [], []
-    for _, r in batch.iterrows():
-        h = int(r["simhash"]) + (1 << 63)
-        for c in range(4):
-            ids.append(r[id_col])
-            chunk_ids.append(c)
-            chunk_vals.append((h >> (16 * c)) & 0xFFFF)
-            hashes.append(r["simhash"])
+    n = len(batch)
+    if n == 0:
+        return pd.DataFrame(
+            {id_col: pd.Series([], dtype="int64"), "chunk_id": pd.Series([], dtype="int64"),
+             "chunk_val": pd.Series([], dtype="int64"), "simhash": pd.Series([], dtype="int64")}
+        )
+    h = batch["simhash"].to_numpy(dtype=np.int64).view(np.uint64)  # undo signed view
+    chunks = np.stack(
+        [(h >> np.uint64(16 * c)) & np.uint64(0xFFFF) for c in range(4)], axis=1
+    )  # (n, 4)
     return pd.DataFrame(
-        {id_col: ids, "chunk_id": chunk_ids, "chunk_val": chunk_vals, "simhash": hashes}
+        {
+            id_col: np.repeat(batch[id_col].to_numpy(), 4),
+            "chunk_id": np.tile(np.arange(4, dtype=np.int64), n),
+            "chunk_val": chunks.reshape(-1).astype(np.int64),
+            "simhash": np.repeat(batch["simhash"].to_numpy(), 4),
+        }
     )
 
 
