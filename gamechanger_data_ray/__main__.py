@@ -1,0 +1,131 @@
+"""CLI driver — the ``ray job submit`` entry surface.
+
+Reference parity: the ``gci pipelines core ingest ...`` click CLI
+(``dataPipelines/gc_ingest/cli.py:6-13``, ``pipelines/core/cli.py``) and
+the cron-style job wrappers (``paasJobs/job_runner.sh``). Subcommands:
+
+    python -m gamechanger_data_ray generate  --out DIR [--epochs N] [--events N] ...
+    python -m gamechanger_data_ray replay    --changelog DIR --table DIR [--partitions P]
+    python -m gamechanger_data_ray sweep     --table DIR --alive CSV --epoch E
+    python -m gamechanger_data_ray status    --table DIR
+
+Owns its Ray session (guarded init; the library never calls ray.init).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+
+def _ray_init(num_cpus: int | None):
+    import ray
+
+    if not ray.is_initialized():
+        kwargs = dict(
+            address="local", include_dashboard=False, ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+        if num_cpus:
+            kwargs["num_cpus"] = num_cpus
+        ray.init(**kwargs)
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="gamechanger_data_ray")
+    p.add_argument("--num-cpus", type=int, default=None)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    g = sub.add_parser("generate", help="write a deterministic synthetic changelog")
+    g.add_argument("--out", required=True)
+    g.add_argument("--epochs", type=int, default=4)
+    g.add_argument("--events", type=int, default=100_000, help="events per epoch")
+    g.add_argument("--keys", type=int, default=10_000)
+    g.add_argument("--seed", type=int, default=42)
+    g.add_argument("--zipf", type=float, default=0.0)
+    g.add_argument("--evolution", action="store_true")
+
+    r = sub.add_parser("replay", help="tail-and-apply all ready epochs to the table")
+    r.add_argument("--changelog", required=True)
+    r.add_argument("--table", required=True)
+    r.add_argument("--partitions", type=int, default=32)
+    r.add_argument("--epochs-per-commit", type=int, default=None)
+    r.add_argument("--exchange", choices=["staged", "sort"], default="staged")
+
+    s = sub.add_parser("sweep", help="revocation sweep from an alive-pairs CSV")
+    s.add_argument("--table", required=True)
+    s.add_argument("--alive", required=True, help="CSV with source,doc_id columns")
+    s.add_argument("--epoch", type=int, required=True)
+    s.add_argument("--partitions", type=int, default=32)
+
+    st = sub.add_parser("status", help="print the committed manifest summary")
+    st.add_argument("--table", required=True)
+
+    args = p.parse_args(argv)
+
+    if args.cmd == "generate":
+        from gamechanger_data_ray.core.changelog import write_changelog
+
+        paths = write_changelog(
+            args.out, num_epochs=args.epochs, events_per_epoch=args.events,
+            num_keys=args.keys, seed=args.seed, zipf_a=args.zipf,
+            evolution=args.evolution,
+        )
+        print(json.dumps({"epochs": len(paths), "out": args.out}))
+        return 0
+
+    if args.cmd == "status":
+        from gamechanger_data_ray.state import manifest as mf
+
+        cur = mf.load_current(args.table)
+        if cur is None:
+            print(json.dumps({"table": args.table, "epoch": None}))
+        else:
+            print(
+                json.dumps(
+                    {
+                        "table": args.table,
+                        "epoch": cur.epoch,
+                        "totals": cur.totals,
+                        "partitions": len(cur.partitions),
+                        "schema": str(cur.schema).replace("\n", "; "),
+                    }
+                )
+            )
+        return 0
+
+    _ray_init(args.num_cpus)
+    import ray
+
+    try:
+        if args.cmd == "replay":
+            from gamechanger_data_ray.engine.cdc import replay
+
+            m = replay(
+                args.changelog, args.table, num_partitions=args.partitions,
+                epochs_per_commit=args.epochs_per_commit, exchange=args.exchange,
+            )
+            print(json.dumps({"epoch": m.epoch if m else None, "totals": m.totals if m else {}}))
+        elif args.cmd == "sweep":
+            import pandas as pd
+
+            from gamechanger_data_ray.engine.cdc import apply_revocation_sweep
+
+            alive = pd.read_csv(args.alive)
+            m = apply_revocation_sweep(
+                args.table, alive, epoch=args.epoch, num_partitions=args.partitions
+            )
+            print(json.dumps({"epoch": m.epoch if m else None,
+                              "deletes": m.epoch_counters["deletes"] if m else 0}))
+        return 0
+    finally:
+        ray.shutdown()
+
+
+if __name__ == "__main__":
+    sys.exit(main())
