@@ -54,6 +54,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_ingest_dates", "event_type_dim_enrich",
         "orders_top100_global_sort", "top2_customers_per_nation",
         "events_sliding_window", "docs_source_dispatch",
+        "docs_explode_words", "keywords_top3_per_doc", "source_staleness",
     ]
     names_c = ["cdc_lww_replay", "cdc_dedup_versions"]
     names_i = ["events_checkpoint_incremental", "hash_antijoin_incremental"]

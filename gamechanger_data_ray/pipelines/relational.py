@@ -480,3 +480,79 @@ SELECT doc_id,
                    ELSE n_chars END AS n_out
 FROM documents
 """
+
+
+def docs_explode_words(sf_dir: str):
+    """flat-map explode: one row per word (M3/M4 page/paragraph explode
+    analog, ``common/document_parser/lib/pages.py:20-33``). Vectorized via
+    np.repeat over split offsets — no per-row Python."""
+    import numpy as np
+
+    ds = cm.read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def explode(t: pa.Table) -> pa.Table:
+        words = pc.split_pattern(t["text"], " ")
+        if isinstance(words, pa.ChunkedArray):
+            words = words.combine_chunks()
+        lengths = pc.list_value_length(words).to_numpy(zero_copy_only=False)
+        ids = np.repeat(t["doc_id"].to_numpy(zero_copy_only=False), lengths)
+        return pa.table({"doc_id": pa.array(ids, pa.int64()), "word": words.flatten()})
+
+    return ds.map_batches(explode, batch_format="pyarrow")
+
+
+ORACLES["docs_explode_words"] = """
+SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+"""
+
+
+def keywords_top3_per_doc(sf_dir: str):
+    """Per-doc keyword top-k (M8, ``common/document_parser/lib/keywords.py:4-11``:
+    count → sort desc → top-N), deterministic tie-break by word. A
+    WITHIN-RECORD aggregate (each doc's words never cross rows), so explode
+    + count + head all happen inside ONE map_batches — no shuffle."""
+    ds = cm.read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def topk(df: pd.DataFrame) -> pd.DataFrame:
+        exploded = df.assign(word=df["text"].str.split(" ")).explode("word")
+        counts = (
+            exploded.groupby(["doc_id", "word"], as_index=False, sort=False)
+            .size()
+            .rename(columns={"size": "n"})
+        )
+        counts = counts.sort_values(["doc_id", "n", "word"], ascending=[True, False, True])
+        return counts.groupby("doc_id", sort=False).head(3)
+
+    return ds.map_batches(topk, batch_format="pandas")
+
+
+ORACLES["keywords_top3_per_doc"] = """
+SELECT doc_id, word, n FROM (
+  SELECT doc_id, word, COUNT(*) AS n,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY COUNT(*) DESC, word) rn
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+  GROUP BY doc_id, word
+) WHERE rn <= 3
+"""
+
+
+def source_staleness(sf_dir: str):
+    """Staleness monitor (A9, ``gc_crawler_status_monitor/crawler_monitor.py:19-27``):
+    latest event time + volume per event_type."""
+    ds = cm.read(sf_dir, "events", columns=["event_type", "ts"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("event_type", as_index=False).agg(
+            last_seen=("ts", "max"), n=("ts", "size")
+        )
+
+    partials = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    return partials.groupby("event_type", as_index=False).agg(
+        last_seen=("last_seen", "max"), n=("n", "sum")
+    )
+
+
+ORACLES["source_staleness"] = """
+SELECT event_type, MAX(ts) AS last_seen, COUNT(*) AS n
+FROM events GROUP BY event_type
+"""
