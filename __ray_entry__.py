@@ -55,6 +55,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_top100_global_sort", "top2_customers_per_nation",
         "events_sliding_window", "docs_source_dispatch",
         "docs_explode_words", "keywords_top3_per_doc", "source_staleness",
+        "q6_forecast_revenue", "q5_local_supplier_volume",
     ]
     names_c = ["cdc_lww_replay", "cdc_dedup_versions"]
     names_i = ["events_checkpoint_incremental", "hash_antijoin_incremental"]

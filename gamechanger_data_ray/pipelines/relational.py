@@ -556,3 +556,125 @@ ORACLES["source_staleness"] = """
 SELECT event_type, MAX(ts) AS last_seen, COUNT(*) AS n
 FROM events GROUP BY event_type
 """
+
+
+def q6_forecast_revenue(sf_dir: str):
+    """TPC-H-Q6-shaped filter + global sum — the pure scan-filter-aggregate
+    path (prune at read, vectorized predicate, single-row result)."""
+    ds = cm.read(
+        sf_dir, "lineitem",
+        columns=["l_shipdate", "l_discount", "l_quantity", "l_extendedprice"],
+    )
+    lo, hi = pa.scalar(pd.Timestamp("1996-01-01")), pa.scalar(pd.Timestamp("1997-01-01"))
+
+    def f(t: pa.Table) -> pa.Table:
+        m = pc.and_(
+            pc.and_(pc.greater_equal(t["l_shipdate"], lo), pc.less(t["l_shipdate"], hi)),
+            pc.and_(
+                pc.and_(
+                    pc.greater_equal(t["l_discount"], pa.scalar(0.05)),
+                    pc.less_equal(t["l_discount"], pa.scalar(0.07)),
+                ),
+                pc.less(t["l_quantity"], pa.scalar(24.0)),
+            ),
+        )
+        t = t.filter(m)
+        rev = pc.multiply(t["l_extendedprice"], t["l_discount"])
+        return pa.table({"rev": rev})
+
+    total = 0.0
+    for b in ds.map_batches(f, batch_format="pyarrow").iter_batches(batch_format="pyarrow"):
+        s = pc.sum(b["rev"]).as_py()
+        total += s or 0.0
+    return pd.DataFrame({"revenue": [total]})
+
+
+ORACLES["q6_forecast_revenue"] = """
+SELECT SUM(l_extendedprice * l_discount) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+"""
+
+
+def q5_local_supplier_volume(sf_dir: str):
+    """TPC-H-Q5-shaped multi-join: broadcast dim chain (region→nation→
+    supplier/customer) + partitioned hash join orders⋈lineitem + grouped
+    revenue where customer and supplier share a nation. Dims are broadcast
+    once (``ray.put``); only the two fact tables co-shuffle."""
+    region = cm.read_arrow(sf_dir, "region").to_pandas()
+    nation = cm.read_arrow(sf_dir, "nation").to_pandas()
+    supplier = cm.read_arrow(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"]).to_pandas()
+    customer = cm.read_arrow(sf_dir, "customer", columns=["c_custkey", "c_nationkey"]).to_pandas()
+
+    asia = nation.merge(region, left_on="n_regionkey", right_on="r_regionkey")
+    asia = asia[asia["r_name"] == "ASIA"][["n_nationkey", "n_name"]]
+    nat_names = dict(zip(asia["n_nationkey"], asia["n_name"]))
+    supp_nat = dict(zip(supplier["s_suppkey"], supplier["s_nationkey"]))
+    cust_nat = dict(zip(customer["c_custkey"], customer["c_nationkey"]))
+    dims_ref = cm.broadcast({"nat": nat_names, "supp": supp_nat, "cust": cust_nat})
+
+    lo, hi = pd.Timestamp("1996-01-01"), pd.Timestamp("1998-01-01")
+    orders = cm.read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def o_prep(df: pd.DataFrame) -> pd.DataFrame:
+        import ray as _ray
+
+        d = _ray.get(dims_ref)
+        df = df[(df["o_orderdate"] >= lo) & (df["o_orderdate"] < hi)]
+        out = pd.DataFrame(
+            {
+                "l_orderkey": df["o_orderkey"],
+                "cust_nation": df["o_custkey"].map(d["cust"]),
+            }
+        )
+        return out[out["cust_nation"].isin(d["nat"])]
+
+    orders = orders.map_batches(o_prep, batch_format="pandas")
+
+    li = cm.read(
+        sf_dir, "lineitem",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    )
+
+    def l_prep(df: pd.DataFrame) -> pd.DataFrame:
+        import ray as _ray
+
+        d = _ray.get(dims_ref)
+        out = pd.DataFrame(
+            {
+                "l_orderkey": df["l_orderkey"],
+                "supp_nation": df["l_suppkey"].map(d["supp"]),
+                "rev": df["l_extendedprice"] * (1.0 - df["l_discount"]),
+            }
+        )
+        return out[out["supp_nation"].isin(d["nat"])]
+
+    li = li.map_batches(l_prep, batch_format="pandas")
+
+    joined = hash_join(li, orders, on="l_orderkey", num_buckets=16)
+
+    def local_only(df: pd.DataFrame) -> pd.DataFrame:
+        import ray as _ray
+
+        d = _ray.get(dims_ref)
+        df = df[df["supp_nation"] == df["cust_nation"]]
+        return pd.DataFrame({"n_name": df["supp_nation"].map(d["nat"]), "rev": df["rev"]})
+
+    joined = joined.map_batches(local_only, batch_format="pandas")
+    out = cm.partial_groupby_sum(joined, keys=["n_name"], sums={"rev": "revenue"})
+    return out
+
+
+ORACLES["q5_local_supplier_volume"] = """
+SELECT n_name, SUM(l_extendedprice * (1 - l_discount)) AS revenue
+FROM customer JOIN orders   ON c_custkey = o_custkey
+              JOIN lineitem ON l_orderkey = o_orderkey
+              JOIN supplier ON l_suppkey = s_suppkey
+              JOIN nation   ON c_nationkey = n_nationkey
+              JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND s_nationkey = c_nationkey
+  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY n_name
+"""
