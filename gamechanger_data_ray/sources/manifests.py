@@ -54,6 +54,12 @@ def read_iud_manifest(
 
 def alive_sets(crawl_manifest: pd.DataFrame) -> dict[str, set]:
     """(source, doc_id) alive pairs → {source: {doc_id, ...}} (FIXTURES F5)."""
+    missing = {"source", "doc_id"} - set(crawl_manifest.columns)
+    if missing:
+        raise ValueError(
+            f"alive-pairs manifest must have columns source,doc_id; missing {sorted(missing)} "
+            f"(got {list(crawl_manifest.columns)})"
+        )
     return {
         s: set(g["doc_id"].tolist()) for s, g in crawl_manifest.groupby("source")
     }
