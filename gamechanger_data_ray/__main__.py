@@ -66,6 +66,14 @@ def main(argv: list[str] | None = None) -> int:
     st = sub.add_parser("status", help="print the committed manifest summary")
     st.add_argument("--table", required=True)
 
+    rs = sub.add_parser("restore", help="point-in-time rollback to an older epoch")
+    rs.add_argument("--table", required=True)
+    rs.add_argument("--epoch", type=int, required=True)
+
+    vc = sub.add_parser("vacuum", help="delete unreferenced data files + old manifests")
+    vc.add_argument("--table", required=True)
+    vc.add_argument("--keep-epochs", type=int, default=2)
+
     args = p.parse_args(argv)
 
     if args.cmd == "generate":
@@ -77,6 +85,19 @@ def main(argv: list[str] | None = None) -> int:
             evolution=args.evolution,
         )
         print(json.dumps({"epochs": len(paths), "out": args.out}))
+        return 0
+
+    if args.cmd == "restore":
+        from gamechanger_data_ray.engine.maintenance import restore
+
+        m = restore(args.table, args.epoch)
+        print(json.dumps({"epoch": m.epoch, "rows": m.totals.get("rows")}))
+        return 0
+
+    if args.cmd == "vacuum":
+        from gamechanger_data_ray.engine.maintenance import vacuum
+
+        print(json.dumps(vacuum(args.table, keep_epochs=args.keep_epochs)))
         return 0
 
     if args.cmd == "status":

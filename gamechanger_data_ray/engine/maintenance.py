@@ -1,0 +1,103 @@
+"""Table maintenance: restore (point-in-time rollback) and vacuum.
+
+Reference parity:
+- ``restore``: snapshot backup/restore = re-point at an older state
+  (``dataPipelines/gc_ingest/tools/snapshot/utils.py:180-257``); here every
+  committed manifest IS a retained backup, so restore is a ``_CURRENT``
+  pointer swap — the blue/green alias flip of
+  ``gc_elasticsearch_publisher.py:157-172``.
+- ``vacuum``: the reference's archive grows forever by design (timestamped
+  load archive K2); a 10^10-event lake cannot. Vacuum deletes data files
+  unreferenced by the current manifest and by the ``keep_epochs`` most
+  recent manifests (the restore window), never touching anything a
+  retained manifest still points at.
+
+Restore after vacuum: only epochs within the retained window are
+restorable — restore refuses (clear error) if the target manifest is gone
+or references vacuumed files.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from ..state import manifest as mf
+
+
+def list_manifests(table_dir: str) -> list[int]:
+    """Epochs with a retained manifest, ascending."""
+    mdir = os.path.join(table_dir, mf.MANIFEST_DIR)
+    if not os.path.isdir(mdir):
+        return []
+    out = []
+    for name in os.listdir(mdir):
+        if name.startswith("manifest-") and name.endswith(".json"):
+            out.append(int(name[len("manifest-") : -len(".json")]))
+    return sorted(out)
+
+
+def load_manifest(table_dir: str, epoch: int) -> mf.TableManifest:
+    path = os.path.join(table_dir, mf.MANIFEST_DIR, f"manifest-{epoch:06d}.json")
+    if not os.path.exists(path):
+        raise FileNotFoundError(
+            f"no retained manifest for epoch {epoch} (have {list_manifests(table_dir)})"
+        )
+    with open(path) as f:
+        return mf.TableManifest.from_json(f.read())
+
+
+def restore(table_dir: str, epoch: int) -> mf.TableManifest:
+    """Point the table back at an older committed epoch (pointer swap; the
+    data files are immutable so this is O(1)). Fails clearly if the target
+    manifest or any file it references has been vacuumed away."""
+    target = load_manifest(table_dir, epoch)
+    missing = [f for f in target.data_files(table_dir) if not os.path.exists(f)]
+    if missing:
+        raise FileNotFoundError(
+            f"cannot restore epoch {epoch}: {len(missing)} data file(s) vacuumed, "
+            f"e.g. {missing[0]}"
+        )
+    # direct pointer write: restore intentionally moves the table backwards,
+    # so it bypasses the forward-only commit fence.
+    mf._atomic_write(
+        os.path.join(table_dir, mf.CURRENT_POINTER),
+        json.dumps({"epoch": epoch, "manifest": f"manifest-{epoch:06d}.json"}),
+    )
+    return target
+
+
+def vacuum(table_dir: str, keep_epochs: int = 2) -> dict:
+    """Delete partition data files not referenced by the current manifest or
+    the ``keep_epochs`` most recent retained manifests; drop manifests older
+    than the window. Returns {files_deleted, bytes_freed, manifests_kept}."""
+    current = mf.load_current(table_dir)
+    if current is None:
+        return {"files_deleted": 0, "bytes_freed": 0, "manifests_kept": []}
+    epochs = list_manifests(table_dir)
+    # retained window: everything >= the keep_epochs-th most recent, and
+    # always the committed epoch (restore target safety)
+    kept = sorted(set(epochs[-keep_epochs:]) | {current.epoch})
+    referenced: set[str] = set()
+    for e in kept:
+        try:
+            m = load_manifest(table_dir, e)
+        except FileNotFoundError:
+            continue
+        referenced.update(os.path.abspath(p) for p in m.data_files(table_dir))
+
+    deleted, freed = 0, 0
+    for root, _dirs, files in os.walk(table_dir):
+        base = os.path.basename(root)
+        if not base.startswith("part="):
+            continue
+        for fname in files:
+            p = os.path.abspath(os.path.join(root, fname))
+            if fname.endswith(".parquet") and p not in referenced:
+                freed += os.path.getsize(p)
+                os.remove(p)
+                deleted += 1
+    for e in epochs:
+        if e not in kept:
+            os.remove(os.path.join(table_dir, mf.MANIFEST_DIR, f"manifest-{e:06d}.json"))
+    return {"files_deleted": deleted, "bytes_freed": freed, "manifests_kept": kept}

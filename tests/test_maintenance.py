@@ -1,0 +1,68 @@
+"""Restore (point-in-time rollback) + vacuum tests — K4 parity."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pytest
+
+from gamechanger_data_ray.core.changelog import write_changelog
+from gamechanger_data_ray.engine.cdc import replay, table_to_arrow
+from gamechanger_data_ray.engine.maintenance import (
+    list_manifests,
+    restore,
+    vacuum,
+)
+from gamechanger_data_ray.state import manifest as mf
+
+
+@pytest.fixture()
+def table(tmp_path):
+    cd, td = str(tmp_path / "cl"), str(tmp_path / "tb")
+    write_changelog(cd, num_epochs=4, events_per_epoch=800, num_keys=150)
+    # per-epoch commits so every epoch has a retained manifest
+    replay(cd, td, num_partitions=4, epochs_per_commit=1)
+    return td
+
+
+def test_restore_is_point_in_time(table):
+    assert list_manifests(table) == [1, 2, 3, 4]
+    state4 = table_to_arrow(table)
+    restore(table, 2)
+    assert mf.committed_epoch(table) == 2
+    state2 = table_to_arrow(table)
+    assert not state2.equals(state4)
+    # roll forward again — files are immutable, both states intact
+    restore(table, 4)
+    assert table_to_arrow(table).equals(state4)
+
+
+def test_restore_unknown_epoch_fails_clearly(table):
+    with pytest.raises(FileNotFoundError, match="no retained manifest"):
+        restore(table, 99)
+
+
+def test_vacuum_frees_old_files_and_protects_window(table):
+    n_before = len(glob.glob(os.path.join(table, "part=*", "*.parquet")))
+    out = vacuum(table, keep_epochs=2)
+    assert out["files_deleted"] > 0 and out["bytes_freed"] > 0
+    assert out["manifests_kept"] == [3, 4]
+    n_after = len(glob.glob(os.path.join(table, "part=*", "*.parquet")))
+    assert n_after == n_before - out["files_deleted"]
+    # table still reads identically
+    assert table_to_arrow(table).num_rows > 0
+    # restore within the window still works …
+    restore(table, 3)
+    assert mf.committed_epoch(table) == 3
+    # … outside the window fails clearly (manifest gone)
+    with pytest.raises(FileNotFoundError):
+        restore(table, 1)
+
+
+def test_vacuum_then_replay_continues(table, tmp_path):
+    vacuum(table, keep_epochs=1)
+    cd = str(tmp_path / "cl")
+    write_changelog(cd, num_epochs=5, events_per_epoch=800, num_keys=150)
+    m = replay(cd, table, num_partitions=4)
+    assert m is not None and m.epoch == 5
