@@ -61,7 +61,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     names_i = ["events_checkpoint_incremental", "hash_antijoin_incremental"]
     names_a = [
         "text_token_count", "text_quality", "text_langid", "text_fingerprint",
-        "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
+        "dedup_exact", "dedup_minhash_lsh", "dedup_simhash", "dedup_tokens_minhash",
         "dedup_ngram_jaccard", "ann_topk_cosine", "ann_ivf",
         "embedding_dedup_cosine", "multimodal_decode",
     ]

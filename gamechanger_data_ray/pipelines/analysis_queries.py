@@ -184,6 +184,69 @@ def dedup_minhash_lsh(sf_dir: str, tau: float = 0.5):
     return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
 
+def dedup_tokens_minhash(sf_dir: str, tau: float = 0.5):
+    """Near-dup pairs over the TOKENS payload table itself (the
+    BASELINE.json training-sequence shape): token-5-gram MinHash + LSH.
+    Corpus: deterministic tokens table from the changelog generator, seeded
+    with truncated near-copies. Rows-only; recall vs exact token-shingle
+    Jaccard verified in tests."""
+    corpus = _token_corpus(sf_dir)
+    ds = ray.data.from_arrow(corpus)
+    sigs = ds.map_batches(
+        dd.TokenMinHasher, batch_format="pyarrow", concurrency=(1, cm.pool_size())
+    )
+    sig_tbl = sigs.to_pandas()
+    sig_map = {r.doc_id: np.asarray(r.sig, dtype=np.uint64) for r in sig_tbl.itertuples()}
+    sig_ref = cm.broadcast(sig_map)
+
+    bands = sigs.map_batches(dd.lsh_bands, batch_format="pandas")
+    pairs = bands.groupby(["band_id", "band_hash"]).map_groups(
+        dd.bucket_pairs, batch_format="pandas"
+    )
+
+    def verify(df: pd.DataFrame) -> pd.DataFrame:
+        import ray as _ray
+
+        if df.empty:
+            return pd.DataFrame(
+                {"id_a": pd.Series([], dtype="object"),
+                 "id_b": pd.Series([], dtype="object"),
+                 "est_jaccard": pd.Series([], dtype="float64")}
+            )
+        df = df.drop_duplicates(["id_a", "id_b"])
+        smap = _ray.get(sig_ref)
+        est = [dd.estimated_jaccard(smap[a], smap[b]) for a, b in zip(df["id_a"], df["id_b"])]
+        df = df.assign(est_jaccard=est)
+        return df[df["est_jaccard"] >= tau]
+
+    out = pairs.map_batches(verify, batch_format="pandas").to_pandas()
+    out = out.drop_duplicates(["id_a", "id_b"])
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+def _token_corpus(sf_dir: str) -> pa.Table:
+    """Deterministic tokens table + seeded truncated near-copies."""
+    from ..core.changelog import generate_epoch_table
+
+    n = {"sf0.001": 400, "sf0.01": 1000, "sf0.1": 4000}.get(
+        sf_dir.rstrip("/").rsplit("/", 1)[-1], 400
+    )
+    t = generate_epoch_table(1, n, n, seed=77, dup_frac=0.0, mean_tokens=64)
+    t = t.filter(pc.not_equal(t["op"], "D")).select(["doc_id", "tokens"])
+    # first occurrence per doc_id only
+    df = t.to_pandas().drop_duplicates("doc_id")
+    near = df[df.index % 10 == 0].copy()
+    near["doc_id"] = "near-" + near["doc_id"]
+    near["tokens"] = near["tokens"].map(lambda a: a[: max(5, int(len(a) * 0.9))])
+    out = pd.concat([df, near], ignore_index=True)
+    return pa.table(
+        {
+            "doc_id": pa.array(out["doc_id"]),
+            "tokens": pa.array([list(v) for v in out["tokens"]], pa.list_(pa.int32())),
+        }
+    )
+
+
 def dedup_simhash(sf_dir: str, max_hamming: int = 8):
     """SimHash near-dup pairs via 16-bit chunk bucketing (rows-only)."""
     ds = _with_near_copies(sf_dir)

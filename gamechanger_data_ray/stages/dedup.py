@@ -130,6 +130,81 @@ def lsh_bands(batch: pd.DataFrame, id_col: str = "doc_id") -> pd.DataFrame:
     )
 
 
+class TokenMinHasher:
+    """MinHash over token-ID k-gram shingles — near-dup detection on the
+    tokens payload table itself (BASELINE.json input_hint shape), fully
+    vectorized: sliding k-windows over the flattened int32 token values
+    are FNV-mixed with k shifted gathers (no Python per row or per token),
+    then the same permutation + segment-min machinery as text MinHash.
+
+    Input: pyarrow batch with ``id_col`` and a list<int> ``tokens_col``.
+    Output: (id, sig) pandas frame compatible with :func:`lsh_bands`."""
+
+    def __init__(self, id_col: str = "doc_id", tokens_col: str = "tokens",
+                 k: int = 5, seed: int = 1234):
+        rng = np.random.default_rng(seed)
+        self.a = rng.integers(1, 1 << 60, size=NUM_HASHES, dtype=np.uint64) | np.uint64(1)
+        self.b = rng.integers(0, 1 << 60, size=NUM_HASHES, dtype=np.uint64)
+        self.id_col = id_col
+        self.tokens_col = tokens_col
+        self.k = k
+
+    def _window_hashes(self, vals: np.ndarray, starts: np.ndarray) -> np.ndarray:
+        np.seterr(over="ignore")
+        h = np.full(len(starts), _FNV_OFFSET, dtype=np.uint64)
+        for j in range(self.k):
+            v = vals[starts + j].astype(np.uint64)
+            h = (h ^ v) * _FNV_PRIME
+            h = (h ^ (v >> np.uint64(16))) * _FNV_PRIME
+        return h
+
+    def signatures_from_lists(self, token_lists) -> np.ndarray:
+        """(N, NUM_HASHES) signatures from a pyarrow ListArray/ChunkedArray."""
+        if isinstance(token_lists, pa.ChunkedArray):
+            token_lists = token_lists.combine_chunks()
+        offsets = token_lists.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        offsets = offsets - offsets[0]
+        vals = token_lists.flatten().to_numpy(zero_copy_only=False)
+        lens = offsets[1:] - offsets[:-1]
+        win_counts = np.maximum(lens - self.k + 1, 0)
+        n = len(lens)
+        out = np.zeros((n, NUM_HASHES), dtype=np.uint64)
+        total = int(win_counts.sum())
+        if total == 0:
+            return out
+        # start index of every valid window, across all docs, vectorized
+        doc_of_win = np.repeat(np.arange(n), win_counts)
+        intra = np.arange(total) - np.repeat(
+            np.concatenate(([0], np.cumsum(win_counts)[:-1])), win_counts
+        )
+        starts = offsets[:-1][doc_of_win] + intra
+        x = self._window_hashes(vals, starts)  # (W_total,)
+        np.seterr(over="ignore")
+        hx = (self.a[:, None] * x[None, :] + self.b[:, None]) % _MERSENNE
+        nonempty = win_counts > 0
+        seg_starts = np.concatenate(([0], np.cumsum(win_counts)[:-1]))[nonempty]
+        mins = np.minimum.reduceat(hx, seg_starts, axis=1)
+        out[nonempty] = mins.T
+        return out
+
+    def __call__(self, batch: pa.Table) -> pd.DataFrame:
+        sigs = self.signatures_from_lists(batch[self.tokens_col]).astype(np.int64)
+        ids = batch[self.id_col].to_pandas()
+        return pd.DataFrame({self.id_col: ids, "sig": list(sigs)})
+
+
+def token_shingle_jaccard(a, b, k: int = 5) -> float:
+    """Exact Jaccard of token k-gram shingle sets (test oracle)."""
+    ta, tb = list(a), list(b)
+    sa = {tuple(ta[i : i + k]) for i in range(max(0, len(ta) - k + 1))}
+    sb = {tuple(tb[i : i + k]) for i in range(max(0, len(tb) - k + 1))}
+    if not sa and not sb:
+        return 1.0
+    if not sa or not sb:
+        return 0.0
+    return len(sa & sb) / len(sa | sb)
+
+
 def bucket_pairs(group: pd.DataFrame, id_col: str = "doc_id", max_bucket: int = 200) -> pd.DataFrame:
     """Candidate pairs within one LSH bucket (group of equal
     (band_id, band_hash)). Buckets above ``max_bucket`` are truncated —
