@@ -45,6 +45,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from gamechanger_data_ray.pipelines import cdc_queries as C
     from gamechanger_data_ray.pipelines import incremental as I
     from gamechanger_data_ray.pipelines import relational as R
+    from gamechanger_data_ray.pipelines import tokens as T
 
     names_r = [
         "q1_pricing_summary", "q3_shipping_priority", "customers_per_region",
@@ -65,8 +66,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_ngram_jaccard", "ann_topk_cosine", "ann_ivf",
         "embedding_dedup_cosine", "multimodal_decode",
     ]
+    names_t = [
+        "vocab_topk", "docs_pack_assignment", "pack_token_chunks",
+        "docs_entity_edges", "text_normalize", "events_parse_props",
+    ]
     out: dict[str, Callable[[str], Any]] = {}
-    for mod, names in ((R, names_r), (C, names_c), (I, names_i), (A, names_a)):
+    for mod, names in ((R, names_r), (C, names_c), (I, names_i), (A, names_a), (T, names_t)):
         for n in names:
             out[n] = getattr(mod, n)
     return out
@@ -81,10 +86,12 @@ def oracle_sql() -> dict[str, str]:
     from gamechanger_data_ray.pipelines import cdc_queries as C
     from gamechanger_data_ray.pipelines import incremental as I
     from gamechanger_data_ray.pipelines import relational as R
+    from gamechanger_data_ray.pipelines import tokens as T
 
     out: dict[str, str] = {}
     out.update(R.ORACLES)
     out.update(C.ORACLES)
     out.update(I.ORACLES)
     out.update(A.ORACLES)
+    out.update(T.ORACLES)
     return out

@@ -1,0 +1,350 @@
+"""Training-data token operators over the documents / tokens tables:
+global vocabulary statistics, sequence packing (the concat-and-chunk step
+of an LLM data pipeline), gazetteer mention-edge extraction (the graph
+writer analog, ``dataPipelines/gc_neo4j_publisher/neo4j_publisher.py:122-172``
+re-expressed as a columnar edge table), the scalar normalization chain
+(``common/utils/text_utils.py:1-100``) and schema-on-read JSON repair
+(``dataPipelines/gc_ingest/tools/load/utils.py:112-130``).
+
+Scale notes per operator are inline; the packing operators use a
+distributed prefix-sum (per-range partial totals → tiny driver scan →
+broadcast base offsets → partition-local cumsum), so no stage ever holds
+more than one key-range of rows and the only all-to-all moves are the two
+keyed groupbys.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+
+from ..functions import text_utils as tx
+from . import common as cm
+
+ORACLES: dict[str, str] = {}
+
+PACK_CAP = 512  # tokens per packed training sequence
+_RANGE_WIDTH = 128  # docs per range bucket for the prefix-sum scan
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary statistics
+# ---------------------------------------------------------------------------
+
+def vocab_topk(sf_dir: str, k: int = 50):
+    """Global word-frequency top-k: per-batch value_counts (combiner) →
+    driver-side finish over O(batches × |vocab|) partial rows → top-k.
+    The shuffle-equivalent moves one row per (batch, word), never one per
+    token; for an unbounded vocabulary switch the finish to
+    ``groupby("word").aggregate(Sum)`` (same partials)."""
+    ds = cm.read(sf_dir, "documents", columns=["text"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        words = df["text"].str.split(" ").explode()
+        return words.value_counts().rename_axis("word").reset_index(name="n")
+
+    partials = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    out = partials.groupby("word", as_index=False)["n"].sum()
+    out = out.sort_values(["n", "word"], ascending=[False, True]).head(k)
+    return out.reset_index(drop=True)
+
+
+ORACLES["vocab_topk"] = """
+SELECT word, COUNT(*) AS n
+FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+GROUP BY word ORDER BY n DESC, word LIMIT 50
+"""
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing — document-preserving assignment
+# ---------------------------------------------------------------------------
+
+def _range_bucket(doc_id_arr) -> np.ndarray:
+    """Range bucket s.t. bucket order == doc_id order (doc_id is a dense
+    int key here; at scale use the sort-key ranges of the table layout)."""
+    return np.asarray(doc_id_arr, dtype=np.int64) // _RANGE_WIDTH
+
+
+def _bucket_base_offsets(per_bucket: pd.DataFrame) -> dict[int, int]:
+    """Exclusive scan over per-bucket token totals (tiny: one row per
+    range bucket) → global start offset of each bucket."""
+    per_bucket = per_bucket.sort_values("bucket")
+    bases = np.concatenate([[0], per_bucket["total"].to_numpy()[:-1].cumsum()])
+    return dict(zip(per_bucket["bucket"].astype(int), bases.astype(int)))
+
+
+def docs_pack_assignment(sf_dir: str, cap: int = PACK_CAP):
+    """Assign each document (ordered by doc_id) to a fixed-capacity token
+    pack: ``pack_id = floor(tokens_before_this_doc / cap)`` — the
+    document-preserving sequential packing step of a training-data
+    pipeline, as a distributed prefix-sum:
+
+    pass 1: per-batch partial sums per range bucket (combiner) → driver
+            exclusive scan (O(#buckets) rows) → broadcast base offsets;
+    pass 2: ``groupby(bucket).map_groups``: sort the bucket by doc_id,
+            local exclusive cumsum + broadcast base = global offset.
+
+    No stage materializes more than one bucket; the only shuffle is the
+    bucket groupby."""
+    ds = cm.read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def with_ntok(t: pa.Table) -> pa.Table:
+        n_tok = pc.list_value_length(pc.split_pattern(t["text"], " "))
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_tok": pc.cast(n_tok, pa.int64()),
+                "bucket": pa.array(_range_bucket(t["doc_id"]), pa.int64()),
+            }
+        )
+
+    sized = ds.map_batches(with_ntok, batch_format="pyarrow")
+
+    def bucket_partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("bucket", as_index=False).agg(total=("n_tok", "sum"))
+
+    per_bucket = (
+        sized.map_batches(bucket_partial, batch_format="pandas")
+        .to_pandas()
+        .groupby("bucket", as_index=False)["total"]
+        .sum()
+    )
+    base_ref = cm.broadcast(_bucket_base_offsets(per_bucket))
+
+    def assign(g: pd.DataFrame) -> pd.DataFrame:
+        base = ray.get(base_ref)[int(g["bucket"].iloc[0])]
+        g = g.sort_values("doc_id")
+        before = base + g["n_tok"].cumsum().shift(fill_value=0)
+        return pd.DataFrame(
+            {
+                "doc_id": g["doc_id"],
+                "n_tok": g["n_tok"],
+                "pack_id": (before // cap).astype("int64"),
+            }
+        )
+
+    return sized.groupby("bucket").map_groups(assign, batch_format="pandas")
+
+
+ORACLES["docs_pack_assignment"] = f"""
+SELECT doc_id, n_tok,
+       CAST(FLOOR(COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            / {PACK_CAP}.0) AS BIGINT) AS pack_id
+FROM (SELECT doc_id, len(string_split(text, ' ')) AS n_tok FROM documents)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing — concat-and-chunk over the tokens payload table
+# ---------------------------------------------------------------------------
+
+def token_table(sf_dir: str) -> pa.Table:
+    """Deterministic tokens payload table (doc_id, tokens) sized to the sf
+    dir — the BASELINE.json training-sequence shape, generated by the same
+    seeded generator the engine tests use (testdata carries no token
+    arrays)."""
+    from ..core.changelog import generate_epoch_table
+
+    n = {"sf0.001": 400, "sf0.01": 1000, "sf0.1": 4000}.get(
+        sf_dir.rstrip("/").rsplit("/", 1)[-1], 400
+    )
+    t = generate_epoch_table(1, n, n, seed=99, dup_frac=0.0, mean_tokens=64)
+    t = t.filter(pc.not_equal(t["op"], "D")).select(["doc_id", "tokens"])
+    df = t.to_pandas().drop_duplicates("doc_id").sort_values("doc_id")
+    return pa.table(
+        {
+            "doc_id": pa.array(df["doc_id"]),
+            "tokens": pa.array([list(v) for v in df["tokens"]], pa.list_(pa.int32())),
+        }
+    )
+
+
+def pack_token_chunks(sf_dir: str, cap: int = PACK_CAP):
+    """Concat-and-chunk packing: the token streams of all docs (in doc_id
+    order) concatenated and cut into fixed ``cap``-length training
+    sequences — documents SPLIT across chunk boundaries, nothing padded,
+    nothing dropped. Fully distributed:
+
+    pass 1: per-range-bucket token totals → driver exclusive scan →
+            broadcast base offsets (the same prefix-sum as
+            :func:`docs_pack_assignment`);
+    pass 2: ``groupby(bucket)``: each doc knows its global token offset,
+            so it slices its own array into (chunk_id, pos_in_chunk,
+            piece) rows at chunk boundaries — numpy slicing, one python
+            iteration per DOC (not per token);
+    pass 3: ``groupby(chunk_id)``: concatenate the ≤3 pieces of each
+            chunk in pos order → (chunk_id, tokens, n_tok).
+
+    Verified in tests against the serial numpy concat+split oracle
+    (byte-identical chunk contents)."""
+    corpus = token_table(sf_dir)
+    ds = ray.data.from_arrow(corpus)
+
+    def keyed(t: pa.Table) -> pa.Table:
+        # doc-00000042 → 42; zero-padded so string order == numeric order
+        nums = pc.cast(pc.utf8_slice_codeunits(t["doc_id"], 4, 99), pa.int64())
+        bucket = pc.cast(pc.divide(nums, pa.scalar(_RANGE_WIDTH, pa.int64())), pa.int64())
+        n_tok = pc.cast(pc.list_value_length(t["tokens"]), pa.int64())
+        return pa.table(
+            {"doc_id": t["doc_id"], "tokens": t["tokens"], "n_tok": n_tok, "bucket": bucket}
+        )
+
+    sized = ds.map_batches(keyed, batch_format="pyarrow")
+
+    def bucket_partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("bucket", as_index=False).agg(total=("n_tok", "sum"))
+
+    per_bucket = (
+        sized.map_batches(bucket_partial, batch_format="pandas")
+        .to_pandas()
+        .groupby("bucket", as_index=False)["total"]
+        .sum()
+    )
+    base_ref = cm.broadcast(_bucket_base_offsets(per_bucket))
+
+    def split_pieces(g: pd.DataFrame) -> pd.DataFrame:
+        base = ray.get(base_ref)[int(g["bucket"].iloc[0])]
+        g = g.sort_values("doc_id")
+        starts = base + g["n_tok"].cumsum().shift(fill_value=0).to_numpy(dtype=np.int64)
+        chunk_ids, positions, pieces = [], [], []
+        for start, toks in zip(starts, g["tokens"]):
+            toks = np.asarray(toks, dtype=np.int32)
+            off = 0
+            while off < len(toks):
+                pos = start + off
+                take = min(cap - pos % cap, len(toks) - off)
+                chunk_ids.append(pos // cap)
+                positions.append(pos % cap)
+                pieces.append(toks[off : off + take])
+                off += take
+        return pd.DataFrame(
+            {"chunk_id": chunk_ids, "pos": positions, "piece": pieces}
+        ).astype({"chunk_id": "int64", "pos": "int64"})
+
+    pieces = sized.groupby("bucket").map_groups(split_pieces, batch_format="pandas")
+
+    def assemble(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("pos")
+        toks = np.concatenate([np.asarray(p, dtype=np.int32) for p in g["piece"]])
+        return pd.DataFrame(
+            {
+                "chunk_id": [int(g["chunk_id"].iloc[0])],
+                "tokens": [toks.tolist()],
+                "n_tok": [len(toks)],
+            }
+        )
+
+    return pieces.groupby("chunk_id").map_groups(assemble, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# Gazetteer mention edges — the graph-writer analog (K11)
+# ---------------------------------------------------------------------------
+
+GAZETTEER = ("hash", "table", "scan", "merge", "row", "shuffle")
+
+
+class MentionExtractor:
+    """Actor-pool stage (ST1 pattern: lookup structure built once per
+    actor, ``common/document_parser/lib/entities.py:18-25``): per-doc
+    gazetteer mention counts → (doc_id, entity, n_mentions) edge rows.
+    Mentions never cross docs, so the whole extraction is within-batch —
+    no shuffle; the edge table is the columnar form of the reference's
+    Document-MENTIONS-Entity graph rows."""
+
+    def __init__(self, gazetteer_ref):
+        self.gazetteer = frozenset(ray.get(gazetteer_ref))
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        exploded = df.assign(word=df["text"].str.split(" ")).explode("word")
+        hits = exploded[exploded["word"].isin(self.gazetteer)]
+        out = (
+            hits.groupby(["doc_id", "word"], as_index=False, sort=False)
+            .size()
+            .rename(columns={"word": "entity", "size": "n_mentions"})
+        )
+        return out
+
+
+def docs_entity_edges(sf_dir: str):
+    """Document→entity mention edges from a broadcast gazetteer."""
+    gaz_ref = cm.broadcast(list(GAZETTEER))
+    ds = cm.read(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(
+        MentionExtractor,
+        fn_constructor_args=(gaz_ref,),
+        batch_format="pandas",
+        concurrency=(1, cm.pool_size()),
+    )
+
+
+_GAZ_SQL = ", ".join(f"'{w}'" for w in GAZETTEER)
+ORACLES["docs_entity_edges"] = f"""
+SELECT doc_id, word AS entity, COUNT(*) AS n_mentions
+FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+WHERE word IN ({_GAZ_SQL})
+GROUP BY doc_id, word
+"""
+
+
+# ---------------------------------------------------------------------------
+# Scalar normalization chain + schema-on-read JSON repair
+# ---------------------------------------------------------------------------
+
+def text_normalize(sf_dir: str):
+    """The reference's string-normalization chain
+    (``common/utils/text_utils.py``: squash whitespace → quotes → bad
+    chars → squash underscores) as chained pyarrow.compute kernels —
+    vectorized, zero python-per-row."""
+    ds = cm.read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        norm = tx.chain_apply(
+            t["text"],
+            tx.squash_whitespace,
+            tx.double_to_single_quotes,
+            tx.bad_chars_to_underscores,
+            tx.squash_underscores,
+        )
+        return pa.table({"doc_id": t["doc_id"], "text_norm": norm})
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+ORACLES["text_normalize"] = r"""
+SELECT doc_id,
+       regexp_replace(
+         regexp_replace(
+           replace(trim(regexp_replace(text, '\s+', ' ', 'g')), '"', ''''),
+           '[^\w\- .()]', '_', 'g'),
+         '_+', '_', 'g') AS text_norm
+FROM documents
+"""
+
+
+def events_parse_props(sf_dir: str):
+    """Schema-on-read JSON extraction with repair semantics (the
+    json_metadata string-vs-object wart,
+    ``gc_ingest/tools/load/utils.py:112-130``): pull ``k`` out of the
+    ``props`` JSON-string column via a vectorized RE2 extract; rows whose
+    props don't carry ``k`` yield null instead of failing."""
+    ds = cm.read(sf_dir, "events", columns=["event_id", "props"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        m = pc.extract_regex(t["props"], pattern=r'"k":\s*(?P<k>\d+)')
+        k = pc.cast(pc.struct_field(m, "k"), pa.int64())
+        return pa.table({"event_id": t["event_id"], "k": k})
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+ORACLES["events_parse_props"] = r"""
+SELECT event_id, CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT) AS k
+FROM events
+"""
