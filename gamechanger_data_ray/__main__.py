@@ -8,6 +8,8 @@ the cron-style job wrappers (``paasJobs/job_runner.sh``). Subcommands:
     python -m gamechanger_data_ray replay    --changelog DIR --table DIR [--partitions P]
     python -m gamechanger_data_ray sweep     --table DIR --alive CSV --epoch E
     python -m gamechanger_data_ray status    --table DIR
+    python -m gamechanger_data_ray export    --table DIR --bundle DIR
+    python -m gamechanger_data_ray import    --bundle DIR --table DIR
 
 Owns its Ray session (guarded init; the library never calls ray.init).
 """
@@ -74,6 +76,14 @@ def main(argv: list[str] | None = None) -> int:
     vc.add_argument("--table", required=True)
     vc.add_argument("--keep-epochs", type=int, default=2)
 
+    ex = sub.add_parser("export", help="export the committed snapshot as a portable bundle")
+    ex.add_argument("--table", required=True)
+    ex.add_argument("--bundle", required=True)
+
+    im = sub.add_parser("import", help="recreate a table from an exported bundle")
+    im.add_argument("--bundle", required=True)
+    im.add_argument("--table", required=True)
+
     args = p.parse_args(argv)
 
     if args.cmd == "generate":
@@ -98,6 +108,19 @@ def main(argv: list[str] | None = None) -> int:
         from gamechanger_data_ray.engine.maintenance import vacuum
 
         print(json.dumps(vacuum(args.table, keep_epochs=args.keep_epochs)))
+        return 0
+
+    if args.cmd == "export":
+        from gamechanger_data_ray.engine.maintenance import export_table
+
+        print(json.dumps(export_table(args.table, args.bundle)))
+        return 0
+
+    if args.cmd == "import":
+        from gamechanger_data_ray.engine.maintenance import import_table
+
+        m = import_table(args.bundle, args.table)
+        print(json.dumps({"epoch": m.epoch, "rows": m.totals.get("rows")}))
         return 0
 
     if args.cmd == "status":

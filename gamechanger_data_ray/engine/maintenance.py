@@ -1,4 +1,5 @@
-"""Table maintenance: restore (point-in-time rollback) and vacuum.
+"""Table maintenance: restore (point-in-time rollback), vacuum, and
+portable export/import bundles.
 
 Reference parity:
 - ``restore``: snapshot backup/restore = re-point at an older state
@@ -11,6 +12,13 @@ Reference parity:
   unreferenced by the current manifest and by the ``keep_epochs`` most
   recent manifests (the restore window), never touching anything a
   retained manifest still points at.
+- ``export_table`` / ``import_table``: the DB/ES export-import jobs
+  (``dataPipelines/gc_ingest/tools/db/utils.py:135-235``,
+  ``dataPipelines/scripts/es_export.py`` / ``es_import.py``) as a
+  self-contained bundle of the committed snapshot — data files + manifest
+  + integrity footprint — movable between stores and re-importable as a
+  fresh table. Export refuses an existing target (the idempotence fence
+  of ``snapshot/utils.py:193-195``); import verifies the footprint.
 
 Restore after vacuum: only epochs within the retained window are
 restorable — restore refuses (clear error) if the target manifest is gone
@@ -21,6 +29,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 
 from ..state import manifest as mf
 
@@ -101,3 +110,64 @@ def vacuum(table_dir: str, keep_epochs: int = 2) -> dict:
         if e not in kept:
             os.remove(os.path.join(table_dir, mf.MANIFEST_DIR, f"manifest-{e:06d}.json"))
     return {"files_deleted": deleted, "bytes_freed": freed, "manifests_kept": kept}
+
+
+BUNDLE_MANIFEST = "_BUNDLE.json"
+
+
+def export_table(table_dir: str, bundle_dir: str) -> dict:
+    """Export the committed snapshot as a self-contained bundle:
+    ``bundle_dir/part=*/data-*.parquet`` + the table manifest + a bundle
+    footprint ``{epoch, files: {relpath: bytes}}``. Only the files the
+    CURRENT manifest references are copied (history/extra epochs stay
+    behind — the bundle is a snapshot, not the changelog). Refuses an
+    existing target so a retried job can't silently clobber a good export."""
+    current = mf.load_current(table_dir)
+    if current is None:
+        raise FileNotFoundError(f"no committed table at {table_dir}")
+    if os.path.exists(bundle_dir):
+        raise FileExistsError(
+            f"export target already exists (idempotence fence): {bundle_dir}"
+        )
+    os.makedirs(bundle_dir)
+    footprint: dict[str, int] = {}
+    for p in current.partitions.values():
+        rel = p["file"]
+        src = os.path.join(table_dir, rel)
+        dst = os.path.join(bundle_dir, rel)
+        os.makedirs(os.path.dirname(dst), exist_ok=True)
+        shutil.copyfile(src, dst)
+        footprint[rel] = os.path.getsize(dst)
+    mf._atomic_write(
+        os.path.join(bundle_dir, BUNDLE_MANIFEST),
+        json.dumps(
+            {"epoch": current.epoch, "files": footprint, "manifest": json.loads(current.to_json())},
+            indent=1,
+        ),
+    )
+    return {"epoch": current.epoch, "files": len(footprint), "bytes": sum(footprint.values())}
+
+
+def import_table(bundle_dir: str, table_dir: str) -> mf.TableManifest:
+    """Recreate a table from a bundle: verify every file in the footprint
+    exists with the recorded size, copy data files into place, and commit
+    the bundled manifest — the imported table is immediately replayable
+    (the watermark carries over, so tailing resumes after the bundle's
+    epoch). Refuses a target that already has a committed table."""
+    if mf.load_current(table_dir) is not None:
+        raise FileExistsError(f"import target already has a committed table: {table_dir}")
+    with open(os.path.join(bundle_dir, BUNDLE_MANIFEST)) as f:
+        bundle = json.load(f)
+    for rel, size in bundle["files"].items():
+        p = os.path.join(bundle_dir, rel)
+        if not os.path.exists(p) or os.path.getsize(p) != size:
+            raise ValueError(f"bundle integrity check failed for {rel}")
+    os.makedirs(table_dir, exist_ok=True)
+    for rel in bundle["files"]:
+        dst = os.path.join(table_dir, rel)
+        os.makedirs(os.path.dirname(dst), exist_ok=True)
+        shutil.copyfile(os.path.join(bundle_dir, rel), dst)
+    manifest = mf.TableManifest.from_json(json.dumps(bundle["manifest"]))
+    if not mf.commit(table_dir, manifest):
+        raise RuntimeError(f"import commit fenced out at {table_dir}")
+    return manifest

@@ -1,4 +1,5 @@
-"""Restore (point-in-time rollback) + vacuum tests — K4 parity."""
+"""Restore (point-in-time rollback) + vacuum + export/import bundle
+tests — K4 and S10/S11 (DB/ES export-import jobs) parity."""
 
 from __future__ import annotations
 
@@ -10,6 +11,8 @@ import pytest
 from gamechanger_data_ray.core.changelog import write_changelog
 from gamechanger_data_ray.engine.cdc import replay, table_to_arrow
 from gamechanger_data_ray.engine.maintenance import (
+    export_table,
+    import_table,
     list_manifests,
     restore,
     vacuum,
@@ -66,3 +69,48 @@ def test_vacuum_then_replay_continues(table, tmp_path):
     write_changelog(cd, num_epochs=5, events_per_epoch=800, num_keys=150)
     m = replay(cd, table, num_partitions=4)
     assert m is not None and m.epoch == 5
+
+
+def test_export_import_roundtrip_is_identical(table, tmp_path):
+    bundle = str(tmp_path / "bundle")
+    out = export_table(table, bundle)
+    assert out["files"] > 0 and out["bytes"] > 0
+
+    target = str(tmp_path / "imported")
+    m = import_table(bundle, target)
+    assert m.epoch == mf.committed_epoch(table)
+    assert table_to_arrow(target).equals(table_to_arrow(table))
+
+
+def test_export_refuses_existing_target(table, tmp_path):
+    bundle = str(tmp_path / "bundle")
+    export_table(table, bundle)
+    with pytest.raises(FileExistsError, match="idempotence fence"):
+        export_table(table, bundle)
+
+
+def test_import_refuses_committed_target_and_bad_bundle(table, tmp_path):
+    bundle = str(tmp_path / "bundle")
+    export_table(table, bundle)
+    with pytest.raises(FileExistsError, match="already has a committed table"):
+        import_table(bundle, table)
+    # corrupt a data file → integrity check fails
+    victim = glob.glob(os.path.join(bundle, "part=*", "*.parquet"))[0]
+    with open(victim, "ab") as f:
+        f.write(b"x")
+    with pytest.raises(ValueError, match="integrity"):
+        import_table(bundle, str(tmp_path / "fresh"))
+
+
+def test_imported_table_resumes_tailing(table, tmp_path):
+    bundle = str(tmp_path / "bundle")
+    export_table(table, bundle)
+    target = str(tmp_path / "imported")
+    import_table(bundle, target)
+    # new epochs land on the imported table exactly as on the original
+    cd = str(tmp_path / "cl2")
+    write_changelog(cd, num_epochs=5, events_per_epoch=800, num_keys=150)
+    m1 = replay(cd, table, num_partitions=4)
+    m2 = replay(cd, target, num_partitions=4)
+    assert m1.epoch == m2.epoch == 5
+    assert table_to_arrow(target).equals(table_to_arrow(table))
