@@ -153,7 +153,9 @@ def dedup_minhash_lsh(sf_dir: str, tau: float = 0.5):
     Jaccard ≥ tau. Rows-only driver check; recall/precision vs exact
     Jaccard verified in tests."""
     ds = _with_near_copies(sf_dir)
-    sigs = ds.map_batches(dd.MinHasher, batch_format="pandas", concurrency=(1, cm.pool_size()))
+    sigs = ds.map_batches(
+        dd.MinHasher, batch_format="pandas", concurrency=(1, cm.pool_size())
+    ).materialize()  # two consumers below — hash once, not twice
     sig_tbl = sigs.to_pandas()  # (N, 65): small here; at scale keep as Dataset
     sig_map = {int(r.doc_id): np.asarray(r.sig, dtype=np.uint64) for r in sig_tbl.itertuples()}
     sig_ref = cm.broadcast(sig_map)
@@ -194,7 +196,7 @@ def dedup_tokens_minhash(sf_dir: str, tau: float = 0.5):
     ds = ray.data.from_arrow(corpus)
     sigs = ds.map_batches(
         dd.TokenMinHasher, batch_format="pyarrow", concurrency=(1, cm.pool_size())
-    )
+    ).materialize()  # two consumers below — hash once, not twice
     sig_tbl = sigs.to_pandas()
     sig_map = {r.doc_id: np.asarray(r.sig, dtype=np.uint64) for r in sig_tbl.itertuples()}
     sig_ref = cm.broadcast(sig_map)

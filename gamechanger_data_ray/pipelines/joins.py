@@ -53,6 +53,38 @@ def hash_join(
     return bucketed_hash_join(left, right, on, num_buckets, how)
 
 
+BROADCAST_LIMIT_ROWS = 200_000
+
+
+def adaptive_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    on: str,
+    num_buckets: int = 64,
+    how: str = "inner",
+    broadcast_limit_rows: int = BROADCAST_LIMIT_ROWS,
+) -> ray.data.Dataset:
+    """Size-adaptive equi-join (the AQE broadcast-join pattern): execute
+    the (expected-smaller) right side once; if it lands under the row
+    limit, ``ray.put`` it whole and merge inside ``map_batches`` of the
+    left — zero shuffle; otherwise fall back to the partitioned hash
+    join. Use when the right side's post-filter size is data-dependent
+    (a fixed plan would either always shuffle or break at scale)."""
+    if how not in ("inner", "left"):
+        raise ValueError(f"adaptive_join supports inner/left, not {how!r}")
+    right = right.materialize()
+    if right.count() <= broadcast_limit_rows:
+        import ray as _ray
+
+        dim_ref = _ray.put(right.to_pandas())
+
+        def merge(batch: pd.DataFrame) -> pd.DataFrame:
+            return batch.merge(_ray.get(dim_ref), on=on, how=how)
+
+        return left.map_batches(merge, batch_format="pandas")
+    return hash_join(left, right, on, num_buckets, how="inner" if how == "inner" else "left_outer")
+
+
 def bucketed_hash_join(
     left: ray.data.Dataset,
     right: ray.data.Dataset,

@@ -18,7 +18,7 @@ from ray.data.aggregate import Count, Max, Min, Sum
 
 from ..core.hashing import version_hash_column
 from . import common as cm
-from .joins import hash_join
+from .joins import adaptive_join, hash_join
 
 ORACLES: dict[str, str] = {}
 
@@ -87,8 +87,9 @@ GROUP BY l_returnflag, l_linestatus
 
 
 def q3_shipping_priority(sf_dir: str):
-    """Filter + broadcast semi-join (small dim side) + partitioned hash join
-    (two large sides) + grouped revenue + deterministic top-10.
+    """Filter + broadcast semi-join (small dim side) + size-adaptive join
+    (broadcast when the filtered orders side is small, partitioned hash
+    join past the limit) + grouped revenue + deterministic top-10.
     Ref analogs: J1 equi-join, J7 broadcast dim, M8 top-k."""
     cutoff = pd.Timestamp("1995-03-15")
     cust = cm.read_arrow(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
@@ -117,7 +118,7 @@ def q3_shipping_priority(sf_dir: str):
 
     li = li.map_batches(li_prep, batch_format="pyarrow")
 
-    joined = hash_join(li, orders, on="l_orderkey", num_buckets=16)
+    joined = adaptive_join(li, orders, on="l_orderkey", num_buckets=16)
     agg = cm.partial_groupby_sum(joined, keys=["l_orderkey", "o_orderdate"], sums={"rev": "revenue"})
     top = agg.sort_values(["revenue", "l_orderkey"], ascending=[False, True]).head(10)
     return top.reset_index(drop=True)
