@@ -60,6 +60,105 @@ GROUP BY word ORDER BY n DESC, word LIMIT 50
 """
 
 
+def _full_vocab(sf_dir: str) -> pd.DataFrame:
+    """word → token_id, id = dense rank by (global freq desc, word asc) —
+    the vocabulary-build pass of a tokenizer. Distributed partial counts;
+    the finish ranks O(|vocab|) rows on the driver (swap for a
+    distributed sort at open-vocabulary scale)."""
+    ds = cm.read(sf_dir, "documents", columns=["text"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        words = df["text"].str.split(" ").explode()
+        return words.value_counts().rename_axis("word").reset_index(name="n")
+
+    partials = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    vocab = partials.groupby("word", as_index=False)["n"].sum()
+    vocab = vocab.sort_values(["n", "word"], ascending=[False, True]).reset_index(drop=True)
+    vocab["token_id"] = np.arange(len(vocab), dtype=np.int64)
+    return vocab[["word", "token_id"]]
+
+
+class Tokenizer:
+    """Actor-pool tokenizer (ST2 model-per-worker pattern): vocabulary dict
+    built once per actor from the broadcast vocab table; batches tokenize
+    via C-level explode + dict map, re-assembled positionally."""
+
+    def __init__(self, vocab_ref):
+        self.vocab = dict(
+            zip(*(lambda v: (v["word"], v["token_id"]))(ray.get(vocab_ref)))
+        )
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        words = df["text"].str.split(" ")
+        exploded = words.explode()
+        ids = exploded.map(self.vocab).astype("int32")
+        tokens = ids.groupby(level=0).agg(list)
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"],
+                "tokens": tokens.reindex(df.index),
+                "n_tok": tokens.reindex(df.index).str.len().astype("int32"),
+                "source": df["source"],
+            }
+        )
+
+
+def tokenize_documents(sf_dir: str):
+    """documents → the BASELINE tokens payload shape
+    ``(doc_id, tokens:list<int32>, n_tok, source)``: vocabulary pass +
+    broadcast + actor-pool encode. The parse-stage analog
+    (``common/document_parser/parsers/policy_analytics/parse.py:30-90``)
+    for a training-data lake: raw text in, token arrays out. Verified in
+    tests against a serial python tokenizer; the count projection
+    :func:`doc_token_counts` is the SQL-checked face of the same op."""
+    vocab_ref = cm.broadcast(_full_vocab(sf_dir))
+    ds = cm.read(sf_dir, "documents", columns=["doc_id", "text", "source"])
+    return ds.map_batches(
+        Tokenizer,
+        fn_constructor_args=(vocab_ref,),
+        batch_format="pandas",
+        concurrency=(1, cm.pool_size()),
+    )
+
+
+def doc_token_counts(sf_dir: str):
+    """Per-(doc, token) occurrence counts through the tokenizer — the
+    SQL-oracle-checkable projection of :func:`tokenize_documents`."""
+    vocab_ref = cm.broadcast(_full_vocab(sf_dir))
+
+    class Counter:
+        def __init__(self):
+            self.vocab = dict(
+                zip(*(lambda v: (v["word"], v["token_id"]))(ray.get(vocab_ref)))
+            )
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            exploded = df.assign(word=df["text"].str.split(" ")).explode("word")
+            exploded["token_id"] = exploded["word"].map(self.vocab).astype("int64")
+            return (
+                exploded.groupby(["doc_id", "token_id"], as_index=False, sort=False)
+                .size()
+                .rename(columns={"size": "n"})
+            )
+
+    ds = cm.read(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(Counter, batch_format="pandas", concurrency=(1, cm.pool_size()))
+
+
+ORACLES["doc_token_counts"] = """
+WITH vocab AS (
+  SELECT word, ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, word) - 1 AS token_id
+  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+  GROUP BY word
+), words AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+)
+SELECT doc_id, token_id, COUNT(*) AS n
+FROM words JOIN vocab USING (word)
+GROUP BY doc_id, token_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # Sequence packing — document-preserving assignment
 # ---------------------------------------------------------------------------

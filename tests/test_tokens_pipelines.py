@@ -47,6 +47,27 @@ def test_pack_assignment_is_sequential_and_conserving(sf_dir):
     pd.testing.assert_series_equal(got["pack_id"], expected, check_names=False)
 
 
+def test_tokenize_documents_matches_serial_tokenizer(sf_dir):
+    import pyarrow.parquet as pq
+    import os
+
+    docs = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text", "source"]
+    ).to_pandas()
+    words = docs["text"].str.split(" ").explode()
+    freq = words.value_counts().rename_axis("word").reset_index(name="n")
+    freq = freq.sort_values(["n", "word"], ascending=[False, True]).reset_index(drop=True)
+    vocab = dict(zip(freq["word"], range(len(freq))))
+
+    got = to_df(T.tokenize_documents(sf_dir)).set_index("doc_id").sort_index()
+    assert set(got.columns) == {"tokens", "n_tok", "source"}
+    for _, row in docs.iterrows():
+        expected = [vocab[w] for w in row["text"].split(" ")]
+        assert list(got.loc[row["doc_id"], "tokens"]) == expected
+        assert got.loc[row["doc_id"], "n_tok"] == len(expected)
+        assert got.loc[row["doc_id"], "source"] == row["source"]
+
+
 def test_mention_edges_deterministic(sf_dir):
     a = to_df(T.docs_entity_edges(sf_dir)).sort_values(["doc_id", "entity"]).reset_index(drop=True)
     b = to_df(T.docs_entity_edges(sf_dir)).sort_values(["doc_id", "entity"]).reset_index(drop=True)
