@@ -63,7 +63,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     names_a = [
         "text_token_count", "text_quality", "text_langid", "text_fingerprint",
         "dedup_exact", "dedup_minhash_lsh", "dedup_simhash", "dedup_tokens_minhash",
-        "dedup_ngram_jaccard", "ann_topk_cosine", "ann_ivf",
+        "dedup_ngram_jaccard", "ann_topk_cosine", "ann_ivf", "ann_lsh",
         "embedding_dedup_cosine", "multimodal_decode",
     ]
     names_t = [

@@ -370,6 +370,41 @@ def ann_ivf(sf_dir: str, nprobe: int = 3, n_clusters: int = 16):
     return out
 
 
+def ann_lsh(sf_dir: str, n_planes: int = 6):
+    """Hyperplane-LSH bucketed ANN (the random-projection scale path
+    beside :func:`ann_ivf`): vectors coded once by sign-bit hyperplane
+    projections; each query multi-probes its bucket plus all hamming-1
+    neighbors; brute-force cosine only within probed buckets.
+    Approximate (rows-only); recall vs brute force asserted in tests."""
+    q = _query_matrix(sf_dir)
+    dim = q["matrix"].shape[1]
+    planes = sim.hyperplanes(dim, n_planes)
+    planes_ref = cm.broadcast(planes)
+
+    q_codes = sim.lsh_code(q["matrix"], planes)
+    probed = sorted(
+        {c for code in q_codes for c in sim.probe_codes(int(code), n_planes, hamming=1)}
+    )
+
+    ds = cm.read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    ds = ds.map_batches(
+        sim.LSHAssigner, fn_constructor_args=(planes_ref,),
+        batch_format="pyarrow", concurrency=(1, cm.pool_size()),
+    )
+    ds = ds.map_batches(
+        lambda t: t.filter(pc.is_in(t["bucket"], value_set=pa.array(probed, pa.int32()))),
+        batch_format="pyarrow",
+    )
+    q_ref = cm.broadcast(q)
+    cands = ds.map_batches(
+        sim.BruteForceTopK, fn_constructor_args=(q_ref, _TOPK),
+        batch_format="pyarrow", concurrency=(1, cm.pool_size()),
+    )
+    out = sim.global_topk(cands.to_pandas(), _TOPK)
+    out["cosine"] = out["cosine"].round(6)
+    return out
+
+
 def embedding_dedup_cosine(sf_dir: str, tau: float = 0.95):
     """Embedding near-dup pairs (cosine ≥ tau) with seeded exact copies;
     per-batch matmul vs broadcast matrix. SQL oracle: self cross join."""

@@ -139,3 +139,41 @@ class EmbeddingDupFinder:
                 "cosine": pa.array(sims[ii, jj][keep].astype(np.float64)),
             }
         )
+
+
+def hyperplanes(dim: int, n_planes: int, seed: int = 7) -> np.ndarray:
+    """Deterministic random hyperplanes for sign-bit LSH codes."""
+    rng = np.random.default_rng(seed)
+    h = rng.standard_normal((n_planes, dim))
+    return h / np.linalg.norm(h, axis=1, keepdims=True)
+
+
+def lsh_code(m: np.ndarray, planes: np.ndarray) -> np.ndarray:
+    """Pack each vector's hyperplane sign bits into one int bucket code."""
+    bits = (m @ planes.T) > 0  # (N, P)
+    weights = (1 << np.arange(planes.shape[0], dtype=np.int64))
+    return (bits.astype(np.int64) * weights).sum(axis=1)
+
+
+def probe_codes(code: int, n_planes: int, hamming: int = 1) -> list[int]:
+    """Multi-probe set: the code itself plus all codes within the given
+    hamming distance (1 → flip each single bit)."""
+    out = [code]
+    if hamming >= 1:
+        out += [code ^ (1 << b) for b in range(n_planes)]
+    return out
+
+
+class LSHAssigner:
+    """map_batches stage: add the hyperplane-LSH bucket code (planes
+    broadcast once per actor) — the random-projection sibling of
+    :class:`IVFAssigner`."""
+
+    def __init__(self, planes_ref, vec_col: str = "embedding"):
+        self.planes = ray.get(planes_ref)
+        self.vec_col = vec_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        m = normalize_rows(_to_matrix(batch[self.vec_col]))
+        codes = lsh_code(m, self.planes).astype(np.int32)
+        return batch.append_column("bucket", pa.array(codes))

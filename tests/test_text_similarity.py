@@ -119,3 +119,26 @@ def test_multimodal_decoder_stub_contract():
     # 11 bytes / stride 4 → 2 frames; empty payload → 1 sentinel frame
     assert frames["media_id"].to_pylist() == [1, 1, 2]
     assert frames["frame_idx"].to_pylist() == [0, 1, 0]
+
+
+def test_lsh_recall_vs_brute_force(sf_dir):
+    """Hyperplane LSH with hamming-1 multi-probe must recover a useful
+    fraction of the brute-force top-5 (self-match is always recovered:
+    a query's own bucket is probed)."""
+    from gamechanger_data_ray.pipelines.analysis_queries import ann_lsh, ann_topk_cosine
+
+    exact = ann_topk_cosine(sf_dir)
+    approx = ann_lsh(sf_dir)
+    exact_sets = exact.groupby("query_id")["vec_id"].apply(set)
+    approx_sets = approx.groupby("query_id")["vec_id"].apply(set)
+    recalls = [
+        len(exact_sets[q] & approx_sets.get(q, set())) / len(exact_sets[q])
+        for q in exact_sets.index
+    ]
+    assert np.mean(recalls) >= 0.4, f"mean LSH recall too low: {np.mean(recalls)}"
+
+
+def test_lsh_probe_codes():
+    codes = sim.probe_codes(0b1010, 4, hamming=1)
+    assert codes[0] == 0b1010 and len(codes) == 5
+    assert set(codes) == {0b1010, 0b1011, 0b1000, 0b1110, 0b0010}
