@@ -76,6 +76,9 @@ def main(argv: list[str] | None = None) -> int:
     vc.add_argument("--table", required=True)
     vc.add_argument("--keep-epochs", type=int, default=2)
 
+    hi = sub.add_parser("history", help="per-epoch lineage counters from retained manifests")
+    hi.add_argument("--table", required=True)
+
     ex = sub.add_parser("export", help="export the committed snapshot as a portable bundle")
     ex.add_argument("--table", required=True)
     ex.add_argument("--bundle", required=True)
@@ -108,6 +111,23 @@ def main(argv: list[str] | None = None) -> int:
         from gamechanger_data_ray.engine.maintenance import vacuum
 
         print(json.dumps(vacuum(args.table, keep_epochs=args.keep_epochs)))
+        return 0
+
+    if args.cmd == "history":
+        from gamechanger_data_ray.engine.maintenance import list_manifests, load_manifest
+        from gamechanger_data_ray.state import manifest as mf
+
+        cur = mf.committed_epoch(args.table)
+        rows = []
+        for e in list_manifests(args.table):
+            m = load_manifest(args.table, e)
+            c = {k: v for k, v in m.epoch_counters.items() if k != "per_partition"}
+            rows.append(
+                {"epoch": e, "committed": e == cur, "rows": m.totals.get("rows"),
+                 "partitions_touched": len(m.epoch_counters.get("per_partition", {})),
+                 **c}
+            )
+        print(json.dumps(rows))
         return 0
 
     if args.cmd == "export":

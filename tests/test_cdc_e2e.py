@@ -169,3 +169,28 @@ def test_generator_is_deterministic(workdir):
     assert a.equals(b)
     c = generate_epoch_table(2, 500, 100, seed=8)
     assert not a.equals(c)
+
+
+def test_crash_mid_staging_recovers(workdir):
+    """A crash DURING the staged exchange leaves a partial _staging dir;
+    the next attempt must discard it and converge (the staged files are
+    scratch, not state — only the manifest pointer is truth)."""
+    import pyarrow.parquet as _pq
+
+    cd, td = os.path.join(workdir, "cl"), os.path.join(workdir, "tb")
+    write_changelog(cd, num_epochs=2, events_per_epoch=1000, num_keys=200)
+    replay(cd, td, num_partitions=4, up_to_epoch=1)
+
+    # fake a torn epoch-2 staging attempt: garbage partial partition dirs
+    staging = os.path.join(td, "_staging", "epoch-000002")
+    os.makedirs(os.path.join(staging, "_part=0"), exist_ok=True)
+    _pq.write_table(
+        pa.table({"doc_id": ["garbage"], "lsn": [999]}),
+        os.path.join(staging, "_part=0", "leftover.parquet"),
+    )
+
+    replay(cd, td, num_partitions=4)
+    oracle, _ = oracle_final(cd)
+    assert _payload(table_to_arrow(td)).cast(oracle.schema).equals(oracle)
+    # staging scratch cleaned up after the successful commit
+    assert not os.path.exists(staging)

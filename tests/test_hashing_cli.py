@@ -84,3 +84,32 @@ def test_cli_generate_replay_status(tmp_path):
         capture_output=True, text=True, env=env, cwd="/root/repo",
     )
     assert json.loads(r3.stdout.strip().splitlines()[-1])["epoch"] == 2
+
+
+def test_cli_history_and_export_import(tmp_path):
+    env = dict(os.environ, PYTHONPATH="/root/repo")
+    cl, tb = str(tmp_path / "cl"), str(tmp_path / "tb")
+
+    def run(*args):
+        r = subprocess.run(
+            [sys.executable, "-m", "gamechanger_data_ray", *args],
+            capture_output=True, text=True, env=env, cwd="/root/repo",
+        )
+        assert r.returncode == 0, r.stderr[-500:]
+        return json.loads(r.stdout.strip().splitlines()[-1])
+
+    run("generate", "--out", cl, "--epochs", "2", "--events", "500", "--keys", "100")
+    run("--num-cpus", "4", "replay", "--changelog", cl, "--table", tb,
+        "--partitions", "4", "--epochs-per-commit", "1")
+
+    hist = run("history", "--table", tb)
+    assert [h["epoch"] for h in hist] == [1, 2]
+    assert hist[-1]["committed"] is True
+    assert all(h["events_in"] > 0 for h in hist)
+
+    bundle, tb2 = str(tmp_path / "bundle"), str(tmp_path / "tb2")
+    exp = run("export", "--table", tb, "--bundle", bundle)
+    assert exp["epoch"] == 2 and exp["files"] > 0
+    imp = run("import", "--bundle", bundle, "--table", tb2)
+    assert imp["epoch"] == 2
+    assert run("status", "--table", tb2)["totals"] == run("status", "--table", tb)["totals"]
