@@ -64,7 +64,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_token_count", "text_quality", "text_langid", "text_fingerprint",
         "dedup_exact", "dedup_minhash_lsh", "dedup_simhash", "dedup_tokens_minhash",
         "dedup_ngram_jaccard", "ann_topk_cosine", "ann_ivf", "ann_lsh",
-        "embedding_dedup_cosine", "multimodal_decode",
+        "embedding_dedup_cosine", "multimodal_decode", "multimodal_resize",
     ]
     names_t = [
         "vocab_topk", "docs_pack_assignment", "pack_token_chunks",

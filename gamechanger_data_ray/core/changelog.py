@@ -62,6 +62,8 @@ def generate_epoch_table(
       epoch >= 3 → adds nullable ``lang`` column (E1)
       epoch >= 4 → ``n_tok`` as int64 (E2) and new source enum value (E3)
     """
+    import pyarrow.compute as pc
+
     rng = np.random.default_rng(np.random.SeedSequence([seed, epoch]))
     n = events_per_epoch
     if zipf_a and zipf_a > 1.0:
@@ -72,52 +74,81 @@ def generate_epoch_table(
     # simpler deterministic mix: 70/25/5 by draw.
     draw = rng.random(n)
     op = np.where(draw < 0.05, "D", np.where(draw < 0.30, "U", "I"))
+    is_del = draw < 0.05
     lsn = np.full(n, epoch, dtype=np.int64)
     seq = np.arange(n, dtype=np.int64)
     n_tok = np.clip(rng.lognormal(np.log(mean_tokens), 0.6, size=n), 1, 4096).astype(np.int32)
-    tokens = _tokens_list_array(rng, n_tok)
+    # deletes carry no payload: zero-length + null mask (built in, never a
+    # post-hoc if_else over the 10^8-value list column — that kernel
+    # dominated generation wall time)
+    tok_len = np.where(is_del, 0, n_tok).astype(np.int64)
+    offsets = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(tok_len, out=offsets[1:])
+    values = rng.integers(0, 50257, size=int(offsets[-1]), dtype=np.int32)
     evolved = evolution and epoch >= 4
     src_pool = EVOLVED_SOURCES if evolved else SOURCES
-    source = src_pool[rng.integers(0, len(src_pool), size=n)]
-    doc_id = np.char.add("doc-", np.char.zfill(kidx.astype(str), 8))
-    # content hash: deterministic function of (doc_id, lsn, seq) — duplicates
-    # of a delivery share it, distinct versions differ.
-    vh = np.char.add(np.char.add(doc_id, lsn.astype(str)), seq.astype(str))
+    src_idx = rng.integers(0, len(src_pool), size=n)
+    lang_idx = rng.integers(0, len(LANGS), size=n) if evolution and epoch >= 3 else None
 
-    cols: dict[str, pa.Array] = {
-        "op": pa.array(op),
-        "lsn": pa.array(lsn),
-        "seq": pa.array(seq),
-        "version_hash": pa.array(vh),
-        "doc_id": pa.array(doc_id),
-        "tokens": tokens,
-        "n_tok": pa.array(n_tok, pa.int64() if evolved else pa.int32()),
-        "source": pa.array(source),
-    }
-    if evolution and epoch >= 3:
-        cols["lang"] = pa.array(LANGS[rng.integers(0, len(LANGS), size=n)])
-    t = pa.table(cols)
-
-    # null payload for deletes
-    if t.num_rows:
-        import pyarrow.compute as pc
-
-        is_del = pc.equal(t["op"], "D")
-        keep = pc.invert(is_del)
-        for c in ("tokens", "n_tok"):
-            col = t[c]
-            nulled = pc.if_else(keep, col, pa.nulls(t.num_rows, type=col.type))
-            t = t.set_column(t.schema.get_field_index(c), c, nulled)
-
-    # duplicate deliveries: re-emit a deterministic sample of rows verbatim
+    # duplicate deliveries (verbatim re-emits) + out-of-order delivery,
+    # fused into ONE gather index applied per column in numpy — no Arrow
+    # take over the wide list column
     if dup_frac > 0 and n > 0:
         k = max(1, int(n * dup_frac))
         dup_idx = rng.integers(0, n, size=k)
-        t = pa.concat_tables([t, t.take(pa.array(dup_idx, pa.int64()))])
+        full_idx = np.concatenate([np.arange(n, dtype=np.int64), dup_idx])
+    else:
+        full_idx = np.arange(n, dtype=np.int64)
+    perm = rng.permutation(len(full_idx))
+    full_idx = full_idx[perm]
 
-    # out-of-order delivery within the epoch
-    perm = rng.permutation(t.num_rows)
-    return t.take(pa.array(perm, pa.int64()))
+    # ragged gather of the token values in output order (vectorized)
+    out_len = tok_len[full_idx]
+    out_offsets = np.zeros(len(full_idx) + 1, dtype=np.int64)
+    np.cumsum(out_len, out=out_offsets[1:])
+    total = int(out_offsets[-1])
+    pos = (
+        np.repeat(offsets[full_idx], out_len)
+        + np.arange(total, dtype=np.int64)
+        - np.repeat(out_offsets[:-1], out_len)
+    )
+    out_values = values[pos]
+    del_out = is_del[full_idx]
+    tokens = pa.ListArray.from_arrays(
+        pa.array(out_offsets, pa.int64()), pa.array(out_values, pa.int32()),
+        mask=pa.array(del_out),
+    )
+
+    # strings via Arrow C++ kernels (np.char is Python-loop slow at 10^7)
+    kid = pa.array(kidx[full_idx], pa.int64())
+    doc_id = pc.binary_join_element_wise(
+        "doc-", pc.utf8_lpad(pc.cast(kid, pa.string()), 8, "0"), ""
+    )
+    # content hash: deterministic function of (doc_id, lsn, seq) — duplicates
+    # of a delivery share it, distinct versions differ.
+    vh = pc.binary_join_element_wise(
+        doc_id,
+        pc.cast(pa.array(lsn[full_idx]), pa.string()),
+        pc.cast(pa.array(seq[full_idx]), pa.string()),
+        "",
+    )
+
+    n_tok_out = pa.array(
+        n_tok[full_idx].astype(np.int64 if evolved else np.int32), mask=del_out
+    )
+    cols: dict[str, pa.Array] = {
+        "op": pa.array(op[full_idx]),
+        "lsn": pa.array(lsn[full_idx]),
+        "seq": pa.array(seq[full_idx]),
+        "version_hash": vh,
+        "doc_id": doc_id,
+        "tokens": tokens,
+        "n_tok": n_tok_out,
+        "source": pa.array(src_pool[src_idx[full_idx]]),
+    }
+    if lang_idx is not None:
+        cols["lang"] = pa.array(LANGS[lang_idx[full_idx]])
+    return pa.table(cols)
 
 
 def write_changelog(

@@ -475,3 +475,40 @@ SELECT doc_id AS media_id,
        LEAST(8, GREATEST(1, octet_length(CAST(text AS BLOB)) // 1000)) AS n_frames
 FROM documents
 """
+
+
+_RESIZE_TARGET = 64
+
+
+def multimodal_resize(sf_dir: str):
+    """Binary resize plumbing (thumbnail-writer analog K12,
+    ``dataPipelines/gc_thumbnails/utils.py:31-47``): payload → decimated
+    payload via an actor-pool Resizer (stub codec, real binary-in/
+    binary-out layout); output is size metadata per media object."""
+    docs = cm.read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def to_media(t: pa.Table) -> pa.Table:
+        payloads = [s.encode("utf-8") for s in t["text"].to_pylist()]
+        return mm.to_media_table(t["doc_id"].to_pylist(), payloads, "text/plain")
+
+    media = docs.map_batches(to_media, batch_format="pyarrow")
+    resized = media.map_batches(
+        mm.Resizer,
+        fn_constructor_args=(_RESIZE_TARGET,),
+        batch_format="pyarrow",
+        concurrency=(1, cm.pool_size()),
+        batch_size=64,
+    )
+    return resized.select_columns(["media_id", "n_bytes", "orig_bytes"])
+
+
+ORACLES["multimodal_resize"] = f"""
+SELECT doc_id AS media_id,
+       CASE WHEN n_b <= {_RESIZE_TARGET} THEN n_b
+            ELSE CAST(FLOOR((n_b + CAST(FLOOR((n_b + {_RESIZE_TARGET} - 1)
+                   / {_RESIZE_TARGET}) AS BIGINT) - 1)
+                 / CAST(FLOOR((n_b + {_RESIZE_TARGET} - 1) / {_RESIZE_TARGET}) AS BIGINT))
+                 AS BIGINT) END AS n_bytes,
+       n_b AS orig_bytes
+FROM (SELECT doc_id, octet_length(CAST(text AS BLOB)) AS n_b FROM documents)
+"""

@@ -135,3 +135,36 @@ class FrameSampler:
                 "byte_offset": pa.array(offsets, pa.int64()),
             }
         )
+
+
+class Resizer:
+    """Resize/transcode plumbing: binary payload in → smaller binary
+    payload out with updated size metadata. Unlike :class:`Decoder`, the
+    product IS a new media object, so the payload is re-emitted — which is
+    why resize stages need small batches and their own pool at scale.
+
+    STUB codec: deterministic byte-decimation (keep every ceil(n/target)th
+    byte) stands in for a real image resample; a deployment overrides
+    ``resize_one`` with PIL/ffmpeg and everything else holds."""
+
+    def __init__(self, target_bytes: int = 256):
+        self.target = target_bytes
+
+    def resize_one(self, payload: bytes) -> bytes:
+        n = len(payload)
+        if n <= self.target:
+            return payload
+        step = -(-n // self.target)  # ceil
+        return payload[::step]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        resized = [self.resize_one(p.as_py()) for p in batch["payload"]]
+        return pa.table(
+            {
+                "media_id": batch["media_id"],
+                "payload": pa.array(resized, pa.binary()),
+                "mime": batch["mime"],
+                "n_bytes": pa.array([len(p) for p in resized], pa.int64()),
+                "orig_bytes": batch["n_bytes"],
+            }
+        )
