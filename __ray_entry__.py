@@ -57,6 +57,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sliding_window", "docs_source_dispatch",
         "docs_explode_words", "keywords_top3_per_doc", "source_staleness",
         "q6_forecast_revenue", "q5_local_supplier_volume",
+        "events_date_features",
     ]
     names_c = ["cdc_lww_replay", "cdc_dedup_versions"]
     names_i = ["events_checkpoint_incremental", "hash_antijoin_incremental"]
@@ -69,7 +70,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     names_t = [
         "vocab_topk", "docs_pack_assignment", "pack_token_chunks",
         "docs_entity_edges", "text_normalize", "events_parse_props",
-        "tokenize_documents", "doc_token_counts",
+        "tokenize_documents", "doc_token_counts", "training_data_pipeline",
     ]
     out: dict[str, Callable[[str], Any]] = {}
     for mod, names in ((R, names_r), (C, names_c), (I, names_i), (A, names_a), (T, names_t)):

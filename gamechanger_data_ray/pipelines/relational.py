@@ -598,6 +598,48 @@ WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-0
 """
 
 
+def events_date_features(sf_dir: str):
+    """Canonical-format round-trip + calendar features (§2.9 date library:
+    ``common/utils/parsers.py:6-41`` permissive parse, ``common/utils/
+    s3.py:34`` canonical ``%Y-%m-%dT%H:%M:%S``): format each event ts to
+    the canonical string, re-parse it (strict), and derive calendar
+    fields — all vectorized pyarrow.compute."""
+    from ..functions.dates import CANONICAL_FORMAT
+
+    ds = cm.read(sf_dir, "events", columns=["event_id", "ts"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        # Arrow's %S renders subseconds per the TYPE unit; the canonical
+        # format is whole-second, so cast to timestamp[s] first (DuckDB's
+        # %S truncates natively)
+        secs = pc.cast(t["ts"], pa.timestamp("s"), safe=False)
+        canon = pc.strftime(secs, format=CANONICAL_FORMAT)
+        back = pc.strptime(canon, format=CANONICAL_FORMAT, unit="us")
+        return pa.table(
+            {
+                "event_id": t["event_id"],
+                "ts_canonical": canon,
+                "ts_reparsed": back,
+                "year": pc.year(t["ts"]),
+                "month": pc.month(t["ts"]),
+                "day": pc.day(t["ts"]),
+                "hour": pc.hour(t["ts"]),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+ORACLES["events_date_features"] = """
+SELECT event_id,
+       strftime(ts, '%Y-%m-%dT%H:%M:%S') AS ts_canonical,
+       strptime(strftime(ts, '%Y-%m-%dT%H:%M:%S'), '%Y-%m-%dT%H:%M:%S') AS ts_reparsed,
+       CAST(year(ts) AS BIGINT) AS year, CAST(month(ts) AS BIGINT) AS month,
+       CAST(day(ts) AS BIGINT) AS day, CAST(hour(ts) AS BIGINT) AS hour
+FROM events
+"""
+
+
 def q5_local_supplier_volume(sf_dir: str):
     """TPC-H-Q5-shaped multi-join: broadcast dim chain (region→nation→
     supplier/customer) + partitioned hash join orders⋈lineitem + grouped

@@ -268,19 +268,8 @@ def pack_token_chunks(sf_dir: str, cap: int = PACK_CAP):
     """Concat-and-chunk packing: the token streams of all docs (in doc_id
     order) concatenated and cut into fixed ``cap``-length training
     sequences — documents SPLIT across chunk boundaries, nothing padded,
-    nothing dropped. Fully distributed:
-
-    pass 1: per-range-bucket token totals → driver exclusive scan →
-            broadcast base offsets (the same prefix-sum as
-            :func:`docs_pack_assignment`);
-    pass 2: ``groupby(bucket)``: each doc knows its global token offset,
-            so it slices its own array into (chunk_id, pos_in_chunk,
-            piece) rows at chunk boundaries — numpy slicing, one python
-            iteration per DOC (not per token);
-    pass 3: ``groupby(chunk_id)``: concatenate the ≤3 pieces of each
-            chunk in pos order → (chunk_id, tokens, n_tok).
-
-    Verified in tests against the serial numpy concat+split oracle
+    nothing dropped. See :func:`chunk_sized_tokens` for the distributed
+    plan. Verified in tests against the serial numpy concat+split oracle
     (byte-identical chunk contents)."""
     corpus = token_table(sf_dir)
     ds = ray.data.from_arrow(corpus)
@@ -294,7 +283,29 @@ def pack_token_chunks(sf_dir: str, cap: int = PACK_CAP):
             {"doc_id": t["doc_id"], "tokens": t["tokens"], "n_tok": n_tok, "bucket": bucket}
         )
 
-    sized = ds.map_batches(keyed, batch_format="pyarrow")
+    return chunk_sized_tokens(ds.map_batches(keyed, batch_format="pyarrow"), cap)
+
+
+def chunk_sized_tokens(sized: ray.data.Dataset, cap: int) -> ray.data.Dataset:
+    """The distributed concat-and-chunk plan over a sized tokens Dataset
+    ``(doc_id, tokens, n_tok:int64, bucket)`` where bucket order follows
+    doc_id order:
+
+    pass 1: per-range-bucket token totals → driver exclusive scan →
+            broadcast base offsets (the same prefix-sum as
+            :func:`docs_pack_assignment`);
+    pass 2: ``groupby(bucket)``: each doc knows its global token offset,
+            so it slices its own array into (chunk_id, pos_in_chunk,
+            piece) rows at chunk boundaries — numpy slicing, one python
+            iteration per DOC (not per token);
+    pass 3: ``groupby(chunk_id)``: concatenate the ≤3 pieces of each
+            chunk in pos order → (chunk_id, tokens, n_tok)."""
+
+    # a prefix-sum is inherently two-pass: persist the sized stream so the
+    # totals pass and the split pass don't re-run the upstream transform
+    # (Ray spills blocks to disk; at lake scale, point this at the stored
+    # table instead)
+    sized = sized.materialize()
 
     def bucket_partial(df: pd.DataFrame) -> pd.DataFrame:
         return df.groupby("bucket", as_index=False).agg(total=("n_tok", "sum"))
@@ -340,6 +351,27 @@ def pack_token_chunks(sf_dir: str, cap: int = PACK_CAP):
         )
 
     return pieces.groupby("chunk_id").map_groups(assemble, batch_format="pandas")
+
+
+def training_data_pipeline(sf_dir: str, cap: int = PACK_CAP):
+    """The composed flagship for a training-data lake: raw documents →
+    tokenize (vocab pass + actor-pool encode) → concat-and-chunk into
+    fixed ``cap``-length training sequences → per-chunk rows. One
+    pipeline, three distributed passes, no driver-side payload. Verified
+    in tests against the serial tokenize+concat+split oracle."""
+    tokenized = tokenize_documents(sf_dir)
+
+    def keyed(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "tokens": t["tokens"],
+                "n_tok": pc.cast(t["n_tok"], pa.int64()),
+                "bucket": pa.array(_range_bucket(t["doc_id"]), pa.int64()),
+            }
+        )
+
+    return chunk_sized_tokens(tokenized.map_batches(keyed, batch_format="pyarrow"), cap)
 
 
 # ---------------------------------------------------------------------------

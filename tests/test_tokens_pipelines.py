@@ -74,3 +74,28 @@ def test_mention_edges_deterministic(sf_dir):
     pd.testing.assert_frame_equal(a, b)
     assert set(a["entity"]) <= set(T.GAZETTEER)
     assert (a["n_mentions"] >= 1).all()
+
+
+def test_training_data_pipeline_matches_serial(sf_dir):
+    """documents → tokenize → concat-and-chunk must equal the serial
+    tokenize + concat + split oracle byte-for-byte."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    docs = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    ).to_pandas().sort_values("doc_id")
+    words = docs["text"].str.split(" ").explode()
+    freq = words.value_counts().rename_axis("word").reset_index(name="n")
+    freq = freq.sort_values(["n", "word"], ascending=[False, True]).reset_index(drop=True)
+    vocab = dict(zip(freq["word"], range(len(freq))))
+    stream = np.concatenate(
+        [[vocab[w] for w in t.split(" ")] for t in docs["text"]]
+    ).astype(np.int32)
+    expected = [stream[i : i + T.PACK_CAP] for i in range(0, len(stream), T.PACK_CAP)]
+
+    got = to_df(T.training_data_pipeline(sf_dir)).sort_values("chunk_id").reset_index(drop=True)
+    assert len(got) == len(expected)
+    for i, exp in enumerate(expected):
+        np.testing.assert_array_equal(np.asarray(got["tokens"].iloc[i], dtype=np.int32), exp)
