@@ -59,6 +59,13 @@ def main(argv: list[str] | None = None) -> int:
     r.add_argument("--epochs-per-commit", type=int, default=None)
     r.add_argument("--exchange", choices=["staged", "sort"], default="staged")
 
+    tl = sub.add_parser("tail", help="live-tail loop: poll for ready epochs, apply, repeat")
+    tl.add_argument("--changelog", required=True)
+    tl.add_argument("--table", required=True)
+    tl.add_argument("--partitions", type=int, default=32)
+    tl.add_argument("--poll-interval", type=float, default=5.0)
+    tl.add_argument("--idle-polls", type=int, default=3)
+
     s = sub.add_parser("sweep", help="revocation sweep from an alive-pairs CSV")
     s.add_argument("--table", required=True)
     s.add_argument("--alive", required=True, help="CSV with source,doc_id columns")
@@ -173,6 +180,14 @@ def main(argv: list[str] | None = None) -> int:
             m = replay(
                 args.changelog, args.table, num_partitions=args.partitions,
                 epochs_per_commit=args.epochs_per_commit, exchange=args.exchange,
+            )
+            print(json.dumps({"epoch": m.epoch if m else None, "totals": m.totals if m else {}}))
+        elif args.cmd == "tail":
+            from gamechanger_data_ray.engine.cdc import tail
+
+            m = tail(
+                args.changelog, args.table, num_partitions=args.partitions,
+                poll_interval=args.poll_interval, idle_polls=args.idle_polls,
             )
             print(json.dumps({"epoch": m.epoch if m else None, "totals": m.totals if m else {}}))
         elif args.cmd == "sweep":

@@ -348,6 +348,48 @@ def replay(
     return last if last is not None else mf.load_current(table_dir)
 
 
+def tail(
+    changelog_dir: str,
+    table_dir: str,
+    num_partitions: int = 32,
+    poll_interval: float = 1.0,
+    idle_polls: int = 3,
+    max_epochs: int | None = None,
+    exchange: str = "staged",
+) -> mf.TableManifest | None:
+    """Live-tailing driver loop (the continuous form of :func:`replay` —
+    reference analog: the cron-driven checkpoint job,
+    ``paasJobs/job_runner.sh`` + ``checkpoint/utils.py:154-191``): poll
+    for newly-ready epochs, apply each batch as it lands (per-poll
+    commits), stop after ``idle_polls`` consecutive empty polls or after
+    ``max_epochs`` applied. Safe to run concurrently with a producer —
+    the ready-marker gate keeps half-written epochs invisible, and a
+    crashed tailer resumes from the committed watermark."""
+    import time as _time
+
+    os.makedirs(table_dir, exist_ok=True)
+    idle = 0
+    applied = 0
+    last: mf.TableManifest | None = None
+    while idle < idle_polls and (max_epochs is None or applied < max_epochs):
+        pending = cl.ready_epochs(changelog_dir, after=mf.committed_epoch(table_dir))
+        if max_epochs is not None:
+            pending = pending[: max_epochs - applied]
+        if not pending:
+            idle += 1
+            _time.sleep(poll_interval)
+            continue
+        idle = 0
+        m = apply_epochs(
+            changelog_dir, table_dir, pending,
+            num_partitions=num_partitions, exchange=exchange,
+        )
+        if m is not None:
+            last = m
+            applied += len(pending)
+    return last if last is not None else mf.load_current(table_dir)
+
+
 def apply_revocation_sweep(
     table_dir: str,
     alive_pairs,
