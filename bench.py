@@ -93,6 +93,8 @@ QUERY_NAMES = [
     "text_token_count",
     "text_quality",
     "multimodal_decode",
+    "doc_token_counts",
+    "docs_pack_assignment",
 ]
 
 

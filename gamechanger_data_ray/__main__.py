@@ -86,6 +86,11 @@ def main(argv: list[str] | None = None) -> int:
     hi = sub.add_parser("history", help="per-epoch lineage counters from retained manifests")
     hi.add_argument("--table", required=True)
 
+    rp = sub.add_parser("repartition", help="rewrite the table under a new partition count")
+    rp.add_argument("--table", required=True)
+    rp.add_argument("--out", required=True)
+    rp.add_argument("--partitions", type=int, required=True)
+
     ex = sub.add_parser("export", help="export the committed snapshot as a portable bundle")
     ex.add_argument("--table", required=True)
     ex.add_argument("--bundle", required=True)
@@ -190,6 +195,12 @@ def main(argv: list[str] | None = None) -> int:
                 poll_interval=args.poll_interval, idle_polls=args.idle_polls,
             )
             print(json.dumps({"epoch": m.epoch if m else None, "totals": m.totals if m else {}}))
+        elif args.cmd == "repartition":
+            from gamechanger_data_ray.engine.maintenance import repartition_table
+
+            m = repartition_table(args.table, args.out, args.partitions)
+            print(json.dumps({"epoch": m.epoch, "num_partitions": m.num_partitions,
+                              "rows": m.totals.get("rows")}))
         elif args.cmd == "sweep":
             import pandas as pd
 

@@ -227,13 +227,22 @@ def apply_events_dataset(
     incoming_schema: pa.Schema,
     num_partitions: int = 32,
     exchange: str = "staged",
+    carry_forward: bool = True,
 ) -> mf.TableManifest | None:
     """Apply an arbitrary change-event Dataset (op/lsn/seq/doc_id + payload
     columns) to the table as ``epoch`` — the core upsert used by epoch
-    replay, manifest-driven I/U/D runs (S7) and revocation sweeps (J3)."""
+    replay, manifest-driven I/U/D runs (S7) and revocation sweeps (J3).
+
+    The hash-partition count is pinned by the first commit: on an existing
+    table the stored ``num_partitions`` always wins (routing events with a
+    different modulus than the state files would duplicate keys); use
+    :func:`repartition_table` to change it. ``carry_forward=False`` drops
+    untouched-partition carry-forward (repartition rewrites only)."""
     current = mf.load_current(table_dir)
     if current is not None and current.epoch >= epoch:
         return None
+    if carry_forward and current is not None and current.num_partitions:
+        num_partitions = current.num_partitions
 
     unified = (
         unify_schemas(current.schema, incoming_schema)
@@ -281,7 +290,7 @@ def apply_events_dataset(
         raise ValueError(f"unknown exchange strategy: {exchange!r}")
 
     # build the new manifest: carry forward untouched partitions
-    partitions = dict(current.partitions) if current else {}
+    partitions = dict(current.partitions) if (current and carry_forward) else {}
     epoch_counters: dict[str, Any] = {"per_partition": {}, **{k: 0 for k in COUNTER_KEYS}}
     for r in counter_rows:
         p = str(r["part"])
@@ -309,6 +318,7 @@ def apply_events_dataset(
         partitions=partitions,
         epoch_counters=epoch_counters,
         totals=totals,
+        num_partitions=num_partitions,
     )
     os.makedirs(table_dir, exist_ok=True)
     if not mf.commit(table_dir, manifest):

@@ -112,6 +112,35 @@ def vacuum(table_dir: str, keep_epochs: int = 2) -> dict:
     return {"files_deleted": deleted, "bytes_freed": freed, "manifests_kept": kept}
 
 
+def repartition_table(
+    table_dir: str, out_dir: str, new_partitions: int, exchange: str = "staged"
+) -> mf.TableManifest:
+    """Rewrite the committed table under a different hash-partition count
+    — the cluster-resize path. The partition modulus is pinned per table
+    (mixing state hashed at P with events hashed at P' silently
+    duplicates keys, which is why ``apply_events_dataset`` always reuses
+    the stored count); changing it is an explicit full rewrite into a
+    fresh ``out_dir``, committed at the SAME checkpoint epoch so tailing
+    resumes exactly where the source table stood. The source dir stays
+    intact as the rollback copy (swap directories at the orchestration
+    layer, the blue/green pattern of ``gc_elasticsearch_publisher.py:157-172``)."""
+    from .cdc import apply_events_dataset, read_table
+
+    current = mf.load_current(table_dir)
+    if current is None:
+        raise FileNotFoundError(f"no committed table at {table_dir}")
+    if mf.load_current(out_dir) is not None:
+        raise FileExistsError(f"repartition target already committed: {out_dir}")
+    rows = read_table(table_dir)  # keeps op/lsn/seq/version_hash provenance
+    m = apply_events_dataset(
+        rows, out_dir, current.epoch, current.schema,
+        num_partitions=new_partitions, exchange=exchange,
+    )
+    if m is None:
+        raise RuntimeError(f"repartition commit fenced out at {out_dir}")
+    return m
+
+
 BUNDLE_MANIFEST = "_BUNDLE.json"
 
 

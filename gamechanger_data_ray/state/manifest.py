@@ -50,6 +50,11 @@ class TableManifest:
     # lineage: per-epoch counters for THIS epoch + running totals
     epoch_counters: dict[str, Any] = field(default_factory=dict)
     totals: dict[str, int] = field(default_factory=dict)
+    # the hash-partition count rows were routed with — pinned at table
+    # creation; changing it requires an explicit repartition rewrite
+    # (routing new events with a different modulus than the stored state
+    # would silently duplicate keys across partition files)
+    num_partitions: int | None = None
 
     @property
     def schema(self) -> pa.Schema:
@@ -67,6 +72,7 @@ class TableManifest:
                 "partitions": self.partitions,
                 "epoch_counters": self.epoch_counters,
                 "totals": self.totals,
+                "num_partitions": self.num_partitions,
             },
             indent=1,
         )
@@ -80,6 +86,7 @@ class TableManifest:
             partitions=d.get("partitions", {}),
             epoch_counters=d.get("epoch_counters", {}),
             totals=d.get("totals", {}),
+            num_partitions=d.get("num_partitions"),
         )
 
 

@@ -114,3 +114,43 @@ def test_imported_table_resumes_tailing(table, tmp_path):
     m2 = replay(cd, target, num_partitions=4)
     assert m1.epoch == m2.epoch == 5
     assert table_to_arrow(target).equals(table_to_arrow(table))
+
+
+def test_repartition_preserves_state_and_checkpoint(table, tmp_path):
+    from gamechanger_data_ray.engine.maintenance import repartition_table
+
+    out = str(tmp_path / "wide")
+    m = repartition_table(table, out, new_partitions=8)
+    assert m.num_partitions == 8
+    assert m.epoch == mf.committed_epoch(table)  # same changelog position
+    assert table_to_arrow(out).equals(table_to_arrow(table))
+    # tailing continues on the repartitioned table at the new width
+    cd = str(tmp_path / "cl_more")
+    write_changelog(cd, num_epochs=5, events_per_epoch=800, num_keys=150)
+    m_new = replay(cd, out, num_partitions=99)  # arg ignored: stored 8 wins
+    m_old = replay(cd, table, num_partitions=99)  # stored 4 wins
+    assert m_new.num_partitions == 8 and m_old.num_partitions == 4
+    assert table_to_arrow(out).equals(table_to_arrow(table))
+
+
+def test_partition_count_is_pinned_against_misrouting(table, tmp_path):
+    """Replaying later epochs with a DIFFERENT num_partitions arg must not
+    re-route events away from their stored state partitions (the silent
+    key-duplication hazard) — the stored count wins."""
+    cd = str(tmp_path / "cl2")
+    write_changelog(cd, num_epochs=6, events_per_epoch=800, num_keys=150)
+    m = replay(cd, table, num_partitions=16)  # table was created with 4
+    assert m.num_partitions == 4
+    got = table_to_arrow(table)
+    # no duplicate doc_ids (the failure mode of mixed-modulus routing)
+    ids = got["doc_id"].to_pylist()
+    assert len(ids) == len(set(ids))
+
+
+def test_repartition_refuses_committed_target(table, tmp_path):
+    from gamechanger_data_ray.engine.maintenance import repartition_table
+
+    out = str(tmp_path / "wide")
+    repartition_table(table, out, new_partitions=8)
+    with pytest.raises(FileExistsError):
+        repartition_table(table, out, new_partitions=8)
