@@ -425,6 +425,41 @@ GROUP BY doc_id, word
 
 
 # ---------------------------------------------------------------------------
+# Deterministic sampling / split assignment
+# ---------------------------------------------------------------------------
+
+_SAMPLE_HEX_LT = "20"  # top byte < 0x20 → 32/256 = 12.5% sample
+
+
+def docs_hash_sample(sf_dir: str):
+    """Deterministic content-hash Bernoulli sample (~12.5%): keep docs
+    whose sha256(doc_id) leads below a fixed hex threshold — the
+    reproducible train/eval-split primitive of a training-data pipeline
+    (same doc always lands on the same side, on any cluster, at any
+    scale; no RNG state to coordinate). Pure map-side filter: no shuffle,
+    no driver data."""
+    from ..core.hashing import sha256_hex
+
+    ds = cm.read(sf_dir, "documents", columns=["doc_id", "source"])
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        h = pd.Series(sha256_hex(df["doc_id"].astype(str).tolist()), index=df.index)
+        keep = h.str[:2] < _SAMPLE_HEX_LT
+        out = df[keep].copy()
+        out["bucket_hex"] = h[keep].str[:2]
+        return out
+
+    return ds.map_batches(fn, batch_format="pandas")
+
+
+ORACLES["docs_hash_sample"] = f"""
+SELECT doc_id, source, substr(sha256(CAST(doc_id AS VARCHAR)), 1, 2) AS bucket_hex
+FROM documents
+WHERE substr(sha256(CAST(doc_id AS VARCHAR)), 1, 2) < '{_SAMPLE_HEX_LT}'
+"""
+
+
+# ---------------------------------------------------------------------------
 # Scalar normalization chain + schema-on-read JSON repair
 # ---------------------------------------------------------------------------
 
