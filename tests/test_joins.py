@@ -1,0 +1,55 @@
+"""Join strategy tests: native hash join, portable bucketed fallback, and
+adaptive broadcast-vs-shuffle — all three paths against a pandas oracle."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+from gamechanger_data_ray.pipelines.joins import (
+    adaptive_join,
+    bucketed_hash_join,
+    hash_join,
+)
+
+
+def _sides():
+    rng = np.random.default_rng(11)
+    left = pd.DataFrame({"k": rng.integers(0, 300, 2000), "a": np.arange(2000)})
+    right = pd.DataFrame({"k": np.arange(0, 400, 2), "b": np.arange(200)})
+    expected = left.merge(right, on="k", how="inner")
+    return left, right, expected
+
+
+def _norm(df: pd.DataFrame) -> pd.DataFrame:
+    return df.sort_values(["k", "a", "b"]).reset_index(drop=True).astype("int64")
+
+
+def _ds(df: pd.DataFrame) -> ray.data.Dataset:
+    return ray.data.from_pandas(df).repartition(4)
+
+
+def test_native_hash_join_matches_pandas(ray_session):
+    left, right, expected = _sides()
+    got = hash_join(_ds(left), _ds(right), on="k", num_buckets=8).to_pandas()
+    pd.testing.assert_frame_equal(_norm(got), _norm(expected))
+
+
+def test_bucketed_fallback_matches_pandas(ray_session):
+    left, right, expected = _sides()
+    got = bucketed_hash_join(_ds(left), _ds(right), on="k", num_buckets=8).to_pandas()
+    pd.testing.assert_frame_equal(_norm(got), _norm(expected))
+
+
+def test_adaptive_join_broadcast_and_fallback_paths(ray_session):
+    left, right, expected = _sides()
+    # small side → broadcast path
+    got_b = adaptive_join(_ds(left), _ds(right), on="k").to_pandas()
+    pd.testing.assert_frame_equal(_norm(got_b), _norm(expected))
+    # force the shuffle fallback with a tiny broadcast limit
+    got_s = adaptive_join(
+        _ds(left), _ds(right), on="k", num_buckets=8, broadcast_limit_rows=10
+    ).to_pandas()
+    pd.testing.assert_frame_equal(_norm(got_s), _norm(expected))
