@@ -202,7 +202,9 @@ def docs_pack_assignment(sf_dir: str, cap: int = PACK_CAP):
             }
         )
 
-    sized = ds.map_batches(with_ntok, batch_format="pyarrow")
+    # two-pass prefix-sum: persist the sized rows so the totals pass and
+    # the assignment pass don't both re-run the read+count transform
+    sized = ds.map_batches(with_ntok, batch_format="pyarrow").materialize()
 
     def bucket_partial(df: pd.DataFrame) -> pd.DataFrame:
         return df.groupby("bucket", as_index=False).agg(total=("n_tok", "sum"))
