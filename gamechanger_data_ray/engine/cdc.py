@@ -254,8 +254,14 @@ def apply_events_dataset(
         {int(k): v["file"] for k, v in current.partitions.items()} if current else {}
     )
 
+    # retry_exceptions: normalize/merge are pure + the sink is idempotent
+    # (deterministic file names), so retrying a task that died on a
+    # transient error (flaky storage read, OOM-killed worker) is safe
+    _retry = {"retry_exceptions": True, "max_retries": 4}
     ds = events_ds.map_batches(
-        make_normalizer(unified_b64, num_partitions), batch_format="pyarrow"
+        make_normalizer(unified_b64, num_partitions),
+        batch_format="pyarrow",
+        **_retry,
     )
     if exchange == "staged":
         import shutil
@@ -275,6 +281,7 @@ def apply_events_dataset(
                 make_staged_merger(table_dir, staging, epoch, unified_b64, state_files),
                 batch_size=1,
                 batch_format="pyarrow",
+                **_retry,
             )
             counter_rows = counters_ds.take_all()  # O(num_partitions) rows — tiny
         else:
