@@ -53,7 +53,8 @@ def main(argv: list[str] | None = None) -> int:
     g.add_argument("--evolution", action="store_true")
 
     r = sub.add_parser("replay", help="tail-and-apply all ready epochs to the table")
-    r.add_argument("--changelog", required=True)
+    r.add_argument("--changelog", required=True, action="append",
+                   help="changelog dir; repeat for a multi-source union replay")
     r.add_argument("--table", required=True)
     r.add_argument("--partitions", type=int, default=32)
     r.add_argument("--epochs-per-commit", type=int, default=None)
@@ -180,12 +181,18 @@ def main(argv: list[str] | None = None) -> int:
 
     try:
         if args.cmd == "replay":
-            from gamechanger_data_ray.engine.cdc import replay
+            from gamechanger_data_ray.engine.cdc import replay, replay_union
 
-            m = replay(
-                args.changelog, args.table, num_partitions=args.partitions,
-                epochs_per_commit=args.epochs_per_commit, exchange=args.exchange,
-            )
+            if len(args.changelog) > 1:
+                m = replay_union(
+                    args.changelog, args.table, num_partitions=args.partitions,
+                    exchange=args.exchange,
+                )
+            else:
+                m = replay(
+                    args.changelog[0], args.table, num_partitions=args.partitions,
+                    epochs_per_commit=args.epochs_per_commit, exchange=args.exchange,
+                )
             print(json.dumps({"epoch": m.epoch if m else None, "totals": m.totals if m else {}}))
         elif args.cmd == "tail":
             from gamechanger_data_ray.engine.cdc import tail

@@ -365,6 +365,69 @@ def replay(
     return last if last is not None else mf.load_current(table_dir)
 
 
+def replay_union(
+    changelog_dirs: list[str],
+    table_dir: str,
+    num_partitions: int = 32,
+    exchange: str = "staged",
+) -> mf.TableManifest | None:
+    """Multi-source replay: union the pending epochs of several changelogs
+    into one table — the reference's many-crawlers-one-corpus model
+    (per-crawler outputs merged into a single snapshot,
+    ``gc_crawler_status_tracker.py:55-82`` scopes revocation per crawler
+    the same way ``source`` scopes it here).
+
+    Determinism across sources: ``seq`` is remapped to
+    ``seq * n_sources + source_index`` before the merge, so the
+    ``(lsn, seq)`` total order stays collision-free and replay order
+    never depends on which source's file was read first. An epoch is
+    applied once every source that has STARTED publishing it shows its
+    ready marker (sources may skip epochs entirely — different crawl
+    cadences); epoch numbering is assumed shared across sources (a
+    time-derived LSN at production scale)."""
+    os.makedirs(table_dir, exist_ok=True)
+    after = mf.committed_epoch(table_dir)
+    ready = [set(cl.ready_epochs(d, after=after)) for d in changelog_dirs]
+    present = sorted(set().union(*ready))
+    appliable: list[int] = []
+    for e in present:
+        blocked = any(
+            os.path.isdir(cl.epoch_dir(d, e)) and e not in ready[i]
+            for i, d in enumerate(changelog_dirs)
+        )
+        if blocked:
+            break  # strict epoch order: wait, don't skip ahead
+        appliable.append(e)
+    if not appliable:
+        return mf.load_current(table_dir)
+
+    n = len(changelog_dirs)
+    parts: list[ray.data.Dataset] = []
+    schemas: list[pa.Schema] = []
+    for i, d in enumerate(changelog_dirs):
+        files = [f for e in appliable if e in ready[i] for f in _epoch_files(d, e)]
+        if not files:
+            continue
+        schemas.extend(pq.read_schema(f) for f in files)
+
+        def remap(t: pa.Table, i=i, n=n) -> pa.Table:
+            seq = pc.add(
+                pc.multiply(pc.cast(t["seq"], pa.int64()), pa.scalar(n, pa.int64())),
+                pa.scalar(i, pa.int64()),
+            )
+            return t.set_column(t.schema.get_field_index("seq"), "seq", seq)
+
+        parts.append(ray.data.read_parquet(files).map_batches(remap, batch_format="pyarrow"))
+
+    events = parts[0]
+    for p in parts[1:]:
+        events = events.union(p)
+    return apply_events_dataset(
+        events, table_dir, max(appliable), unify_all(schemas),
+        num_partitions=num_partitions, exchange=exchange,
+    )
+
+
 def tail(
     changelog_dir: str,
     table_dir: str,
