@@ -532,6 +532,34 @@ def read_table(
     return ds.map_batches(conform_batch, batch_format="pyarrow")
 
 
+def read_table_asof(
+    table_dir: str, epoch: int, payload_only: bool = False
+) -> ray.data.Dataset:
+    """Time-travel read: the table as of a retained epoch's manifest,
+    WITHOUT moving the ``_CURRENT`` pointer (the non-destructive sibling
+    of ``maintenance.restore``; analog of reading a timestamped snapshot
+    prefix, ``gc_ingest/tools/snapshot/utils.py:180-257``). Fails clearly
+    if the manifest or its files were vacuumed."""
+    from .maintenance import load_manifest
+
+    m = load_manifest(table_dir, epoch)
+    missing = [f for f in m.data_files(table_dir) if not os.path.exists(f)]
+    if missing:
+        raise FileNotFoundError(
+            f"cannot read as of epoch {epoch}: {len(missing)} file(s) vacuumed"
+        )
+    schema = m.schema
+    if payload_only:
+        schema = pa.schema([f for f in schema if f.name != "op"])
+    b64 = mf.schema_to_b64(schema)
+
+    def conform_batch(t: pa.Table) -> pa.Table:
+        return conform(t, mf.schema_from_b64(b64))
+
+    ds = ray.data.read_parquet(m.data_files(table_dir))
+    return ds.map_batches(conform_batch, batch_format="pyarrow")
+
+
 def table_to_arrow(table_dir: str, sort_by_key: bool = True) -> pa.Table:
     """Driver-side full read — for tests/small tables only."""
     current = mf.load_current(table_dir)

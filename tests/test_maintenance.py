@@ -154,3 +154,22 @@ def test_repartition_refuses_committed_target(table, tmp_path):
     repartition_table(table, out, new_partitions=8)
     with pytest.raises(FileExistsError):
         repartition_table(table, out, new_partitions=8)
+
+
+def test_read_asof_is_nondestructive_time_travel(table):
+    from gamechanger_data_ray.engine.cdc import read_table_asof
+
+    import pyarrow.compute as pc
+
+    now = table_to_arrow(table)
+    asof2 = read_table_asof(table, 2).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    # pointer untouched
+    assert mf.committed_epoch(table) == 4
+    # asof-2 state equals what restore(2) would show, without restoring
+    restore(table, 2)
+    want = table_to_arrow(table).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(asof2, want[asof2.columns])
+    restore(table, 4)
+    assert table_to_arrow(table).equals(now)
