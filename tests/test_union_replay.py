@@ -61,3 +61,22 @@ def test_union_replay_is_deterministic_and_incremental(tmp_path):
     write_changelog(a, num_epochs=3, events_per_epoch=800, num_keys=150, seed=5)
     m = replay_union([a, b], t1, num_partitions=4)
     assert m is not None and m.epoch == 3
+
+
+def test_union_replay_with_heterogeneous_schemas(tmp_path):
+    """One source evolves (lang column at e3, n_tok widens at e4), the
+    other stays on the base schema — the union must reconcile before the
+    merge exactly like single-source evolution."""
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    write_changelog(a, num_epochs=4, events_per_epoch=900, num_keys=180,
+                    seed=7, evolution=True)
+    write_changelog(b, num_epochs=4, events_per_epoch=900, num_keys=180,
+                    seed=8, evolution=False)
+    td = str(tmp_path / "tb")
+    m = replay_union([a, b], td, num_partitions=4)
+    assert m is not None and m.epoch == 4
+    got = table_to_arrow(td)
+    assert "lang" in got.schema.names  # evolved column present, null for b rows
+    got_sel = got.select(["doc_id", "tokens", "n_tok", "source"])
+    oracle = _oracle([a, b], 2)
+    assert got_sel.cast(oracle.schema).equals(oracle)
