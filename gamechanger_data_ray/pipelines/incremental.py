@@ -130,3 +130,60 @@ FROM events, mid
 WHERE event_id > m
   AND sha256(CAST(user_id AS VARCHAR) || '|' || event_type) NOT IN (SELECT h FROM first_hashes)
 """
+
+
+def hash_antijoin_bloom(sf_dir: str):
+    """The same cumulative-hash anti-join, two-phase for 10^10-key scale:
+    a Bloom filter of the seen set is built from per-batch partials
+    (OR-reduced on the driver at fixed size) and broadcast; rows the
+    filter rejects are DEFINITELY new and pass with no further work; only
+    the maybe-seen minority goes through the exact check. Result is
+    exact — identical oracle as :func:`hash_antijoin_incremental` —
+    regardless of the FP rate; at scale the exact phase becomes a shuffle
+    join over the ~FP+true-dup subset instead of a full broadcast set."""
+    from ..core.bloom import BloomFilter
+    from ..core.hashing import fnv1a64
+
+    mid_tbl = cm.read_arrow(sf_dir, "events", columns=["event_id"])
+    ids = pd.Series(mid_tbl["event_id"].to_pandas())
+    mn, mx = int(ids.min()), int(ids.max())
+    mid = mn + (mx - mn) // 4
+
+    first = cm.read(sf_dir, "events", columns=["event_id", "user_id", "event_type"])
+
+    def hash_first(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less_equal(t["event_id"], pa.scalar(mid)))
+        return pa.table({"h": version_hash_column(t, ["user_id", "event_type"])})
+
+    # phase 0: per-batch partial bloom + the exact hash list (the exact
+    # side would be a keyed store at scale; here it rides along small)
+    bloom = BloomFilter(n_bits=1 << 16, k=4)
+    seen: set[str] = set()
+    for b in first.map_batches(hash_first, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        hs = b["h"]
+        bloom.add_many(fnv1a64(hs.combine_chunks() if isinstance(hs, pa.ChunkedArray) else hs))
+        seen.update(hs.to_pylist())
+    bloom_ref = cm.broadcast(bloom)
+    seen_ref = cm.broadcast(sorted(seen))
+
+    second = cm.read(sf_dir, "events", columns=["event_id", "user_id", "event_type"])
+
+    def anti(t: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        t = t.filter(pc.greater(t["event_id"], pa.scalar(mid)))
+        if t.num_rows == 0:
+            return t
+        h = version_hash_column(t, ["user_id", "event_type"])
+        maybe = _ray.get(bloom_ref).contains_many(fnv1a64(h))
+        # definite-new rows pass; only bloom maybe-hits hit the exact set
+        exact_seen = pc.is_in(h, value_set=pa.array(_ray.get(seen_ref)))
+        keep = pc.and_(pa.array(maybe), exact_seen).to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(~keep)).select(["event_id", "user_id", "event_type"])
+
+    return second.map_batches(anti, batch_format="pyarrow")
+
+
+ORACLES["hash_antijoin_bloom"] = ORACLES["hash_antijoin_incremental"]
