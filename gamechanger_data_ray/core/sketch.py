@@ -1,0 +1,70 @@
+"""HyperLogLog distinct-count sketch — fixed-size approximate COUNT(DISTINCT)
+for 10^10-key streams where an exact distinct is an all-to-all shuffle.
+
+The reference has no sketches (SURVEY §2.6); a training-data lake needs
+them (unique docs per source, vocabulary size, dedup-rate monitoring)
+because the exact answer costs a full exchange while the sketch is a
+fixed 2^p-byte register file that per-batch partials max-merge into.
+
+Standard HLL (Flajolet et al.) with the usual small-range linear-counting
+correction; vectorized numpy throughout (one pass per batch, no python
+per row). Registers merge by elementwise max — associative + commutative,
+so partial sketches compose exactly like the engine's other combiners.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_MIX = np.uint64(0x9E3779B97F4A7C15)
+
+
+class HyperLogLog:
+    def __init__(self, p: int = 12):
+        if not 4 <= p <= 18:
+            raise ValueError("p out of range")
+        self.p = p
+        self.m = 1 << p
+        self.registers = np.zeros(self.m, dtype=np.uint8)
+        if p == 12:
+            self.alpha = 0.7213 / (1 + 1.079 / self.m)
+        else:
+            self.alpha = (
+                0.673 if self.m == 16 else 0.697 if self.m == 32
+                else 0.709 if self.m == 64 else 0.7213 / (1 + 1.079 / self.m)
+            )
+
+    def add_many(self, hashes: np.ndarray) -> None:
+        """Fold a uint64 hash array into the registers (vectorized)."""
+        h = hashes.astype(np.uint64)
+        np.seterr(over="ignore")
+        h = (h ^ (h >> np.uint64(33))) * _MIX  # avalanche
+        idx = (h >> np.uint64(64 - self.p)).astype(np.int64)
+        rest = (h << np.uint64(self.p)) | (np.uint64(1) << np.uint64(self.p - 1))
+        # rank = position of the leftmost 1-bit in the remaining 64-p bits
+        rank = np.zeros(len(h), dtype=np.uint8)
+        mask = np.uint64(1) << np.uint64(63)
+        cur = rest.copy()
+        alive = np.ones(len(h), dtype=bool)
+        for r in range(1, 64 - self.p + 2):
+            hit = alive & ((cur & mask) != 0)
+            rank[hit] = r
+            alive &= ~hit
+            if not alive.any():
+                break
+            cur = cur << np.uint64(1)
+        np.maximum.at(self.registers, idx, rank)
+
+    def merge(self, other: "HyperLogLog") -> "HyperLogLog":
+        if other.p != self.p:
+            raise ValueError("cannot merge sketches with different precision")
+        out = HyperLogLog(self.p)
+        out.registers = np.maximum(self.registers, other.registers)
+        return out
+
+    def estimate(self) -> float:
+        est = self.alpha * self.m * self.m / np.sum(2.0 ** -self.registers.astype(np.float64))
+        zeros = int((self.registers == 0).sum())
+        if est <= 2.5 * self.m and zeros:
+            est = self.m * np.log(self.m / zeros)  # linear counting
+        return float(est)

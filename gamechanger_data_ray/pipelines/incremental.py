@@ -187,3 +187,31 @@ def hash_antijoin_bloom(sf_dir: str):
 
 
 ORACLES["hash_antijoin_bloom"] = ORACLES["hash_antijoin_incremental"]
+
+
+def distinct_users_hll(sf_dir: str, p: int = 12):
+    """Approximate COUNT(DISTINCT user_id) via HyperLogLog: per-batch
+    partial sketches (fixed 2^p registers) max-merged on the driver — the
+    fixed-memory alternative to an exact distinct's all-to-all shuffle at
+    10^10 keys. Rows-only driver check (approximate); the ±2% error bound
+    vs the exact count is asserted in tests/test_sketch.py."""
+    from ..core.hashing import fnv1a64
+    from ..core.sketch import HyperLogLog
+
+    ds = cm.read(sf_dir, "events", columns=["user_id"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        hll = HyperLogLog(p)
+        col = pc.cast(t["user_id"], pa.string())
+        hll.add_many(fnv1a64(col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col))
+        return pa.table({"registers": pa.array([hll.registers.tobytes()], pa.binary())})
+
+    merged = HyperLogLog(p)
+    for b in ds.map_batches(partial, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        for raw in b["registers"].to_pylist():
+            other = HyperLogLog(p)
+            other.registers = __import__("numpy").frombuffer(raw, dtype="uint8").copy()
+            merged = merged.merge(other)
+    return pd.DataFrame({"approx_distinct_users": [round(merged.estimate())]})
