@@ -61,7 +61,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     ]
     names_c = ["cdc_lww_replay", "cdc_dedup_versions"]
     names_i = ["events_checkpoint_incremental", "hash_antijoin_incremental",
-               "hash_antijoin_bloom", "distinct_users_hll"]
+               "hash_antijoin_bloom", "distinct_users_hll", "hot_keys_countmin"]
     names_a = [
         "text_token_count", "text_quality", "text_langid", "text_fingerprint",
         "dedup_exact", "dedup_minhash_lsh", "dedup_simhash", "dedup_tokens_minhash",

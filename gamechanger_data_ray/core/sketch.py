@@ -68,3 +68,45 @@ class HyperLogLog:
         if est <= 2.5 * self.m and zeros:
             est = self.m * np.log(self.m / zeros)  # linear counting
         return float(est)
+
+
+class CountMin:
+    """Count-Min sketch — fixed-memory frequency estimates; the hot-key
+    detector that feeds skew decisions (which doc_ids would need salting
+    if LWW weren't associative). Overestimates only, never under; rows
+    merge by elementwise + (associative partials)."""
+
+    def __init__(self, width: int = 1 << 12, depth: int = 4):
+        self.width = np.uint64(width)
+        self.depth = depth
+        self.table = np.zeros((depth, width), dtype=np.int64)
+
+    def _rows(self, hashes: np.ndarray) -> np.ndarray:
+        h = hashes.astype(np.uint64)
+        np.seterr(over="ignore")
+        out = np.empty((self.depth, len(h)), dtype=np.int64)
+        for d in range(self.depth):
+            hd = (h ^ np.uint64(d * 0x9E3779B97F4A7C15 & (2**64 - 1))) * _MIX
+            hd ^= hd >> np.uint64(31)
+            out[d] = (hd % self.width).astype(np.int64)
+        return out
+
+    def add_many(self, hashes: np.ndarray, counts: np.ndarray | None = None) -> None:
+        idx = self._rows(hashes)
+        c = counts if counts is not None else np.ones(len(hashes), dtype=np.int64)
+        for d in range(self.depth):
+            np.add.at(self.table[d], idx[d], c)
+
+    def estimate_many(self, hashes: np.ndarray) -> np.ndarray:
+        idx = self._rows(hashes)
+        est = self.table[0][idx[0]]
+        for d in range(1, self.depth):
+            est = np.minimum(est, self.table[d][idx[d]])
+        return est
+
+    def merge(self, other: "CountMin") -> "CountMin":
+        if (other.width, other.depth) != (self.width, self.depth):
+            raise ValueError("cannot merge differently-shaped sketches")
+        out = CountMin(int(self.width), self.depth)
+        out.table = self.table + other.table
+        return out

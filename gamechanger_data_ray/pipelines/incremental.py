@@ -215,3 +215,48 @@ def distinct_users_hll(sf_dir: str, p: int = 12):
             other.registers = __import__("numpy").frombuffer(raw, dtype="uint8").copy()
             merged = merged.merge(other)
     return pd.DataFrame({"approx_distinct_users": [round(merged.estimate())]})
+
+
+def hot_keys_countmin(sf_dir: str, topk: int = 5):
+    """Heavy-hitter detection via Count-Min: per-batch partial sketches +
+    per-batch local top candidates, sketches summed on the driver (fixed
+    memory), candidates re-estimated against the merged sketch → top-k
+    hot user_ids. The skew monitor a 10^10-event replay would feed its
+    partitioning decisions from. Approximate (rows-only driver check);
+    exact-top-k containment asserted in tests/test_sketch.py."""
+    import numpy as np
+
+    from ..core.hashing import fnv1a64
+    from ..core.sketch import CountMin
+
+    ds = cm.read(sf_dir, "events", columns=["user_id"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        cm_sk = CountMin()
+        col = pc.cast(t["user_id"], pa.string())
+        col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        cm_sk.add_many(fnv1a64(col))
+        # local candidates: this batch's most frequent keys
+        vc = pd.Series(col.to_pylist()).value_counts().head(4 * topk)
+        return pa.table(
+            {
+                "table": pa.array([cm_sk.table.tobytes()], pa.binary()),
+                "cands": pa.array([list(vc.index)], pa.list_(pa.string())),
+            }
+        )
+
+    merged = CountMin()
+    cands: set[str] = set()
+    for b in ds.map_batches(partial, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        for raw, cl_ in zip(b["table"].to_pylist(), b["cands"].to_pylist()):
+            other = CountMin()
+            other.table = np.frombuffer(raw, dtype=np.int64).reshape(other.table.shape).copy()
+            merged = merged.merge(other)
+            cands.update(cl_)
+    cand_arr = pa.array(sorted(cands), pa.string())
+    est = merged.estimate_many(fnv1a64(cand_arr))
+    out = pd.DataFrame({"user_id": cand_arr.to_pylist(), "est_count": est})
+    out = out.sort_values(["est_count", "user_id"], ascending=[False, True]).head(topk)
+    return out.reset_index(drop=True)

@@ -44,3 +44,33 @@ def test_distinct_users_hll_close_to_exact(sf_dir):
         f"SELECT COUNT(DISTINCT user_id) FROM read_parquet('{sf_dir}/events.parquet')"
     ).fetchone()[0]
     assert abs(est - exact) / exact < 0.05, (est, exact)
+
+
+def test_countmin_never_underestimates_and_finds_heavy_hitters():
+    from gamechanger_data_ray.core.sketch import CountMin
+
+    rng = np.random.default_rng(6)
+    keys = rng.zipf(1.5, size=100_000).astype(np.uint64)
+    cm = CountMin()
+    cm.add_many(keys)
+    uniq, true_counts = np.unique(keys, return_counts=True)
+    est = cm.estimate_many(uniq)
+    assert (est >= true_counts).all()  # one-sided error only
+    # the true top-5 must be within the estimated top-20
+    top_true = set(uniq[np.argsort(-true_counts)][:5].tolist())
+    top_est = set(uniq[np.argsort(-est)][:20].tolist())
+    assert top_true <= top_est
+
+
+def test_hot_keys_countmin_matches_exact_topk(sf_dir):
+    from gamechanger_data_ray.pipelines.incremental import hot_keys_countmin
+
+    got = hot_keys_countmin(sf_dir)
+    exact = duckdb.sql(
+        f"""SELECT CAST(user_id AS VARCHAR) u, COUNT(*) n
+            FROM read_parquet('{sf_dir}/events.parquet')
+            GROUP BY u ORDER BY n DESC, u LIMIT 5"""
+    ).df()
+    # estimated top-5 keys must contain the exact top-3 (CM overestimates
+    # can reorder near-ties, but heavy hitters survive)
+    assert set(exact["u"].head(3)) <= set(got["user_id"])
