@@ -107,7 +107,11 @@ def make_merge_writer(
         out_rel = _partition_path(epoch, part)
         out_abs = os.path.join(table_dir, out_rel)
         os.makedirs(os.path.dirname(out_abs), exist_ok=True)
-        tmp = out_abs + f".inprogress"
+        # attempt-unique temp name: concurrent/stale attempts write the
+        # SAME deterministic content, so whichever complete file lands
+        # last via the atomic rename is correct — but they must not share
+        # a temp path (interleaved writes would corrupt it)
+        tmp = out_abs + f".inprogress-{os.getpid()}"
         pq.write_table(merged, tmp)
         os.replace(tmp, out_abs)
         row = {
@@ -155,7 +159,7 @@ def make_staged_merger(
             out_rel = _partition_path(epoch, part)
             out_abs = os.path.join(table_dir, out_rel)
             os.makedirs(os.path.dirname(out_abs), exist_ok=True)
-            tmp = out_abs + ".inprogress"
+            tmp = out_abs + f".inprogress-{os.getpid()}"  # attempt-unique, see merge_write
             pq.write_table(merged, tmp)
             os.replace(tmp, out_abs)
             out_rows.append(
@@ -266,8 +270,14 @@ def apply_events_dataset(
     if exchange == "staged":
         import shutil
 
-        staging = os.path.join(table_dir, "_staging", f"epoch-{epoch:06d}")
-        shutil.rmtree(staging, ignore_errors=True)  # stale crashed attempt
+        # attempt-unique staging dir: two live drivers racing the same
+        # epoch must not stage into (or wipe) each other's files — each
+        # attempt merges from its own staging; crashed-attempt debris is
+        # swept by vacuum once the epoch is committed
+        staging = os.path.join(
+            table_dir, "_staging", f"epoch-{epoch:06d}-{os.getpid()}"
+        )
+        shutil.rmtree(staging, ignore_errors=True)  # our own stale attempt
         ds.write_parquet(staging, partition_cols=[PART_COLUMN])
         touched = sorted(
             int(d.split("=", 1)[1])

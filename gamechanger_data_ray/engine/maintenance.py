@@ -109,6 +109,21 @@ def vacuum(table_dir: str, keep_epochs: int = 2) -> dict:
     for e in epochs:
         if e not in kept:
             os.remove(os.path.join(table_dir, mf.MANIFEST_DIR, f"manifest-{e:06d}.json"))
+
+    # sweep staging debris from crashed/raced attempts of committed epochs
+    # (a live attempt for a committed epoch is doomed to be fenced anyway,
+    # but vacuum is a maintenance window, not a racing driver)
+    staging_root = os.path.join(table_dir, "_staging")
+    if os.path.isdir(staging_root):
+        for name in os.listdir(staging_root):
+            if not name.startswith("epoch-"):
+                continue
+            try:
+                e = int(name.split("-")[1])
+            except (IndexError, ValueError):
+                continue
+            if e <= current.epoch:
+                shutil.rmtree(os.path.join(staging_root, name), ignore_errors=True)
     return {"files_deleted": deleted, "bytes_freed": freed, "manifests_kept": kept}
 
 

@@ -173,16 +173,19 @@ def test_generator_is_deterministic(workdir):
 
 def test_crash_mid_staging_recovers(workdir):
     """A crash DURING the staged exchange leaves a partial _staging dir;
-    the next attempt must discard it and converge (the staged files are
-    scratch, not state — only the manifest pointer is truth)."""
+    the next attempt must ignore it and converge (attempt-unique staging
+    dirs: the staged files are scratch, not state — only the manifest
+    pointer is truth); vacuum sweeps the committed-epoch debris."""
     import pyarrow.parquet as _pq
+
+    from gamechanger_data_ray.engine.maintenance import vacuum
 
     cd, td = os.path.join(workdir, "cl"), os.path.join(workdir, "tb")
     write_changelog(cd, num_epochs=2, events_per_epoch=1000, num_keys=200)
     replay(cd, td, num_partitions=4, up_to_epoch=1)
 
-    # fake a torn epoch-2 staging attempt: garbage partial partition dirs
-    staging = os.path.join(td, "_staging", "epoch-000002")
+    # fake a torn epoch-2 staging attempt from a dead process (pid 99999)
+    staging = os.path.join(td, "_staging", "epoch-000002-99999")
     os.makedirs(os.path.join(staging, "_part=0"), exist_ok=True)
     _pq.write_table(
         pa.table({"doc_id": ["garbage"], "lsn": [999]}),
@@ -192,5 +195,7 @@ def test_crash_mid_staging_recovers(workdir):
     replay(cd, td, num_partitions=4)
     oracle, _ = oracle_final(cd)
     assert _payload(table_to_arrow(td)).cast(oracle.schema).equals(oracle)
-    # staging scratch cleaned up after the successful commit
+    # the dead attempt's debris is ignored by replay, swept by vacuum
+    assert os.path.exists(staging)
+    vacuum(td, keep_epochs=2)
     assert not os.path.exists(staging)
