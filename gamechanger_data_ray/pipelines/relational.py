@@ -598,6 +598,130 @@ WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-0
 """
 
 
+def events_asof_join(sf_dir: str):
+    """AS-OF join (the operator the reference lacks — its latest-version
+    semi-join J2 is the degenerate case): every 'error' event joined to
+    the latest 'signup' event of the SAME user at-or-before it. Composition:
+    hash-partition both sides by user via ONE ``groupby(user_id)``, then a
+    per-group vectorized ``np.searchsorted`` merge — the documented
+    partitioning assumption is that one user's events fit one group."""
+    import numpy as np
+
+    ds = cm.read(sf_dir, "events", columns=["event_id", "user_id", "ts", "event_type"])
+    ds = ds.map_batches(
+        lambda t: t.filter(pc.is_in(t["event_type"], value_set=pa.array(["error", "signup"]))),
+        batch_format="pyarrow",
+    )
+
+    def asof(g: pd.DataFrame) -> pd.DataFrame:
+        errors = g[g["event_type"] == "error"].sort_values(["ts", "event_id"])
+        logins = g[g["event_type"] == "signup"].sort_values("ts")
+        if errors.empty:
+            return pd.DataFrame(
+                {"event_id": pd.Series([], dtype="int64"),
+                 "user_id": pd.Series([], dtype="int64"),
+                 "ts": pd.Series([], dtype="datetime64[us]"),
+                 "login_ts": pd.Series([], dtype="datetime64[us]")}
+            )
+        if logins.empty:
+            login_ts = np.full(len(errors), np.datetime64("NaT"), dtype="datetime64[us]")
+        else:
+            idx = np.searchsorted(
+                logins["ts"].to_numpy(), errors["ts"].to_numpy(), side="right"
+            ) - 1
+            login_ts = np.where(
+                idx >= 0,
+                logins["ts"].to_numpy()[np.clip(idx, 0, None)],
+                np.datetime64("NaT"),
+            )
+        return pd.DataFrame(
+            {
+                "event_id": errors["event_id"].to_numpy(),
+                "user_id": errors["user_id"].to_numpy(),
+                "ts": errors["ts"].to_numpy(),
+                "login_ts": login_ts,
+            }
+        )
+
+    return ds.groupby("user_id").map_groups(asof, batch_format="pandas")
+
+
+ORACLES["events_asof_join"] = """
+SELECT e.event_id, e.user_id, e.ts, l.ts AS login_ts
+FROM (SELECT * FROM events WHERE event_type = 'error') e
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') l
+  ON e.user_id = l.user_id AND e.ts >= l.ts
+"""
+
+
+def events_range_join(sf_dir: str):
+    """Range join: per 'signup' event, how many events of the same user
+    land in the window [ts, ts + 30 min)? Same one-shuffle composition as
+    the as-of join: ``groupby(user)`` + per-group two-pointer counting via
+    ``np.searchsorted`` over the sorted timestamp array — never the O(n²)
+    cross product a naive range join implies."""
+    import numpy as np
+
+    window = pd.Timedelta(minutes=30)
+    ds = cm.read(sf_dir, "events", columns=["event_id", "user_id", "ts", "event_type"])
+
+    def count_in_range(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("ts")
+        all_ts = g["ts"].to_numpy()
+        logins = g[g["event_type"] == "signup"]
+        if logins.empty:
+            return pd.DataFrame(
+                {"event_id": pd.Series([], dtype="int64"),
+                 "user_id": pd.Series([], dtype="int64"),
+                 "n_in_window": pd.Series([], dtype="int64")}
+            )
+        lo = np.searchsorted(all_ts, logins["ts"].to_numpy(), side="left")
+        hi = np.searchsorted(all_ts, (logins["ts"] + window).to_numpy(), side="left")
+        return pd.DataFrame(
+            {
+                "event_id": logins["event_id"].to_numpy(),
+                "user_id": logins["user_id"].to_numpy(),
+                "n_in_window": (hi - lo).astype("int64"),
+            }
+        )
+
+    return ds.groupby("user_id").map_groups(count_in_range, batch_format="pandas")
+
+
+ORACLES["events_range_join"] = """
+SELECT l.event_id, l.user_id, COUNT(*) AS n_in_window
+FROM (SELECT * FROM events WHERE event_type = 'signup') l
+JOIN events e ON e.user_id = l.user_id
+            AND e.ts >= l.ts AND e.ts < l.ts + INTERVAL 30 MINUTE
+GROUP BY l.event_id, l.user_id
+"""
+
+
+def q18_large_orders(sf_dir: str):
+    """TPC-H-Q18-shaped HAVING: orders whose total lineitem quantity
+    exceeds a threshold — combiner partial sums per orderkey, aggregate,
+    post-aggregation filter (the HAVING clause as a plain filter over the
+    aggregate), then a broadcast lookup of order metadata."""
+    threshold = 300.0
+    li = cm.read(sf_dir, "lineitem", columns=["l_orderkey", "l_quantity"])
+    agg = cm.partial_groupby_sum(li, keys=["l_orderkey"], sums={"l_quantity": "sum_qty"})
+    big = agg[agg["sum_qty"] > threshold]
+
+    orders = cm.read_arrow(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    odf = orders.to_pandas().rename(columns={"o_orderkey": "l_orderkey"})
+    out = big.merge(odf, on="l_orderkey")
+    return out.sort_values(["sum_qty", "l_orderkey"], ascending=[False, True]).reset_index(drop=True)
+
+
+ORACLES["q18_large_orders"] = """
+SELECT l_orderkey, SUM(l_quantity) AS sum_qty, o_custkey, o_totalprice
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY l_orderkey, o_custkey, o_totalprice
+HAVING SUM(l_quantity) > 300
+ORDER BY sum_qty DESC, l_orderkey
+"""
+
+
 def events_date_features(sf_dir: str):
     """Canonical-format round-trip + calendar features (§2.9 date library:
     ``common/utils/parsers.py:6-41`` permissive parse, ``common/utils/
