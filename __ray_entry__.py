@@ -73,7 +73,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_topk", "docs_pack_assignment", "pack_token_chunks",
         "docs_entity_edges", "text_normalize", "events_parse_props",
         "tokenize_documents", "doc_token_counts", "training_data_pipeline",
-        "docs_hash_sample",
+        "docs_hash_sample", "ntok_quantiles",
     ]
     out: dict[str, Callable[[str], Any]] = {}
     for mod, names in ((R, names_r), (C, names_c), (I, names_i), (A, names_a), (T, names_t)):

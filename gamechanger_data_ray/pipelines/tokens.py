@@ -426,6 +426,49 @@ GROUP BY doc_id, word
 """
 
 
+def ntok_quantiles(sf_dir: str):
+    """EXACT distributed quantiles of the per-doc token count (p50/p90/p99
+    — what sizes the packing cap): per-batch integer histograms (bincount
+    combiner, one array per batch regardless of row count) summed on the
+    driver, quantiles read off the cumulative histogram. Exact because
+    the domain is bounded integers — no sketch needed, no sort, no
+    shuffle; the driver sees O(max_n_tok) counts total."""
+    ds = cm.read(sf_dir, "documents", columns=["text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        n_tok = pc.list_value_length(pc.split_pattern(t["text"], " ")).to_numpy(
+            zero_copy_only=False
+        )
+        counts = np.bincount(n_tok)
+        return pa.table({"hist": pa.array([counts.tolist()], pa.list_(pa.int64()))})
+
+    hist = np.zeros(1, dtype=np.int64)
+    for b in ds.map_batches(partial, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        for h in b["hist"].to_pylist():
+            h = np.asarray(h, dtype=np.int64)
+            if len(h) > len(hist):
+                hist = np.pad(hist, (0, len(h) - len(hist)))
+            hist[: len(h)] += h
+    cum = hist.cumsum()
+    total = int(cum[-1])
+    qs = {}
+    for q in (0.5, 0.9, 0.99):
+        rank = int(np.ceil(q * total))  # quantile_disc semantics
+        qs[q] = int(np.searchsorted(cum, rank))
+    return pd.DataFrame(
+        {"p50": [qs[0.5]], "p90": [qs[0.9]], "p99": [qs[0.99]]}
+    )
+
+
+ORACLES["ntok_quantiles"] = """
+SELECT quantile_disc(n, 0.5) AS p50, quantile_disc(n, 0.9) AS p90,
+       quantile_disc(n, 0.99) AS p99
+FROM (SELECT len(string_split(text, ' ')) AS n FROM documents)
+"""
+
+
 # ---------------------------------------------------------------------------
 # Deterministic sampling / split assignment
 # ---------------------------------------------------------------------------
