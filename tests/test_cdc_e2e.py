@@ -199,3 +199,54 @@ def test_crash_mid_staging_recovers(workdir):
     assert os.path.exists(staging)
     vacuum(td, keep_epochs=2)
     assert not os.path.exists(staging)
+
+
+def test_late_data_cannot_regress_state(workdir):
+    """§2.10 late-data rule: an epoch that arrives LATER but carries OLDER
+    lsns (a delayed source flushing stale versions) must lose LWW against
+    already-committed newer versions — and still insert genuinely new
+    keys."""
+    import numpy as np
+
+    cd, td = os.path.join(workdir, "cl"), os.path.join(workdir, "tb")
+    write_changelog(cd, num_epochs=2, events_per_epoch=1000, num_keys=150)
+    replay(cd, td, num_partitions=4)
+    before = table_to_arrow(td)
+
+    # epoch 3: late events with lsn=0 — stale updates for every existing
+    # key plus one brand-new key
+    import pyarrow.parquet as _pq
+
+    from gamechanger_data_ray.core import changelog as _cl
+
+    keys = before["doc_id"].to_pylist()
+    n = len(keys) + 1
+    late = pa.table(
+        {
+            "op": pa.array(["U"] * len(keys) + ["I"]),
+            "lsn": pa.array([0] * n, pa.int64()),
+            "seq": pa.array(list(range(n)), pa.int64()),
+            "version_hash": pa.array(["stale"] * n),
+            "doc_id": pa.array(keys + ["doc-late-new"]),
+            "tokens": pa.array([[1, 2, 3]] * n, pa.list_(pa.int32())),
+            "n_tok": pa.array([3] * n, pa.int32()),
+            "source": pa.array(["late_src"] * n),
+        }
+    )
+    d = _cl.epoch_dir(cd, 3)
+    os.makedirs(d)
+    _pq.write_table(late, os.path.join(d, "part-00000.parquet"))
+    _cl.write_ready_marker(cd, 3) if hasattr(_cl, "write_ready_marker") else open(
+        os.path.join(d, "_MANIFEST.json"), "w"
+    ).write("{}")
+
+    m = replay(cd, td, num_partitions=4)
+    assert m is not None and m.epoch == 3
+    after = table_to_arrow(td)
+    # every pre-existing row unchanged (stale updates lost LWW) …
+    existing = after.filter(
+        pa.compute.not_equal(after["doc_id"], pa.scalar("doc-late-new"))
+    )
+    assert existing.equals(before)
+    # … and the genuinely-new late key landed
+    assert "doc-late-new" in after["doc_id"].to_pylist()
