@@ -58,7 +58,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_explode_words", "keywords_top3_per_doc", "source_staleness",
         "q6_forecast_revenue", "q5_local_supplier_volume",
         "events_date_features", "events_asof_join", "events_range_join",
-        "q18_large_orders",
+        "q18_large_orders", "events_rollup",
     ]
     names_c = ["cdc_lww_replay", "cdc_dedup_versions"]
     names_i = ["events_checkpoint_incremental", "hash_antijoin_incremental",

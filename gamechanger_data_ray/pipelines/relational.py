@@ -722,6 +722,30 @@ ORDER BY sum_qty DESC, l_orderkey
 """
 
 
+def events_rollup(sf_dir: str):
+    """ROLLUP / grouping-sets shape: per-(day, event_type) counts plus
+    per-day subtotals plus the grand total — one pass of per-batch
+    partials at the finest grain, coarser grains derived from the finest
+    aggregate (never re-scanning the input)."""
+    ds = cm.read(sf_dir, "events", columns=["ts", "event_type"])
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"day": df["ts"].dt.floor("D"), "event_type": df["event_type"]})
+
+    ds = ds.map_batches(prep, batch_format="pandas")
+    fine = cm.partial_groupby_sum(ds, keys=["day", "event_type"], sums={}, counts="n")
+    by_day = fine.groupby("day", as_index=False)["n"].sum().assign(event_type=None)
+    total = pd.DataFrame({"day": [pd.NaT], "event_type": [None], "n": [fine["n"].sum()]})
+    out = pd.concat([fine, by_day, total], ignore_index=True)
+    return out[["day", "event_type", "n"]]
+
+
+ORACLES["events_rollup"] = """
+SELECT date_trunc('day', ts) AS day, event_type, COUNT(*) AS n
+FROM events GROUP BY ROLLUP (date_trunc('day', ts), event_type)
+"""
+
+
 def events_date_features(sf_dir: str):
     """Canonical-format round-trip + calendar features (§2.9 date library:
     ``common/utils/parsers.py:6-41`` permissive parse, ``common/utils/
