@@ -58,7 +58,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_explode_words", "keywords_top3_per_doc", "source_staleness",
         "q6_forecast_revenue", "q5_local_supplier_volume",
         "events_date_features", "events_asof_join", "events_range_join",
-        "q18_large_orders", "events_rollup",
+        "q18_large_orders", "events_rollup", "q17_small_quantity_revenue",
+        "events_running_total",
     ]
     names_c = ["cdc_lww_replay", "cdc_dedup_versions"]
     names_i = ["events_checkpoint_incremental", "hash_antijoin_incremental",

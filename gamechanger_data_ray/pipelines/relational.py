@@ -722,6 +722,73 @@ ORDER BY sum_qty DESC, l_orderkey
 """
 
 
+def q17_small_quantity_revenue(sf_dir: str):
+    """TPC-H-Q17-shaped correlated scalar subquery: lineitems whose
+    quantity is below 20% of their part's average quantity → revenue sum.
+    Distributed plan: per-part average via combiner partials, the
+    per-part thresholds broadcast (``ray.put`` once), then a streaming
+    filter + global sum — the correlated subquery becomes a broadcast
+    lookup, never a re-scan per row."""
+    li = cm.read(sf_dir, "lineitem", columns=["l_partkey", "l_quantity", "l_extendedprice"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("l_partkey", as_index=False).agg(
+            s=("l_quantity", "sum"), c=("l_quantity", "size")
+        )
+
+    partials = li.map_batches(partial, batch_format="pandas").to_pandas()
+    avg = partials.groupby("l_partkey", as_index=False).sum()
+    thresholds = dict(zip(avg["l_partkey"], 0.2 * avg["s"] / avg["c"]))
+    thr_ref = cm.broadcast(thresholds)
+
+    def below(df: pd.DataFrame) -> pd.DataFrame:
+        import ray as _ray
+
+        t = df["l_partkey"].map(_ray.get(thr_ref))
+        return df[df["l_quantity"] < t][["l_extendedprice"]]
+
+    filtered = li.map_batches(below, batch_format="pandas")
+    total = 0.0
+    for b in filtered.iter_batches(batch_format="pandas"):
+        total += float(b["l_extendedprice"].sum())
+    return pd.DataFrame({"avg_yearly": [total / 7.0]})
+
+
+ORACLES["q17_small_quantity_revenue"] = """
+SELECT SUM(l_extendedprice) / 7.0 AS avg_yearly
+FROM lineitem l
+WHERE l_quantity < (SELECT 0.2 * AVG(l_quantity) FROM lineitem
+                    WHERE l_partkey = l.l_partkey)
+"""
+
+
+def events_running_total(sf_dir: str):
+    """Running window aggregate: cumulative value per user in event-time
+    order (the SUM OVER (PARTITION BY … ORDER BY …) shape) — ONE
+    groupby(user) shuffle, per-group vectorized cumsum."""
+    ds = cm.read(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"])
+
+    def running(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        return pd.DataFrame(
+            {
+                "event_id": g["event_id"],
+                "user_id": g["user_id"],
+                "running_value": g["value"].cumsum().round(6),
+            }
+        )
+
+    return ds.groupby("user_id").map_groups(running, batch_format="pandas")
+
+
+ORACLES["events_running_total"] = """
+SELECT event_id, user_id,
+       ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING), 6) AS running_value
+FROM events
+"""
+
+
 def events_rollup(sf_dir: str):
     """ROLLUP / grouping-sets shape: per-(day, event_type) counts plus
     per-day subtotals plus the grand total — one pass of per-batch
