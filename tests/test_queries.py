@@ -30,3 +30,27 @@ def test_entry_smoke():
     n = ds.count()
     assert n > 0
     assert {"doc_id", "tokens", "n_tok", "source"} <= set(ds.schema().names)
+
+
+def test_driver_contract_consistency():
+    """Every oracle references an existing query; no name collisions
+    across the query modules (a duplicate would silently shadow)."""
+    assert set(ORACLES) <= set(QUERIES), set(ORACLES) - set(QUERIES)
+    from gamechanger_data_ray.pipelines import (
+        analysis_queries,
+        cdc_queries,
+        incremental,
+        relational,
+        tokens,
+    )
+
+    mods = [analysis_queries, cdc_queries, incremental, relational, tokens]
+    seen: dict[str, str] = {}
+    for m in mods:
+        for name in QUERIES:
+            if getattr(m, name, None) is not None:
+                assert name not in seen or seen[name] == m.__name__, (
+                    f"query {name!r} defined in both {seen[name]} and {m.__name__}"
+                )
+                seen.setdefault(name, m.__name__)
+    assert set(seen) == set(QUERIES)
