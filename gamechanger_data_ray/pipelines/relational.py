@@ -910,7 +910,7 @@ def q5_local_supplier_volume(sf_dir: str):
 
     li = li.map_batches(l_prep, batch_format="pandas")
 
-    joined = hash_join(li, orders, on="l_orderkey", num_buckets=16)
+    joined = adaptive_join(li, orders, on="l_orderkey", num_buckets=16)
 
     def local_only(df: pd.DataFrame) -> pd.DataFrame:
         import ray as _ray
