@@ -325,16 +325,20 @@ def ann_topk_cosine(sf_dir: str):
         concurrency=(1, cm.pool_size()),
     )
     out = sim.global_topk(cands.to_pandas(), _TOPK)
-    out["cosine"] = out["cosine"].round(6)
     return out
 
 
+# f64 cosine on BOTH sides (numpy f64 matmul vs DOUBLE[] cast ≈ 1e-16
+# apart) and BOTH sides rank on the ROUNDED value with vec_id tie-break,
+# so near-ties order identically instead of by floating-point noise.
 ORACLES["ann_topk_cosine"] = f"""
-SELECT query_id, vec_id, ROUND(cosine, 6) AS cosine FROM (
+SELECT query_id, vec_id, cosine FROM (
   SELECT q.vec_id AS query_id, v.vec_id AS vec_id,
-         list_cosine_similarity(q.embedding, v.embedding) AS cosine,
+         ROUND(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                      CAST(v.embedding AS DOUBLE[])), 6) AS cosine,
          ROW_NUMBER() OVER (PARTITION BY q.vec_id
-                            ORDER BY list_cosine_similarity(q.embedding, v.embedding) DESC,
+                            ORDER BY ROUND(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                                                  CAST(v.embedding AS DOUBLE[])), 6) DESC,
                                      v.vec_id) AS rn
   FROM embeddings q JOIN embeddings v ON q.vec_id < {_NUM_QUERIES} AND v.vec_id <> q.vec_id
 ) WHERE rn <= {_TOPK}
@@ -366,7 +370,6 @@ def ann_ivf(sf_dir: str, nprobe: int = 3, n_clusters: int = 16):
         sim.BruteForceTopK, fn_constructor_args=(q_ref, _TOPK), batch_format="pyarrow", concurrency=(1, cm.pool_size())
     )
     out = sim.global_topk(cands.to_pandas(), _TOPK)
-    out["cosine"] = out["cosine"].round(6)
     return out
 
 
@@ -401,7 +404,6 @@ def ann_lsh(sf_dir: str, n_planes: int = 6):
         batch_format="pyarrow", concurrency=(1, cm.pool_size()),
     )
     out = sim.global_topk(cands.to_pandas(), _TOPK)
-    out["cosine"] = out["cosine"].round(6)
     return out
 
 
@@ -440,9 +442,11 @@ WITH corpus AS (
   SELECT vec_id + {_COPY_OFFSET}, embedding FROM embeddings WHERE vec_id % 10 = 0
 )
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-       ROUND(list_cosine_similarity(a.embedding, b.embedding), 5) AS cosine
+       ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                    CAST(b.embedding AS DOUBLE[])), 5) AS cosine
 FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
-WHERE list_cosine_similarity(a.embedding, b.embedding) >= {0.95}
+WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                             CAST(b.embedding AS DOUBLE[])) >= {0.95}
 """
 
 

@@ -30,7 +30,14 @@ ORACLES: dict[str, str] = {}
 def q1_pricing_summary(sf_dir: str):
     """TPC-H-Q1-shaped grouped aggregate over lineitem: filter → per-batch
     partial sums (combiner) → small groupby → derived averages.
-    Ref analog: grouped counters/aggregates A1/A10."""
+    Ref analog: grouped counters/aggregates A1/A10.
+
+    Sums run in EXACT scaled-integer arithmetic (prices/discounts are
+    2-decimal values → int64 cents): float partial sums accumulate in
+    nondeterministic block order, so a float pipeline can never promise
+    a byte-identical aggregate across runs — integer sums are associative
+    and land on the same bits on any cluster, any partition order. The
+    final derived doubles are then identical too."""
     ds = cm.read(
         sf_dir,
         "lineitem",
@@ -41,47 +48,59 @@ def q1_pricing_summary(sf_dir: str):
     )
     cutoff = pa.scalar(pd.Timestamp("1998-09-02"))
 
+    def cents(col) -> pa.ChunkedArray:
+        return pc.cast(pc.round(pc.multiply(col, pa.scalar(100.0))), pa.int64())
+
     def prep(t: pa.Table) -> pa.Table:
         t = t.filter(pc.less_equal(t["l_shipdate"], cutoff))
-        disc_price = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
-        charge = pc.multiply(disc_price, pc.add(pa.scalar(1.0), t["l_tax"]))
-        t = t.append_column("disc_price", disc_price)
-        t = t.append_column("charge", charge)
-        return t.drop_columns(["l_shipdate", "l_tax"])
+        qc, pc_, dc, tc = (cents(t[c]) for c in
+                           ("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+        dp = pc.multiply(pc_, pc.subtract(pa.scalar(100, pa.int64()), dc))   # 1e-4 units
+        ch = pc.multiply(dp, pc.add(pa.scalar(100, pa.int64()), tc))         # 1e-6 units
+        return pa.table({
+            "l_returnflag": t["l_returnflag"], "l_linestatus": t["l_linestatus"],
+            "qc": qc, "pc": pc_, "dc": dc, "dp": dp, "ch": ch,
+        })
 
     ds = ds.map_batches(prep, batch_format="pyarrow")
-    out = cm.partial_groupby_sum(
+    df = cm.partial_groupby_sum(
         ds,
         keys=["l_returnflag", "l_linestatus"],
-        sums={
-            "l_quantity": "sum_qty",
-            "l_extendedprice": "sum_base_price",
-            "disc_price": "sum_disc_price",
-            "charge": "sum_charge",
-            "l_discount": "sum_disc",
-        },
+        sums={"qc": "qc", "pc": "pc", "dp": "dp", "ch": "ch", "dc": "dc"},
         counts="count_order",
-    )
-    df = out  # |flags × statuses| rows — tiny
-    df["avg_qty"] = df["sum_qty"] / df["count_order"]
-    df["avg_price"] = df["sum_base_price"] / df["count_order"]
-    df["avg_disc"] = df["sum_disc"] / df["count_order"]
-    df = df.drop(columns=["sum_disc"])
-    return df
+    )  # |flags × statuses| rows — tiny
+    out = pd.DataFrame({
+        "l_returnflag": df["l_returnflag"], "l_linestatus": df["l_linestatus"],
+        "sum_qty": df["qc"] / 100.0,
+        "sum_base_price": df["pc"] / 100.0,
+        "sum_disc_price": df["dp"] / 10000.0,
+        "sum_charge": df["ch"] / 1000000.0,
+        "count_order": df["count_order"],
+    })
+    out["avg_qty"] = out["sum_qty"] / out["count_order"]
+    out["avg_price"] = out["sum_base_price"] / out["count_order"]
+    out["avg_disc"] = (df["dc"] / 100.0) / out["count_order"]
+    return out
 
 
 ORACLES["q1_pricing_summary"] = """
 SELECT l_returnflag, l_linestatus,
-       SUM(l_quantity)                                       AS sum_qty,
-       SUM(l_extendedprice)                                  AS sum_base_price,
-       SUM(l_extendedprice * (1 - l_discount))               AS sum_disc_price,
-       SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)) AS sum_charge,
-       COUNT(*)                                              AS count_order,
-       SUM(l_quantity) / COUNT(*)                            AS avg_qty,
-       SUM(l_extendedprice) / COUNT(*)                       AS avg_price,
-       SUM(l_discount) / COUNT(*)                            AS avg_disc
-FROM lineitem
-WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+       SUM(qc) / 100.0                AS sum_qty,
+       SUM(pc) / 100.0                AS sum_base_price,
+       SUM(pc * (100 - dc)) / 10000.0 AS sum_disc_price,
+       SUM(pc * (100 - dc) * (100 + tc)) / 1000000.0 AS sum_charge,
+       COUNT(*)                       AS count_order,
+       (SUM(qc) / 100.0) / COUNT(*)   AS avg_qty,
+       (SUM(pc) / 100.0) / COUNT(*)   AS avg_price,
+       (SUM(dc) / 100.0) / COUNT(*)   AS avg_disc
+FROM (
+  SELECT l_returnflag, l_linestatus,
+         CAST(ROUND(l_quantity * 100) AS BIGINT)      AS qc,
+         CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS pc,
+         CAST(ROUND(l_discount * 100) AS BIGINT)      AS dc,
+         CAST(ROUND(l_tax * 100) AS BIGINT)           AS tc
+  FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+)
 GROUP BY l_returnflag, l_linestatus
 """
 
@@ -297,7 +316,7 @@ def events_sessionize(sf_dir: str):
 
 
 ORACLES["events_sessionize"] = """
-SELECT user_id, 1 + SUM(is_new) AS n_sessions FROM (
+SELECT user_id, CAST(1 + SUM(is_new) AS BIGINT) AS n_sessions FROM (
   SELECT user_id,
          CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
                    > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS is_new

@@ -20,14 +20,18 @@ import ray
 
 
 def _to_matrix(col) -> np.ndarray:
-    """list<float> column (pandas object series or arrow) → (n, d) float32."""
+    """list<float> column (pandas object series or arrow) → (n, d) float64.
+
+    float64 deliberately: the SQL oracle computes cosine on DOUBLE[] casts,
+    and f64-vs-f64 agreement is ~1e-16 (vs ~1e-7 for f32 paths) — far from
+    any 6-dp rounding boundary, so ranked output is bit-stable."""
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
     if isinstance(col, (pa.ListArray, pa.LargeListArray)):
         flat = col.flatten().to_numpy(zero_copy_only=False)
         n = len(col)
-        return flat.reshape(n, -1).astype(np.float32)
-    return np.vstack([np.asarray(v, dtype=np.float32) for v in col])
+        return flat.reshape(n, -1).astype(np.float64)
+    return np.vstack([np.asarray(v, dtype=np.float64) for v in col])
 
 
 def normalize_rows(m: np.ndarray) -> np.ndarray:
@@ -54,21 +58,25 @@ class BruteForceTopK:
     def __call__(self, batch: pa.Table) -> pa.Table:
         m = normalize_rows(_to_matrix(batch[self.vec_col]))
         ids = batch[self.id_col].to_numpy(zero_copy_only=False)
-        sims = self.qm @ m.T  # (Q, n)
-        # exclude self-matches
+        sims = np.round(self.qm @ m.T, 6)  # (Q, n); ROUND BEFORE RANKING —
+        # the oracle ranks on ROUND(cosine, 6) too, so near-ties order
+        # identically (tie-break vec_id asc) instead of by f.p. noise
         self_mask = ids[None, :] == self.qids[:, None]
         sims = np.where(self_mask, -np.inf, sims)
         k = min(self.k, sims.shape[1])
-        top = np.argpartition(-sims, kth=k - 1, axis=1)[:, :k]
-        rows_q = np.repeat(self.qids, k)
-        rows_v = ids[top.ravel()]
-        rows_s = np.take_along_axis(sims, top, axis=1).ravel()
-        keep = np.isfinite(rows_s)
+        out_q, out_v, out_s = [], [], []
+        for qi in range(sims.shape[0]):
+            order = np.lexsort((ids, -sims[qi]))[:k]  # cosine desc, vec_id asc
+            s = sims[qi][order]
+            fin = np.isfinite(s)
+            out_q.append(np.full(fin.sum(), self.qids[qi]))
+            out_v.append(ids[order][fin])
+            out_s.append(s[fin])
         return pa.table(
             {
-                "query_id": pa.array(rows_q[keep]),
-                "vec_id": pa.array(rows_v[keep]),
-                "cosine": pa.array(rows_s[keep].astype(np.float64)),
+                "query_id": pa.array(np.concatenate(out_q)),
+                "vec_id": pa.array(np.concatenate(out_v)),
+                "cosine": pa.array(np.concatenate(out_s).astype(np.float64)),
             }
         )
 
