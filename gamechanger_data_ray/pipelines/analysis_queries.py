@@ -147,83 +147,48 @@ FROM corpus GROUP BY sha256(text)
 """
 
 
+def _verified_minhash_pairs(sigs: ray.data.Dataset, tau: float) -> pd.DataFrame:
+    """DISTRIBUTED signature-verify tail shared by the MinHash queries:
+    band rows CARRY the packed signature (binary 512 B) into the ONE
+    bucket groupby, and each bucket computes the signature-estimated
+    Jaccard for its own candidate pairs in place — no driver-side
+    signature map, no whole-dataset broadcast, no extra shuffle stages.
+    A pair that collides in several bands surfaces once per band; the
+    ≥tau RESULT (the query output) is deduped on the driver."""
+    bands = sigs.map_batches(dd.lsh_bands_with_sig, batch_format="pandas")
+    pairs = bands.groupby(["band_id", "band_hash"]).map_groups(
+        lambda g: dd.bucket_pairs_est(g, tau=tau), batch_format="pandas"
+    )
+    out = pairs.to_pandas().drop_duplicates(["id_a", "id_b"])
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
 def dedup_minhash_lsh(sf_dir: str, tau: float = 0.5):
     """MinHash+LSH near-dup pairs: shingle → minhash sigs (actor pool) →
-    band explode → bucket groupby → candidate pairs → signature-estimated
-    Jaccard ≥ tau. Rows-only driver check; recall/precision vs exact
-    Jaccard verified in tests."""
+    band explode → bucket groupby → candidate pairs → distributed
+    signature-join verify (est Jaccard ≥ tau; see
+    :func:`_verified_minhash_pairs`). Rows-only driver check;
+    recall/precision vs exact Jaccard verified in tests."""
     ds = _with_near_copies(sf_dir)
     sigs = ds.map_batches(
         dd.MinHasher, batch_format="pandas", concurrency=(1, cm.pool_size())
-    ).materialize()  # two consumers below — hash once, not twice
-    sig_tbl = sigs.to_pandas()  # (N, 65): small here; at scale keep as Dataset
-    sig_map = {int(r.doc_id): np.asarray(r.sig, dtype=np.uint64) for r in sig_tbl.itertuples()}
-    sig_ref = cm.broadcast(sig_map)
-
-    bands = sigs.map_batches(dd.lsh_bands, batch_format="pandas")
-    pairs = bands.groupby(["band_id", "band_hash"]).map_groups(
-        dd.bucket_pairs, batch_format="pandas"
-    )
-
-    def verify(df: pd.DataFrame) -> pd.DataFrame:
-        import ray as _ray
-
-        if df.empty:
-            return pd.DataFrame({"id_a": [], "id_b": [], "est_jaccard": []}).astype(
-                {"id_a": "int64", "id_b": "int64", "est_jaccard": "float64"}
-            )
-        df = df.drop_duplicates(["id_a", "id_b"])
-        smap = _ray.get(sig_ref)
-        est = [
-            dd.estimated_jaccard(smap[int(a)], smap[int(b)])
-            for a, b in zip(df["id_a"], df["id_b"])
-        ]
-        df = df.assign(est_jaccard=est)
-        return df[df["est_jaccard"] >= tau]
-
-    verified = pairs.map_batches(verify, batch_format="pandas")
-    out = verified.to_pandas().drop_duplicates(["id_a", "id_b"])
-    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    ).materialize()  # consumed by the band pass and both join ends
+    return _verified_minhash_pairs(sigs, tau)
 
 
 def dedup_tokens_minhash(sf_dir: str, tau: float = 0.5):
     """Near-dup pairs over the TOKENS payload table itself (the
-    BASELINE.json training-sequence shape): token-5-gram MinHash + LSH.
-    Corpus: deterministic tokens table from the changelog generator, seeded
-    with truncated near-copies. Rows-only; recall vs exact token-shingle
+    BASELINE.json training-sequence shape): token-5-gram MinHash + LSH,
+    same distributed signature-join verify as the text variant. Corpus:
+    deterministic tokens table from the changelog generator, seeded with
+    truncated near-copies. Rows-only; recall vs exact token-shingle
     Jaccard verified in tests."""
     corpus = _token_corpus(sf_dir)
     ds = ray.data.from_arrow(corpus)
     sigs = ds.map_batches(
         dd.TokenMinHasher, batch_format="pyarrow", concurrency=(1, cm.pool_size())
-    ).materialize()  # two consumers below — hash once, not twice
-    sig_tbl = sigs.to_pandas()
-    sig_map = {r.doc_id: np.asarray(r.sig, dtype=np.uint64) for r in sig_tbl.itertuples()}
-    sig_ref = cm.broadcast(sig_map)
-
-    bands = sigs.map_batches(dd.lsh_bands, batch_format="pandas")
-    pairs = bands.groupby(["band_id", "band_hash"]).map_groups(
-        dd.bucket_pairs, batch_format="pandas"
-    )
-
-    def verify(df: pd.DataFrame) -> pd.DataFrame:
-        import ray as _ray
-
-        if df.empty:
-            return pd.DataFrame(
-                {"id_a": pd.Series([], dtype="object"),
-                 "id_b": pd.Series([], dtype="object"),
-                 "est_jaccard": pd.Series([], dtype="float64")}
-            )
-        df = df.drop_duplicates(["id_a", "id_b"])
-        smap = _ray.get(sig_ref)
-        est = [dd.estimated_jaccard(smap[a], smap[b]) for a, b in zip(df["id_a"], df["id_b"])]
-        df = df.assign(est_jaccard=est)
-        return df[df["est_jaccard"] >= tau]
-
-    out = pairs.map_batches(verify, batch_format="pandas").to_pandas()
-    out = out.drop_duplicates(["id_a", "id_b"])
-    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    ).materialize()  # consumed by the band pass and both join ends
+    return _verified_minhash_pairs(sigs, tau)
 
 
 def _token_corpus(sf_dir: str) -> pa.Table:
@@ -279,22 +244,50 @@ def dedup_simhash(sf_dir: str, max_hamming: int = 8):
 
 def dedup_ngram_jaccard(sf_dir: str, tau: float = 0.6):
     """Exact word-3-gram Jaccard verification of LSH candidates (rows-only;
-    the exact-verify tail of the MinHash pipeline)."""
-    docs = _with_near_copies(sf_dir).to_pandas()
-    texts = dict(zip(docs["doc_id"], docs["text"]))
-    texts_ref = cm.broadcast(texts)
+    the exact-verify tail of the MinHash pipeline). The candidate PAIR
+    LIST (already reduced by LSH) hash-joins back to the corpus on each
+    end to fetch the two texts — the corpus itself never materializes on
+    the driver and never broadcasts; Jaccard is computed per pair inside
+    ``map_batches``."""
+    from .joins import bucketed_hash_join
+
     cand = dedup_minhash_lsh(sf_dir, tau=0.3)
     if cand.empty:
         return pd.DataFrame({"id_a": [], "id_b": [], "jaccard": []})
-    import ray as _ray
+    pairs = ray.data.from_arrow(
+        pa.table({"id_a": pa.array(cand["id_a"]), "id_b": pa.array(cand["id_b"])})
+    )
+    corpus = _with_near_copies(sf_dir)
+    text_a = corpus.map_batches(
+        lambda t: pa.table({"id_a": t["doc_id"], "text_a": t["text"]}),
+        batch_format="pyarrow",
+    )
+    text_b = corpus.map_batches(
+        lambda t: pa.table({"id_b": t["doc_id"], "text_b": t["text"]}),
+        batch_format="pyarrow",
+    )
+    j = bucketed_hash_join(pairs, text_a, on="id_a", num_buckets=16)
+    j = j.map_batches(
+        lambda df: pa.table(
+            {"id_a": pa.array(df["id_a"]), "id_b": pa.array(df["id_b"]),
+             "text_a": pa.array(df["text_a"], pa.string())}
+        ),
+        batch_format="pandas",
+    )
+    j = bucketed_hash_join(j, text_b, on="id_b", num_buckets=16)
 
-    tmap = _ray.get(texts_ref)
-    jac = [
-        round(dd.exact_jaccard(tmap[int(a)], tmap[int(b)]), 6)
-        for a, b in zip(cand["id_a"], cand["id_b"])
-    ]
-    cand = cand.assign(jaccard=jac).drop(columns=["est_jaccard"])
-    return cand[cand["jaccard"] >= tau].reset_index(drop=True)
+    def jac(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({"id_a": [], "id_b": [], "jaccard": []})
+        v = [
+            round(dd.exact_jaccard(a, b), 6)
+            for a, b in zip(df["text_a"], df["text_b"])
+        ]
+        out = df[["id_a", "id_b"]].assign(jaccard=v)
+        return out[out["jaccard"] >= tau]
+
+    out = j.map_batches(jac, batch_format="pandas").to_pandas()
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
 
 # ---------------------------------------------------------------------------
@@ -345,12 +338,28 @@ SELECT query_id, vec_id, cosine FROM (
 """
 
 
+_KMEANS_SAMPLE = 2048
+
+
 def ann_ivf(sf_dir: str, nprobe: int = 3, n_clusters: int = 16):
-    """IVF-bucketed ANN: deterministic centroids, vectors bucketed once,
-    queries probe nprobe nearest buckets. Approximate (rows-only);
-    recall vs brute force asserted in tests."""
-    emb = cm.read_arrow(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    m = sim.normalize_rows(sim._to_matrix(emb["embedding"]))
+    """IVF-bucketed ANN: centroids trained on a BOUNDED deterministic
+    sample (every step-th vec_id, ≤2048 vectors — fixed driver memory at
+    any corpus size; k-means quality needs a sample, not the corpus),
+    vectors bucketed once distributed, queries probe nprobe nearest
+    buckets. Approximate (rows-only); recall vs brute force asserted in
+    tests."""
+    ds0 = cm.read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    n = ds0.count()  # parquet metadata count — no scan
+    step = max(1, n // _KMEANS_SAMPLE)
+
+    def every_step(t: pa.Table) -> pa.Table:
+        vid = t["vec_id"].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(vid % step == 0))
+
+    sample = ds0.map_batches(
+        every_step, batch_format="pyarrow"
+    ).to_pandas()  # ≤ _KMEANS_SAMPLE rows regardless of corpus size
+    m = sim.normalize_rows(sim._to_matrix(sample["embedding"]))
     cents = sim.kmeans_lite(m, n_clusters)
     cents_ref = cm.broadcast(cents)
     q = _query_matrix(sf_dir)
@@ -407,31 +416,77 @@ def ann_lsh(sf_dir: str, n_planes: int = 6):
     return out
 
 
-def embedding_dedup_cosine(sf_dir: str, tau: float = 0.95):
-    """Embedding near-dup pairs (cosine ≥ tau) with seeded exact copies;
-    per-batch matmul vs broadcast matrix. SQL oracle: self cross join."""
-    emb = cm.read_arrow(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    ids = emb["vec_id"].to_numpy(zero_copy_only=False)
-    copy_mask = ids % 10 == 0
-    copies = emb.filter(pa.array(copy_mask))
-    copies = copies.set_column(
-        0, "vec_id", pc.add(copies["vec_id"], pa.scalar(_COPY_OFFSET, pa.int64()))
-    )
-    corpus = pa.concat_tables([emb, copies])
+def embedding_dedup_cosine(sf_dir: str, tau: float = 0.95, n_planes: int = 6):
+    """Embedding near-dup pairs (cosine ≥ tau) with seeded exact copies.
 
-    all_ids = corpus["vec_id"].to_numpy(zero_copy_only=False)
-    all_m = sim.normalize_rows(sim._to_matrix(corpus["embedding"]))
-    all_ref = cm.broadcast({"ids": all_ids, "matrix": all_m})
+    Scale plan (no whole-corpus broadcast, no O(N²) work): every vector
+    fans out to its hyperplane-LSH home bucket plus all hamming-1 probe
+    buckets (1+P rows per vector); ONE groupby(bucket) co-locates
+    candidates; within each bucket an exact home×all matmul finds pairs
+    ≥ tau; a final keyed dedup collapses pairs found via both endpoints.
+    High-cosine pairs differ in few sign bits, so hamming-1 multiprobe
+    catches boundary-plane flips; exact copies always share a bucket.
+    Raise ``n_planes`` to shrink buckets as the corpus grows."""
+    ds = cm.read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
 
-    ds = ray.data.from_arrow(corpus)
-    pairs = ds.map_batches(
-        sim.EmbeddingDupFinder,
-        fn_constructor_args=(all_ref, tau),
-        batch_format="pyarrow",
-        concurrency=(1, cm.pool_size()),
+    def with_copies(t: pa.Table) -> pa.Table:
+        did = t["vec_id"].to_numpy(zero_copy_only=False)
+        c = t.filter(pa.array(did % 10 == 0))
+        c = c.set_column(0, "vec_id", pc.add(c["vec_id"], pa.scalar(_COPY_OFFSET, pa.int64())))
+        return pa.concat_tables([t, c])
+
+    corpus = ds.map_batches(with_copies, batch_format="pyarrow")
+    dim = len(corpus.take(1)[0]["embedding"])
+    planes = sim.hyperplanes(dim, n_planes)
+    planes_ref = cm.broadcast(planes)
+
+    def fan_out(t: pa.Table) -> pd.DataFrame:
+        pl = ray.get(planes_ref)
+        m = sim.normalize_rows(sim._to_matrix(t["embedding"]))
+        codes = sim.lsh_code(m, pl)
+        ids = t["vec_id"].to_numpy(zero_copy_only=False)
+        rows_per = 1 + n_planes
+        buckets = np.concatenate(
+            [codes] + [codes ^ (1 << b) for b in range(n_planes)]
+        )
+        return pd.DataFrame(
+            {
+                "bucket": buckets.astype(np.int64),
+                "vec_id": np.tile(ids, rows_per),
+                "emb": list(np.tile(m, (rows_per, 1))),
+                "home": np.repeat([True] + [False] * n_planes, len(ids)),
+            }
+        )
+
+    fanned = corpus.map_batches(fan_out, batch_format="pyarrow")
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates("vec_id")
+        home = g[g["home"]]
+        if home.empty or len(g) < 2:
+            return pd.DataFrame(
+                {"id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64"),
+                 "cosine": pd.Series(dtype="float64")}
+            )
+        hm = np.vstack([np.asarray(v, dtype=np.float64) for v in home["emb"]])
+        am = np.vstack([np.asarray(v, dtype=np.float64) for v in g["emb"]])
+        sims = hm @ am.T
+        hid = home["vec_id"].to_numpy()
+        aid = g["vec_id"].to_numpy()
+        ii, jj = np.where(sims >= tau)
+        a, b = hid[ii], aid[jj]
+        keep = a < b
+        return pd.DataFrame(
+            {"id_a": a[keep], "id_b": b[keep],
+             "cosine": np.round(sims[ii, jj][keep], 5)}
+        )
+
+    pairs = fanned.groupby("bucket").map_groups(bucket_pairs, batch_format="pandas")
+    # a pair can surface from either endpoint's home bucket → keyed dedup
+    pairs = pairs.groupby(["id_a", "id_b"]).map_groups(
+        lambda g: g.head(1), batch_format="pandas"
     )
-    df = pairs.to_pandas().drop_duplicates(["id_a", "id_b"])
-    df["cosine"] = df["cosine"].round(5)
+    df = pairs.to_pandas()
     return df.sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
 

@@ -122,9 +122,32 @@ def bucketed_hash_join(
     l = left.map_batches(prep(0), batch_format="pyarrow")
     r = right.map_batches(prep(1), batch_format="pyarrow")
 
-    def join_bucket(group: pd.DataFrame) -> pd.DataFrame:
-        lg = group[group[_SIDE] == 0][lcols]
-        rg = group[group[_SIDE] == 1][rcols]
-        return lg.merge(rg, on=on, how=how)
+    # pandas merge names differ from Dataset.join names (ADVICE: a
+    # left_outer fallback used to reach pandas verbatim and raise)
+    pandas_how = {"left_outer": "left", "right_outer": "right",
+                  "full_outer": "outer"}.get(how, how)
+    out_schema = pa.schema(
+        [unified.field(unified.get_field_index(c)) for c in lcols]
+        + [unified.field(unified.get_field_index(c)) for c in rcols if c != on]
+    )
+    out_b64 = base64.b64encode(out_schema.serialize().to_pybytes()).decode()
 
-    return l.union(r).groupby(_BUCKET).map_groups(join_bucket, batch_format="pandas")
+    def join_bucket(group: pa.Table) -> pa.Table:
+        # split sides while still Arrow: the tagged union makes each side's
+        # columns null on the other side's rows, and a null-bearing int
+        # column turns float in a whole-group pandas conversion — filtering
+        # first keeps each side's original dtypes intact. The output is an
+        # ARROW table on the explicit unified schema: emitting pandas here
+        # lets empty/merged blocks drift to object/float dtypes and
+        # poisons every downstream stage of a chained join.
+        import pyarrow.compute as _pc
+
+        target = pa.ipc.read_schema(pa.BufferReader(base64.b64decode(out_b64)))
+        side = group[_SIDE]
+        lg = group.filter(_pc.equal(side, 0)).select(lcols).to_pandas()
+        rg = group.filter(_pc.equal(side, 1)).select(rcols).to_pandas()
+        m = lg.merge(rg, on=on, how=pandas_how)
+        cols = [pa.array(m[f.name], type=f.type, from_pandas=True) for f in target]
+        return pa.Table.from_arrays(cols, schema=target)
+
+    return l.union(r).groupby(_BUCKET).map_groups(join_bucket, batch_format="pyarrow")

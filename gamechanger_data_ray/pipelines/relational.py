@@ -286,8 +286,10 @@ def events_tumbling_window(sf_dir: str):
         return df[["user_id", "window_start", "value"]]
 
     ds = ds.map_batches(bucket, batch_format="pandas")
+    # user×window keys grow with the data → distributed finish
     return cm.partial_groupby_sum(
-        ds, keys=["user_id", "window_start"], sums={"value": "sum_value"}, counts="n_events"
+        ds, keys=["user_id", "window_start"], sums={"value": "sum_value"},
+        counts="n_events", driver_finish=False,
     )
 
 
@@ -325,22 +327,29 @@ SELECT user_id, CAST(1 + SUM(is_new) AS BIGINT) AS n_sessions FROM (
 """
 
 
-def latest_event_per_user(sf_dir: str):
+def latest_event_per_user(sf_dir: str, num_partitions: int = 16):
     """LWW compaction over the events stream: latest row per user_id by
     (ts, event_id) — the J2/A1 snapshot-view analog
-    (``create_views.sql:16-39``) on a generic stream."""
+    (``create_views.sql:16-39``) on a generic stream. Same shape as the
+    engine's merge (``engine/cdc.py``): per-batch LWW combiner (≤1 row per
+    key per block ships) → ONE hash-partition shuffle → partition-local
+    LWW reduce. No driver materialization at any cardinality."""
+    from ..core.hashing import partition_ids
     from ..core.merge import lww_reduce
 
     ds = cm.read(sf_dir, "events", columns=["user_id", "ts", "event_id", "event_type", "value"])
-    reduce_batch = lambda t: lww_reduce(t, key="user_id", order=("ts", "event_id"))
-    ds = ds.map_batches(reduce_batch, batch_format="pyarrow")  # combiner
-    # final reduce over O(batches × users) partial winners — LWW is
-    # associative, so reducing the partials driver-side is exact; the
-    # billion-key version is the engine's groupby(part) merge (engine/cdc.py)
-    refs = ds.to_arrow_refs()
-    partials = pa.concat_tables([ray.get(r) for r in refs], promote_options="default")
-    out = lww_reduce(partials, key="user_id", order=("ts", "event_id"))
-    return out.select(["user_id", "ts", "event_id", "event_type", "value"])
+
+    def combine(t: pa.Table) -> pa.Table:
+        t = lww_reduce(t, key="user_id", order=("ts", "event_id"))
+        return t.append_column("_part", partition_ids(t["user_id"], num_partitions))
+
+    ds = ds.map_batches(combine, batch_format="pyarrow")
+
+    def merge(group: pa.Table) -> pa.Table:
+        out = lww_reduce(group.drop_columns(["_part"]), key="user_id", order=("ts", "event_id"))
+        return out.select(["user_id", "ts", "event_id", "event_type", "value"])
+
+    return ds.groupby("_part").map_groups(merge, batch_format="pyarrow")
 
 
 ORACLES["latest_event_per_user"] = """
@@ -363,12 +372,12 @@ def user_ingest_dates(sf_dir: str):
         return g
 
     partials = ds.map_batches(partial, batch_format="pandas")
-    # finish over O(batches × users) partial rows on the driver (min/max
-    # compose); switch to groupby().aggregate for 10^9-key cardinalities
-    df = partials.to_pandas()
-    return df.groupby("user_id", as_index=False).agg(
-        original_ingest=("original_ingest", "min"),
-        current_ingest=("current_ingest", "max"),
+    # distributed finish: the user_id key space grows with the data, so the
+    # final min/max is a groupby().aggregate over the partials (one row per
+    # (block, user) enters the shuffle), never a driver-side concat
+    return partials.groupby("user_id").aggregate(
+        Min("original_ingest", alias_name="original_ingest"),
+        Max("current_ingest", alias_name="current_ingest"),
     )
 
 
@@ -723,13 +732,29 @@ def q18_large_orders(sf_dir: str):
     aggregate), then a broadcast lookup of order metadata."""
     threshold = 300.0
     li = cm.read(sf_dir, "lineitem", columns=["l_orderkey", "l_quantity"])
-    agg = cm.partial_groupby_sum(li, keys=["l_orderkey"], sums={"l_quantity": "sum_qty"})
-    big = agg[agg["sum_qty"] > threshold]
+    # orderkey cardinality is fact-scale → distributed aggregate finish
+    agg = cm.partial_groupby_sum(
+        li, keys=["l_orderkey"], sums={"l_quantity": "sum_qty"}, driver_finish=False
+    )
+    # the HAVING filter runs distributed; only the tiny post-HAVING set
+    # (rare orders over threshold) ever reaches the driver, then broadcasts
+    big = agg.map_batches(
+        lambda t: t.filter(pc.greater(t["sum_qty"], pa.scalar(threshold))),
+        batch_format="pyarrow",
+    ).to_pandas()
+    big_ref = cm.broadcast(big)
 
-    orders = cm.read_arrow(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"])
-    odf = orders.to_pandas().rename(columns={"o_orderkey": "l_orderkey"})
-    out = big.merge(odf, on="l_orderkey")
-    return out.sort_values(["sum_qty", "l_orderkey"], ascending=[False, True]).reset_index(drop=True)
+    orders = cm.read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"])
+
+    def enrich(df: pd.DataFrame) -> pd.DataFrame:
+        b = ray.get(big_ref)
+        df = df.rename(columns={"o_orderkey": "l_orderkey"})
+        return df.merge(b, on="l_orderkey")  # streaming semi-join+enrich
+
+    out = orders.map_batches(enrich, batch_format="pandas").to_pandas()
+    return out[["l_orderkey", "sum_qty", "o_custkey", "o_totalprice"]].sort_values(
+        ["sum_qty", "l_orderkey"], ascending=[False, True]
+    ).reset_index(drop=True)
 
 
 ORACLES["q18_large_orders"] = """
@@ -755,18 +780,27 @@ def q17_small_quantity_revenue(sf_dir: str):
             s=("l_quantity", "sum"), c=("l_quantity", "size")
         )
 
-    partials = li.map_batches(partial, batch_format="pandas").to_pandas()
-    avg = partials.groupby("l_partkey", as_index=False).sum()
-    thresholds = dict(zip(avg["l_partkey"], 0.2 * avg["s"] / avg["c"]))
-    thr_ref = cm.broadcast(thresholds)
+    # per-part thresholds stay DISTRIBUTED (key cardinality is unbounded):
+    # combiner partials → groupby().aggregate finish → size-adaptive join
+    # back to lineitem (broadcasts while small, hash-shuffles at scale)
+    from ray.data.aggregate import Sum
 
-    def below(df: pd.DataFrame) -> pd.DataFrame:
-        import ray as _ray
-
-        t = df["l_partkey"].map(_ray.get(thr_ref))
-        return df[df["l_quantity"] < t][["l_extendedprice"]]
-
-    filtered = li.map_batches(below, batch_format="pandas")
+    thr = (
+        li.map_batches(partial, batch_format="pandas")
+        .groupby("l_partkey")
+        .aggregate(Sum("s", alias_name="s"), Sum("c", alias_name="c"))
+        .map_batches(
+            lambda df: pd.DataFrame(
+                {"l_partkey": df["l_partkey"], "thr": 0.2 * df["s"] / df["c"]}
+            ),
+            batch_format="pandas",
+        )
+    )
+    joined = adaptive_join(li, thr, on="l_partkey", num_buckets=32)
+    filtered = joined.map_batches(
+        lambda df: df[df["l_quantity"] < df["thr"]][["l_extendedprice"]],
+        batch_format="pandas",
+    )
     total = 0.0
     for b in filtered.iter_batches(batch_format="pandas"):
         total += float(b["l_extendedprice"].sum())
@@ -875,76 +909,84 @@ FROM events
 
 
 def q5_local_supplier_volume(sf_dir: str):
-    """TPC-H-Q5-shaped multi-join: broadcast dim chain (region→nation→
-    supplier/customer) + partitioned hash join orders⋈lineitem + grouped
-    revenue where customer and supplier share a nation. Dims are broadcast
-    once (``ray.put``); only the two fact tables co-shuffle."""
+    """TPC-H-Q5-shaped multi-join. Only the GENUINE dims (nation/region —
+    fixed 25/5 rows) are broadcast; customer and supplier are fact-scale
+    and go through size-adaptive joins (broadcast while the filtered side
+    is small, partitioned hash join at scale). Revenue sums in exact
+    scaled-int arithmetic (see q1) so the grouped totals are bit-stable
+    under any partition order."""
     region = cm.read_arrow(sf_dir, "region").to_pandas()
     nation = cm.read_arrow(sf_dir, "nation").to_pandas()
-    supplier = cm.read_arrow(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"]).to_pandas()
-    customer = cm.read_arrow(sf_dir, "customer", columns=["c_custkey", "c_nationkey"]).to_pandas()
-
     asia = nation.merge(region, left_on="n_regionkey", right_on="r_regionkey")
     asia = asia[asia["r_name"] == "ASIA"][["n_nationkey", "n_name"]]
-    nat_names = dict(zip(asia["n_nationkey"], asia["n_name"]))
-    supp_nat = dict(zip(supplier["s_suppkey"], supplier["s_nationkey"]))
-    cust_nat = dict(zip(customer["c_custkey"], customer["c_nationkey"]))
-    dims_ref = cm.broadcast({"nat": nat_names, "supp": supp_nat, "cust": cust_nat})
+    nat_ref = cm.broadcast(dict(zip(asia["n_nationkey"], asia["n_name"])))
+
+    # customers in an ASIA nation → (o_custkey, cust_nation)
+    cust = cm.read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+
+    def c_prep(df: pd.DataFrame) -> pd.DataFrame:
+        nat = ray.get(nat_ref)
+        df = df[df["c_nationkey"].isin(nat)]
+        return pd.DataFrame({"o_custkey": df["c_custkey"], "cust_nation": df["c_nationkey"]})
+
+    cust = cust.map_batches(c_prep, batch_format="pandas")
 
     lo, hi = pd.Timestamp("1996-01-01"), pd.Timestamp("1998-01-01")
     orders = cm.read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"])
 
     def o_prep(df: pd.DataFrame) -> pd.DataFrame:
-        import ray as _ray
-
-        d = _ray.get(dims_ref)
         df = df[(df["o_orderdate"] >= lo) & (df["o_orderdate"] < hi)]
-        out = pd.DataFrame(
-            {
-                "l_orderkey": df["o_orderkey"],
-                "cust_nation": df["o_custkey"].map(d["cust"]),
-            }
-        )
-        return out[out["cust_nation"].isin(d["nat"])]
+        return pd.DataFrame({"l_orderkey": df["o_orderkey"], "o_custkey": df["o_custkey"]})
 
     orders = orders.map_batches(o_prep, batch_format="pandas")
+    oc = adaptive_join(orders, cust, on="o_custkey", num_buckets=16)
+    oc = oc.map_batches(lambda df: df[["l_orderkey", "cust_nation"]], batch_format="pandas")
+
+    # suppliers in an ASIA nation → (l_suppkey, supp_nation)
+    supp = cm.read(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"])
+
+    def s_prep(df: pd.DataFrame) -> pd.DataFrame:
+        nat = ray.get(nat_ref)
+        df = df[df["s_nationkey"].isin(nat)]
+        return pd.DataFrame({"l_suppkey": df["s_suppkey"], "supp_nation": df["s_nationkey"]})
+
+    supp = supp.map_batches(s_prep, batch_format="pandas")
 
     li = cm.read(
         sf_dir, "lineitem",
         columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
     )
 
-    def l_prep(df: pd.DataFrame) -> pd.DataFrame:
-        import ray as _ray
-
-        d = _ray.get(dims_ref)
-        out = pd.DataFrame(
-            {
-                "l_orderkey": df["l_orderkey"],
-                "supp_nation": df["l_suppkey"].map(d["supp"]),
-                "rev": df["l_extendedprice"] * (1.0 - df["l_discount"]),
-            }
+    def l_prep(t: pa.Table) -> pa.Table:
+        pcents = pc.cast(pc.round(pc.multiply(t["l_extendedprice"], pa.scalar(100.0))), pa.int64())
+        dcents = pc.cast(pc.round(pc.multiply(t["l_discount"], pa.scalar(100.0))), pa.int64())
+        rev_c = pc.multiply(pcents, pc.subtract(pa.scalar(100, pa.int64()), dcents))  # 1e-4 units
+        return pa.table(
+            {"l_orderkey": t["l_orderkey"], "l_suppkey": t["l_suppkey"], "rev_c": rev_c}
         )
-        return out[out["supp_nation"].isin(d["nat"])]
 
-    li = li.map_batches(l_prep, batch_format="pandas")
+    li = li.map_batches(l_prep, batch_format="pyarrow")
+    ls = adaptive_join(li, supp, on="l_suppkey", num_buckets=16)
+    ls = ls.map_batches(
+        lambda df: df[["l_orderkey", "supp_nation", "rev_c"]], batch_format="pandas"
+    )
 
-    joined = adaptive_join(li, orders, on="l_orderkey", num_buckets=16)
+    joined = adaptive_join(ls, oc, on="l_orderkey", num_buckets=16)
 
     def local_only(df: pd.DataFrame) -> pd.DataFrame:
-        import ray as _ray
-
-        d = _ray.get(dims_ref)
+        nat = ray.get(nat_ref)
         df = df[df["supp_nation"] == df["cust_nation"]]
-        return pd.DataFrame({"n_name": df["supp_nation"].map(d["nat"]), "rev": df["rev"]})
+        return pd.DataFrame({"n_name": df["supp_nation"].map(nat), "rev_c": df["rev_c"]})
 
     joined = joined.map_batches(local_only, batch_format="pandas")
-    out = cm.partial_groupby_sum(joined, keys=["n_name"], sums={"rev": "revenue"})
-    return out
+    out = cm.partial_groupby_sum(joined, keys=["n_name"], sums={"rev_c": "rev_c"})
+    return pd.DataFrame({"n_name": out["n_name"], "revenue": out["rev_c"] / 10000.0})
 
 
 ORACLES["q5_local_supplier_volume"] = """
-SELECT n_name, SUM(l_extendedprice * (1 - l_discount)) AS revenue
+SELECT n_name,
+       SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) / 10000.0 AS revenue
 FROM customer JOIN orders   ON c_custkey = o_custkey
               JOIN lineitem ON l_orderkey = o_orderkey
               JOIN supplier ON l_suppkey = s_suppkey

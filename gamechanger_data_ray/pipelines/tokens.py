@@ -37,19 +37,29 @@ _RANGE_WIDTH = 128  # docs per range bucket for the prefix-sum scan
 
 def vocab_topk(sf_dir: str, k: int = 50):
     """Global word-frequency top-k: per-batch value_counts (combiner) →
-    driver-side finish over O(batches × |vocab|) partial rows → top-k.
-    The shuffle-equivalent moves one row per (batch, word), never one per
-    token; for an unbounded vocabulary switch the finish to
-    ``groupby("word").aggregate(Sum)`` (same partials)."""
+    distributed ``groupby("word").aggregate(Sum)`` finish (the vocabulary
+    is open-ended, so the finish never lands on the driver) → per-block
+    local top-k → tiny global top-k. The shuffle moves one row per
+    (batch, word), never one per token."""
+    from ray.data.aggregate import Sum
+
     ds = cm.read(sf_dir, "documents", columns=["text"])
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         words = df["text"].str.split(" ").explode()
         return words.value_counts().rename_axis("word").reset_index(name="n")
 
-    partials = ds.map_batches(partial, batch_format="pandas").to_pandas()
-    out = partials.groupby("word", as_index=False)["n"].sum()
-    out = out.sort_values(["n", "word"], ascending=[False, True]).head(k)
+    counts = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("word")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    # top-k is a mergeable aggregate: local top-k per block, tiny final
+    local = counts.map_batches(
+        lambda df: df.sort_values(["n", "word"], ascending=[False, True]).head(k),
+        batch_format="pandas",
+    ).to_pandas()
+    out = local.sort_values(["n", "word"], ascending=[False, True]).head(k)
     return out.reset_index(drop=True)
 
 

@@ -205,6 +205,55 @@ def token_shingle_jaccard(a, b, k: int = 5) -> float:
     return len(sa & sb) / len(sa | sb)
 
 
+def lsh_bands_with_sig(batch: pd.DataFrame, id_col: str = "doc_id") -> pa.Table:
+    """Band explode that CARRIES the packed signature on every band row
+    (binary, 8·NUM_HASHES bytes): the est-Jaccard verify then happens
+    inside the bucket groupby itself — no driver-side signature map, no
+    extra join stages. Shuffle payload grows by NUM_BANDS×512 B per doc
+    (still constant per doc, text never ships). Arrow-typed output so
+    chained shuffles keep exact dtypes."""
+    base = lsh_bands(batch, id_col)
+    n = len(batch)
+    if n == 0:
+        return pa.table(
+            {id_col: pa.array([], pa.int64()), "band_id": pa.array([], pa.int64()),
+             "band_hash": pa.array([], pa.int64()), "sig": pa.array([], pa.binary())}
+        )
+    packed = [np.asarray(s, dtype=np.uint64).tobytes() for s in batch["sig"]]
+    return pa.table(
+        {
+            id_col: pa.array(base[id_col]),
+            "band_id": pa.array(base["band_id"], pa.int64()),
+            "band_hash": pa.array(base["band_hash"], pa.int64()),
+            "sig": pa.array(np.repeat(np.array(packed, dtype=object), NUM_BANDS), pa.binary()),
+        }
+    )
+
+
+def bucket_pairs_est(
+    group: pd.DataFrame, id_col: str = "doc_id", tau: float = 0.0, max_bucket: int = 200
+) -> pd.DataFrame:
+    """Candidate pairs within one LSH bucket with the signature-estimated
+    Jaccard computed IN PLACE from the carried sigs (vectorized pairwise
+    compare over ≤max_bucket members). Pairs found in several buckets are
+    deduped by the caller on the (small) result."""
+    g = group.drop_duplicates(id_col).iloc[:max_bucket]
+    ids = g[id_col].to_numpy()
+    if len(ids) < 2:
+        return pd.DataFrame(
+            {"id_a": pd.Series(dtype=g[id_col].dtype if len(g) else "int64"),
+             "id_b": pd.Series(dtype=g[id_col].dtype if len(g) else "int64"),
+             "est_jaccard": pd.Series(dtype="float64")}
+        )
+    order = np.argsort(ids)
+    ids = ids[order]
+    sigs = np.vstack([np.frombuffer(s, dtype=np.uint64) for s in g["sig"].to_numpy()[order]])
+    ii, jj = np.triu_indices(len(ids), k=1)
+    est = (sigs[ii] == sigs[jj]).mean(axis=1)
+    keep = est >= tau
+    return pd.DataFrame({"id_a": ids[ii][keep], "id_b": ids[jj][keep], "est_jaccard": est[keep]})
+
+
 def bucket_pairs(group: pd.DataFrame, id_col: str = "doc_id", max_bucket: int = 200) -> pd.DataFrame:
     """Candidate pairs within one LSH bucket (group of equal
     (band_id, band_hash)). Buckets above ``max_bucket`` are truncated —
