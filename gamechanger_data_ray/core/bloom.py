@@ -22,9 +22,9 @@ import numpy as np
 _MIX = np.uint64(0x9E3779B97F4A7C15)
 
 
+@np.errstate(over="ignore")  # scoped, not process-global
 def _h2(h: np.ndarray) -> np.ndarray:
     """Second hash for double hashing; odd so probes cycle all bits."""
-    np.seterr(over="ignore")
     v = (h ^ (h >> np.uint64(33))) * _MIX
     return v | np.uint64(1)
 

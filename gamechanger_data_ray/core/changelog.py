@@ -191,21 +191,24 @@ def write_changelog(
     return paths
 
 
-def ready_epochs(base: str, after: int = 0) -> list[int]:
+def ready_epochs(base: str, after: int = 0, fs=None) -> list[int]:
     """Epoch numbers under ``base`` with a ready marker, strictly greater
     than ``after``, ascending — the reference's 'process strictly-greater
     timestamps in order' rule (``checkpoint/utils.py:104-119``,
-    ``common/utils/s3.py:494-504``)."""
+    ``common/utils/s3.py:494-504``). ``fs``: optional
+    :class:`~gamechanger_data_ray.state.fs.StorageAdapter` (object-store
+    changelogs); defaults to local."""
+    from ..state.fs import default_fs
+
+    fs = default_fs(fs)
     out = []
-    if not os.path.isdir(base):
-        return out
-    for name in os.listdir(base):
+    for name in fs.listdir(base):
         if not name.startswith(EPOCH_PREFIX):
             continue
         try:
             e = int(name[len(EPOCH_PREFIX):])
         except ValueError:
             continue
-        if e > after and os.path.exists(os.path.join(base, name, READY_MARKER)):
+        if e > after and fs.exists(os.path.join(base, name, READY_MARKER)):
             out.append(e)
     return sorted(out)

@@ -20,6 +20,7 @@ _FNV_OFFSET = np.uint64(0xCBF29CE484222325)
 _FNV_PRIME = np.uint64(0x100000001B3)
 
 
+@np.errstate(over="ignore")  # scoped, not process-global
 def fnv1a64(arr: pa.Array | pa.ChunkedArray) -> np.ndarray:
     """Stable 64-bit hash of a string array → uint64 numpy array."""
     if isinstance(arr, pa.ChunkedArray):
@@ -32,7 +33,6 @@ def fnv1a64(arr: pa.Array | pa.ChunkedArray) -> np.ndarray:
     # vectorized over all rows that still have a byte at position i.
     lens = offs[1:] - offs[:-1]
     maxlen = int(lens.max()) if len(lens) else 0
-    np.seterr(over="ignore")
     for i in range(maxlen):
         live = lens > i
         idx = offs[:-1][live] + i
@@ -40,6 +40,7 @@ def fnv1a64(arr: pa.Array | pa.ChunkedArray) -> np.ndarray:
     return out
 
 
+@np.errstate(over="ignore")  # scoped, not process-global
 def partition_ids(keys: pa.Array | pa.ChunkedArray, num_partitions: int) -> pa.Array:
     """hash(key) % P as an int32 Arrow array. String keys use FNV-1a;
     integer keys use a Fibonacci/splitmix-style multiplicative hash."""
@@ -48,7 +49,6 @@ def partition_ids(keys: pa.Array | pa.ChunkedArray, num_partitions: int) -> pa.A
         if isinstance(keys, pa.ChunkedArray):
             keys = keys.combine_chunks()
         v = keys.cast(pa.int64()).to_numpy(zero_copy_only=False).astype(np.uint64)
-        np.seterr(over="ignore")
         h = v * np.uint64(0x9E3779B97F4A7C15)
         h ^= h >> np.uint64(29)
         h *= np.uint64(0xBF58476D1CE4E5B9)

@@ -34,10 +34,10 @@ class HyperLogLog:
                 else 0.709 if self.m == 64 else 0.7213 / (1 + 1.079 / self.m)
             )
 
+    @np.errstate(over="ignore")  # scoped, not process-global
     def add_many(self, hashes: np.ndarray) -> None:
         """Fold a uint64 hash array into the registers (vectorized)."""
         h = hashes.astype(np.uint64)
-        np.seterr(over="ignore")
         h = (h ^ (h >> np.uint64(33))) * _MIX  # avalanche
         idx = (h >> np.uint64(64 - self.p)).astype(np.int64)
         rest = (h << np.uint64(self.p)) | (np.uint64(1) << np.uint64(self.p - 1))
@@ -81,9 +81,9 @@ class CountMin:
         self.depth = depth
         self.table = np.zeros((depth, width), dtype=np.int64)
 
+    @np.errstate(over="ignore")  # scoped, not process-global
     def _rows(self, hashes: np.ndarray) -> np.ndarray:
         h = hashes.astype(np.uint64)
-        np.seterr(over="ignore")
         out = np.empty((self.depth, len(h)), dtype=np.int64)
         for d in range(self.depth):
             hd = (h ^ np.uint64(d * 0x9E3779B97F4A7C15 & (2**64 - 1))) * _MIX

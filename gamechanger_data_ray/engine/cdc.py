@@ -44,6 +44,7 @@ with at-least-once tailing + idempotent sink = exactly-once observable.
 from __future__ import annotations
 
 import os
+import uuid
 from typing import Any
 
 import numpy as np
@@ -57,16 +58,14 @@ from ..core.hashing import partition_ids
 from ..core.merge import lww_reduce_weighted, merge_partition
 from ..core.reconcile import conform, unify_all, unify_schemas
 from ..state import manifest as mf
+from ..state.fs import StorageAdapter, default_fs
 
 PART_COLUMN = "_part"
 COUNTER_KEYS = ("events_in", "upserts", "deletes", "tombstones", "rows_out", "watermark_lsn")
 
 
-def _epoch_files(changelog_dir: str, epoch: int) -> list[str]:
-    d = cl.epoch_dir(changelog_dir, epoch)
-    return sorted(
-        os.path.join(d, f) for f in os.listdir(d) if f.endswith(".parquet")
-    )
+def _epoch_files(changelog_dir: str, epoch: int, fs: StorageAdapter | None = None) -> list[str]:
+    return default_fs(fs).list_files(cl.epoch_dir(changelog_dir, epoch), suffix=".parquet")
 
 
 def _partition_path(epoch: int, part: int) -> str:
@@ -90,10 +89,16 @@ def make_merge_writer(
     epoch: int,
     unified_b64: str,
     state_files: dict[int, str],
+    fs: StorageAdapter | None = None,
 ):
     """map_groups fn for one hash partition: merge events against the
     partition's current state file and write the new deterministic file.
-    Returns a one-row counters table (the only data the driver sees)."""
+    Returns a one-row counters table (the only data the driver sees).
+    All I/O routes through the StorageAdapter (picklable; carried into
+    the task closure) so the merge runs against any pyarrow filesystem;
+    publication is atomic-rename on POSIX, atomic-PUT on object stores —
+    concurrent/stale attempts write byte-identical content either way."""
+    fs = default_fs(fs)
 
     def merge_write(group: pa.Table) -> pa.Table:
         schema = mf.schema_from_b64(unified_b64)
@@ -102,18 +107,12 @@ def make_merge_writer(
         state = None
         rel = state_files.get(part)
         if rel is not None:
-            state = conform(pq.read_table(os.path.join(table_dir, rel)), schema)
+            state = conform(fs.read_parquet(os.path.join(table_dir, rel)), schema)
         merged, counters = merge_partition(state, events)
         out_rel = _partition_path(epoch, part)
         out_abs = os.path.join(table_dir, out_rel)
-        os.makedirs(os.path.dirname(out_abs), exist_ok=True)
-        # attempt-unique temp name: concurrent/stale attempts write the
-        # SAME deterministic content, so whichever complete file lands
-        # last via the atomic rename is correct — but they must not share
-        # a temp path (interleaved writes would corrupt it)
-        tmp = out_abs + f".inprogress-{os.getpid()}"
-        pq.write_table(merged, tmp)
-        os.replace(tmp, out_abs)
+        fs.makedirs(os.path.dirname(out_abs))
+        fs.write_parquet_atomic(merged, out_abs)
         row = {
             "part": [part],
             "file": [out_rel],
@@ -130,38 +129,37 @@ def make_staged_merger(
     epoch: int,
     unified_b64: str,
     state_files: dict[int, str],
+    fs: StorageAdapter | None = None,
 ):
     """Merge task for the staged exchange: each input row names one
     partition; the task reads that partition's staged files (already
     conformed + weight-carrying) plus its current state file, merges, and
-    writes the deterministic output file."""
+    writes the deterministic output file. I/O via StorageAdapter (see
+    :func:`make_merge_writer`)."""
+    fs = default_fs(fs)
 
     def merge_staged(batch: pa.Table) -> pa.Table:
-        import glob as _glob
-
         schema = mf.schema_from_b64(unified_b64)
         out_rows: list[dict] = []
         for part in batch["part"].to_pylist():
             part = int(part)
-            staged = sorted(
-                _glob.glob(os.path.join(staging_dir, f"{PART_COLUMN}={part}", "*.parquet"))
+            staged = fs.list_files(
+                os.path.join(staging_dir, f"{PART_COLUMN}={part}"), suffix=".parquet"
             )
             if not staged:
                 continue
             events = pa.concat_tables(
-                [pq.read_table(f) for f in staged], promote_options="default"
+                [fs.read_parquet(f) for f in staged], promote_options="default"
             )
             state = None
             rel = state_files.get(part)
             if rel is not None:
-                state = conform(pq.read_table(os.path.join(table_dir, rel)), schema)
+                state = conform(fs.read_parquet(os.path.join(table_dir, rel)), schema)
             merged, counters = merge_partition(state, events)
             out_rel = _partition_path(epoch, part)
             out_abs = os.path.join(table_dir, out_rel)
-            os.makedirs(os.path.dirname(out_abs), exist_ok=True)
-            tmp = out_abs + f".inprogress-{os.getpid()}"  # attempt-unique, see merge_write
-            pq.write_table(merged, tmp)
-            os.replace(tmp, out_abs)
+            fs.makedirs(os.path.dirname(out_abs))
+            fs.write_parquet_atomic(merged, out_abs)
             out_rows.append(
                 {"part": part, "file": out_rel, **{k: int(counters[k]) for k in COUNTER_KEYS}}
             )
@@ -181,9 +179,10 @@ def apply_epoch(
     epoch: int,
     num_partitions: int = 32,
     exchange: str = "staged",
+    fs: StorageAdapter | None = None,
 ) -> mf.TableManifest | None:
     """Apply one ready epoch to the table (see :func:`apply_epochs`)."""
-    return apply_epochs(changelog_dir, table_dir, [epoch], num_partitions, exchange)
+    return apply_epochs(changelog_dir, table_dir, [epoch], num_partitions, exchange, fs=fs)
 
 
 def apply_epochs(
@@ -192,6 +191,7 @@ def apply_epochs(
     epochs: list[int],
     num_partitions: int = 32,
     exchange: str = "staged",
+    fs: StorageAdapter | None = None,
 ) -> mf.TableManifest | None:
     """Apply a run of ready epochs to the table in ONE pipeline; returns the
     committed manifest (at ``max(epochs)``).
@@ -208,19 +208,21 @@ def apply_epochs(
     Crash-safe: data files are written under deterministic names before the
     manifest pointer swap; a rerun overwrites them identically.
     """
+    fs = default_fs(fs)
     epoch = max(epochs)
-    if mf.committed_epoch(table_dir) >= epoch:
+    if mf.committed_epoch(table_dir, fs) >= epoch:
         return None
-    files = [f for e in sorted(epochs) for f in _epoch_files(changelog_dir, e)]
+    files = [f for e in sorted(epochs) for f in _epoch_files(changelog_dir, e, fs)]
     # unify: footer schemas of the epoch's files + current table schema.
-    incoming = unify_all([pq.read_schema(f) for f in files])
+    incoming = unify_all([fs.read_parquet_schema(f) for f in files])
     return apply_events_dataset(
-        ray.data.read_parquet(files),
+        ray.data.read_parquet(files, filesystem=fs.fs),
         table_dir,
         epoch,
         incoming,
         num_partitions=num_partitions,
         exchange=exchange,
+        fs=fs,
     )
 
 
@@ -232,6 +234,7 @@ def apply_events_dataset(
     num_partitions: int = 32,
     exchange: str = "staged",
     carry_forward: bool = True,
+    fs: StorageAdapter | None = None,
 ) -> mf.TableManifest | None:
     """Apply an arbitrary change-event Dataset (op/lsn/seq/doc_id + payload
     columns) to the table as ``epoch`` — the core upsert used by epoch
@@ -242,7 +245,8 @@ def apply_events_dataset(
     different modulus than the state files would duplicate keys); use
     :func:`repartition_table` to change it. ``carry_forward=False`` drops
     untouched-partition carry-forward (repartition rewrites only)."""
-    current = mf.load_current(table_dir)
+    fs = default_fs(fs)
+    current = mf.load_current(table_dir, fs)
     if current is not None and current.epoch >= epoch:
         return None
     if carry_forward and current is not None and current.num_partitions:
@@ -268,27 +272,28 @@ def apply_events_dataset(
         **_retry,
     )
     if exchange == "staged":
-        import shutil
-
         # attempt-unique staging dir: two live drivers racing the same
         # epoch must not stage into (or wipe) each other's files — each
         # attempt merges from its own staging; crashed-attempt debris is
         # swept by vacuum once the epoch is committed
+        # uuid attempt token, not pid: pids are not unique across the
+        # nodes of a shared store and reuse could make the rmtree below
+        # delete a DIFFERENT live attempt's staging
         staging = os.path.join(
-            table_dir, "_staging", f"epoch-{epoch:06d}-{os.getpid()}"
+            table_dir, "_staging", f"epoch-{epoch:06d}-{uuid.uuid4().hex}"
         )
-        shutil.rmtree(staging, ignore_errors=True)  # our own stale attempt
-        ds.write_parquet(staging, partition_cols=[PART_COLUMN])
+        fs.rmtree(staging)  # (fresh name — a no-op guard)
+        ds.write_parquet(staging, partition_cols=[PART_COLUMN], filesystem=fs.fs)
         touched = sorted(
             int(d.split("=", 1)[1])
-            for d in (os.listdir(staging) if os.path.isdir(staging) else [])
+            for d in fs.listdir(staging)
             if d.startswith(PART_COLUMN + "=")
         )
         if touched:
             counters_ds = ray.data.from_items(
                 [{"part": p} for p in touched]
             ).map_batches(
-                make_staged_merger(table_dir, staging, epoch, unified_b64, state_files),
+                make_staged_merger(table_dir, staging, epoch, unified_b64, state_files, fs=fs),
                 batch_size=1,
                 batch_format="pyarrow",
                 **_retry,
@@ -296,10 +301,10 @@ def apply_events_dataset(
             counter_rows = counters_ds.take_all()  # O(num_partitions) rows — tiny
         else:
             counter_rows = []  # empty epoch: nothing merged, manifest still advances
-        shutil.rmtree(staging, ignore_errors=True)
+        fs.rmtree(staging)
     elif exchange == "sort":
         counters_ds = ds.groupby(PART_COLUMN).map_groups(
-            make_merge_writer(table_dir, epoch, unified_b64, state_files),
+            make_merge_writer(table_dir, epoch, unified_b64, state_files, fs=fs),
             batch_format="pyarrow",
         )
         counter_rows = counters_ds.take_all()  # O(num_partitions) rows — tiny
@@ -337,8 +342,8 @@ def apply_events_dataset(
         totals=totals,
         num_partitions=num_partitions,
     )
-    os.makedirs(table_dir, exist_ok=True)
-    if not mf.commit(table_dir, manifest):
+    fs.makedirs(table_dir)
+    if not mf.commit(table_dir, manifest, fs):
         return None  # fenced out by a concurrent/stale attempt
     return manifest
 
@@ -350,6 +355,7 @@ def replay(
     up_to_epoch: int | None = None,
     epochs_per_commit: int | None = None,
     exchange: str = "staged",
+    fs: StorageAdapter | None = None,
 ) -> mf.TableManifest | None:
     """Tail-and-apply loop: process every ready epoch strictly greater than
     the committed checkpoint, ascending (``checkpoint/utils.py:104-119``).
@@ -359,8 +365,9 @@ def replay(
     pipeline/commit — the backfill/catch-up fast path. Set it to 1 for
     per-epoch commits (finest checkpoint granularity, live tailing) or any
     N in between."""
-    os.makedirs(table_dir, exist_ok=True)
-    pending = cl.ready_epochs(changelog_dir, after=mf.committed_epoch(table_dir))
+    fs = default_fs(fs)
+    fs.makedirs(table_dir)
+    pending = cl.ready_epochs(changelog_dir, after=mf.committed_epoch(table_dir, fs), fs=fs)
     if up_to_epoch is not None:
         pending = [e for e in pending if e <= up_to_epoch]
     step = len(pending) if epochs_per_commit is None else epochs_per_commit
@@ -368,11 +375,12 @@ def replay(
     for i in range(0, len(pending), max(1, step)):
         batch = pending[i : i + max(1, step)]
         m = apply_epochs(
-            changelog_dir, table_dir, batch, num_partitions=num_partitions, exchange=exchange
+            changelog_dir, table_dir, batch, num_partitions=num_partitions,
+            exchange=exchange, fs=fs,
         )
         if m is not None:
             last = m
-    return last if last is not None else mf.load_current(table_dir)
+    return last if last is not None else mf.load_current(table_dir, fs)
 
 
 def replay_union(
@@ -380,6 +388,7 @@ def replay_union(
     table_dir: str,
     num_partitions: int = 32,
     exchange: str = "staged",
+    fs: StorageAdapter | None = None,
 ) -> mf.TableManifest | None:
     """Multi-source replay: union the pending epochs of several changelogs
     into one table — the reference's many-crawlers-one-corpus model
@@ -390,35 +399,46 @@ def replay_union(
     Determinism across sources: ``seq`` is remapped to
     ``seq * n_sources + source_index`` before the merge, so the
     ``(lsn, seq)`` total order stays collision-free and replay order
-    never depends on which source's file was read first. An epoch is
-    applied once every source that has STARTED publishing it shows its
-    ready marker (sources may skip epochs entirely — different crawl
-    cadences); epoch numbering is assumed shared across sources (a
-    time-derived LSN at production scale)."""
-    os.makedirs(table_dir, exist_ok=True)
-    after = mf.committed_epoch(table_dir)
-    ready = [set(cl.ready_epochs(d, after=after)) for d in changelog_dirs]
+    never depends on which source's file was read first.
+
+    Epoch gating: epoch e applies only once EVERY source has either
+    published e (ready marker) or published some epoch > e — proof it
+    skipped e. Directory absence is NOT treated as a skip: a producer
+    that is about to publish e but hasn't mkdir'd yet would otherwise be
+    silently dropped forever once the watermark passes e (the race is
+    real when tailing concurrently with producers on different
+    cadences). The cost is that a source must publish past e before e
+    applies — a dormant source holds the union back, which is the
+    correct at-least-once behavior (production systems add per-source
+    heartbeat/low-watermark signals to declare intentional gaps).
+    Epoch numbering is assumed shared across sources (a time-derived LSN
+    at production scale)."""
+    fs = default_fs(fs)
+    fs.makedirs(table_dir)
+    after = mf.committed_epoch(table_dir, fs)
+    ready = [set(cl.ready_epochs(d, after=after, fs=fs)) for d in changelog_dirs]
+    highest = [max(r) if r else None for r in ready]
     present = sorted(set().union(*ready))
     appliable: list[int] = []
     for e in present:
-        blocked = any(
-            os.path.isdir(cl.epoch_dir(d, e)) and e not in ready[i]
-            for i, d in enumerate(changelog_dirs)
+        vouched = all(
+            (e in ready[i]) or (highest[i] is not None and highest[i] > e)
+            for i in range(len(changelog_dirs))
         )
-        if blocked:
+        if not vouched:
             break  # strict epoch order: wait, don't skip ahead
         appliable.append(e)
     if not appliable:
-        return mf.load_current(table_dir)
+        return mf.load_current(table_dir, fs)
 
     n = len(changelog_dirs)
     parts: list[ray.data.Dataset] = []
     schemas: list[pa.Schema] = []
     for i, d in enumerate(changelog_dirs):
-        files = [f for e in appliable if e in ready[i] for f in _epoch_files(d, e)]
+        files = [f for e in appliable if e in ready[i] for f in _epoch_files(d, e, fs)]
         if not files:
             continue
-        schemas.extend(pq.read_schema(f) for f in files)
+        schemas.extend(fs.read_parquet_schema(f) for f in files)
 
         def remap(t: pa.Table, i=i, n=n) -> pa.Table:
             seq = pc.add(
@@ -427,14 +447,16 @@ def replay_union(
             )
             return t.set_column(t.schema.get_field_index("seq"), "seq", seq)
 
-        parts.append(ray.data.read_parquet(files).map_batches(remap, batch_format="pyarrow"))
+        parts.append(
+            ray.data.read_parquet(files, filesystem=fs.fs).map_batches(remap, batch_format="pyarrow")
+        )
 
     events = parts[0]
     for p in parts[1:]:
         events = events.union(p)
     return apply_events_dataset(
         events, table_dir, max(appliable), unify_all(schemas),
-        num_partitions=num_partitions, exchange=exchange,
+        num_partitions=num_partitions, exchange=exchange, fs=fs,
     )
 
 
@@ -446,6 +468,7 @@ def tail(
     idle_polls: int = 3,
     max_epochs: int | None = None,
     exchange: str = "staged",
+    fs: StorageAdapter | None = None,
 ) -> mf.TableManifest | None:
     """Live-tailing driver loop (the continuous form of :func:`replay` —
     reference analog: the cron-driven checkpoint job,
@@ -457,12 +480,13 @@ def tail(
     crashed tailer resumes from the committed watermark."""
     import time as _time
 
-    os.makedirs(table_dir, exist_ok=True)
+    fs = default_fs(fs)
+    fs.makedirs(table_dir)
     idle = 0
     applied = 0
     last: mf.TableManifest | None = None
     while idle < idle_polls and (max_epochs is None or applied < max_epochs):
-        pending = cl.ready_epochs(changelog_dir, after=mf.committed_epoch(table_dir))
+        pending = cl.ready_epochs(changelog_dir, after=mf.committed_epoch(table_dir, fs), fs=fs)
         if max_epochs is not None:
             pending = pending[: max_epochs - applied]
         if not pending:
@@ -472,12 +496,12 @@ def tail(
         idle = 0
         m = apply_epochs(
             changelog_dir, table_dir, pending,
-            num_partitions=num_partitions, exchange=exchange,
+            num_partitions=num_partitions, exchange=exchange, fs=fs,
         )
         if m is not None:
             last = m
             applied += len(pending)
-    return last if last is not None else mf.load_current(table_dir)
+    return last if last is not None else mf.load_current(table_dir, fs)
 
 
 def apply_revocation_sweep(
@@ -520,11 +544,13 @@ def apply_revocation_sweep(
 
 
 def read_table(
-    table_dir: str, payload_only: bool = False, columns: list[str] | None = None
+    table_dir: str, payload_only: bool = False, columns: list[str] | None = None,
+    fs: StorageAdapter | None = None,
 ) -> ray.data.Dataset:
     """The committed table as a streaming Dataset (conformed to the table
     schema, since old partition files may predate a schema evolution)."""
-    current = mf.load_current(table_dir)
+    fs = default_fs(fs)
+    current = mf.load_current(table_dir, fs)
     if current is None or not current.partitions:
         return ray.data.from_arrow(pa.table({}))
     schema = current.schema
@@ -538,7 +564,7 @@ def read_table(
     def conform_batch(t: pa.Table) -> pa.Table:
         return conform(t, mf.schema_from_b64(b64))
 
-    ds = ray.data.read_parquet(current.data_files(table_dir))
+    ds = ray.data.read_parquet(current.data_files(table_dir), filesystem=fs.fs)
     return ds.map_batches(conform_batch, batch_format="pyarrow")
 
 

@@ -67,6 +67,40 @@ FROM documents
 """
 
 
+def text_metrics(sf_dir: str):
+    """Token counting + quality scoring fused in one actor-pool pass
+    (M11 + quality analysis): the two stages chain inside one pipeline —
+    compiled token regex and stopword set each built once per actor."""
+    ds = cm.read(sf_dir, "documents", columns=["doc_id", "text"])
+    ds = ds.map_batches(TokenCounter, batch_format="pandas", concurrency=(1, cm.pool_size()))
+    ds = ds.map_batches(QualityScorer, batch_format="pandas", concurrency=(1, cm.pool_size()))
+    return ds.select_columns(
+        ["doc_id", "n_tokens", "n_words", "stopword_ratio", "mean_word_len"]
+    )
+
+
+ORACLES["text_metrics"] = f"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '{TOKEN_PATTERN}')) AS n_tokens,
+       len(string_split(text, ' ')) AS n_words,
+       len(list_filter(string_split(text, ' '), x -> x IN ({_STOPLIST_SQL})))
+         / CAST(len(string_split(text, ' ')) AS DOUBLE) AS stopword_ratio,
+       (length(text) - (len(string_split(text, ' ')) - 1))
+         / CAST(len(string_split(text, ' ')) AS DOUBLE) AS mean_word_len
+FROM documents
+"""
+
+
+def text_heuristics(sf_dir: str):
+    """Language-ID + winnowing fingerprint fused in one pass (both
+    heuristic — rows-only driver check; verified against pure-python
+    oracles in tests)."""
+    ds = cm.read(sf_dir, "documents", columns=["doc_id", "text"])
+    ds = ds.map_batches(LangId, batch_format="pandas", concurrency=(1, cm.pool_size()))
+    ds = ds.map_batches(Fingerprinter, batch_format="pandas", concurrency=(1, cm.pool_size()))
+    return ds.select_columns(["doc_id", "lang_pred", "fingerprint"])
+
+
 def text_langid(sf_dir: str):
     """N-gram-heuristic language ID (no SQL oracle — heuristic)."""
     ds = cm.read(sf_dir, "documents", columns=["doc_id", "text"])
@@ -537,6 +571,71 @@ FROM documents
 
 
 _RESIZE_TARGET = 64
+
+
+class _DecodeSampleResize:
+    """Fused multimodal stage: decode (stub codec) → frame-sample →
+    resize, all per batch on the SAME media rows; the frame rows never
+    cross media boundaries, so the per-media frame count is a
+    within-batch aggregate — no shuffle. Real stages composed, one pool."""
+
+    def __init__(self, target_bytes: int):
+        self.decoder = mm.FakeDecoder()
+        self.sampler = mm.FrameSampler()
+        self.resizer = mm.Resizer(target_bytes)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        decoded = self.decoder(batch)          # (media_id, n_bytes, feature)
+        frames = self.sampler(decoded)         # one row per sampled frame
+        counts = (
+            frames.to_pandas().groupby("media_id", sort=False).size()
+        )
+        resized = self.resizer(batch)          # (media_id, payload, n_bytes, orig_bytes)
+        mids = resized["media_id"].to_pandas()
+        return pa.table(
+            {
+                "media_id": resized["media_id"],
+                "n_frames": pa.array(counts.reindex(mids).to_numpy(), pa.int64()),
+                "n_bytes": resized["n_bytes"],
+                "orig_bytes": resized["orig_bytes"],
+            }
+        )
+
+
+def multimodal_pipeline(sf_dir: str):
+    """Binary media plumbing end-to-end (S8/K12 analogs): payload →
+    actor-pool decode (stub codec, real batch/actor layout) → frame
+    sampling → resize/transcode → per-media metadata row. Small
+    batch_size because binary rows are wide; features/metadata out,
+    payload never re-emitted."""
+    docs = cm.read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def to_media(t: pa.Table) -> pa.Table:
+        payloads = [s.encode("utf-8") for s in t["text"].to_pylist()]
+        return mm.to_media_table(t["doc_id"].to_pylist(), payloads, "text/plain")
+
+    media = docs.map_batches(to_media, batch_format="pyarrow")
+    out = media.map_batches(
+        _DecodeSampleResize,
+        fn_constructor_args=(_RESIZE_TARGET,),
+        batch_format="pyarrow",
+        concurrency=(1, cm.pool_size()),
+        batch_size=64,
+    )
+    return out
+
+
+ORACLES["multimodal_pipeline"] = f"""
+SELECT doc_id AS media_id,
+       LEAST(8, GREATEST(1, n_b // 1000)) AS n_frames,
+       CASE WHEN n_b <= {_RESIZE_TARGET} THEN n_b
+            ELSE CAST(FLOOR((n_b + CAST(FLOOR((n_b + {_RESIZE_TARGET} - 1)
+                   / {_RESIZE_TARGET}) AS BIGINT) - 1)
+                 / CAST(FLOOR((n_b + {_RESIZE_TARGET} - 1) / {_RESIZE_TARGET}) AS BIGINT))
+                 AS BIGINT) END AS n_bytes,
+       n_b AS orig_bytes
+FROM (SELECT doc_id, octet_length(CAST(text AS BLOB)) AS n_b FROM documents)
+"""
 
 
 def multimodal_resize(sf_dir: str):

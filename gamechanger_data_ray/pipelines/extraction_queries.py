@@ -1,0 +1,281 @@
+"""Extraction queries (M5 references, §2.9 dates, M6 entities, M13
+sections) over the ``documents`` table.
+
+The driver testdata text is lowercase and digit-free, so each query seeds
+its corpus with DETERMINISTIC, SQL-constructible citation/date/entity/
+section strings (arithmetic on ``doc_id``) — the Ray pipeline extracts
+them with the real compiled-pattern/gazetteer/parser stages while the
+DuckDB oracle builds the identical corpus and computes the expected
+result; a broken pattern or parser shows up as a value mismatch. This
+mirrors the reference's golden-fixture strategy
+(``section_parse/tests/data``), but machine-checked per run.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data
+
+from ..stages.extract import (
+    GAZETTEER,
+    DateExtractor,
+    EntityExtractor,
+    RefExtractor,
+    gazetteer_order,
+)
+from ..stages.sections import parse_sections
+from . import common as cm
+
+ORACLES: dict[str, str] = {}
+
+
+# ---------------------------------------------------------------------------
+# References
+# ---------------------------------------------------------------------------
+
+def _ref_suffix(doc_id: int) -> str:
+    d4, d2 = 1000 + doc_id % 9000, 1 + doc_id % 99
+    t, eo, cf = doc_id % 60, 12000 + doc_id % 2000, doc_id % 55
+    s = f" see DoDD {d4}.{d2}"
+    if doc_id % 3 == 0:
+        s += f" and DoDD {d4}.{d2}"
+    s += f" under Title {t} and EO {eo} per {cf} CFR"
+    return s
+
+
+_REF_SUFFIX_SQL = """
+  ' see DoDD ' || (1000 + doc_id % 9000) || '.' || (1 + doc_id % 99)
+  || CASE WHEN doc_id % 3 = 0
+          THEN ' and DoDD ' || (1000 + doc_id % 9000) || '.' || (1 + doc_id % 99)
+          ELSE '' END
+  || ' under Title ' || (doc_id % 60) || ' and EO ' || (12000 + doc_id % 2000)
+  || ' per ' || (doc_id % 55) || ' CFR'
+"""
+
+
+def docs_ref_counts(sf_dir: str):
+    """Reference-citation extraction (M5, ``ref_utils.py:31-1228`` +
+    ``ref_list.py:10-86``): compiled pattern library + range guards,
+    normalized "<Type> <num>" refs counted per doc. Actor pool compiles
+    the patterns once per worker."""
+    ds = cm.read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def seed(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["text"] = df["text"] + df["doc_id"].map(_ref_suffix)
+        return df
+
+    ds = ds.map_batches(seed, batch_format="pandas")
+    return ds.map_batches(
+        RefExtractor, batch_format="pandas", concurrency=(1, cm.pool_size())
+    )
+
+
+# the oracle derives the EXPECTED refs closed-form from the same seeded
+# corpus arithmetic, range guards included (Title 1-53, CFR Title 1-50)
+ORACLES["docs_ref_counts"] = """
+SELECT doc_id, ref, n FROM (
+  SELECT doc_id,
+         'DoDD ' || (1000 + doc_id % 9000) || '.' || (1 + doc_id % 99) AS ref,
+         CASE WHEN doc_id % 3 = 0 THEN 2 ELSE 1 END AS n
+  FROM documents
+  UNION ALL
+  SELECT doc_id, 'Title ' || (doc_id % 60), 1 FROM documents
+  WHERE doc_id % 60 BETWEEN 1 AND 53
+  UNION ALL
+  SELECT doc_id, 'EO ' || (12000 + doc_id % 2000), 1 FROM documents
+  UNION ALL
+  SELECT doc_id, 'CFR Title ' || (doc_id % 55), 1 FROM documents
+  WHERE doc_id % 55 BETWEEN 1 AND 50
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Dates
+# ---------------------------------------------------------------------------
+
+_LONG_MONTHS = ("January", "February", "March", "April", "May", "June", "July",
+                "August", "September", "October", "November", "December")
+_SHORT_MONTHS = ("Jan", "Feb", "Mar", "Apr", "May", "Jun", "Jul", "Aug", "Sep",
+                 "Oct", "Nov", "Dec")
+
+
+def _date_parts(doc_id: int):
+    m1, d1, y1 = 1 + doc_id % 12, 1 + doc_id % 28, 1990 + doc_id % 30
+    m2, d2, y2 = 1 + (doc_id + 5) % 12, 1 + (doc_id + 13) % 28, 2000 + (doc_id + 7) % 25
+    m3, d3, y3 = 1 + (doc_id + 9) % 12, 1 + (doc_id + 3) % 28, 1980 + (doc_id + 11) % 40
+    return (m1, d1, y1), (m2, d2, y2), (m3, d3, y3)
+
+
+def _date_suffix(doc_id: int) -> str:
+    (m1, d1, y1), (m2, d2, y2), (m3, d3, y3) = _date_parts(doc_id)
+    s = f" signed {d1} {_LONG_MONTHS[m1 - 1]} {y1}"
+    s += f" effective {_LONG_MONTHS[m2 - 1]} {d2}, {y2}"
+    if doc_id % 4 == 0:
+        s += f" amended {d3} {_SHORT_MONTHS[m3 - 1]}. {y3}"
+    return s
+
+
+def docs_dates(sf_dir: str):
+    """Date extraction (§2.9, ``lib/dates.py:9-162``): the four
+    day/month-order long/short regex extractors, strptime-validated,
+    exploded to (doc_id, date) rows."""
+    ds = cm.read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def seed(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["text"] = df["text"] + df["doc_id"].map(_date_suffix)
+        return df
+
+    ds = ds.map_batches(seed, batch_format="pandas")
+    return ds.map_batches(
+        DateExtractor, batch_format="pandas", concurrency=(1, cm.pool_size())
+    )
+
+
+ORACLES["docs_dates"] = """
+SELECT DISTINCT doc_id, date FROM (
+  SELECT doc_id, CAST(make_timestamp(1990 + doc_id % 30, 1 + doc_id % 12,
+                      1 + doc_id % 28, 0, 0, 0) AS TIMESTAMP) AS date
+  FROM documents
+  UNION ALL
+  SELECT doc_id, CAST(make_timestamp(2000 + (doc_id + 7) % 25, 1 + (doc_id + 5) % 12,
+                      1 + (doc_id + 13) % 28, 0, 0, 0) AS TIMESTAMP)
+  FROM documents
+  UNION ALL
+  SELECT doc_id, CAST(make_timestamp(1980 + (doc_id + 11) % 40, 1 + (doc_id + 9) % 12,
+                      1 + (doc_id + 3) % 28, 0, 0, 0) AS TIMESTAMP)
+  FROM documents WHERE doc_id % 4 = 0
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Entities
+# ---------------------------------------------------------------------------
+
+_ENTITY_SNIPPETS = (
+    " The Department of Defense and the Joint Chiefs of Staff met with the Secretary.",
+    " The Defense Staff briefed the General Counsel twice. The General Counsel agreed.",
+    " The United States joined the European Union and the Union Counsel of the States.",
+    "",
+)
+
+
+def docs_entities(sf_dir: str):
+    """Gazetteer entity extraction (M6, ``lib/entities.py:18-119``):
+    multi-word overlapping terms matched longest-first with overlap
+    removal (masked replace chain), per-doc mention counts as
+    Document-MENTIONS-Entity edge rows (K11 graph-writer analog). The
+    gazetteer builds once per actor (ST1)."""
+    ds = cm.read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def seed(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["text"] = df["text"] + df["doc_id"].mod(4).map(
+            lambda r: _ENTITY_SNIPPETS[int(r)]
+        )
+        return df
+
+    ds = ds.map_batches(seed, batch_format="pandas")
+    return ds.map_batches(
+        EntityExtractor, batch_format="pandas", concurrency=(1, cm.pool_size())
+    )
+
+
+def _entities_oracle() -> str:
+    """Build the replace-chain oracle: same seeded corpus, same priority
+    order, same sentinel masking — SQL derives the counts from the text,
+    so the oracle exercises the overlap-removal semantics rather than
+    hard-coding expected rows."""
+    case = (
+        "CASE doc_id % 4 WHEN 0 THEN '" + _ENTITY_SNIPPETS[0] + "'"
+        " WHEN 1 THEN '" + _ENTITY_SNIPPETS[1] + "'"
+        " WHEN 2 THEN '" + _ENTITY_SNIPPETS[2] + "' ELSE '' END"
+    )
+    ctes = [f"t0 AS (SELECT doc_id, text || {case} AS s FROM documents)"]
+    selects = []
+    carry = []
+    for i, (term, ent_type) in enumerate(gazetteer_order(GAZETTEER), start=1):
+        ln = len(term)
+        prev = f"t{i - 1}"
+        cnt = f"c{i}"
+        carried = ", ".join(carry + [f"(length(s) - length(replace(s, '{term}', ''))) // {ln} AS {cnt}"])
+        ctes.append(
+            f"t{i} AS (SELECT doc_id, {carried}, "
+            f"replace(s, '{term}', repeat(chr(1), {ln})) AS s FROM {prev})"
+        )
+        carry.append(cnt)
+        selects.append(
+            f"SELECT doc_id, '{term}' AS entity, '{ent_type}' AS ent_type, {cnt} AS n_mentions FROM tfin"
+        )
+    n = len(gazetteer_order(GAZETTEER))
+    ctes.append(f"tfin AS (SELECT * FROM t{n})")
+    union = "\nUNION ALL\n".join(selects)
+    return (
+        "WITH " + ",\n".join(ctes) + "\nSELECT doc_id, entity, ent_type, n_mentions "
+        "FROM (" + union + ") WHERE n_mentions > 0"
+    )
+
+
+ORACLES["docs_entities"] = _entities_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Sections
+# ---------------------------------------------------------------------------
+
+_SEC_NAMES = ("PURPOSE", "RESPONSIBILITIES", "PROCEDURES", "REFERENCES")
+
+
+def _section_text(doc_id: int, text: str) -> tuple[str, str]:
+    """(layout, sectioned text) — numbered layout for even ids, caps
+    layout for odd (the per-type dispatch input)."""
+    n = 2 + (1 if doc_id % 3 > 0 else 0) + (1 if doc_id % 3 == 2 else 0)
+    bodies = [text, "duties", "steps", "list"]
+    if doc_id % 2 == 0:
+        parts = [f" SECTION {i + 1}: {_SEC_NAMES[i]} {bodies[i]}" for i in range(n)]
+        return "numbered", "".join(parts)
+    parts = [f" {_SEC_NAMES[i]}. {bodies[i]}" for i in range(n)]
+    return "caps", "".join(parts)
+
+
+def docs_sections(sf_dir: str):
+    """Section parsing with per-type strategy dispatch (M13,
+    ``section_parse/add_sections.py:5-27`` + the DoD/CJCS parser family):
+    even docs carry the numbered-heading layout, odd docs the all-caps
+    layout; the factory picks the strategy per row and emits
+    (doc_id, sec_num, sec_name) in document order."""
+    ds = cm.read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def parse(df: pd.DataFrame) -> pd.DataFrame:
+        ids, nums, names = [], [], []
+        for did, text in zip(df["doc_id"], df["text"]):
+            layout, body = _section_text(int(did), text)
+            for num, name, _ in parse_sections(body, layout):
+                ids.append(did)
+                nums.append(num)
+                names.append(name)
+        return pd.DataFrame(
+            {"doc_id": pd.Series(ids, dtype="int64"),
+             "sec_num": pd.Series(nums, dtype="int64"),
+             "sec_name": pd.Series(names, dtype="object")}
+        )
+
+    return ds.map_batches(parse, batch_format="pandas")
+
+
+ORACLES["docs_sections"] = """
+SELECT doc_id, sec_num, sec_name FROM (
+  SELECT doc_id, 1 AS sec_num, 'PURPOSE' AS sec_name FROM documents
+  UNION ALL
+  SELECT doc_id, 2, 'RESPONSIBILITIES' FROM documents
+  UNION ALL
+  SELECT doc_id, 3, 'PROCEDURES' FROM documents WHERE doc_id % 3 > 0
+  UNION ALL
+  SELECT doc_id, 4, 'REFERENCES' FROM documents WHERE doc_id % 3 = 2
+)
+"""

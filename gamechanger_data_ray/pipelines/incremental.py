@@ -171,17 +171,28 @@ def hash_antijoin_bloom(sf_dir: str):
     second = cm.read(sf_dir, "events", columns=["event_id", "user_id", "event_type"])
 
     def anti(t: pa.Table) -> pa.Table:
+        import numpy as _np
         import ray as _ray
 
         t = t.filter(pc.greater(t["event_id"], pa.scalar(mid)))
+        cols = ["event_id", "user_id", "event_type"]
         if t.num_rows == 0:
-            return t
+            return t.select(cols)
         h = version_hash_column(t, ["user_id", "event_type"])
-        maybe = _ray.get(bloom_ref).contains_many(fnv1a64(h))
-        # definite-new rows pass; only bloom maybe-hits hit the exact set
-        exact_seen = pc.is_in(h, value_set=pa.array(_ray.get(seen_ref)))
-        keep = pc.and_(pa.array(maybe), exact_seen).to_numpy(zero_copy_only=False)
-        return t.filter(pa.array(~keep)).select(["event_id", "user_id", "event_type"])
+        maybe = _np.asarray(_ray.get(bloom_ref).contains_many(fnv1a64(h)))
+        # two-phase for real: bloom-negative rows are DEFINITELY new and
+        # pass with no further work; ONLY the maybe-seen minority runs the
+        # exact membership check (at 10^10 keys the exact phase is a
+        # shuffle join over this small subset, not a full-set broadcast)
+        if not maybe.any():
+            return t.select(cols)
+        h_maybe = h.filter(pa.array(maybe)) if isinstance(h, pa.ChunkedArray) else h.filter(pa.array(maybe))
+        exact_seen_sub = pc.is_in(
+            h_maybe, value_set=pa.array(_ray.get(seen_ref))
+        ).to_numpy(zero_copy_only=False)
+        drop = _np.zeros(t.num_rows, dtype=bool)
+        drop[_np.flatnonzero(maybe)] = exact_seen_sub
+        return t.filter(pa.array(~drop)).select(cols)
 
     return second.map_batches(anti, batch_format="pyarrow")
 

@@ -131,6 +131,84 @@ def tokenize_documents(sf_dir: str):
     )
 
 
+def _checksum_frame(ids, id_name: str, token_lists) -> pd.DataFrame:
+    """Per-row positional checksum sum(token_id·(pos+1)) — an order- and
+    content-sensitive int64 projection of a token array that a SQL oracle
+    can recompute exactly (list columns hash unreliably across drivers)."""
+    sums = [
+        int(np.sum(np.asarray(t, dtype=np.int64) * np.arange(1, len(t) + 1, dtype=np.int64)))
+        for t in token_lists
+    ]
+    return pd.DataFrame({id_name: ids, "checksum": pd.Series(sums, dtype="int64")})
+
+
+def tokenize_documents_q(sf_dir: str):
+    """The driver-checkable face of :func:`tokenize_documents`: the FULL
+    tokenize pipeline runs (vocab pass + actor-pool encode), projected to
+    (doc_id, source, n_tok, checksum) where checksum is the positional
+    token sum — hash-exact vs the SQL oracle; byte-level token equality is
+    covered by tests/test_tokens_pipelines.py."""
+
+    def project(df: pd.DataFrame) -> pd.DataFrame:
+        out = _checksum_frame(df["doc_id"], "doc_id", df["tokens"])
+        out.insert(1, "source", df["source"].to_numpy())
+        out.insert(2, "n_tok", df["n_tok"].astype("int64").to_numpy())
+        return out
+
+    return tokenize_documents(sf_dir).map_batches(project, batch_format="pandas")
+
+
+ORACLES["tokenize_documents"] = """
+WITH words AS (
+  SELECT doc_id, source, unnest(string_split(text, ' ')) AS word,
+         unnest(range(len(string_split(text, ' ')))) AS pos
+  FROM documents
+), vocab AS (
+  SELECT word, ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, word) - 1 AS token_id
+  FROM words GROUP BY word
+)
+SELECT w.doc_id, w.source, COUNT(*) AS n_tok,
+       CAST(SUM(v.token_id * (w.pos + 1)) AS BIGINT) AS checksum
+FROM words w JOIN vocab v USING (word)
+GROUP BY w.doc_id, w.source
+"""
+
+
+def training_data_pipeline_q(sf_dir: str, cap: int | None = None):
+    """Driver-checkable face of the flagship :func:`training_data_pipeline`
+    (same full tokenize → concat-and-chunk run), projected to
+    (chunk_id, n_tok, checksum) with the positional checksum computed per
+    packed chunk. Byte-level chunk equality is covered by
+    tests/test_tokens_pipelines.py."""
+    chunks = training_data_pipeline(sf_dir, cap or PACK_CAP)
+
+    def project(df: pd.DataFrame) -> pd.DataFrame:
+        out = _checksum_frame(df["chunk_id"], "chunk_id", df["tokens"])
+        out.insert(1, "n_tok", df["n_tok"].astype("int64").to_numpy())
+        return out
+
+    return chunks.map_batches(project, batch_format="pandas")
+
+
+ORACLES["training_data_pipeline"] = f"""
+WITH words AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word,
+         unnest(range(len(string_split(text, ' ')))) AS pos
+  FROM documents
+), vocab AS (
+  SELECT word, ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, word) - 1 AS token_id
+  FROM words GROUP BY word
+), stream AS (
+  SELECT v.token_id,
+         ROW_NUMBER() OVER (ORDER BY w.doc_id, w.pos) - 1 AS gpos
+  FROM words w JOIN vocab v USING (word)
+)
+SELECT CAST(gpos // {PACK_CAP} AS BIGINT) AS chunk_id, COUNT(*) AS n_tok,
+       CAST(SUM(token_id * ((gpos % {PACK_CAP}) + 1)) AS BIGINT) AS checksum
+FROM stream GROUP BY gpos // {PACK_CAP}
+"""
+
+
 def doc_token_counts(sf_dir: str):
     """Per-(doc, token) occurrence counts through the tokenizer — the
     SQL-oracle-checkable projection of :func:`tokenize_documents`."""

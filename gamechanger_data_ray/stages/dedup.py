@@ -72,9 +72,9 @@ class MinHasher:
     def signature(self, text: str) -> np.ndarray:
         return self.signatures([text])[0]
 
+    @np.errstate(over="ignore")  # scoped, not process-global
     def signatures(self, texts: list[str]) -> np.ndarray:
         """(N, NUM_HASHES) uint64 signature matrix for a list of texts."""
-        np.seterr(over="ignore")
         sh_lists = [word_shingles(t, self.k) for t in texts]
         counts = np.array([len(s) for s in sh_lists], dtype=np.int64)
         flat = [s for lst in sh_lists for s in lst]
@@ -100,12 +100,12 @@ class MinHasher:
         return out
 
 
+@np.errstate(over="ignore")  # scoped, not process-global
 def lsh_bands(batch: pd.DataFrame, id_col: str = "doc_id") -> pd.DataFrame:
     """Explode signatures to (band_id, band_hash, doc_id) rows — the LSH
     bucketing shuffle payload (small fixed width; text never ships).
     Vectorized: the (N, BANDS, 4) signature cube is FNV-combined along the
     last axis in four numpy passes."""
-    np.seterr(over="ignore")
     n = len(batch)
     if n == 0:
         return pd.DataFrame(
@@ -149,8 +149,8 @@ class TokenMinHasher:
         self.tokens_col = tokens_col
         self.k = k
 
+    @np.errstate(over="ignore")  # scoped, not process-global
     def _window_hashes(self, vals: np.ndarray, starts: np.ndarray) -> np.ndarray:
-        np.seterr(over="ignore")
         h = np.full(len(starts), _FNV_OFFSET, dtype=np.uint64)
         for j in range(self.k):
             v = vals[starts + j].astype(np.uint64)
@@ -158,6 +158,7 @@ class TokenMinHasher:
             h = (h ^ (v >> np.uint64(16))) * _FNV_PRIME
         return h
 
+    @np.errstate(over="ignore")  # scoped, not process-global
     def signatures_from_lists(self, token_lists) -> np.ndarray:
         """(N, NUM_HASHES) signatures from a pyarrow ListArray/ChunkedArray."""
         if isinstance(token_lists, pa.ChunkedArray):
@@ -179,7 +180,6 @@ class TokenMinHasher:
         )
         starts = offsets[:-1][doc_of_win] + intra
         x = self._window_hashes(vals, starts)  # (W_total,)
-        np.seterr(over="ignore")
         hx = (self.a[:, None] * x[None, :] + self.b[:, None]) % _MERSENNE
         nonempty = win_counts > 0
         seg_starts = np.concatenate(([0], np.cumsum(win_counts)[:-1]))[nonempty]
@@ -291,8 +291,8 @@ class SimHasher:
         self.text_col = text_col
         self.shifts = np.arange(64, dtype=np.uint64)
 
+    @np.errstate(over="ignore")  # scoped, not process-global
     def simhashes(self, texts: list[str]) -> np.ndarray:
-        np.seterr(over="ignore")
         word_lists = [t.split() for t in texts]
         counts = np.array([len(w) for w in word_lists], dtype=np.int64)
         flat = [w for lst in word_lists for w in lst]

@@ -1,0 +1,62 @@
+"""Section parsing strategies — the M13 per-doc-type parser family
+(``common/document_parser/lib/section_parse/add_sections.py:5-27`` +
+``parsers/*``, re-expressed as two real strategies behind the same
+factory-dispatch contract: pick a parser by document type, produce an
+ordered list of named sections).
+
+Strategies:
+- :func:`parse_numbered_sections` — "SECTION <n>: <NAME>" enumerated
+  headings (the DoD-issuance layout shape).
+- :func:`parse_caps_sections`     — "<NAME>." all-caps heading sentences
+  (the CJCS/Navy layout shape).
+
+Both return ``[(num, name, body), ...]`` in document order. Golden
+input/expected-output pairs live in ``tests/data/sections/`` mirroring the
+reference's ``section_parse/tests/data/{input,expected_output}`` layout.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Callable
+
+_NUMBERED = re.compile(r"\bSECTION\s+(\d+):\s+([A-Z][A-Z ]*[A-Z]|[A-Z])\b")
+_CAPS = re.compile(r"(?:^|\s)([A-Z][A-Z ]*[A-Z]|[A-Z])\.(?=\s|$)")
+
+
+def parse_numbered_sections(text: str) -> list[tuple[int, str, str]]:
+    """Split on ``SECTION <n>: <NAME>`` headings; body = text up to the
+    next heading. Text before the first heading is ignored (preamble)."""
+    out = []
+    matches = list(_NUMBERED.finditer(text))
+    for i, m in enumerate(matches):
+        end = matches[i + 1].start() if i + 1 < len(matches) else len(text)
+        body = text[m.end():end].strip()
+        out.append((int(m.group(1)), m.group(2).strip(), body))
+    return out
+
+
+def parse_caps_sections(text: str) -> list[tuple[int, str, str]]:
+    """Split on all-caps heading sentences (``PURPOSE.`` style); sections
+    numbered by order of appearance."""
+    out = []
+    matches = list(_CAPS.finditer(text))
+    for i, m in enumerate(matches):
+        end = matches[i + 1].start() if i + 1 < len(matches) else len(text)
+        body = text[m.end():end].strip()
+        out.append((i + 1, m.group(1).strip(), body))
+    return out
+
+
+# type → strategy registry (ParserFactory.create dispatch,
+# ``parsers/parser_factory.py`` analog); register new layouts here.
+STRATEGIES: dict[str, Callable[[str], list[tuple[int, str, str]]]] = {
+    "numbered": parse_numbered_sections,
+    "caps": parse_caps_sections,
+}
+
+
+def parse_sections(text: str, doc_layout: str) -> list[tuple[int, str, str]]:
+    """Factory dispatch: unknown layouts fall back to the numbered parser
+    (the reference defaults unknown doc types to its base parser)."""
+    return STRATEGIES.get(doc_layout, parse_numbered_sections)(text)

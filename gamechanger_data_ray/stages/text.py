@@ -114,11 +114,11 @@ class Fingerprinter:
             p = (p * self.BASE) & self.MOD_MASK
         self.high = p
 
+    @np.errstate(over="ignore")  # scoped, not process-global
     def _fp(self, s: str) -> str:
         b = np.frombuffer(s.encode("utf-8"), dtype=np.uint8).astype(np.uint64)
         if len(b) < self.K:
             return hashlib.sha256(s.encode()).hexdigest()[:16]
-        np.seterr(over="ignore")
         # rolling hash over all k-gram windows, fully vectorized:
         # h[i] = sum(b[i+j] * BASE^(K-1-j)); compute via cumulative trick
         powers = np.empty(self.K, dtype=np.uint64)

@@ -24,10 +24,13 @@ from __future__ import annotations
 import base64
 import json
 import os
+import uuid
 from dataclasses import dataclass, field
 from typing import Any
 
 import pyarrow as pa
+
+from .fs import StorageAdapter, default_fs
 
 CURRENT_POINTER = "_CURRENT"
 MANIFEST_DIR = "_manifests"
@@ -91,7 +94,11 @@ class TableManifest:
 
 
 def _atomic_write(path: str, data: str) -> None:
-    tmp = path + ".tmp"
+    # attempt-unique temp name: racing committers write identical content
+    # for the same path, but a SHARED temp name lets one attempt's rename
+    # delete the other's half-written temp (observed as FileNotFoundError
+    # under concurrent replay; pids alone are not unique across nodes)
+    tmp = f"{path}.tmp-{uuid.uuid4().hex}"
     with open(tmp, "w") as f:
         f.write(data)
         f.flush()
@@ -99,38 +106,42 @@ def _atomic_write(path: str, data: str) -> None:
     os.replace(tmp, path)
 
 
-def load_current(table_dir: str) -> TableManifest | None:
+def load_current(table_dir: str, fs: StorageAdapter | None = None) -> TableManifest | None:
     """The committed manifest, or None for a fresh table."""
+    fs = default_fs(fs)
     ptr = os.path.join(table_dir, CURRENT_POINTER)
-    if not os.path.exists(ptr):
+    if not fs.exists(ptr):
         return None
-    with open(ptr) as f:
-        p = json.load(f)
-    with open(os.path.join(table_dir, MANIFEST_DIR, p["manifest"])) as f:
-        return TableManifest.from_json(f.read())
+    p = json.loads(fs.read_text(ptr))
+    return TableManifest.from_json(
+        fs.read_text(os.path.join(table_dir, MANIFEST_DIR, p["manifest"]))
+    )
 
 
-def commit(table_dir: str, manifest: TableManifest) -> bool:
+def commit(table_dir: str, manifest: TableManifest, fs: StorageAdapter | None = None) -> bool:
     """Atomically publish ``manifest`` as the table's current state.
 
     Epoch fencing: refuses (returns False) if the committed epoch is already
     >= manifest.epoch — a stale/duplicate attempt must not move the table
-    backwards (reference fence: ``snapshot/utils.py:193-195``).
+    backwards (reference fence: ``snapshot/utils.py:193-195``). On stores
+    without atomic rename the pointer swap is a plain PUT — see
+    ``state/fs.py`` for the commit-protocol notes per store class.
     """
-    cur = load_current(table_dir)
+    fs = default_fs(fs)
+    cur = load_current(table_dir, fs)
     if cur is not None and cur.epoch >= manifest.epoch:
         return False
     mdir = os.path.join(table_dir, MANIFEST_DIR)
-    os.makedirs(mdir, exist_ok=True)
+    fs.makedirs(mdir)
     name = f"manifest-{manifest.epoch:06d}.json"
-    _atomic_write(os.path.join(mdir, name), manifest.to_json())
-    _atomic_write(
+    fs.atomic_write_text(os.path.join(mdir, name), manifest.to_json())
+    fs.atomic_write_text(
         os.path.join(table_dir, CURRENT_POINTER),
         json.dumps({"epoch": manifest.epoch, "manifest": name}),
     )
     return True
 
 
-def committed_epoch(table_dir: str) -> int:
-    cur = load_current(table_dir)
+def committed_epoch(table_dir: str, fs: StorageAdapter | None = None) -> int:
+    cur = load_current(table_dir, fs)
     return cur.epoch if cur else 0

@@ -1,0 +1,165 @@
+"""Unit + golden tests for the extraction stages (refs, dates, entities,
+sections) — mirrors the reference's golden input/expected-output strategy
+(``section_parse/tests/data``) plus behavior checks for range guards,
+overlap removal and short-month normalization."""
+
+import datetime
+import json
+import os
+
+import pandas as pd
+import pytest
+
+from gamechanger_data_ray.stages.extract import (
+    DateExtractor,
+    EntityExtractor,
+    RefExtractor,
+    collect_refs,
+    extract_dates,
+    gazetteer_order,
+    make_ref_patterns,
+    preprocess_text,
+    top_entities,
+)
+from gamechanger_data_ray.stages.sections import parse_sections
+
+GOLD = os.path.join(os.path.dirname(__file__), "data", "sections")
+
+
+# ---------------------------------------------------------------------------
+# References
+# ---------------------------------------------------------------------------
+
+PATTERNS = make_ref_patterns()
+
+
+def test_ref_basic_citations():
+    refs = collect_refs(
+        "as required by DoDD 5105.53 and DoD Instruction 3020.26, see also "
+        "DTM 09-027 and Executive Order 12333", PATTERNS)
+    assert refs == {"DoDD 5105.53": 1, "DoDI 3020.26": 1, "DTM 09-027": 1,
+                    "EO 12333": 1}
+
+
+def test_ref_counts_accumulate():
+    refs = collect_refs("DoDD 5105.53 then again dodd 5105.53", PATTERNS)
+    assert refs == {"DoDD 5105.53": 2}
+
+
+def test_ref_title_range_guard():
+    refs = collect_refs("under Title 10 and Title 54 and Title 0", PATTERNS)
+    assert refs == {"Title 10": 1}  # 54 > 53 and 0 are rejected
+
+
+def test_ref_cfr_range_guard():
+    refs = collect_refs("per 32 CFR and 51 CFR", PATTERNS)
+    assert refs == {"CFR Title 32": 1}  # 51 > 50 rejected
+
+
+def test_ref_preprocess_unicode_dash_and_parens():
+    assert preprocess_text("a–b (c)  d") == "a-b c d"
+    refs = collect_refs("DTM 09–027 (revised)", PATTERNS)
+    assert refs == {"DTM 09-027": 1}
+
+
+def test_ref_extractor_stage():
+    df = pd.DataFrame({"doc_id": [1, 2], "text": ["see DoDD 5105.53", "nothing"]})
+    out = RefExtractor()(df)
+    assert out.to_dict("records") == [{"doc_id": 1, "ref": "DoDD 5105.53", "n": 1}]
+
+
+# ---------------------------------------------------------------------------
+# Dates
+# ---------------------------------------------------------------------------
+
+def test_dates_four_shapes():
+    text = ("signed 14 March 1997, effective April 7, 2013, amended "
+            "3 Mar. 1985 and Sept. 9, 2001")
+    got = extract_dates(text)
+    assert got == [
+        datetime.datetime(1985, 3, 3),
+        datetime.datetime(1997, 3, 14),
+        datetime.datetime(2001, 9, 9),
+        datetime.datetime(2013, 4, 7),
+    ]
+
+
+def test_dates_invalid_calendar_date_skipped():
+    assert extract_dates("dated 31 February 2001") == []
+
+
+def test_dates_long_short_may_dedup():
+    # 'May' matches both the long and short month alternations — one date
+    assert extract_dates("on 2 May 1999") == [datetime.datetime(1999, 5, 2)]
+
+
+def test_date_extractor_stage_explodes():
+    df = pd.DataFrame({"doc_id": [7], "text": ["1 January 2000 and 2 January 2000"]})
+    out = DateExtractor()(df)
+    assert list(out["doc_id"]) == [7, 7]
+    assert list(out["date"]) == [pd.Timestamp(2000, 1, 1), pd.Timestamp(2000, 1, 2)]
+
+
+# ---------------------------------------------------------------------------
+# Entities
+# ---------------------------------------------------------------------------
+
+def _extract(text):
+    out = EntityExtractor()(pd.DataFrame({"doc_id": [0], "text": [text]}))
+    return dict(zip(out["entity"], out["n_mentions"]))
+
+
+def test_entities_longest_wins_overlap_removal():
+    # 'Department of Defense' must claim its span; nested 'Defense' must not fire
+    assert _extract("the Department of Defense decided") == {"Department of Defense": 1}
+
+
+def test_entities_nested_three_levels():
+    # Joint Chiefs of Staff ⊃ Chiefs of Staff ⊃ Staff
+    assert _extract("the Joint Chiefs of Staff and the Staff met") == {
+        "Joint Chiefs of Staff": 1, "Staff": 1}
+
+
+def test_entities_counts_and_types():
+    out = EntityExtractor()(pd.DataFrame(
+        {"doc_id": [0], "text": ["Defense and Defense and the General Counsel"]}))
+    rec = out.set_index("entity")[["ent_type", "n_mentions"]].to_dict("index")
+    assert rec == {
+        "Defense": {"ent_type": "ORG", "n_mentions": 2},
+        "General Counsel": {"ent_type": "PERSON", "n_mentions": 1},
+    }
+
+
+def test_entities_case_sensitive():
+    assert _extract("the department of defense decided") == {}
+
+
+def test_entities_priority_order_deterministic():
+    order = [t for t, _ in gazetteer_order()]
+    assert order.index("Department of Defense") < order.index("Defense")
+    assert order.index("Joint Chiefs of Staff") < order.index("Chiefs of Staff") < order.index("Staff")
+
+
+def test_top_entities_top5_tiebreak():
+    edges = pd.DataFrame({
+        "doc_id": [1] * 6,
+        "entity": list("abcdef"),
+        "ent_type": ["ORG"] * 6,
+        "n_mentions": [5, 5, 4, 3, 2, 1],
+    })
+    top = top_entities(edges, k=5)
+    assert list(top["entity"]) == ["a", "b", "c", "d", "e"]
+
+
+# ---------------------------------------------------------------------------
+# Sections — golden input/expected-output pairs
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize(
+    "name", sorted(os.path.splitext(f)[0] for f in os.listdir(os.path.join(GOLD, "input")))
+)
+def test_sections_golden(name):
+    case = json.load(open(os.path.join(GOLD, "input", f"{name}.json")))
+    expected = json.load(open(os.path.join(GOLD, "expected_output", f"{name}.json")))
+    got = [list(t) for t in parse_sections(case["text"], case["layout"])]
+    assert got == expected

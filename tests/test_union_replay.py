@@ -38,15 +38,42 @@ def _oracle(dirs, n):
 
 def test_union_replay_matches_oracle(tmp_path):
     a, b = str(tmp_path / "a"), str(tmp_path / "b")
-    # overlapping key spaces, different seeds; b publishes fewer epochs
+    # overlapping key spaces, different seeds; b lags one epoch behind
     write_changelog(a, num_epochs=3, events_per_epoch=1200, num_keys=200, seed=1)
     write_changelog(b, num_epochs=2, events_per_epoch=1200, num_keys=200, seed=2)
     td = str(tmp_path / "tb")
+    # epoch 3 must NOT apply yet: b has neither published 3 nor anything
+    # beyond it — "dir absent" could mean "about to publish", so the union
+    # waits instead of silently dropping b's late epoch-3 events
+    m = replay_union([a, b], td, num_partitions=4)
+    assert m is not None and m.epoch == 2
+    # b catches up → epoch 3 applies and the table matches the full oracle
+    write_changelog(b, num_epochs=3, events_per_epoch=1200, num_keys=200, seed=2)
     m = replay_union([a, b], td, num_partitions=4)
     assert m is not None and m.epoch == 3
     got = table_to_arrow(td).select(["doc_id", "tokens", "n_tok", "source"])
     oracle = _oracle([a, b], 2)
     assert got.cast(oracle.schema).equals(oracle)
+
+
+def test_union_replay_skipped_epoch_applies_when_source_moves_past(tmp_path):
+    """A source that SKIPS an epoch (publishes beyond it without it) must
+    not block the union: a vouches for b's missing epoch range once its
+    own highest ready epoch is greater."""
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    write_changelog(a, num_epochs=1, events_per_epoch=600, num_keys=100, seed=3)
+    write_changelog(b, num_epochs=3, events_per_epoch=600, num_keys=100, seed=4)
+    td = str(tmp_path / "tb")
+    # a's highest is 1 < 2, so only epoch 1 applies on the first pass
+    m = replay_union([a, b], td, num_partitions=4)
+    assert m is not None and m.epoch == 1
+    # a jumps straight to epoch 3 (2 genuinely skipped) → 2 and 3 apply
+    write_changelog(a, num_epochs=3, events_per_epoch=600, num_keys=100, seed=3)
+    import shutil
+
+    shutil.rmtree(f"{a}/epoch=000002")  # a truly skipped epoch 2
+    m = replay_union([a, b], td, num_partitions=4)
+    assert m is not None and m.epoch == 3
 
 
 def test_union_replay_is_deterministic_and_incremental(tmp_path):
@@ -57,8 +84,10 @@ def test_union_replay_is_deterministic_and_incremental(tmp_path):
     replay_union([a, b], t1, num_partitions=4)
     replay_union([a, b], t2, num_partitions=4)
     assert table_to_arrow(t1).equals(table_to_arrow(t2))
-    # new epoch lands incrementally on the same table
+    # new epoch lands incrementally on the same table once BOTH sources
+    # have published it (absence ≠ skip — see replay_union gating)
     write_changelog(a, num_epochs=3, events_per_epoch=800, num_keys=150, seed=5)
+    write_changelog(b, num_epochs=3, events_per_epoch=800, num_keys=150, seed=6)
     m = replay_union([a, b], t1, num_partitions=4)
     assert m is not None and m.epoch == 3
 
