@@ -87,6 +87,9 @@ def main(argv: list[str] | None = None) -> int:
     hi = sub.add_parser("history", help="per-epoch lineage counters from retained manifests")
     hi.add_argument("--table", required=True)
 
+    jb = sub.add_parser("jobs", help="job-status lifecycle rows for this table")
+    jb.add_argument("--table", required=True)
+
     rp = sub.add_parser("repartition", help="rewrite the table under a new partition count")
     rp.add_argument("--table", required=True)
     rp.add_argument("--out", required=True)
@@ -141,6 +144,12 @@ def main(argv: list[str] | None = None) -> int:
                  **c}
             )
         print(json.dumps(rows))
+        return 0
+
+    if args.cmd == "jobs":
+        from gamechanger_data_ray.engine.jobs import job_history
+
+        print(json.dumps(job_history(args.table)))
         return 0
 
     if args.cmd == "export":

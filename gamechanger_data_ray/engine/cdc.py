@@ -364,7 +364,11 @@ def replay(
     ``epochs_per_commit=None`` (default) merges ALL pending epochs in one
     pipeline/commit — the backfill/catch-up fast path. Set it to 1 for
     per-epoch commits (finest checkpoint granularity, live tailing) or any
-    N in between."""
+    N in between. Every run appends job-status lifecycle rows
+    (``engine/jobs.py`` — the reference's crawler_status/pipeline_jobs
+    analog) under the table."""
+    from .jobs import JobStatus
+
     fs = default_fs(fs)
     fs.makedirs(table_dir)
     pending = cl.ready_epochs(changelog_dir, after=mf.committed_epoch(table_dir, fs), fs=fs)
@@ -372,14 +376,20 @@ def replay(
         pending = [e for e in pending if e <= up_to_epoch]
     step = len(pending) if epochs_per_commit is None else epochs_per_commit
     last = None
-    for i in range(0, len(pending), max(1, step)):
-        batch = pending[i : i + max(1, step)]
-        m = apply_epochs(
-            changelog_dir, table_dir, batch, num_partitions=num_partitions,
-            exchange=exchange, fs=fs,
-        )
-        if m is not None:
-            last = m
+    with JobStatus(table_dir, "replay", fs=fs, pending_epochs=pending) as job:
+        for i in range(0, len(pending), max(1, step)):
+            batch = pending[i : i + max(1, step)]
+            m = apply_epochs(
+                changelog_dir, table_dir, batch, num_partitions=num_partitions,
+                exchange=exchange, fs=fs,
+            )
+            if m is not None:
+                last = m
+        job.result_fields = {
+            "applied_epochs": pending,
+            "epoch": last.epoch if last else mf.committed_epoch(table_dir, fs),
+            "totals": (last.totals if last else {}),
+        }
     return last if last is not None else mf.load_current(table_dir, fs)
 
 

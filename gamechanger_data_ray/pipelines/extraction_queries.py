@@ -279,3 +279,118 @@ SELECT doc_id, sec_num, sec_name FROM (
   SELECT doc_id, 4, 'REFERENCES' FROM documents WHERE doc_id % 3 = 2
 )
 """
+
+
+# ---------------------------------------------------------------------------
+# Page/paragraph segmentation (M3/M4) — module-level (pytest-oracled)
+# ---------------------------------------------------------------------------
+
+_PAGE_WORDS = 40
+_PAR_WORDS = 10
+
+
+def docs_paragraphs(sf_dir: str):
+    """Page + paragraph segmentation (M3/M4,
+    ``common/document_parser/lib/pages.py:20-33`` +
+    ``document/document.py:79-130``): each doc's word stream splits into
+    fixed-size pages (40 words) of paragraphs (10 words), emitting the
+    doc_dict-shaped nested rows (doc_id, page_num, par_num, par_text,
+    n_words). A WITHIN-RECORD explode — one doc's pages never cross rows,
+    so the whole segmentation is one map_batches, no shuffle."""
+    import numpy as np
+
+    ds = cm.read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def segment(df: pd.DataFrame) -> pd.DataFrame:
+        words = df["text"].str.split(" ")
+        exploded = pd.DataFrame(
+            {
+                "doc_id": np.repeat(df["doc_id"].to_numpy(), words.str.len()),
+                "word": np.concatenate(words.to_numpy()),
+            }
+        )
+        pos = exploded.groupby("doc_id", sort=False).cumcount()
+        exploded["page_num"] = (pos // _PAGE_WORDS).astype("int64")
+        exploded["par_num"] = ((pos % _PAGE_WORDS) // _PAR_WORDS).astype("int64")
+        out = exploded.groupby(["doc_id", "page_num", "par_num"], as_index=False, sort=False).agg(
+            par_text=("word", " ".join), n_words=("word", "size")
+        )
+        return out.astype({"n_words": "int64"})
+
+    return ds.map_batches(segment, batch_format="pandas")
+
+
+ORACLES["docs_paragraphs"] = f"""
+WITH words AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word,
+         unnest(range(len(string_split(text, ' ')))) AS pos
+  FROM documents
+)
+SELECT doc_id,
+       CAST(pos // {_PAGE_WORDS} AS BIGINT) AS page_num,
+       CAST((pos % {_PAGE_WORDS}) // {_PAR_WORDS} AS BIGINT) AS par_num,
+       string_agg(word, ' ' ORDER BY pos) AS par_text,
+       COUNT(*) AS n_words
+FROM words
+GROUP BY doc_id, pos // {_PAGE_WORDS}, (pos % {_PAGE_WORDS}) // {_PAR_WORDS}
+"""
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF topics (M7) — module-level (pytest-oracled)
+# ---------------------------------------------------------------------------
+
+def docs_topics(sf_dir: str, k: int = 5):
+    """Topic extraction with a real model artifact (M7,
+    ``common/document_parser/lib/topics.py:1-40``): pass 1 fits the model
+    — per-term document frequencies via per-batch distinct partials +
+    small groupby, idf = ln(N/df) — which is then broadcast once; pass 2
+    is a :class:`~gamechanger_data_ray.stages.text.TopicScorer` actor
+    pool emitting each doc's top-k terms by tf·idf."""
+    import math
+
+    from ..stages.text import TopicScorer
+
+    docs = cm.read(sf_dir, "documents", columns=["doc_id", "text"])
+    n_docs = docs.count()
+
+    def distinct_partial(df: pd.DataFrame) -> pd.DataFrame:
+        e = df.assign(word=df["text"].str.split(" ")).explode("word")
+        return e[["doc_id", "word"]].drop_duplicates()
+
+    df_counts = cm.partial_groupby_sum(
+        docs.map_batches(distinct_partial, batch_format="pandas"),
+        keys=["word"], sums={}, counts="df",
+    )
+    idf = pd.DataFrame(
+        {"term": df_counts["word"],
+         "idf": [math.log(n_docs / d) for d in df_counts["df"]]}
+    )
+    idf_ref = cm.broadcast(idf)
+    return docs.map_batches(
+        TopicScorer,
+        fn_constructor_args=(idf_ref, k),
+        batch_format="pandas",
+        concurrency=(1, cm.pool_size()),
+    )
+
+
+ORACLES["docs_topics"] = """
+WITH words AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+), dfreq AS (
+  SELECT word, COUNT(DISTINCT doc_id) AS df FROM words GROUP BY word
+), n AS (SELECT COUNT(*) AS n FROM documents),
+tf AS (
+  SELECT doc_id, word, COUNT(*) AS tf FROM words GROUP BY doc_id, word
+), scored AS (
+  SELECT doc_id, word AS topic,
+         ROUND(tf * ln(CAST(n.n AS DOUBLE) / dfreq.df), 6) AS tfidf,
+         ROW_NUMBER() OVER (
+           PARTITION BY doc_id
+           ORDER BY ROUND(tf * ln(CAST(n.n AS DOUBLE) / dfreq.df), 6) DESC, word
+         ) AS rn
+  FROM tf JOIN dfreq USING (word), n
+)
+SELECT doc_id, topic, tfidf FROM scored WHERE rn <= 5
+"""

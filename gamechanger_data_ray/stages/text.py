@@ -96,6 +96,78 @@ class LangId:
         return batch
 
 
+REPLACEMENT_CHAR = "�"
+
+
+def replacement_char_ratio(text: str) -> float:
+    """Share of U+FFFD replacement characters — the reference's bad-OCR
+    page heuristic (``common/utils/file_utils.py:43-80``): a page whose
+    decode produced mostly replacement chars needs re-OCR."""
+    if not text:
+        return 0.0
+    return text.count(REPLACEMENT_CHAR) / len(text)
+
+
+class OcrQualityGate:
+    """Bad-page detection stage (M17, ``common/utils/file_utils.py:43-80``
+    + the batched re-OCR prepass ``process.py:189-239``): adds the
+    replacement-char ratio and an ``ocr_ok`` flag per page/doc. Rows over
+    the threshold are what a deployment routes to the re-OCR actor pool
+    (the heavy ocrmypdf stage itself needs system binaries absent here;
+    the detection heuristic and the split are the real, tested part)."""
+
+    def __init__(self, text_col: str = "text", threshold: float = 0.2):
+        self.text_col = text_col
+        self.threshold = threshold
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        ratio = batch[self.text_col].map(replacement_char_ratio)
+        batch["bad_char_ratio"] = ratio
+        batch["ocr_ok"] = ratio <= self.threshold
+        return batch
+
+
+class TopicScorer:
+    """TF-IDF topic stage with a REAL model artifact (M7,
+    ``common/document_parser/lib/topics.py:1-40``): the model (term → idf
+    weights over the corpus vocabulary) is loaded ONCE per actor from a
+    broadcast ref in ``__init__`` — the load-model-per-worker pattern —
+    and each doc gets its top-k terms by tf·idf (docs under ``min_tokens``
+    get none, like the reference's >300-token gate)."""
+
+    def __init__(self, idf_ref, k: int = 5, min_tokens: int = 0, text_col: str = "text"):
+        import ray as _ray
+
+        idf = _ray.get(idf_ref)  # DataFrame(term, idf)
+        self.idf = dict(zip(idf["term"], idf["idf"]))
+        self.k = k
+        self.min_tokens = min_tokens
+        self.text_col = text_col
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        ids, terms, scores = [], [], []
+        for did, text in zip(batch["doc_id"], batch[self.text_col]):
+            words = text.split(" ")
+            if len(words) < self.min_tokens:
+                continue
+            tf: dict[str, int] = {}
+            for w in words:
+                tf[w] = tf.get(w, 0) + 1
+            scored = [
+                (round(n * self.idf.get(w, 0.0), 6), w) for w, n in tf.items()
+            ]
+            scored.sort(key=lambda t: (-t[0], t[1]))
+            for s, w in scored[: self.k]:
+                ids.append(did)
+                terms.append(w)
+                scores.append(s)
+        return pd.DataFrame(
+            {"doc_id": pd.Series(ids, dtype="int64"),
+             "topic": pd.Series(terms, dtype="object"),
+             "tfidf": pd.Series(scores, dtype="float64")}
+        )
+
+
 class Fingerprinter:
     """Winnowing-style document fingerprint: rolling (Rabin-Karp) hash over
     character k-grams, fingerprint = min hash in hex (deterministic content

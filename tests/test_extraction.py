@@ -163,3 +163,32 @@ def test_sections_golden(name):
     expected = json.load(open(os.path.join(GOLD, "expected_output", f"{name}.json")))
     got = [list(t) for t in parse_sections(case["text"], case["layout"])]
     assert got == expected
+
+
+# ---------------------------------------------------------------------------
+# OCR bad-page detection (M17)
+# ---------------------------------------------------------------------------
+
+def test_ocr_gate_flags_bad_pages():
+    from gamechanger_data_ray.stages.text import OcrQualityGate, replacement_char_ratio
+
+    good = "a perfectly fine page of text"
+    bad = "�" * 30 + "legible tail" + "�" * 30
+    assert replacement_char_ratio(good) == 0.0
+    assert replacement_char_ratio("") == 0.0
+    assert replacement_char_ratio(bad) > 0.2
+    out = OcrQualityGate()(pd.DataFrame({"doc_id": [1, 2], "text": [good, bad]}))
+    assert list(out["ocr_ok"]) == [True, False]
+    assert out["bad_char_ratio"].iloc[1] > 0.2
+
+
+def test_ocr_gate_threshold_boundary():
+    from gamechanger_data_ray.stages.text import OcrQualityGate
+
+    # exactly at threshold stays ok (<=), just above flips
+    at = "�" + "x" * 4       # ratio 0.2
+    over = "��" + "x" * 3  # ratio 0.4
+    out = OcrQualityGate(threshold=0.2)(
+        pd.DataFrame({"doc_id": [1, 2], "text": [at, over]})
+    )
+    assert list(out["ocr_ok"]) == [True, False]
