@@ -201,6 +201,11 @@ def run_scaling() -> dict:
     lo, hi = (int(x) for x in os.environ.get("GRAFT_SCALING_CPUS", "2,8").split(","))
 
     def run_once(ncpu: int) -> dict:
+        # NOTE: Ray already pins worker OMP_NUM_THREADS=1, so task-side
+        # Arrow work is single-threaded at every level — no hidden
+        # parallelism to cap (exporting OMP_NUM_THREADS=ncpu was tried
+        # and only oversubscribed the high level: 8 tasks × 8 arrow
+        # threads on 32 cores ran ~60% slower)
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_HEADLINE_ONLY="1",
                    GRAFT_EVENTS=scaling_events)
         out = subprocess.run(

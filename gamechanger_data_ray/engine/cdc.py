@@ -173,6 +173,60 @@ def make_staged_merger(
     return merge_staged
 
 
+def make_file_stager(
+    staging_dir: str,
+    unified_b64: str,
+    num_partitions: int,
+    fs: StorageAdapter | None = None,
+):
+    """Fused map-side shuffle write, one task per CHANGELOG FILE: read →
+    conform → weighted LWW combine → hash-partition → write one staged
+    parquet per touched partition, all inside the task. Nothing but a
+    tiny (file, part) manifest row ever enters the object store — the
+    payload goes disk→CPU→disk with ZERO plasma hops, where the generic
+    Dataset path pays two (read-task put + write-task get). Staged names
+    are deterministic per (input file, part), so a retried task
+    overwrites its own output byte-identically (idempotent).
+
+    This is also the better combiner: the unit of combination is a whole
+    changelog file rather than a read block, so hot keys collapse over a
+    larger window before the exchange."""
+    fs = default_fs(fs)
+
+    def stage_file(batch: pa.Table) -> pa.Table:
+        schema = mf.schema_from_b64(unified_b64)
+        out_files, out_parts = [], []
+        for path in batch["path"].to_pylist():
+            t = conform(fs.read_parquet(path), schema)
+            t = lww_reduce_weighted(t)
+            part = pc.cast(partition_ids(t["doc_id"], num_partitions), pa.int32())
+            order = pc.sort_indices(part)
+            t = t.take(order)
+            pvals = part.take(order).to_numpy(zero_copy_only=False)
+            # contiguous runs per partition → one slice + one write each
+            bounds = np.flatnonzero(np.diff(pvals)) + 1
+            starts = np.concatenate(([0], bounds))
+            ends = np.concatenate((bounds, [len(pvals)]))
+            stem = os.path.splitext(os.path.basename(path))[0]
+            parent = os.path.basename(os.path.dirname(path))  # epoch=NNNNNN
+            for s0, e0 in zip(starts, ends):
+                if e0 == s0:
+                    continue
+                k = int(pvals[s0])
+                d = os.path.join(staging_dir, f"{PART_COLUMN}={k}")
+                fs.makedirs(d)
+                out = os.path.join(d, f"{parent}-{stem}.parquet")
+                fs.write_parquet_atomic(t.slice(s0, e0 - s0), out)
+                out_files.append(out)
+                out_parts.append(k)
+        return pa.table(
+            {"part": pa.array(out_parts, pa.int64()),
+             "staged": pa.array(out_files, pa.string())}
+        )
+
+    return stage_file
+
+
 def apply_epoch(
     changelog_dir: str,
     table_dir: str,
@@ -215,8 +269,12 @@ def apply_epochs(
     files = [f for e in sorted(epochs) for f in _epoch_files(changelog_dir, e, fs)]
     # unify: footer schemas of the epoch's files + current table schema.
     incoming = unify_all([fs.read_parquet_schema(f) for f in files])
+    # the staged exchange takes the raw FILE LIST: each stage task fuses
+    # read+normalize+partition+write (no plasma round-trips); the sort
+    # exchange needs a Dataset
+    events = files if exchange == "staged" else ray.data.read_parquet(files, filesystem=fs.fs)
     return apply_events_dataset(
-        ray.data.read_parquet(files, filesystem=fs.fs),
+        events,
         table_dir,
         epoch,
         incoming,
@@ -227,7 +285,7 @@ def apply_epochs(
 
 
 def apply_events_dataset(
-    events_ds: ray.data.Dataset,
+    events_ds,
     table_dir: str,
     epoch: int,
     incoming_schema: pa.Schema,
@@ -239,6 +297,11 @@ def apply_events_dataset(
     """Apply an arbitrary change-event Dataset (op/lsn/seq/doc_id + payload
     columns) to the table as ``epoch`` — the core upsert used by epoch
     replay, manifest-driven I/U/D runs (S7) and revocation sweeps (J3).
+
+    ``events_ds`` is a change-event Dataset, or — staged exchange only —
+    a list of parquet FILE PATHS, in which case staging fuses
+    read+normalize+partition+write into one task per file (zero plasma
+    hops for the payload; see :func:`make_file_stager`).
 
     The hash-partition count is pinned by the first commit: on an existing
     table the stored ``num_partitions`` always wins (routing events with a
@@ -266,11 +329,16 @@ def apply_events_dataset(
     # (deterministic file names), so retrying a task that died on a
     # transient error (flaky storage read, OOM-killed worker) is safe
     _retry = {"retry_exceptions": True, "max_retries": 4}
-    ds = events_ds.map_batches(
-        make_normalizer(unified_b64, num_partitions),
-        batch_format="pyarrow",
-        **_retry,
-    )
+    from_files = isinstance(events_ds, (list, tuple))
+    if from_files and exchange != "staged":
+        events_ds = ray.data.read_parquet(list(events_ds), filesystem=fs.fs)
+        from_files = False
+    if not from_files:
+        ds = events_ds.map_batches(
+            make_normalizer(unified_b64, num_partitions),
+            batch_format="pyarrow",
+            **_retry,
+        )
     if exchange == "staged":
         # attempt-unique staging dir: two live drivers racing the same
         # epoch must not stage into (or wipe) each other's files — each
@@ -283,12 +351,25 @@ def apply_events_dataset(
             table_dir, "_staging", f"epoch-{epoch:06d}-{uuid.uuid4().hex}"
         )
         fs.rmtree(staging)  # (fresh name — a no-op guard)
-        ds.write_parquet(staging, partition_cols=[PART_COLUMN], filesystem=fs.fs)
-        touched = sorted(
-            int(d.split("=", 1)[1])
-            for d in fs.listdir(staging)
-            if d.startswith(PART_COLUMN + "=")
-        )
+        if from_files:
+            stage_rows = (
+                ray.data.from_items([{"path": p} for p in events_ds])
+                .map_batches(
+                    make_file_stager(staging, unified_b64, num_partitions, fs=fs),
+                    batch_size=1,
+                    batch_format="pyarrow",
+                    **_retry,
+                )
+                .take_all()
+            )  # O(files × touched-parts) tiny manifest rows
+            touched = sorted({int(r["part"]) for r in stage_rows})
+        else:
+            ds.write_parquet(staging, partition_cols=[PART_COLUMN], filesystem=fs.fs)
+            touched = sorted(
+                int(d.split("=", 1)[1])
+                for d in fs.listdir(staging)
+                if d.startswith(PART_COLUMN + "=")
+            )
         if touched:
             counters_ds = ray.data.from_items(
                 [{"part": p} for p in touched]
