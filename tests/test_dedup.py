@@ -125,3 +125,64 @@ def test_dedup_queries_find_seeded_pairs(sf_dir):
     assert guaranteed, "fixture must contain hamming<=3 seeded pairs"
     assert guaranteed <= got, f"missed guaranteed pairs: {sorted(guaranteed - got)[:5]}"
     assert (simh["hamming"] <= 8).all()
+
+
+def test_bands_with_sig_carry_and_bucket_est():
+    """The sig-carrying band explode + in-bucket est-Jaccard must agree
+    with the plain band explode + pairwise signature comparison."""
+    import numpy as np
+    import pandas as pd
+
+    from gamechanger_data_ray.stages.dedup import (
+        NUM_BANDS,
+        MinHasher,
+        bucket_pairs_est,
+        estimated_jaccard,
+        lsh_bands,
+        lsh_bands_with_sig,
+    )
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog again and again",
+        "the quick brown fox jumps over the lazy dog again and again",
+        "a completely different document about distributed shuffles",
+    ]
+    df = pd.DataFrame({"doc_id": [1, 2, 3], "text": texts})
+    sigs = MinHasher()(df)
+    carried = lsh_bands_with_sig(sigs).to_pandas()
+    plain = lsh_bands(sigs)
+    # same bucketing rows
+    pd.testing.assert_frame_equal(
+        carried[["doc_id", "band_id", "band_hash"]].reset_index(drop=True),
+        plain.reset_index(drop=True),
+    )
+    assert carried["sig"].map(len).eq(8 * 64).all()  # 64 packed u64s
+
+    # identical docs share every band → est 1.0 from any bucket group
+    g = carried[(carried["band_id"] == 0)]
+    pairs = bucket_pairs_est(g, tau=0.0)
+    row = pairs[(pairs["id_a"] == 1) & (pairs["id_b"] == 2)]
+    assert len(row) == 1 and row["est_jaccard"].iloc[0] == 1.0
+    # and the est matches the direct signature comparison for (1, 3)
+    s1 = np.asarray(sigs["sig"].iloc[0], dtype=np.uint64)
+    s3 = np.asarray(sigs["sig"].iloc[2], dtype=np.uint64)
+    expect = estimated_jaccard(s1, s3)
+    r13 = pairs[(pairs["id_a"] == 1) & (pairs["id_b"] == 3)]
+    if len(r13):
+        assert abs(r13["est_jaccard"].iloc[0] - expect) < 1e-12
+
+
+def test_bucket_pairs_est_respects_tau_and_cap():
+    import pandas as pd
+
+    from gamechanger_data_ray.stages.dedup import MinHasher, bucket_pairs_est, lsh_bands_with_sig
+
+    texts = ["alpha beta gamma delta epsilon zeta"] * 2 + ["eta theta iota kappa lambda mu"]
+    sigs = MinHasher()(pd.DataFrame({"doc_id": [1, 2, 3], "text": texts}))
+    g = lsh_bands_with_sig(sigs).to_pandas()
+    g = g[g["band_id"] == 0]
+    # tau=1.0 keeps only the exact-copy pair
+    out = bucket_pairs_est(g, tau=1.0)
+    assert out[["id_a", "id_b"]].values.tolist() == [[1, 2]]
+    # cap of 1 member → no pairs
+    assert bucket_pairs_est(g, tau=0.0, max_bucket=1).empty
