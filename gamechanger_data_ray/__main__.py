@@ -10,6 +10,8 @@ the cron-style job wrappers (``paasJobs/job_runner.sh``). Subcommands:
     python -m gamechanger_data_ray status    --table DIR
     python -m gamechanger_data_ray export    --table DIR --bundle DIR
     python -m gamechanger_data_ray import    --bundle DIR --table DIR
+    python -m gamechanger_data_ray diff      --table DIR --from-epoch A [--to-epoch B]
+    python -m gamechanger_data_ray view      --table DIR --view DIR --group-by COLS [--sum OUT=SRC]
 
 Owns its Ray session (guarded init; the library never calls ray.init).
 """
@@ -102,6 +104,22 @@ def main(argv: list[str] | None = None) -> int:
     im = sub.add_parser("import", help="recreate a table from an exported bundle")
     im.add_argument("--bundle", required=True)
     im.add_argument("--table", required=True)
+
+    df = sub.add_parser("diff", help="I/U/D changelog between two committed epochs")
+    df.add_argument("--table", required=True)
+    df.add_argument("--from-epoch", type=int, required=True)
+    df.add_argument("--to-epoch", type=int, default=None)
+    df.add_argument("--out", default=None, help="write change rows as parquet here "
+                    "(default: print summary counts only)")
+    df.add_argument("--mode", choices=["events", "retractions"], default="events")
+
+    vw = sub.add_parser("view", help="build/refresh an incremental materialized view")
+    vw.add_argument("--table", required=True)
+    vw.add_argument("--view", required=True, help="view state dir")
+    vw.add_argument("--group-by", required=True, help="comma-separated group columns")
+    vw.add_argument("--sum", action="append", default=[],
+                    help="OUT=SRC summed column; repeatable")
+    vw.add_argument("--partitions", type=int, default=8)
 
     args = p.parse_args(argv)
 
@@ -217,6 +235,42 @@ def main(argv: list[str] | None = None) -> int:
             m = repartition_table(args.table, args.out, args.partitions)
             print(json.dumps({"epoch": m.epoch, "num_partitions": m.num_partitions,
                               "rows": m.totals.get("rows")}))
+        elif args.cmd == "diff":
+            from gamechanger_data_ray.core.diff import CHANGE_COLUMN
+            from gamechanger_data_ray.engine.diff import diff_table_epochs
+
+            ds = diff_table_epochs(
+                args.table, args.from_epoch, args.to_epoch, mode=args.mode
+            )
+            if args.out:
+                # write, then count from the written files: no mid-pipeline
+                # materialize, and the counts reflect what actually landed
+                ds.write_parquet(args.out)
+                ds = ray.data.read_parquet(args.out)
+            if args.mode == "events":
+                counts = {
+                    r[CHANGE_COLUMN]: r["count()"]
+                    for r in ds.groupby(CHANGE_COLUMN).count().take_all()
+                }
+            else:
+                counts = {
+                    str(r["sign"]): r["count()"]
+                    for r in ds.groupby("sign").count().take_all()
+                }
+            print(json.dumps({"from": args.from_epoch, "to": args.to_epoch,
+                              "changes": counts, "out": args.out}))
+        elif args.cmd == "view":
+            from gamechanger_data_ray.engine.views import ViewDef, refresh
+
+            sums = dict(s.split("=", 1) for s in args.sum)
+            m = refresh(
+                ViewDef(args.group_by.split(","), sums),
+                args.view, args.table, num_partitions=args.partitions,
+            )
+            print(json.dumps(
+                {"epoch": m.epoch if m else None,
+                 "mode": m.epoch_counters.get("mode") if m else "current",
+                 "rows": m.totals.get("rows") if m else None}))
         elif args.cmd == "sweep":
             import pandas as pd
 

@@ -113,3 +113,35 @@ def test_cli_history_and_export_import(tmp_path):
     imp = run("import", "--bundle", bundle, "--table", tb2)
     assert imp["epoch"] == 2
     assert run("status", "--table", tb2)["totals"] == run("status", "--table", tb)["totals"]
+
+
+def test_cli_diff_and_view(tmp_path):
+    env = dict(os.environ, PYTHONPATH="/root/repo")
+    cl, tb = str(tmp_path / "cl"), str(tmp_path / "tb")
+    vd, out = str(tmp_path / "view"), str(tmp_path / "diffout")
+
+    def run(*args):
+        r = subprocess.run(
+            [sys.executable, "-m", "gamechanger_data_ray", *args],
+            capture_output=True, text=True, env=env, cwd="/root/repo",
+        )
+        assert r.returncode == 0, r.stderr[-500:]
+        return json.loads(r.stdout.strip().splitlines()[-1])
+
+    run("generate", "--out", cl, "--epochs", "3", "--events", "500", "--keys", "100")
+    run("--num-cpus", "4", "replay", "--changelog", cl, "--table", tb,
+        "--partitions", "4", "--epochs-per-commit", "1")
+
+    d = run("--num-cpus", "4", "diff", "--table", tb,
+            "--from-epoch", "1", "--to-epoch", "3", "--out", out)
+    assert set(d["changes"]) <= {"insert", "update", "delete"}
+    assert sum(d["changes"].values()) > 0
+    assert os.path.isdir(out)
+
+    v1 = run("--num-cpus", "4", "view", "--table", tb, "--view", vd,
+             "--group-by", "source", "--sum", "sum_tok=n_tok")
+    assert v1["epoch"] == 3 and v1["mode"] == "full" and v1["rows"] > 0
+    # second refresh at the same epoch is a fenced no-op
+    v2 = run("--num-cpus", "4", "view", "--table", tb, "--view", vd,
+             "--group-by", "source", "--sum", "sum_tok=n_tok")
+    assert v2["mode"] == "current"
