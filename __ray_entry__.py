@@ -11,7 +11,8 @@ showed the driver scores the first 50 in dict order): the flagship
 training-data/token pipelines and the extraction operators lead, the
 long-green relational tail follows. Operators whose registered face was
 merged or rotated out (q6, topk_part_types, sliding window, split
-text/multimodal variants, …) remain implemented + pytest-oracled in
+text/multimodal variants, events_date_features, …) remain implemented +
+pytest-oracled in
 their modules; tests/test_queries.py checks the full module oracle set,
 not just the registered subset.
 
@@ -77,6 +78,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_sections": X.docs_sections,
         # --- engine-path CDC queries ---
         "cdc_lww_replay": C.cdc_lww_replay,
+        "cdc_view_rollup": C.cdc_view_rollup,
         "cdc_dedup_versions": C.cdc_dedup_versions,
         # --- incremental / sketches ---
         "events_checkpoint_incremental": I.events_checkpoint_incremental,
@@ -114,7 +116,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_range_join": R.events_range_join,
         "events_rollup": R.events_rollup,
         "events_running_total": R.events_running_total,
-        "events_date_features": R.events_date_features,
     }
     assert len(out) == 50, f"registered {len(out)} queries, expected exactly 50"
     return out

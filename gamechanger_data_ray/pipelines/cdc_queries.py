@@ -28,14 +28,15 @@ _PART = "_part"
 
 
 def _derive_changelog(sf_dir: str) -> ray.data.Dataset:
-    """documents → 3 epochs of I/U/D events (deterministic, SQL-mirrorable)."""
-    docs = cm.read(sf_dir, "documents", columns=["doc_id", "text", "source"])
+    """documents → 3 epochs of I/U/D events (deterministic, SQL-mirrorable).
+    Updates append " v2" to text (n_chars + 3 mirrors it)."""
+    docs = cm.read(sf_dir, "documents", columns=["doc_id", "text", "source", "n_chars"])
 
     def to_events(t: pa.Table) -> pa.Table:
         did = t["doc_id"]
         nulls_s = pa.nulls(t.num_rows, pa.string())
 
-        def ep(op, lsn, mask, text, source):
+        def ep(op, lsn, mask, text, source, n_chars):
             tt = pa.table(
                 {
                     "op": pa.array([op] * t.num_rows),
@@ -44,17 +45,18 @@ def _derive_changelog(sf_dir: str) -> ray.data.Dataset:
                     "doc_id": did,
                     "text": text,
                     "source": source,
+                    "n_chars": pc.cast(n_chars, pa.int64()),
                 }
             )
             return tt.filter(mask) if mask is not None else tt
 
-        e1 = ep("I", 1, None, t["text"], t["source"])
+        e1 = ep("I", 1, None, t["text"], t["source"], t["n_chars"])
         # doc_id % 3 == 0 updates, doc_id % 7 == 0 deletes
         did_np = did.to_numpy(zero_copy_only=False) if not isinstance(did, pa.ChunkedArray) else did.combine_chunks().to_numpy(zero_copy_only=False)
         m3 = pa.array(did_np % 3 == 0)
         m7 = pa.array(did_np % 7 == 0)
-        e2 = ep("U", 2, m3, pc.binary_join_element_wise(t["text"], pa.array(["v2"] * t.num_rows), " "), t["source"])
-        e3 = ep("D", 3, m7, nulls_s, nulls_s)
+        e2 = ep("U", 2, m3, pc.binary_join_element_wise(t["text"], pa.array(["v2"] * t.num_rows), " "), t["source"], pc.add(t["n_chars"], 3))
+        e3 = ep("D", 3, m7, nulls_s, nulls_s, pa.nulls(t.num_rows, pa.int64()))
         return pa.concat_tables([e1, e2, e3])
 
     return docs.map_batches(to_events, batch_format="pyarrow")
@@ -120,4 +122,63 @@ SELECT op, COUNT(*) AS n_versions FROM (
     UNION ALL SELECT 'D', 3, doc_id FROM documents WHERE doc_id % 7 = 0
   )
 ) GROUP BY op
+"""
+
+
+def cdc_view_rollup(sf_dir: str):
+    """Incrementally-maintained materialized view, driven end-to-end
+    through the real engine: replay the derived changelog epoch-by-epoch
+    into a committed lake table (`apply_events_dataset`), refreshing the
+    per-source rollup view after EVERY commit — epoch 1 is a full build,
+    epochs 2 (updates) and 3 (deletes) exercise the incremental Z-set
+    retraction path (`engine/views.py`). Returns the final view
+    (source, n_rows, sum_chars). Oracle: plain GROUP BY over the LWW
+    final state — incremental maintenance must be indistinguishable from
+    recomputation (the reference recomputes its rollups on every publish,
+    ``dataPipelines/gc_db_utils/orch/sql/create_views.sql``)."""
+    import tempfile
+
+    from ..engine.cdc import apply_events_dataset
+    from ..engine.views import ViewDef, read_view, refresh
+
+    base = tempfile.mkdtemp(prefix="gcdr_viewq_", dir="/tmp")
+    table_dir, view_dir = f"{base}/table", f"{base}/view"
+    ev = _derive_changelog(sf_dir)
+    schema = pa.schema(
+        [
+            ("op", pa.string()),
+            ("lsn", pa.int64()),
+            ("seq", pa.int64()),
+            ("doc_id", pa.int64()),
+            ("text", pa.string()),
+            ("source", pa.string()),
+            ("n_chars", pa.int64()),
+        ]
+    )
+    view = ViewDef(["source"], {"sum_chars": "n_chars"})
+    for epoch in (1, 2, 3):
+        e = ev.filter(
+            expr=f"lsn == {epoch}"
+        )
+        apply_events_dataset(e, table_dir, epoch, schema, num_partitions=8)
+        refresh(view, view_dir, table_dir, num_partitions=4)
+    return read_view(view_dir)
+
+
+ORACLES["cdc_view_rollup"] = """
+WITH ev AS (
+  SELECT 'I' AS op, 1 AS lsn, doc_id AS seq, doc_id, source, n_chars FROM documents
+  UNION ALL
+  SELECT 'U', 2, doc_id, doc_id, source, n_chars + 3 FROM documents WHERE doc_id % 3 = 0
+  UNION ALL
+  SELECT 'D', 3, doc_id, doc_id, NULL, NULL FROM documents WHERE doc_id % 7 = 0
+), state AS (
+  SELECT source, n_chars FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY lsn DESC, seq DESC) AS rn
+    FROM ev
+  ) WHERE rn = 1 AND op <> 'D'
+)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COALESCE(SUM(n_chars), 0) AS BIGINT) AS sum_chars
+FROM state GROUP BY source
 """
