@@ -29,6 +29,7 @@ ORACLES: dict[str, str] = {}
 
 PACK_CAP = 512  # tokens per packed training sequence
 _RANGE_WIDTH = 128  # docs per range bucket for the prefix-sum scan
+_CHUNKS_PER_GROUP = 64  # packed chunks assembled per shuffle group
 
 
 # ---------------------------------------------------------------------------
@@ -388,8 +389,13 @@ def chunk_sized_tokens(sized: ray.data.Dataset, cap: int) -> ray.data.Dataset:
             so it slices its own array into (chunk_id, pos_in_chunk,
             piece) rows at chunk boundaries — numpy slicing, one python
             iteration per DOC (not per token);
-    pass 3: ``groupby(chunk_id)``: concatenate the ≤3 pieces of each
-            chunk in pos order → (chunk_id, tokens, n_tok)."""
+    pass 3: ``groupby(chunk_id // 64)``: assemble a RANGE of 64 chunks
+            per group — sort the group's pieces by (chunk_id, pos), one
+            flat concat, then cut at per-chunk piece-length sums via a
+            zero-copy ``pa.ListArray.from_arrays``. Grouping by chunk
+            RANGE instead of chunk keeps the shuffle keyspace 64× smaller
+            and amortizes the per-group call overhead (one vectorized
+            call per 64 chunks, not one pandas frame per chunk)."""
 
     # a prefix-sum is inherently two-pass: persist the sized stream so the
     # totals pass and the split pass don't re-run the upstream transform
@@ -423,24 +429,35 @@ def chunk_sized_tokens(sized: ray.data.Dataset, cap: int) -> ray.data.Dataset:
                 positions.append(pos % cap)
                 pieces.append(toks[off : off + take])
                 off += take
-        return pd.DataFrame(
+        out = pd.DataFrame(
             {"chunk_id": chunk_ids, "pos": positions, "piece": pieces}
         ).astype({"chunk_id": "int64", "pos": "int64"})
+        out["cbucket"] = out["chunk_id"] // _CHUNKS_PER_GROUP
+        return out
 
     pieces = sized.groupby("bucket").map_groups(split_pieces, batch_format="pandas")
 
-    def assemble(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("pos")
-        toks = np.concatenate([np.asarray(p, dtype=np.int32) for p in g["piece"]])
-        return pd.DataFrame(
+    def assemble_range(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["chunk_id", "pos"])
+        flat = np.concatenate(
+            [np.asarray(p, dtype=np.int32) for p in g["piece"]]
+        ) if len(g) else np.empty(0, dtype=np.int32)
+        piece_len = g["piece"].str.len().to_numpy(dtype=np.int64)
+        per_chunk = (
+            pd.Series(piece_len).groupby(g["chunk_id"].to_numpy(), sort=True).sum()
+        )
+        offsets = np.concatenate([[0], per_chunk.to_numpy().cumsum()])
+        return pa.table(
             {
-                "chunk_id": [int(g["chunk_id"].iloc[0])],
-                "tokens": [toks.tolist()],
-                "n_tok": [len(toks)],
+                "chunk_id": pa.array(per_chunk.index.to_numpy(), pa.int64()),
+                "tokens": pa.ListArray.from_arrays(
+                    pa.array(offsets, pa.int32()), pa.array(flat, pa.int32())
+                ),
+                "n_tok": pa.array(per_chunk.to_numpy(), pa.int64()),
             }
         )
 
-    return pieces.groupby("chunk_id").map_groups(assemble, batch_format="pandas")
+    return pieces.groupby("cbucket").map_groups(assemble_range, batch_format="pandas")
 
 
 def training_data_pipeline(sf_dir: str, cap: int = PACK_CAP):
