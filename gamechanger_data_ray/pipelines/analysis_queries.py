@@ -188,10 +188,16 @@ def _verified_minhash_pairs(sigs: ray.data.Dataset, tau: float) -> pd.DataFrame:
     Jaccard for its own candidate pairs in place — no driver-side
     signature map, no whole-dataset broadcast, no extra shuffle stages.
     A pair that collides in several bands surfaces once per band; the
-    ≥tau RESULT (the query output) is deduped on the driver."""
-    bands = sigs.map_batches(dd.lsh_bands_with_sig, batch_format="pandas")
-    pairs = bands.groupby(["band_id", "band_hash"]).map_groups(
-        lambda g: dd.bucket_pairs_est(g, tau=tau), batch_format="pandas"
+    ≥tau RESULT (the query output) is deduped on the driver. The bucket
+    pass groups by ROUTE (a coarse hash of the bucket key, NUM_ROUTES
+    groups total) — per-group call overhead stays constant as the bucket
+    count grows with the corpus; singleton buckets die to one vectorized
+    mask inside each route group."""
+    bands = sigs.map_batches(dd.lsh_bands_with_sig, batch_format="pandas").map_batches(
+        dd.with_route, batch_format="pyarrow"
+    )
+    pairs = bands.groupby("route").map_groups(
+        lambda g: dd.routed_bucket_pairs_est(g, tau=tau), batch_format="pandas"
     )
     out = pairs.to_pandas().drop_duplicates(["id_a", "id_b"])
     return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
@@ -269,9 +275,26 @@ def dedup_simhash(sf_dir: str, max_hamming: int = 8):
             {"id_a": "int64", "id_b": "int64", "hamming": "int64"}
         )
 
-    pairs = chunks.groupby(["chunk_id", "chunk_val"]).map_groups(
-        pairs_in_bucket, batch_format="pandas"
+    def routed_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        # one route carries many (chunk_id, chunk_val) buckets: kill
+        # singleton buckets with one vectorized mask, loop only real ones
+        g = g[g.duplicated(["chunk_id", "chunk_val"], keep=False)]
+        if g.empty:
+            return pd.DataFrame(
+                {"id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64"),
+                 "hamming": pd.Series(dtype="int64")}
+            )
+        out = [
+            pairs_in_bucket(sub)
+            for _, sub in g.groupby(["chunk_id", "chunk_val"], sort=False)
+        ]
+        return pd.concat(out, ignore_index=True)
+
+    routed = chunks.map_batches(
+        lambda t: dd.with_route(t, cols=("chunk_id", "chunk_val")),
+        batch_format="pyarrow",
     )
+    pairs = routed.groupby("route").map_groups(routed_pairs, batch_format="pandas")
     out = pairs.to_pandas().drop_duplicates(["id_a", "id_b"])
     return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
 

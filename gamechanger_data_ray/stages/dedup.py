@@ -350,3 +350,50 @@ def simhash_chunks(batch: pd.DataFrame, id_col: str = "doc_id") -> pd.DataFrame:
 
 def hamming64(a: int, b: int) -> int:
     return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+
+# ---------------------------------------------------------------------------
+# Routed bucket processing — shuffle-group granularity decoupled from
+# bucket granularity
+# ---------------------------------------------------------------------------
+
+NUM_ROUTES = 1024  # shuffle groups for the bucket pass (≈32 per cpu at 32)
+
+
+def with_route(
+    t: pa.Table, cols: tuple[str, str] = ("band_id", "band_hash")
+) -> pa.Table:
+    """Coarse deterministic shuffle key over a two-column bucket id: all
+    rows of one bucket share a route, each route carries MANY buckets.
+    Grouping the bucket pass by route instead of by bucket keeps the
+    number of map_groups calls at NUM_ROUTES (vectorized multi-bucket
+    processing inside) rather than one per bucket — at web scale the
+    bucket count is ~docs×bands and per-group call overhead dominates."""
+    a = t[cols[0]].to_numpy(zero_copy_only=False).astype(np.uint64)
+    b = t[cols[1]].to_numpy(zero_copy_only=False).astype(np.uint64)
+    mixed = (b ^ (a * np.uint64(0x9E3779B97F4A7C15))) * _FNV_PRIME
+    return t.append_column(
+        "route", pa.array((mixed % np.uint64(NUM_ROUTES)).astype(np.int64), pa.int64())
+    )
+
+
+def routed_bucket_pairs_est(
+    group: pd.DataFrame, id_col: str = "doc_id", tau: float = 0.0, max_bucket: int = 200
+) -> pd.DataFrame:
+    """All candidate pairs within one ROUTE group: a vectorized
+    ``duplicated`` mask drops singleton buckets (the overwhelming
+    majority) in one pass, then the few real buckets run
+    :func:`bucket_pairs_est` each."""
+    empty = pd.DataFrame(
+        {"id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64"),
+         "est_jaccard": pd.Series(dtype="float64")}
+    )
+    g = group[group.duplicated(["band_id", "band_hash"], keep=False)]
+    if g.empty:
+        return empty
+    out = [
+        bucket_pairs_est(sub, id_col, tau, max_bucket)
+        for _, sub in g.groupby(["band_id", "band_hash"], sort=False)
+    ]
+    out = [o for o in out if len(o)]
+    return pd.concat(out, ignore_index=True) if out else empty
