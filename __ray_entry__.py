@@ -11,7 +11,8 @@ showed the driver scores the first 50 in dict order): the flagship
 training-data/token pipelines and the extraction operators lead, the
 long-green relational tail follows. Operators whose registered face was
 merged or rotated out (q6, topk_part_types, sliding window, split
-text/multimodal variants, events_date_features, …) remain implemented +
+text/multimodal variants, events_date_features, filter_project_rename,
+docs_explode_words, events_running_total, …) remain implemented +
 pytest-oracled in
 their modules; tests/test_queries.py checks the full module oracle set,
 not just the registered subset.
@@ -69,6 +70,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ntok_quantiles": T.ntok_quantiles,
         "vocab_topk": T.vocab_topk,
         "docs_hash_sample": T.docs_hash_sample,
+        "docs_stratified_sample": T.docs_stratified_sample,
+        "docs_bigrams": T.docs_bigrams,
+        "docs_decontaminate": T.docs_decontaminate,
         "text_normalize": T.text_normalize,
         "events_parse_props": T.events_parse_props,
         # --- extraction operators (M5/M6/M13 + dates) ---
@@ -103,7 +107,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q5_local_supplier_volume": R.q5_local_supplier_volume,
         "q17_small_quantity_revenue": R.q17_small_quantity_revenue,
         "q18_large_orders": R.q18_large_orders,
-        "filter_project_rename": R.filter_project_rename,
         "customers_without_orders": R.customers_without_orders,
         "events_tumbling_window": R.events_tumbling_window,
         "events_sessionize": R.events_sessionize,
@@ -111,11 +114,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_ingest_dates": R.user_ingest_dates,
         "orders_top100_global_sort": R.orders_top100_global_sort,
         "top2_customers_per_nation": R.top2_customers_per_nation,
-        "docs_explode_words": R.docs_explode_words,
         "events_asof_join": R.events_asof_join,
         "events_range_join": R.events_range_join,
         "events_rollup": R.events_rollup,
-        "events_running_total": R.events_running_total,
     }
     assert len(out) == 50, f"registered {len(out)} queries, expected exactly 50"
     return out

@@ -664,3 +664,190 @@ ORACLES["events_parse_props"] = r"""
 SELECT event_id, CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT) AS k
 FROM events
 """
+
+
+# ---------------------------------------------------------------------------
+# Corpus curation: stratified sampling, n-gram statistics, decontamination
+# ---------------------------------------------------------------------------
+
+_KNUTH = 2654435761  # Knuth multiplicative hash, exact in int64 and SQL
+
+
+def docs_stratified_sample(sf_dir: str, n_per_source: int = 20):
+    """Deterministic stratified sample: the ``n_per_source`` docs per
+    source with the smallest multiplicative hash — the balanced-mixture
+    sampling step of a training-data pipeline (equal quota per domain
+    regardless of domain skew). Two-level top-k: per-batch top-n per
+    source (combiner) → per-source final top-n, so the shuffle moves at
+    most n rows per (batch, source), never the corpus."""
+    ds = cm.read(sf_dir, "documents", columns=["doc_id", "source"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(h=(df["doc_id"].astype("int64") * _KNUTH) % (1 << 32))
+        df = df.sort_values(["h", "doc_id"])
+        return df.groupby("source", sort=False).head(n_per_source)
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["h", "doc_id"]).head(n_per_source)
+        return g[["source", "doc_id"]]
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("source")
+        .map_groups(final, batch_format="pandas")
+    )
+
+
+ORACLES["docs_stratified_sample"] = f"""
+SELECT source, doc_id FROM (
+  SELECT source, doc_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY source
+           ORDER BY (doc_id * {_KNUTH}) % 4294967296, doc_id
+         ) AS rn
+  FROM documents
+) WHERE rn <= 20
+"""
+
+
+def docs_bigrams(sf_dir: str, k: int = 50):
+    """Global top-k word bigrams — the n-gram language-model statistics
+    pass. Per-batch: flatten all docs' words into one array, form
+    adjacent pairs with a numpy shift, drop pairs that straddle a doc
+    boundary, value_counts (combiner). Finish: distributed
+    ``groupby(bigram).sum`` → per-block local top-k → tiny global top-k
+    (same mergeable-top-k shape as :func:`vocab_topk`)."""
+    from ray.data.aggregate import Sum
+
+    ds = cm.read(sf_dir, "documents", columns=["text"])
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        toks = pc.split_pattern(t["text"], " ")
+        toks = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
+        flat = np.asarray(toks.flatten(), dtype=object)
+        if len(flat) < 2:
+            return pd.DataFrame({"bigram": pd.Series(dtype="object"),
+                                 "n": pd.Series(dtype="int64")})
+        offsets = np.asarray(toks.offsets, dtype=np.int64)
+        offsets = offsets - offsets[0]  # sliced ListArray offsets need rebasing
+        # positions whose successor starts a new doc are not bigram starts
+        starts = np.ones(len(flat) - 1, dtype=bool)
+        starts[offsets[1:-1] - 1] = False
+        lhs, rhs = flat[:-1][starts], flat[1:][starts]
+        big = pd.Series(lhs) + " " + pd.Series(rhs)
+        return big.value_counts().rename_axis("bigram").reset_index(name="n")
+
+    counts = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("bigram")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    local = counts.map_batches(
+        lambda df: df.sort_values(["n", "bigram"], ascending=[False, True]).head(k),
+        batch_format="pandas",
+    ).to_pandas()
+    return (
+        local.sort_values(["n", "bigram"], ascending=[False, True])
+        .head(k)
+        .reset_index(drop=True)
+    )
+
+
+ORACLES["docs_bigrams"] = """
+WITH words AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+         unnest(range(len(string_split(text, ' ')))) AS pos
+  FROM documents
+)
+SELECT a.w || ' ' || b.w AS bigram, COUNT(*) AS n
+FROM words a JOIN words b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+GROUP BY a.w || ' ' || b.w
+ORDER BY n DESC, bigram LIMIT 50
+"""
+
+
+def docs_decontaminate(sf_dir: str, probe_words: int = 8):
+    """Benchmark decontamination: the eval set is every doc_id % 97 == 0
+    document's first-``probe_words`` whole-word prefix; any corpus doc
+    containing a probe as a word-boundary substring is contaminated.
+    Probes are a SMALL set (the eval benchmark) → driver-collected once,
+    broadcast via ``ray.put``; each batch then matches by hashed shingle
+    membership — per doc, every ``L``-word window (for each distinct
+    probe length L) is formed vectorized from the flat word array and
+    checked against the probe set; no text ever leaves the workers.
+    Returns (doc_id, n_hits) for contaminated docs (eval docs hit their
+    own probe). The decontamination step every training-data pipeline
+    runs before packing."""
+    docs = cm.read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def to_probes(t: pa.Table) -> pa.Table:
+        did = t["doc_id"].to_numpy(zero_copy_only=False)
+        sub = t.filter(pa.array(did % 97 == 0))
+        words = pc.split_pattern(sub["text"], " ")
+        probe = pc.binary_join(pc.list_slice(words, 0, probe_words), " ")
+        return pa.table({"probe": probe})
+
+    probe_list = sorted(
+        set(
+            docs.map_batches(to_probes, batch_format="pyarrow")
+            .to_pandas()["probe"]
+            .tolist()
+        )
+    )
+    probes_ref = cm.broadcast(probe_list)
+
+    class Matcher:
+        """Probe set grouped by word-length, hashed once per actor."""
+
+        def __init__(self):
+            probes = ray.get(probes_ref)
+            self.by_len: dict[int, set[str]] = {}
+            for p in probes:
+                self.by_len.setdefault(len(p.split(" ")), set()).add(p)
+
+        def __call__(self, t: pa.Table) -> pd.DataFrame:
+            toks = pc.split_pattern(t["text"], " ")
+            toks = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
+            flat = np.asarray(toks.flatten(), dtype=object)
+            offsets = np.asarray(toks.offsets, dtype=np.int64)
+            offsets = offsets - offsets[0]  # sliced ListArray offsets need rebasing
+            doc_ids = t["doc_id"].to_numpy(zero_copy_only=False)
+            n_docs = len(doc_ids)
+            hits: dict[int, set[str]] = {}
+            doc_of = np.repeat(np.arange(n_docs), np.diff(offsets))
+            for L, pset in self.by_len.items():
+                if len(flat) < L:
+                    continue
+                # window starts whose L words all belong to one doc
+                win_doc = doc_of[: len(flat) - L + 1]
+                ok = doc_of[L - 1 :] == win_doc
+                grams = pd.Series(flat[: len(flat) - L + 1])
+                for j in range(1, L):
+                    grams = grams + " " + pd.Series(flat[j : len(flat) - L + 1 + j])
+                m = ok & grams.isin(pset).to_numpy()
+                for d, g in zip(win_doc[m], grams.to_numpy()[m]):
+                    hits.setdefault(int(d), set()).add(g)
+            if not hits:
+                return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                                     "n_hits": pd.Series(dtype="int64")})
+            idx = sorted(hits)
+            return pd.DataFrame(
+                {"doc_id": doc_ids[idx].astype("int64"),
+                 "n_hits": [len(hits[i]) for i in idx]}
+            )
+
+    return docs.map_batches(
+        Matcher, batch_format="pyarrow", concurrency=(1, cm.pool_size())
+    )
+
+
+ORACLES["docs_decontaminate"] = """
+WITH bench AS (
+  SELECT DISTINCT array_to_string((string_split(text, ' '))[1:8], ' ') AS probe
+  FROM documents WHERE doc_id % 97 = 0
+)
+SELECT d.doc_id, CAST(COUNT(DISTINCT b.probe) AS BIGINT) AS n_hits
+FROM documents d JOIN bench b
+  ON contains(' ' || d.text || ' ', ' ' || b.probe || ' ')
+GROUP BY d.doc_id
+"""
