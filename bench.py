@@ -103,6 +103,9 @@ QUERY_NAMES = [
     "training_data_pipeline",
     "docs_entities",
     "docs_ref_counts",
+    "cdc_view_rollup",
+    "docs_bigrams",
+    "docs_decontaminate",
 ]
 
 

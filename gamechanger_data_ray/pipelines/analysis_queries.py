@@ -165,9 +165,7 @@ def dedup_exact(sf_dir: str):
         return df.groupby("content_hash", as_index=False).agg(doc_id=("doc_id", "min"))
 
     hashed = ds.map_batches(hash_batch, batch_format="pandas")
-    from ray.data.aggregate import Min
-
-    return hashed.groupby("content_hash").aggregate(Min("doc_id", alias_name="doc_id"))
+    return cm.routed_grouped_agg(hashed, ["content_hash"], {"doc_id": "min"})
 
 
 ORACLES["dedup_exact"] = """

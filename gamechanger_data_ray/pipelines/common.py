@@ -100,11 +100,9 @@ def partial_groupby_sum(
     cardinality is bounded (Q1-style rollups, per-source counters): Ray's
     distributed Aggregate has seconds of fixed overhead that dwarfs a
     thousand-row finish. Set ``driver_finish=False`` for high-cardinality
-    keys (e.g. per-doc aggregates over 10^9 keys) to keep the finish as a
-    distributed ``groupby().aggregate``.
+    keys (e.g. per-doc aggregates over 10^9 keys) to keep the finish
+    distributed (see :func:`routed_grouped_agg`).
     """
-    from ray.data.aggregate import Sum
-
     sum_items = list(sums.items())
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
@@ -117,16 +115,50 @@ def partial_groupby_sum(
         return g
 
     partials = ds.map_batches(partial, batch_format="pandas")
+    out_cols = [out for _, out in sum_items] + ([counts] if counts else [])
     if driver_finish:
-        out_cols = [out for _, out in sum_items] + ([counts] if counts else [])
         df = partials.to_pandas()
         if df.empty:
             return df
         return df.groupby(keys, as_index=False, sort=False)[out_cols].sum()
-    aggs = [Sum(out, alias_name=out) for _, out in sum_items]
-    if counts:
-        aggs.append(Sum(counts, alias_name=counts))
-    return partials.groupby(keys).aggregate(*aggs)
+    return routed_grouped_agg(partials, keys, {c: "sum" for c in out_cols})
+
+
+def routed_grouped_agg(
+    partials: ray.data.Dataset,
+    keys: list[str],
+    aggs: dict[str, str],
+    num_routes: int = 256,
+) -> ray.data.Dataset:
+    """Distributed finish over partial-aggregate rows (``aggs`` maps
+    column → "sum"/"min"/"max" — the mergeable aggregates), grouped by a
+    coarse ROUTE key instead of the raw group key: all partials of one
+    key share ``route = hash(key) % num_routes``, each route carries many
+    keys, and the per-route finish is one vectorized pandas groupby.
+    Scales to unbounded key cardinality (the shuffle hash-partitions
+    partial rows into a constant number of groups) without Ray's per-row
+    Aggregate accumulate overhead (seconds of fixed cost measured on tiny
+    inputs) and without one map_groups call per key."""
+    spec = {out: (out, how) for out, how in aggs.items()}
+
+    def add_route(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        h = pd.util.hash_pandas_object(df[keys], index=False)  # fixed hash key
+        df["_route"] = (h % num_routes).astype("int64")
+        return df
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        return (
+            g.drop(columns=["_route"])
+            .groupby(keys, as_index=False, sort=False)
+            .agg(**spec)
+        )
+
+    return (
+        partials.map_batches(add_route, batch_format="pandas")
+        .groupby("_route")
+        .map_groups(finish, batch_format="pandas")
+    )
 
 
 def to_pandas_sorted(result, by: list[str]) -> pd.DataFrame:

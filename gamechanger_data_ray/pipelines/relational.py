@@ -14,7 +14,6 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray
 import ray.data
-from ray.data.aggregate import Count, Max, Min, Sum
 
 from ..core.hashing import version_hash_column
 from . import common as cm
@@ -373,11 +372,11 @@ def user_ingest_dates(sf_dir: str):
 
     partials = ds.map_batches(partial, batch_format="pandas")
     # distributed finish: the user_id key space grows with the data, so the
-    # final min/max is a groupby().aggregate over the partials (one row per
-    # (block, user) enters the shuffle), never a driver-side concat
-    return partials.groupby("user_id").aggregate(
-        Min("original_ingest", alias_name="original_ingest"),
-        Max("current_ingest", alias_name="current_ingest"),
+    # final min/max runs routed over the partials (one row per (block, user)
+    # enters the shuffle), never a driver-side concat
+    return cm.routed_grouped_agg(
+        partials, ["user_id"],
+        {"original_ingest": "min", "current_ingest": "max"},
     )
 
 
@@ -781,14 +780,13 @@ def q17_small_quantity_revenue(sf_dir: str):
         )
 
     # per-part thresholds stay DISTRIBUTED (key cardinality is unbounded):
-    # combiner partials → groupby().aggregate finish → size-adaptive join
+    # combiner partials → routed distributed finish → size-adaptive join
     # back to lineitem (broadcasts while small, hash-shuffles at scale)
-    from ray.data.aggregate import Sum
-
     thr = (
-        li.map_batches(partial, batch_format="pandas")
-        .groupby("l_partkey")
-        .aggregate(Sum("s", alias_name="s"), Sum("c", alias_name="c"))
+        cm.routed_grouped_agg(
+            li.map_batches(partial, batch_format="pandas"),
+            ["l_partkey"], {"s": "sum", "c": "sum"},
+        )
         .map_batches(
             lambda df: pd.DataFrame(
                 {"l_partkey": df["l_partkey"], "thr": 0.2 * df["s"] / df["c"]}

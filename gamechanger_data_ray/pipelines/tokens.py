@@ -38,22 +38,18 @@ _CHUNKS_PER_GROUP = 64  # packed chunks assembled per shuffle group
 
 def vocab_topk(sf_dir: str, k: int = 50):
     """Global word-frequency top-k: per-batch value_counts (combiner) →
-    distributed ``groupby("word").aggregate(Sum)`` finish (the vocabulary
-    is open-ended, so the finish never lands on the driver) → per-block
-    local top-k → tiny global top-k. The shuffle moves one row per
-    (batch, word), never one per token."""
-    from ray.data.aggregate import Sum
-
+    routed distributed sum finish (the vocabulary is open-ended, so the
+    finish never lands on the driver; see ``common.routed_grouped_agg``)
+    → per-block local top-k → tiny global top-k. The shuffle moves one
+    row per (batch, word), never one per token."""
     ds = cm.read(sf_dir, "documents", columns=["text"])
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         words = df["text"].str.split(" ").explode()
         return words.value_counts().rename_axis("word").reset_index(name="n")
 
-    counts = (
-        ds.map_batches(partial, batch_format="pandas")
-        .groupby("word")
-        .aggregate(Sum("n", alias_name="n"))
+    counts = cm.routed_grouped_agg(
+        ds.map_batches(partial, batch_format="pandas"), ["word"], {"n": "sum"}
     )
     # top-k is a mergeable aggregate: local top-k per block, tiny final
     local = counts.map_batches(
@@ -714,11 +710,9 @@ def docs_bigrams(sf_dir: str, k: int = 50):
     """Global top-k word bigrams — the n-gram language-model statistics
     pass. Per-batch: flatten all docs' words into one array, form
     adjacent pairs with a numpy shift, drop pairs that straddle a doc
-    boundary, value_counts (combiner). Finish: distributed
-    ``groupby(bigram).sum`` → per-block local top-k → tiny global top-k
-    (same mergeable-top-k shape as :func:`vocab_topk`)."""
-    from ray.data.aggregate import Sum
-
+    boundary, value_counts (combiner). Finish: routed distributed sum
+    → per-block local top-k → tiny global top-k (same mergeable-top-k
+    shape as :func:`vocab_topk`)."""
     ds = cm.read(sf_dir, "documents", columns=["text"])
 
     def partial(t: pa.Table) -> pd.DataFrame:
@@ -734,13 +728,20 @@ def docs_bigrams(sf_dir: str, k: int = 50):
         starts = np.ones(len(flat) - 1, dtype=bool)
         starts[offsets[1:-1] - 1] = False
         lhs, rhs = flat[:-1][starts], flat[1:][starts]
-        big = pd.Series(lhs) + " " + pd.Series(rhs)
-        return big.value_counts().rename_axis("bigram").reset_index(name="n")
+        # count on the word PAIR (one C-level hash groupby), then build the
+        # bigram string only for the few surviving uniques — elementwise
+        # string concat over every token is the slow path
+        cnt = (
+            pd.DataFrame({"w1": lhs, "w2": rhs})
+            .groupby(["w1", "w2"], sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+        cnt["bigram"] = cnt["w1"] + " " + cnt["w2"]
+        return cnt[["bigram", "n"]]
 
-    counts = (
-        ds.map_batches(partial, batch_format="pyarrow")
-        .groupby("bigram")
-        .aggregate(Sum("n", alias_name="n"))
+    counts = cm.routed_grouped_agg(
+        ds.map_batches(partial, batch_format="pyarrow"), ["bigram"], {"n": "sum"}
     )
     local = counts.map_batches(
         lambda df: df.sort_values(["n", "bigram"], ascending=[False, True]).head(k),
