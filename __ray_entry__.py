@@ -131,10 +131,11 @@ def all_module_oracles() -> dict[str, str]:
     from gamechanger_data_ray.pipelines import extraction_queries as X
     from gamechanger_data_ray.pipelines import incremental as I
     from gamechanger_data_ray.pipelines import relational as R
+    from gamechanger_data_ray.pipelines import search as S
     from gamechanger_data_ray.pipelines import tokens as T
 
     out: dict[str, str] = {}
-    for mod in (R, C, I, A, T, X):
+    for mod in (R, C, I, A, T, X, S):
         out.update(mod.ORACLES)
     return out
 

@@ -29,11 +29,12 @@ def _callable_for(name):
         extraction_queries,
         incremental,
         relational,
+        search,
         tokens,
     )
 
     for m in (relational, cdc_queries, incremental, analysis_queries, tokens,
-              extraction_queries):
+              extraction_queries, search):
         fn = getattr(m, name, None)
         if fn is not None:
             return fn
