@@ -95,17 +95,26 @@ class Tokenizer:
             zip(*(lambda v: (v["word"], v["token_id"]))(ray.get(vocab_ref)))
         )
 
-    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+    def __call__(self, df: pd.DataFrame) -> pa.Table:
+        # flat id array + offsets -> zero-copy ListArray<int32>: no
+        # per-doc python lists (the agg(list) path upcast every token to
+        # a python int and doubled the payload to int64)
         words = df["text"].str.split(" ")
+        counts = words.str.len().to_numpy(dtype=np.int64)
         exploded = words.explode()
-        ids = exploded.map(self.vocab).astype("int32")
-        tokens = ids.groupby(level=0).agg(list)
-        return pd.DataFrame(
+        ids = exploded.map(self.vocab).to_numpy(dtype=np.int32)
+        offsets = np.zeros(len(df) + 1, dtype=np.int64)
+        np.cumsum(counts, out=offsets[1:])
+        tokens = pa.ListArray.from_arrays(
+            pa.array(offsets.astype(np.int32), pa.int32()),
+            pa.array(ids, pa.int32()),
+        )
+        return pa.table(
             {
-                "doc_id": df["doc_id"],
-                "tokens": tokens.reindex(df.index),
-                "n_tok": tokens.reindex(df.index).str.len().astype("int32"),
-                "source": df["source"],
+                "doc_id": pa.array(df["doc_id"].to_numpy()),
+                "tokens": tokens,
+                "n_tok": pa.array(counts.astype(np.int32), pa.int32()),
+                "source": pa.array(df["source"].to_numpy(), pa.string()),
             }
         )
 
