@@ -106,7 +106,20 @@ QUERY_NAMES = [
     "cdc_view_rollup",
     "docs_bigrams",
     "docs_decontaminate",
+    "docs_bm25",
+    "docs_repetition",
+    "docs_mixture_sample",
 ]
+
+
+def resolve_query(queries: dict, name: str):
+    """Registered queries first; module-level operators (outside the
+    50-slot driver contract) resolve to their module function."""
+    if name in queries:
+        return queries[name]
+    from gamechanger_data_ray.pipelines import search
+
+    return getattr(search, name)
 
 
 def consume(result) -> None:
@@ -164,14 +177,14 @@ def run_bench() -> dict:
     query_names = [] if os.environ.get("GRAFT_HEADLINE_ONLY") else QUERY_NAMES
     for name in query_names:
         t0 = time.perf_counter()
-        consume(queries[name](SF_DIR))
+        consume(resolve_query(queries, name)(SF_DIR))
         per_query[name] = round(time.perf_counter() - t0, 3)
     # a query that landed in one of this VM's slow host phases (throughput
     # swings 2-3x over minutes) gets one re-measure; report the min — the
     # engine's time, not the phase's
     for name in [n for n, s in per_query.items() if s > 5.0]:
         t0 = time.perf_counter()
-        consume(queries[name](SF_DIR))
+        consume(resolve_query(queries, name)(SF_DIR))
         per_query[name] = min(per_query[name], round(time.perf_counter() - t0, 3))
 
     result = {

@@ -691,3 +691,146 @@ SELECT doc_id AS media_id,
        n_b AS orig_bytes
 FROM (SELECT doc_id, octet_length(CAST(text AS BLOB)) AS n_b FROM documents)
 """
+
+
+# ---------------------------------------------------------------------------
+# Duplicate-cluster assignment — distributed connected components
+# ---------------------------------------------------------------------------
+
+_CC_STRIDE = 8  # non-overlapping shingle width (full shingles only)
+_CC_MAX_ITERS = 8
+
+
+def dedup_clusters(sf_dir: str, max_iters: int = _CC_MAX_ITERS):
+    """Assign every document to a duplicate CLUSTER (the min doc_id of its
+    connected component) — the step after candidate generation that exact
+    dedup pipelines need: near-dup pairs are edges, and the keep/drop
+    decision wants one canonical representative per component, not per
+    pair.
+
+    Plan (all stages distributed; BSP label propagation):
+      1. shingle rows: per doc, non-overlapping ``_CC_STRIDE``-gram
+         shingles (full-width only) — vectorized explode + positional
+         group concat; (doc_id, shingle) rows, linear in corpus tokens.
+      2. star edges: ``groupby(shingle)`` emits bidirectional edges from
+         each bucket's min doc to the rest — O(bucket) edges, never the
+         O(bucket²) pair blow-up, same connectivity.
+      3. min-label propagation: labels start as own doc_id; each round
+         hash-joins edges to labels and takes the per-node min
+         (``routed_grouped_agg``). The label sum is monotone
+         non-increasing, so equal sums == fixpoint; iteration count is
+         the component diameter (tiny for dup clusters — star edges make
+         each shingle bucket diameter 2).
+
+    The oracle recomputes the same corpus, the same full-shingle buckets,
+    complete within-bucket edges (identical components as star edges) and
+    a recursive-CTE transitive closure with MIN over reachable labels.
+    """
+    corpus = _with_near_copies(sf_dir)
+
+    def shingle_rows(df: pd.DataFrame) -> pd.DataFrame:
+        words = df["text"].str.split(" ")
+        counts = words.str.len().to_numpy(dtype=np.int64)
+        exploded = words.explode()
+        doc = df["doc_id"].to_numpy()[np.repeat(np.arange(len(df)), counts)]
+        pos = (
+            np.concatenate([np.arange(c) for c in counts])
+            if len(counts)
+            else np.empty(0, dtype=np.int64)
+        )
+        t = pd.DataFrame(
+            {"doc_id": doc, "w": exploded.to_numpy(), "sid": pos // _CC_STRIDE}
+        )
+        g = t.groupby(["doc_id", "sid"], sort=False)["w"]
+        sh = g.agg(" ".join)
+        full = sh[g.size() == _CC_STRIDE].reset_index()
+        out = full[["doc_id", "w"]].rename(columns={"w": "shingle"})
+        return out.drop_duplicates()
+
+    shingles = corpus.map_batches(shingle_rows, batch_format="pandas")
+
+    def star_edges(g: pd.DataFrame) -> pd.DataFrame:
+        m = int(g["doc_id"].min())
+        others = g.loc[g["doc_id"] != m, "doc_id"].unique()
+        if len(others) == 0:
+            return pd.DataFrame({"src": pd.Series(dtype="int64"), "dst": pd.Series(dtype="int64")})
+        return pd.DataFrame(
+            {
+                "src": np.concatenate([np.full(len(others), m, dtype=np.int64), others]),
+                "dst": np.concatenate([others, np.full(len(others), m, dtype=np.int64)]),
+            }
+        )
+
+    # self-loop edges make each propagation round self-contained (every
+    # node re-receives its own current label), so a round is exactly ONE
+    # co-bucketed join + ONE grouped min — no separate union pass
+    self_loops = corpus.map_batches(
+        lambda df: pd.DataFrame({"src": df["doc_id"], "dst": df["doc_id"]}),
+        batch_format="pandas",
+    )
+    edges = (
+        shingles.groupby("shingle")
+        .map_groups(star_edges, batch_format="pandas")
+        .union(self_loops)
+        .materialize()
+    )
+
+    labels = corpus.map_batches(
+        lambda df: pd.DataFrame({"src": df["doc_id"], "label": df["doc_id"]}),
+        batch_format="pandas",
+    ).materialize()
+
+    from .joins import bucketed_hash_join
+
+    prev_sum = None
+    for _ in range(max_iters):
+        prop = bucketed_hash_join(edges, labels, on="src", num_buckets=8).map_batches(
+            lambda df: pd.DataFrame({"src": df["dst"], "label": df["label"]}),
+            batch_format="pandas",
+        )
+        labels = cm.routed_grouped_agg(
+            prop, ["src"], {"label": "min"}, num_routes=64
+        ).materialize()
+        s = labels.sum("label")
+        if s == prev_sum:
+            break
+        prev_sum = s
+
+    return labels.map_batches(
+        lambda df: pd.DataFrame({"doc_id": df["src"], "cluster": df["label"]}),
+        batch_format="pandas",
+    )
+
+
+ORACLES["dedup_clusters"] = f"""
+WITH RECURSIVE corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {_COPY_OFFSET} AS doc_id,
+         array_to_string(
+           (string_split(text, ' '))[1:GREATEST(len(string_split(text, ' ')) - 5, 0)],
+           ' ') AS text
+  FROM documents WHERE doc_id % 10 = 0
+),
+words AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+         unnest(range(len(string_split(text, ' ')))) AS pos
+  FROM corpus
+),
+sh AS (
+  SELECT doc_id, pos // {_CC_STRIDE} AS sid,
+         string_agg(w, ' ' ORDER BY pos) AS shingle, COUNT(*) AS c
+  FROM words GROUP BY doc_id, pos // {_CC_STRIDE}
+),
+fsh AS (SELECT DISTINCT doc_id, shingle FROM sh WHERE c = {_CC_STRIDE}),
+edges AS (
+  SELECT a.doc_id AS u, b.doc_id AS v
+  FROM fsh a JOIN fsh b USING (shingle) WHERE a.doc_id <> b.doc_id
+),
+reach(node, label) AS (
+  SELECT doc_id, doc_id FROM corpus
+  UNION
+  SELECT e.v, r.label FROM reach r JOIN edges e ON e.u = r.node
+)
+SELECT node AS doc_id, MIN(label) AS cluster FROM reach GROUP BY node
+"""

@@ -186,3 +186,32 @@ def test_bucket_pairs_est_respects_tau_and_cap():
     assert out[["id_a", "id_b"]].values.tolist() == [[1, 2]]
     # cap of 1 member → no pairs
     assert bucket_pairs_est(g, tau=0.0, max_bucket=1).empty
+
+
+def test_dedup_clusters_links_near_copies(ray_session):
+    """Every planted near-copy (doc_id+offset, last 5 words dropped) whose
+    shared prefix still contains a full 8-gram must land in its original's
+    cluster; cluster rep is the component min."""
+    from gamechanger_data_ray.pipelines import analysis_queries as A
+
+    out = (
+        A.dedup_clusters("/root/testdata/sf0.001")
+        .to_pandas()
+        .set_index("doc_id")["cluster"]
+    )
+    import duckdb
+
+    docs = duckdb.sql(
+        "SELECT doc_id, len(string_split(text,' ')) AS n FROM "
+        "read_parquet('/root/testdata/sf0.001/documents.parquet') "
+        "WHERE doc_id % 10 = 0"
+    ).df()
+    for _, row in docs.iterrows():
+        orig, n = int(row["doc_id"]), int(row["n"])
+        copy = orig + A._COPY_OFFSET
+        if (n - 5) // A._CC_STRIDE >= 1:  # prefix keeps >=1 full shingle
+            assert out[copy] == out[orig]
+    # cluster rep is a member of the cluster and is its min
+    grp = out.reset_index().groupby("cluster")["doc_id"].min()
+    for cluster, mn in grp.items():
+        assert cluster == mn
