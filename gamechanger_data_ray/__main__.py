@@ -82,6 +82,9 @@ def main(argv: list[str] | None = None) -> int:
     rs.add_argument("--table", required=True)
     rs.add_argument("--epoch", type=int, required=True)
 
+    va = sub.add_parser("validate", help="distributed schema+invariant validation of the snapshot")
+    va.add_argument("--table", required=True)
+
     vc = sub.add_parser("vacuum", help="delete unreferenced data files + old manifests")
     vc.add_argument("--table", required=True)
     vc.add_argument("--keep-epochs", type=int, default=2)
@@ -271,6 +274,10 @@ def main(argv: list[str] | None = None) -> int:
                 {"epoch": m.epoch if m else None,
                  "mode": m.epoch_counters.get("mode") if m else "current",
                  "rows": m.totals.get("rows") if m else None}))
+        elif args.cmd == "validate":
+            from gamechanger_data_ray.engine.maintenance import validate_table
+
+            print(json.dumps(validate_table(args.table)))
         elif args.cmd == "sweep":
             import pandas as pd
 

@@ -215,3 +215,76 @@ def import_table(bundle_dir: str, table_dir: str) -> mf.TableManifest:
     if not mf.commit(table_dir, manifest):
         raise RuntimeError(f"import commit fenced out at {table_dir}")
     return manifest
+
+
+def validate_table(table_dir: str) -> dict:
+    """Distributed schema + row-invariant validation of the committed
+    snapshot — the reference's ``--verify`` JSON-schema gate
+    (``common/document_parser/cli.py:75-81`` + ``validators/``) as a
+    counting pass: every manifest-referenced file is read, conformed to
+    the manifest schema (schema drift in old files surfaces here), and
+    the row invariants are counted vectorized per partition:
+
+    - ``len(tokens) == n_tok`` for payload rows
+    - ``doc_id`` non-null and non-empty
+    - committed rows carry ``op`` ∈ {I, U} (tombstones never land)
+    - ``lsn >= 0`` and ``version_hash`` non-null for payload rows
+
+    Driver sees O(P) partial rows (one per partition per block); payload
+    never leaves the workers.
+    """
+    import re
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+
+    from ..core.reconcile import conform
+    from ..state.fs import default_fs
+
+    fs = default_fs(None)
+    current = mf.load_current(table_dir, fs)
+    if current is None or not current.partitions:
+        return {"rows": 0, "violations": {}, "by_partition": {}}
+    b64 = mf.schema_to_b64(current.schema)
+    part_re = re.compile(r"part=(\d+)/")
+
+    def check(t: pa.Table) -> pd.DataFrame:
+        paths = t["path"].to_pylist()
+        t = conform(t.drop_columns(["path"]), mf.schema_from_b64(b64))
+        part = pd.Series([int(part_re.search(p).group(1)) for p in paths])
+        ntok = pc.list_value_length(t["tokens"]).to_pandas().astype("float")
+        n_tok_col = t["n_tok"].to_pandas().astype("float")
+        doc = t["doc_id"].to_pandas()
+        op = t["op"].to_pandas()
+        lsn = t["lsn"].to_pandas()
+        vh = t["version_hash"].to_pandas()
+        viol = pd.DataFrame(
+            {
+                "part": part,
+                "rows": 1,
+                "ntok_mismatch": (ntok != n_tok_col).fillna(True).astype(int),
+                "bad_doc_id": (doc.isna() | (doc == "")).astype(int),
+                "bad_op": (~op.isin(["I", "U"])).astype(int),
+                "bad_lsn": (lsn.isna() | (lsn < 0)).astype(int),
+                "null_version_hash": vh.isna().astype(int),
+            }
+        )
+        return viol.groupby("part", as_index=False).sum()
+
+    files = current.data_files(table_dir)
+    ds = ray.data.read_parquet(files, filesystem=fs.fs, include_paths=True)
+    partials = ds.map_batches(check, batch_format="pyarrow").to_pandas()
+    agg = partials.groupby("part").sum()
+    viol_cols = [c for c in agg.columns if c != "rows"]
+    totals = agg[viol_cols].sum()
+    return {
+        "rows": int(agg["rows"].sum()),
+        "violations": {k: int(v) for k, v in totals.items() if v},
+        "by_partition": {
+            int(p): {k: int(r[k]) for k in viol_cols if r[k]}
+            for p, r in agg.iterrows()
+            if any(r[k] for k in viol_cols)
+        },
+    }

@@ -173,3 +173,52 @@ def test_read_asof_is_nondestructive_time_travel(table):
     pd.testing.assert_frame_equal(asof2, want[asof2.columns])
     restore(table, 4)
     assert table_to_arrow(table).equals(now)
+
+
+def test_validate_clean_table_has_no_violations(table, ray_session):
+    from gamechanger_data_ray.engine.maintenance import validate_table
+
+    out = validate_table(table)
+    assert out["rows"] == mf.load_current(table).totals["rows"]
+    assert out["violations"] == {}
+    assert out["by_partition"] == {}
+
+
+def test_validate_counts_corrupt_rows_per_partition(table, ray_session):
+    """Rewrite one referenced data file with a wrong n_tok and an empty
+    doc_id; the validator must count both, attributed to that partition."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from gamechanger_data_ray.engine.maintenance import validate_table
+
+    current = mf.load_current(table)
+    victim = sorted(current.data_files(table))[0]
+    t = pq.read_table(victim)
+    n = t.num_rows
+    assert n >= 2
+    bad_ntok = t["n_tok"].to_pylist()
+    bad_ntok[0] = (bad_ntok[0] or 0) + 7
+    doc = t["doc_id"].to_pylist()
+    doc[1] = ""
+    t = t.set_column(t.schema.get_field_index("n_tok"), "n_tok",
+                     pa.array(bad_ntok, t.schema.field("n_tok").type))
+    t = t.set_column(t.schema.get_field_index("doc_id"), "doc_id",
+                     pa.array(doc, pa.string()))
+    pq.write_table(t, victim)
+
+    out = validate_table(table)
+    assert out["violations"]["ntok_mismatch"] == 1
+    assert out["violations"]["bad_doc_id"] == 1
+    import re
+
+    part = int(re.search(r"part=(\d+)/", victim.replace("\\", "/")).group(1))
+    assert out["by_partition"][part]["ntok_mismatch"] == 1
+    assert out["by_partition"][part]["bad_doc_id"] == 1
+
+
+def test_validate_empty_table(tmp_path, ray_session):
+    from gamechanger_data_ray.engine.maintenance import validate_table
+
+    out = validate_table(str(tmp_path / "nope"))
+    assert out == {"rows": 0, "violations": {}, "by_partition": {}}
