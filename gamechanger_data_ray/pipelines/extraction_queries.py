@@ -42,6 +42,25 @@ def _ref_suffix(doc_id: int) -> str:
     if doc_id % 3 == 0:
         s += f" and DoDD {d4}.{d2}"
     s += f" under Title {t} and EO {eo} per {cf} CFR"
+    # one family from the wider library per doc, rotated by doc_id — every
+    # driver run exercises 8 more pattern families end-to-end
+    fam = doc_id % 8
+    if fam == 0:
+        s += f" with CJCSI {3000 + doc_id % 900}.{1 + doc_id % 9}"
+    elif fam == 1:
+        s += f" with JP {1 + doc_id % 7}-{doc_id % 10}"
+    elif fam == 2:
+        s += f" with AR {600 + doc_id % 100}-{1 + doc_id % 80}"
+    elif fam == 3:
+        s += f" with OPNAVINST {5000 + doc_id % 999}.{1 + doc_id % 99}"
+    elif fam == 4:
+        s += f" with STANAG {4000 + doc_id % 999}"
+    elif fam == 5:
+        s += f" with MIL-STD-{800 + doc_id % 199}"
+    elif fam == 6:
+        s += f" with MARADMIN {100 + doc_id % 899}/{10 + doc_id % 89}"
+    else:
+        s += f" with AFI {10 + doc_id % 80}-{2000 + doc_id % 999}"
     return s
 
 
@@ -52,6 +71,20 @@ _REF_SUFFIX_SQL = """
           ELSE '' END
   || ' under Title ' || (doc_id % 60) || ' and EO ' || (12000 + doc_id % 2000)
   || ' per ' || (doc_id % 55) || ' CFR'
+"""
+
+# the rotated wider-library citation, as SQL (same arithmetic as _ref_suffix)
+_REF_FAMILY_SQL = """
+  CASE doc_id % 8
+    WHEN 0 THEN 'CJCSI ' || (3000 + doc_id % 900) || '.' || (1 + doc_id % 9)
+    WHEN 1 THEN 'JP ' || (1 + doc_id % 7) || '-' || (doc_id % 10)
+    WHEN 2 THEN 'AR ' || (600 + doc_id % 100) || '-' || (1 + doc_id % 80)
+    WHEN 3 THEN 'OPNAVINST ' || (5000 + doc_id % 999) || '.' || (1 + doc_id % 99)
+    WHEN 4 THEN 'STANAG ' || (4000 + doc_id % 999)
+    WHEN 5 THEN 'MIL-STD ' || (800 + doc_id % 199)
+    WHEN 6 THEN 'MARADMIN ' || (100 + doc_id % 899) || '/' || (10 + doc_id % 89)
+    ELSE 'AFI ' || (10 + doc_id % 80) || '-' || (2000 + doc_id % 999)
+  END
 """
 
 
@@ -89,8 +122,10 @@ SELECT doc_id, ref, n FROM (
   UNION ALL
   SELECT doc_id, 'CFR Title ' || (doc_id % 55), 1 FROM documents
   WHERE doc_id % 55 BETWEEN 1 AND 50
+  UNION ALL
+  SELECT doc_id, {family}, 1 FROM documents
 )
-"""
+""".format(family=_REF_FAMILY_SQL)
 
 
 # ---------------------------------------------------------------------------

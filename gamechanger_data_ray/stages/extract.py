@@ -48,23 +48,217 @@ def preprocess_text(text: str) -> str:
     return " ".join(text.split())
 
 
+# Shared number-shape vocabulary. Most citation families are "<head
+# alternation> <number>"; the shapes below name the recurring number
+# grammars so the table reads as (type, heads, shape) facts about the
+# public citation formats rather than 1200 lines of literal regex
+# (the reference spells each one out long-hand; same language, different
+# factoring).
+_DODNUM = r"(?:[A-Z]+-)?[0-9]{4}\. ?[0-9]{1,3} ?(?:-[A-Z]+)?E?"     # 1234.56, AB-1234.56-CD
+_D4DOT = r"[0-9]{4}\.[0-9]{1,3}[A-Z]?"                              # 1234.56A
+_DASH = lambda a, b: rf"[0-9]{{{a}}} ?- ?[0-9]{{{b}}}"              # digit-dash-digit
+_PARTNUM = (r"(?:(?:Sub)?Part|Clauses?)? ?[0-9]{1,5}(?:[-\.][0-9]{1,5}){0,3}"
+            r"|Appendix ?[A-Z]")                                     # FAR/DFARS part or appendix
+
+# (type, head alternation, number shape) — builder wraps as
+# \b(?:heads) ?(shape), IGNORECASE; exactly ONE capture group (the number),
+# the ``ref_utils.py::make_dict`` contract.
+_CITE_TABLE: tuple[tuple[str, str, str], ...] = (
+    ("DoD", r"dod", _DODNUM),
+    ("DoDD", r"dod ?directives?|dodd", _DODNUM),
+    ("DoDI", r"dod ?instruction|dodi", _DODNUM),
+    ("DoDM", r"dod ?manual|dodm",
+     r"(?:[A-Z]+-)?[0-9]{4}\. ?[0-9]{1,3}(?: ?,* ?Volume ?[0-9]+| ?- ?V[0-9])?"),
+    ("DTM", r"dtm ?-?|dt ?memorandum ?-?", r"[0-9]{2} ?- ?[0-9]{3}"),
+    ("AI", r"administrative ?instruction|ai", r"[0-9]+"),
+    ("ICD", r"intelligence ?community ?directive|icd", r"[0-9]{1,3}\b"),
+    ("ICPG", r"icpg", r"(?:[A-Z]+-)?[0-9]{3}\. ?[0-9]{1,3} ?(?:-[A-Z]+)?E?"),
+    ("ICPM", r"icpm", r"[0-9]{4}- ?[0-9]{3}- ?[0-9]"),
+    ("CJCSI", r"cjcs ?i(?:nstruction)?|chairman of (?:the )?joint chiefs? of staff instruction",
+     r"[A-Z]-[0-9]|[0-9]{1,6}\.(?:[0-9A-Z]{1,5}){1,2}"),
+    ("CJCSM", r"cjcs ?manual|cjcsm", r"(?:[A-Z]+-)?[0-9]{4}\. ?[0-9]{1,3}[A-Z]?"),
+    ("CJCS GDE", r"cjcs ?gde|cjcsg", r"(?:[A-Z]+-)?[0-9]{4} ?[A-Z]?"),
+    ("CJCSN", r"cjcs ?notice|cjcsn", r"(?:[A-Z]+-)?[0-9]{4}(?:\. ?[0-9]{0,3}[A-Z]?)?"),
+    ("JP", r"joint ?publication|j[ \.]?p[ \.]?", r"[0-9]{1,3}(?:[-\.][0-9]{1,3}){0,3}"),
+    ("DCID", r"director ?of ?central ?intelligence ?directives|dcid", r"[0-9]/[0-9]{1,2}P?"),
+    ("EO", r"executive ?order|eo|e\. ?o\. ?", r"[0-9]{5}"),
+    ("AR", r"ar|army ?regulations?", r"[0-9]{1,3}(?: ?- ?[0-9]{1,3}){0,2}"),
+    ("AGO", r"ago|army ?general ?orders?", r"(?:19|20)[0-9]{2} ?- ?[0-9]{2,3}"),
+    ("ADP", r"adp|army ?doctrine ?publications?", r"1|[0-9]{1,2} ?- ?[0-9]{1,2}"),
+    ("PAM", r"pam|da ?pam(?:phlets?)?", _DASH("1,3", "1,3") + r"(?: ?- ?[0-9]{1,3})?"),
+    ("ATP", r"atp|army ?techniques ?publications?",
+     r"[0-9] ?- ?[0-9]{1,2}(?:\.[0-9]{1,2}(?: ?- ?[0-9]{1,2})?)?"),
+    ("ARMY", r"army ?dir|army ?directives?", r"20[0-9]{2} ?- ?[0-9]{2}(?: ?- ?[0-9]{1,2})?"),
+    ("TC", r"tc|training ?circular",
+     r"[0-9]{1,2} ?- ?(?:HEAT|[0-9]{1,3}(?: ?(?:\.|- ?[0-9]{1,3}(?: ?- ?[0-9])?A?)?))"),
+    ("STP", r"stp|soldier ?training ?publication",
+     r"[0-9]{1,2} ?- ?[A-Z0-9]{1,6}(?: ?- ?[A-Z]{2,4}(?: ?- ?[A-Z]{2})?)?"),
+    ("TB", r"tb|technical ?bulletins?",
+     r"ENG ?[0-9]{2,3}|[0-9]{3} ?- ?[0-9]{1,2}|MED ?[0-9]{1,3}(?:- ?[0-9]{1,2})?"
+     r"|[0-9]{1,2} ?- ?[0-9]{3,4} ?(?:- ?(?:[0-9]{3} ?- ?[0-9]{2})|(?:[A-Z]{3})?)"),
+    ("DA", r"da ?memo(?:randums?)?", _DASH("1,3", "1,3") + r"(?: ?- ?[0-9]{2})?"),
+    ("FM", r"fm|field ?manual", r"(?:[0-9]{1,3}[-\.]){1,3}[0-9A-Z]{0,3}"),
+    ("GTA", r"gta|graphic ?training ?aid", _DASH("2", "2") + r"(?: ?- ?[0-9]{3})?[A-Z]?"),
+    ("HQDA", r"hqda ?policy ?notice", _DASH("1,3", "1")),
+    ("CTA", r"cta|common ?table ?of ?allowances?", _DASH("1,2", "3")),
+    ("ATTP", r"attp|army ?tactics,? ?techniques ?and ?procedures?",
+     r"[0-9] ?- ?[0-9]{2} ?\. ?[0-9]{2}"),
+    ("TM", r"tm|technical ?manuals?",
+     r"[0-9]{1,2} ?- ?[A-Z0-9]{1,4}(?:\.[0-9]{2})?(?: ?- ?[A-Z0-9&]{1,4})*"),
+    ("AFI", r"afi|air ?force ?instructions?", r"[0-9]{1,2} ?- ?[A-Z0-9-_]+"),
+    ("CFETP", r"cfetp|career ?field ?education ?(?:and|&) ?training ?plan",
+     r"[A-Z0-9]*[0-9][A-Z0-9-_]+"),
+    ("AFMAN", r"afman|air ?force ?manual", r"[0-9]{2} ?- ?[A-Z0-9-_]+"),
+    ("QTP", r"qtp|qualification ?training ?package",
+     r"[0-9][0-9A-Z]{1,6}(?: ?- ?[0-9A-Z]{1,6}){0,2}"),
+    ("AFPD", r"afpd|air ?force ?policy ?directive",
+     r"1|[0-9]{2} ?- ?[0-9]{1,2}(?: ?- ?[A-Z])?"),
+    ("AFTTP", r"afttp|air ?force ?tactics?,? ?techniques?,? ?(?:and|&)? ?procedures?",
+     r"[0-9] ?- ?[0-9]{1,2}(?:\.[0-9]{1,2})?(?:V[0-9]|_[A-Z]{2})?"),
+    ("AFVA", r"afva|air ?force ?visual ?aids?", _DASH("1,2", "1,4")),
+    ("AFH", r"afh|air ?force ?handbook",
+     r"1|[0-9]{1,2} ?- ?[0-9]{3,4}(?: ?I ?| ?V ?[0-9]{1,2}|(?: ?, ? ?Vol(?:ume)? ?[0-9]{1,2}))?"),
+    ("HAFMD", r"hafmd|headquarters ?air ?force ?mission ?directive",
+     r"[0-9] ?- ?[0-9]{1,2}(?: ?ADDENDUM ?[A-Z])?"),
+    ("AFPAM", r"afpam|air ?force ?pamphlet", r"(?: ?I ?)?[0-9]{2} ?- ?[0-9]{3,4}(?: ?V ?[0-9])?"),
+    ("AFMD", r"afmd|air ?force ?mission ?directive", r"[0-9]{1,2}"),
+    ("AFM", r"afm|air ?force ?manual", _DASH("2", "2")),
+    ("HOI", r"hoi|headquarters ?operating ?instruction", _DASH("2", "1,2")),
+    ("AFJQS", r"afjqs|air ?force ?job ?qualification ?standard",
+     r"[0-9][0-9A-Z]{4}(?: ?- ?[0-9])?"),
+    ("AFJI", r"afji|air ?force ?joint ?instruction", _DASH("2", "3,4")),
+    ("AFGM", r"afgm|air ?force ?guidance ?memorandum",
+     r"[0-9]{4} ?- ?[0-9]{2} ?- ?[0-9]{2}(?:[0-9] ?- ?[0-9]{2})?"),
+    ("DAFI", r"dafi|department ?of ?the ?air ?force ?instruction",
+     r"[0-9]{2} ?- ?[0-9]{3,4}(?: ?V ?[0-9])?"),
+    ("AF", r"af ?(?:form)?|air ?force ?(?:form)?", r"[0-9]{1,4}[A-Z]?"),
+    ("SF", r"sf", r"[0-9]{2,4}(?: ?- ?[0-9])?[A-Z]?"),
+    ("AFPM", r"afpm|air ?force ?policy ?memorandum", r"[0-9]{4} ?- ?[0-9]{2} ?- ?[0-9]{2}"),
+    ("AFJMAN", r"afjman|air ?force ?joint ?manual", _DASH("2", "3")),
+    ("JTA", r"jta|joint ?table ?of ?allowances?", _DASH("2", "1,3")),
+    ("DAFPD", r"dafpd|department ?of ?the ?air ?force ?policy ?directive", _DASH("2", "1,2")),
+    ("MCO", r"mco|marine ?corps ?orders?", r"[0-9]{4,5}[A-Z]?\.[0-9]{1,3}[A-Z]?"),
+    ("MCO P", r"mco[ -]p[ -]?", r"[0-9]{2,6}[A-Z]?(?:\.[0-9]{1,3}[A-Z]?)\b"),
+    ("MCBUL", r"mcbul|marine ?corps ?bulletin", r"[0-9]{4,5}"),
+    ("NAVMC", r"navmc", r"[0-9]{4}(?:\.[0-9]{1,3}[A-Z]?| ?- ?[A-Z])?"),
+    ("NAVMC DIR", r"navmc ?dir|navmc ?directive", r"[0-9]{4}.[0-9]{1,3}[A-Z]?"),
+    ("MCRP", r"mcrp|marine ?corps ?reference ?publication",
+     r"[0-9]{1,2} ?- ?[0-9]{1,2}[A-Z]?(?:\.[0-9]{1,2}[A-Z]?)?"),
+    ("MCTP", r"mctp|marine ?corps ?tactical ?publication", r"[0-9]{1,2} ?- ?[0-9]{2}[A-Z]"),
+    ("MCWP", r"mcwp|marine ?corps ?warfighting ?publication",
+     r"(?:[0-9]{1,3}[-\.]){1,3}[0-9A-Z]{0,3}"),
+    ("MCDP", r"mcdp|marine ?corps ?doctrinal ?publication", r"[0-9](?: ?- ?[0-9])?"),
+    ("MCIP", r"mcip|marine ?corps ?interim ?publication",
+     r"[0-9]{1,2} ?- ?[0-9]{2}(?:[A-Z]{1,2})?(?:\.?[0-9]{1,2}[A-Z]?)?"),
+    ("FMFRP", r"fmfrp|fleet ?marine ?force ?reference ?publication",
+     r"[0-9]{1,2} ?- ?[0-9]{1,3}(?: ?- ?I+)?"),
+    ("FMFM", r"fmfm|fleet ?marine ?force ?manuals?", r"[0-9] ?- ?[0-9]{1,2}(?: ?- ?[0-9])?"),
+    ("IRM", r"irm|information ?resource ?management", r"(?:- ?)?[0-9]{4} ?- ?[0-9]{2}[A-Z]?"),
+    ("SECNAVINST", r"secnavinst|secnav ?instruction", r"[0-9]{4}\.[0-9]{1,2}[A-Z]?"),
+    ("SECNAV", r"secnav", r"M ?- ?[0-9]{4}\.[0-9]{1,2}"),
+    ("NAVSUP", r"navsup p(?:ub(?:lication)?)? ?-?", r"[0-9]{1,4}"),
+    ("JAGINST", r"jaginst|jag ?instruction", r"[0-9]{4,5}(?:\.[0-9]{1,2}[A-Z]?)?"),
+    ("OMBM", r"ombm?", r"(?:M-)?[0-9]{1,3}-[0-9]{1,3}\b"),
+    ("OMBC", r"(?:omb|office ?of ?management ?and ?budget) ?c(?:ircular)? (?:No\.? ?)?",
+     r"[A-Z]-[0-9]{1,5}"),
+    ("CI", r"comdtinst", r"[0-9]{3,6}(?:\.[0-9]{1,4}[A-Z]?)?"),
+    ("COMDTPUB", r"comdtpub", r"[A-Z]?[0-9]{2,6}(?:\.[0-9]{1,3}[A-Z]?)?"),
+    ("CIM", r"comdtinst ?m", r"[0-9]{3,6}(?:\.[0-9]{1,4}[A-Z]?)?"),
+    ("DCMS", r"(?:deputy ?commandant ?for ?mission ?support|dcms),? ?(?:contingency ?support ?plan,? ?)?",
+     r"[0-9]{2,6}-[0-9]{1,4}"),
+    ("PSCNOTE", r"pscnote", r"[0-9]{1,6}(?:\.[0-9]{1,4})?"),
+    ("DoDFMR", r"(?:department ?of ?defense ?financial ?management ?regulation|dod ?fmr),? ?",
+     r"Volume ?[0-9]{1,3}[A-Z]?"),
+    ("PSCINST", r"pscinst", r"[A-Z]?[0-9]{2,6}(?:\.?[0-9]{1,3})?"),
+    ("CGTTP", r"cgttp",
+     r"(?:[0-9]{1,2}-[0-9]{1,2}){1,3}(?:-[0-9]{1,2})?[A-Z]?(?:\.[0-9]{1,2}[A-Z]?)?"),
+    ("NTTP", r"nttp",
+     r"(?:[0-9]{1,2}-[0-9]{1,2}){1,3}(?:-[0-9]{1,2})?[A-Z]?(?:\.[0-9]{1,2}[A-Z]?)?"),
+    ("DHS Directive", r"dhs ?directive(?: ?no\.?)?", _DASH("1,3", "1,3")),
+    ("HSPD", r"(?:hspd|homeland ?security ?presidential ?directive)[ -]?", r"[0-9]{1,3}"),
+    ("OPNAVINST", r"opnavinst|opnav ?instruction", r"[0-9]{1,6}\.[0-9]{1,3}[A-Z]?"),
+    ("CGTO", r"cgto ", r"(?:PG)?[- ]?(?:[0-9]{1,4}[A-Z]?-){1,3}[0-9]{0,4}[A-Z]?"),
+    ("DHA Procedural Instructions", r"dha ?procedural ?instructions? ",
+     r"[0-9]{1,6}(?:\.[0-9]{1,4})?"),
+    ("DHA Procedures Manuals", r"dha ?procedures? ?manuals? ",
+     r"[0-9]{1,6}(?:\.[0-9]{1,4})?(?:,? ?(?:Vol|Volumes?)[,.]? ?[0-9]{1,3}(?:-[0-9]{1,3})?)?"),
+    ("DHA Technical Manuals", r"dha ?technical ?manuals? ",
+     r"[0-9]{1,6}(?:\.[0-9]{1,4})?(?:,? ?(?:Vol|Volumes?)[,.]? ?[0-9]{1,3}(?:-[0-9]{1,3})?)?"),
+    ("DHA Administrative Instructions", r"dha ?administrative ?instructions? ",
+     r"[0-9]{1,6}(?:\.[0-9]{1,4})?(?:, ?Change ?[0-9]{1,3})?"),
+    ("BUPERSINST", r"bupersinst ",
+     r"(?:BUPERSNOTE ?)?[0-9]{1,6}(?:\.[0-9]{1,4}[A-BD-UW-Z]?)?(?: ?(?:CH|VOL) ?[0-9]{1,3})?"),
+    ("NAVAIR", r"navair ", r"[0-9]{1,3}(?:-[0-9A-Z]{1,5}){0,4}"),
+    ("NFPA", r"nfpa|national ?fire ?protection ?association", r"[0-9]{1,5}"),
+    ("MIL-STD", r"mil(?:itary)? ?-? ?(?:standard|std) ?-?", r"[0-9]{1,5}[A-Z]?"),
+    ("NAVEDTRA", r"navedtra ", r"[0-9][A-Z0-9]{0,6}(?:-[A-Z0-9]{1,6}){0,2}"),
+    ("NAVMED", r"navmed|navy ?medicine", r"(?:P-)?[0-9]{1,4}(?:[/-][0-9]{1,4}){0,3}"),
+    ("NEHC Technical Manual",
+     r"(?:nehc|navy ?environmental ?health ?center)[ -]?(?:technical ?manual|t[ \.]?m\.?)",
+     r"(?:[A-Z]{2} ?)?[0-9]{2,5}(?:[\.-][0-9A-Z]{1,3}){0,2}"),
+    ("NAVSEA", r"navsea ",
+     r"(?:[A-Z]{1,2}[ -]?)?[0-9]{1,4}(?:-[0-9]{1,6}|-[A-Z]{1,6}){1,4}(?: ?REV ?[0-9]{1,2})?"),
+    ("MARADMIN", r"maradmin ", r"[0-9]{1,4}[/-][0-9]{1,4}\b"),
+    ("H.R.", r"h ?\.? ?r\.? ?", r"[0-9]{1,6}\b"),
+    ("NAVADMIN", r"navadmin ?", r"[0-9]{2,7}(?:/[0-9]{2,7})?\b"),
+    ("MILPERSMAN", r"milpersman ?", r"[0-9]{2,5}-[0-9]{2,6}\b"),
+    ("ALNAV", r"alnav ?", r"[0-9]{2,4}/[0-9]{2,4}"),
+    ("BUMEDINST", r"bumedinst ?", r"[0-9]{3,6}(?:\.[0-9]{1,4}[A-Z]?)?"),
+    ("STANAG", r"stanag ?", r"[0-9]{3,6}\b"),
+    ("COMNAVRESFORCOMINST", r"comnavresforcominst ?",
+     r"[0-9]{3,6}(?:\.[0-9]{1,3}[A-Z]?)?(?: ?CH[ -]?[0-9]{1,2})?"),
+    ("OPNAVNOTE", r"opnav ?note ?", r"[0-9]{3,6}\b"),
+    ("S. Res.", r"s ?\.? ?res ?\.? ?(?:no\.? ?)?", r"[0-9]{1,5}"),
+    ("PGI", r"pgi ?(?:subpart ?)?", r"[0-9]{2,5}(?:[\.-][0-9]{1,5}[A-Z]?\b)?"),
+    ("DFARS", r"(?:dfars|defense ?federal ?acquisition ?regulation ?supplement) ?", _PARTNUM),
+    ("FAR", r"(?:far|federal ?acquisition ?regulation) ?", _PARTNUM),
+    ("H.J.Res.", r"h ?[,\.]? ?j ?[,\.]? ?res\.? ?", r"[0-9]{1,4}"),
+    ("DCMA Manual", r"dcma[ -]?man(?:ual)?[ -]?", r"[0-9]{2,6}(?:-[0-9]{2,6})?"),
+    ("CNGBI", r"cngbi|chief ?national ?guard ?bureau ?instructions?",
+     r"[0-9]{3,5}\.[0-9]{1,5}[A-Z]?(?:,? ?Vol(?:ume|\.)? ?[0-9]{1,4})?"),
+    ("S.Con.Res.", r"s\.? ?con\.? ?res\.? ?", r"[0-9]{1,3}"),
+    ("AMedP", r"(?:amedp|allied ?medical ?publications?)\]?[- ]?",
+     r"[0-9]{1,3}(?:\[[A-Z]\]|[A-Z])?(?:\.[0-9]{1,3}[A-Z]?)?"
+     r"(?:,? ?Edition ?[A-Z]{1,2},?)?(?: ?Version ?[0-9]{1,2})?"),
+    ("SFFAS", r"(?:sffas|statement ?of ?federal ?financial ?accounting ?standards?) ?(?:no\.? ?)?",
+     r"[0-9]{1,3}\b"),
+    ("TRADOC Regulations (TRs)", r"tr|tradoc ?regulations?", _DASH("1,4", "1,4") + r"\b"),
+    ("DCMA Instruction", r"(?:dcma|defense ?contract ?management ?agency)[ -]?inst(?:ruction)? ?",
+     r"[0-9]{3,5}(?:\.[0-9]{1,3}[A-Z]?)?\b"),
+    ("BUMEDNOTE", r"(?:bumed|bureau ?of ?medicine ?and ?surgery) ?not(?:e|ice) ?", r"[0-9]{2,6}"),
+    ("RESPERSMAN", r"(?:respers|reserve ?personnel) ?m(?:an(?:ual)?)?[ -]",
+     r"[0-9]{3,5}(?:[\.-][0-9]{1,4})?"),
+)
+
+
 def make_ref_patterns() -> dict[str, re.Pattern]:
     """Citation-type → compiled pattern; each has exactly one capture
-    group holding the numeric part (``ref_utils.py::make_dict`` contract)."""
-    p = {}
-    num = r"([0-9]{4}\.[0-9]{1,3})"
-    p["DoD"] = re.compile(r"\b(?:dod) ?" + num, re.IGNORECASE)
-    p["DoDD"] = re.compile(r"\b(?:dod ?directives?|dodd) ?" + num, re.IGNORECASE)
-    p["DoDI"] = re.compile(r"\b(?:dod ?instruction|dodi) ?" + num, re.IGNORECASE)
-    p["DoDM"] = re.compile(r"\b(?:dod ?manual|dodm) ?" + num, re.IGNORECASE)
-    p["DTM"] = re.compile(r"\bdtm ?-? ?([0-9]{2}-[0-9]{3})", re.IGNORECASE)
-    p["AI"] = re.compile(r"\b(?:administrative ?instruction|ai) ?([0-9]+)", re.IGNORECASE)
-    p["Title"] = re.compile(r"\btitle ?([0-9]{1,2})\b", re.IGNORECASE)
-    p["CFR Title"] = re.compile(r"\b([0-9]{1,2}) ?cfr\b", re.IGNORECASE)
-    p["EO"] = re.compile(r"\b(?:executive ?order|eo) ?([0-9]{4,5})", re.IGNORECASE)
-    p["CJCSI"] = re.compile(r"\bcjcsi ?([0-9]{4}\.[0-9]{2}[a-z]?)", re.IGNORECASE)
-    p["ICD"] = re.compile(r"\bicd ?([0-9]{1,3})\b", re.IGNORECASE)
-    p["PL"] = re.compile(r"\b(?:public ?law|pl) ?([0-9]{2,3}-[0-9]{1,4})", re.IGNORECASE)
+    group holding the numeric part (``ref_utils.py::make_dict`` contract,
+    full 100+-type library incl. the non-templated USC-Title / CFR-Title /
+    PL shapes)."""
+    p: dict[str, re.Pattern] = {}
+    for typ, heads, shape in _CITE_TABLE:
+        p[typ] = re.compile(rf"\b(?:{heads}) ?({shape})", re.IGNORECASE)
+    # USC Title: number can lead ("10 U.S.C.") or trail ("U.S.C. Title 10");
+    # two alternates, still one *non-empty* group per match (collect_refs
+    # drops the empty one).
+    usc = r"U\.? ?S\.? ?C\.?|United States Code|U\.? ?S\.? ?Code"
+    p["Title"] = re.compile(
+        rf"(?:([0-9]{{1,3}}),? (?:{usc}))|(?:(?:{usc})(?:,? ?Title)? ([0-9]{{1,3}}))"
+        rf"|\btitle ?([0-9]{{1,2}})\b",
+        re.IGNORECASE,
+    )
+    # CFR Title: number leads — "32 CFR" / "Title 32 of the Code of
+    # Federal Regulations".
+    p["CFR Title"] = re.compile(
+        r"(?:title ?)?([0-9]{1,3}) ?(?:of the )?,? ?(?:CFR|Code of Federal Regulations)",
+        re.IGNORECASE,
+    )
+    # Public Law: P.L. / Pub. Law / Public Law No. 117-81
+    p["PL"] = re.compile(
+        r"(?:P\.?|Pub\.?|Public) ?(?:L\.?|Law) ?(?:No\.?|Number)? ?([0-9]{1,4}-[0-9]{1,4})",
+        re.IGNORECASE,
+    )
     return p
 
 

@@ -192,3 +192,58 @@ def test_ocr_gate_threshold_boundary():
         pd.DataFrame({"doc_id": [1, 2], "text": [at, over]})
     )
     assert list(out["ocr_ok"]) == [True, False]
+
+
+def test_ref_full_library_canonical_examples():
+    """One canonical citation per newly-widened family (ref_utils.py full
+    library): each must extract to exactly its normalized form."""
+    cases = {
+        "CJCSI 3210.01": {"CJCSI 3210.01": 1},
+        "JP 3-0 doctrine": {"JP 3-0": 1},
+        "AR 25-50": {"AR 25-50": 1},
+        "MCO 5215.1": {"MCO 5215.1": 1},
+        "OPNAVINST 5100.23": {"OPNAVINST 5100.23": 1},
+        "STANAG 4586": {"STANAG 4586": 1},
+        "MIL-STD-882": {"MIL-STD 882": 1},
+        "MARADMIN 123/21": {"MARADMIN 123/21": 1},
+        "H.R. 2500": {"H.R. 2500": 1},
+        "DFARS 225.872-1": {"DFARS 225.872-1": 1},
+        "AFI 36-2903": {"AFI 36-2903": 1},
+        "SECNAVINST 5510.36": {"SECNAVINST 5510.36": 1},
+        "ICD 703": {"ICD 703": 1},
+        "HSPD-5": {"HSPD 5": 1},
+        "10 U.S.C.": {"Title 10": 1},
+        "Public Law No. 117-81": {"PL 117-81": 1},
+        "FM 3-21.8": {"FM 3-21.8": 1},
+        "NAVADMIN 123/20": {"NAVADMIN 123/20": 1},
+        "COMDTINST M16000.5": {"CIM 16000.5": 1},
+        "COMDTINST 16000.5": {"CI 16000.5": 1},
+        "MCWP 3-15.1": {"MCWP 3-15.1": 1},
+        "AFMAN 91-201": {"AFMAN 91-201": 1},
+        "TRADOC Regulations 350-70": {"TRADOC Regulations (TRs) 350-70": 1},
+        "DCMA Instruction 8210.1": {"DCMA Instruction 8210.1": 1},
+        "NFPA 1500": {"NFPA 1500": 1},
+        "SFFAS No. 54": {"SFFAS 54": 1},
+        "BUMEDINST 6230.15": {"BUMEDINST 6230.15": 1},
+        "DHS Directive No. 140-01": {"DHS Directive 140-01": 1},
+        "OMB Circular No. A-130": {"OMBC A-130": 1},
+        "EO 13526": {"EO 13526": 1},
+        "DoDM 5200.01, Volume 3": {"DoDM 5200.01, Volume 3": 1},
+        "CJCSM 3150.05": {"CJCSM 3150.05": 1},
+        "NTTP 3-07.2": {"NTTP 3-07.2": 1},
+        "DA Memo 600-8": {"DA 600-8": 1},
+        "AFPD 36-26": {"AFPD 36-26": 1},
+        "MCDP 1-0": {"MCDP 1-0": 1},
+        "NAVSUP P-485": {"NAVSUP 485": 1},
+        "DoD FMR Volume 12": {"DoDFMR Volume 12": 1},
+    }
+    for text, want in cases.items():
+        got = collect_refs(text, PATTERNS)
+        assert got == want, f"{text!r}: {got} != {want}"
+
+
+def test_ref_library_has_full_type_inventory():
+    # full reference inventory (ref_utils.py:31-1228) — 100+ types
+    assert len(PATTERNS) >= 120
+    for pat in PATTERNS.values():
+        assert pat.groups >= 1  # each carries the numeric capture group
