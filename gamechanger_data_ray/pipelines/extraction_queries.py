@@ -22,8 +22,11 @@ from ..stages.extract import (
     GAZETTEER,
     DateExtractor,
     EntityExtractor,
+    LookupEntityExtractor,
     RefExtractor,
     gazetteer_order,
+    lookup_order,
+    make_entities_lookup_dict,
 )
 from ..stages.sections import parse_sections
 from . import common as cm
@@ -193,19 +196,24 @@ SELECT DISTINCT doc_id, date FROM (
 # ---------------------------------------------------------------------------
 
 _ENTITY_SNIPPETS = (
-    " The Department of Defense and the Joint Chiefs of Staff met with the Secretary.",
-    " The Defense Staff briefed the General Counsel twice. The General Counsel agreed.",
-    " The United States joined the European Union and the Union Counsel of the States.",
+    # full names + nested-term overlap (United States inside the Corps name)
+    " The Department of Defense and the Joint Chiefs of Staff met with the Secretary of Defense.",
+    # aliases + UPPER variants aggregate under the standardized name
+    " The DoD briefed the General Counsel and the OSD. The DOD agreed.",
+    # alias + full form of the same entity count together; NATO twice
+    " The United States Marine Corps and the USMC trained. NATO and the North Atlantic Treaty Organization observed.",
     "",
 )
 
 
 def docs_entities(sf_dir: str):
-    """Gazetteer entity extraction (M6, ``lib/entities.py:18-119``):
-    multi-word overlapping terms matched longest-first with overlap
-    removal (masked replace chain), per-doc mention counts as
-    Document-MENTIONS-Entity edge rows (K11 graph-writer analog). The
-    gazetteer builds once per actor (ST1)."""
+    """Gazetteer entity extraction (M6, ``lib/entities.py:18-119`` +
+    ``entities_utils.py:1-187``): alphanumeric-normalized text matched
+    case-sensitively against the normalized lookup keys longest-first
+    with sentinel masking (keep-the-longest overlap removal); ALIAS and
+    UPPER-variant mentions aggregate under the standardized entity name;
+    per-doc mention counts as Document-MENTIONS-Entity edge rows (K11
+    graph-writer analog). The lookup dict builds once per actor (ST1)."""
     ds = cm.read(sf_dir, "documents", columns=["doc_id", "text"])
 
     def seed(df: pd.DataFrame) -> pd.DataFrame:
@@ -217,42 +225,53 @@ def docs_entities(sf_dir: str):
 
     ds = ds.map_batches(seed, batch_format="pandas")
     return ds.map_batches(
-        EntityExtractor, batch_format="pandas", concurrency=(1, cm.pool_size())
+        LookupEntityExtractor, batch_format="pandas", concurrency=(1, cm.pool_size())
     )
 
 
 def _entities_oracle() -> str:
-    """Build the replace-chain oracle: same seeded corpus, same priority
-    order, same sentinel masking — SQL derives the counts from the text,
-    so the oracle exercises the overlap-removal semantics rather than
-    hard-coding expected rows."""
+    """Build the replace-chain oracle: same seeded corpus, same
+    normalization, same priority order, same sentinel masking, same
+    alias→standardized-name aggregation — SQL derives the counts from
+    the text, so the oracle exercises normalization + overlap-removal +
+    alias semantics rather than hard-coding expected rows."""
+    lookup = make_entities_lookup_dict()
+    keys = lookup_order(lookup)
     case = (
         "CASE doc_id % 4 WHEN 0 THEN '" + _ENTITY_SNIPPETS[0] + "'"
         " WHEN 1 THEN '" + _ENTITY_SNIPPETS[1] + "'"
         " WHEN 2 THEN '" + _ENTITY_SNIPPETS[2] + "' ELSE '' END"
     )
-    ctes = [f"t0 AS (SELECT doc_id, text || {case} AS s FROM documents)"]
+    ctes = [
+        "t0 AS (SELECT doc_id, regexp_replace(regexp_replace("
+        f"text || {case}, '[^a-zA-Z0-9\\s]+', '', 'g'), "
+        "'\\s{2,}', ' ', 'g') AS s FROM documents)"
+    ]
     selects = []
-    carry = []
-    for i, (term, ent_type) in enumerate(gazetteer_order(GAZETTEER), start=1):
-        ln = len(term)
-        prev = f"t{i - 1}"
+    carry: list[str] = []
+    for i, key in enumerate(keys, start=1):
+        ln = len(key)
         cnt = f"c{i}"
-        carried = ", ".join(carry + [f"(length(s) - length(replace(s, '{term}', ''))) // {ln} AS {cnt}"])
+        carried = ", ".join(
+            carry + [f"(length(s) - length(replace(s, '{key}', ''))) // {ln} AS {cnt}"]
+        )
         ctes.append(
             f"t{i} AS (SELECT doc_id, {carried}, "
-            f"replace(s, '{term}', repeat(chr(1), {ln})) AS s FROM {prev})"
+            f"replace(s, '{key}', repeat(chr(1), {ln})) AS s FROM t{i - 1})"
         )
         carry.append(cnt)
+        meta = lookup[key]
         selects.append(
-            f"SELECT doc_id, '{term}' AS entity, '{ent_type}' AS ent_type, {cnt} AS n_mentions FROM tfin"
+            f"SELECT doc_id, '{meta['raw_ent']}' AS entity, "
+            f"'{meta['ent_type']}' AS ent_type, {cnt} AS n FROM tfin"
         )
-    n = len(gazetteer_order(GAZETTEER))
-    ctes.append(f"tfin AS (SELECT * FROM t{n})")
+    ctes.append(f"tfin AS (SELECT * FROM t{len(keys)})")
     union = "\nUNION ALL\n".join(selects)
     return (
-        "WITH " + ",\n".join(ctes) + "\nSELECT doc_id, entity, ent_type, n_mentions "
-        "FROM (" + union + ") WHERE n_mentions > 0"
+        "WITH " + ",\n".join(ctes)
+        + "\nSELECT doc_id, entity, ent_type, SUM(n) AS n_mentions FROM ("
+        + union
+        + ") GROUP BY doc_id, entity, ent_type HAVING SUM(n) > 0"
     )
 
 

@@ -458,6 +458,156 @@ class EntityExtractor:
         return out.sort_values(["doc_id", "entity"]).reset_index(drop=True)
 
 
+# --- full-parity lookup gazetteer (entities_utils.py:1-187) ----------------
+
+def replace_nonalpha_chars(text: str, replace_char: str = "") -> str:
+    """Strip non-alphanumerics, squash runs of whitespace
+    (``entities_utils.py::replace_nonalpha_chars`` semantics) — entity
+    keys and document text are both normalized this way before matching."""
+    text = re.sub(r"[^a-zA-Z0-9\s]+", replace_char, text)
+    return re.sub(r"\s{2,}", " ", text)
+
+
+# (name, ent_type, aliases ';'-joined, parent-org) — the GraphRelations
+# Orgs/Roles analog (public DoD org/role names; the reference loads these
+# from gamechangerml's GraphRelations.xls, sheets Orgs→ORG / Roles→PERSON,
+# columns Name/Aliases/Parent — entities_utils.py:42-78).
+DEFAULT_ENTITY_RECORDS: tuple[tuple[str, str, str, str], ...] = (
+    ("Department of Defense", "ORG", "DoD;DOD", ""),
+    ("Joint Chiefs of Staff", "ORG", "JCS", "Department of Defense"),
+    ("Office of the Secretary of Defense", "ORG", "OSD", "Department of Defense"),
+    ("Defense Information Systems Agency", "ORG", "DISA", "Department of Defense"),
+    ("Defense Logistics Agency", "ORG", "DLA", "Department of Defense"),
+    ("Defense Intelligence Agency", "ORG", "DIA", "Department of Defense"),
+    ("National Security Agency", "ORG", "NSA", "Department of Defense"),
+    ("National Guard Bureau", "ORG", "NGB", "Department of Defense"),
+    ("Department of the Army", "ORG", "", "Department of Defense"),
+    ("Department of the Navy", "ORG", "DON", "Department of Defense"),
+    ("Department of the Air Force", "ORG", "DAF", "Department of Defense"),
+    ("United States Marine Corps", "ORG", "USMC;Marine Corps", "Department of the Navy"),
+    ("United States Coast Guard", "ORG", "USCG;Coast Guard", "Department of Homeland Security"),
+    ("Defense Health Agency", "ORG", "DHA", "Department of Defense"),
+    ("Defense Contract Management Agency", "ORG", "DCMA", "Department of Defense"),
+    ("Defense Finance and Accounting Service", "ORG", "DFAS", "Department of Defense"),
+    ("Government Accountability Office", "ORG", "GAO", ""),
+    ("Office of Management and Budget", "ORG", "OMB", ""),
+    ("Federal Emergency Management Agency", "ORG", "FEMA", "Department of Homeland Security"),
+    ("North Atlantic Treaty Organization", "ORG", "NATO", ""),
+    ("European Union", "ORG", "EU", ""),
+    ("Secretary of Defense", "PERSON", "SECDEF", ""),
+    ("Deputy Secretary of Defense", "PERSON", "DEPSECDEF", ""),
+    ("Chairman of the Joint Chiefs of Staff", "PERSON", "CJCS Chairman", ""),
+    ("General Counsel", "PERSON", "", ""),
+    ("Inspector General", "PERSON", "", ""),
+    ("Chief Information Officer", "PERSON", "CIO", ""),
+    ("Under Secretary of Defense for Policy", "PERSON", "USDP", ""),
+    ("Secretary of the Navy", "PERSON", "SECNAV", ""),
+    ("Secretary of the Army", "PERSON", "", ""),
+    ("Secretary of the Air Force", "PERSON", "SECAF", ""),
+    ("United States", "GPE", "", ""),
+    ("District of Columbia", "GPE", "", ""),
+)
+
+_MUST_INCLUDE = {"DoD": "ORG", "DOD": "ORG", "Department of Defense": "ORG"}
+
+
+def make_entities_lookup_dict(
+    records: tuple = DEFAULT_ENTITY_RECORDS,
+    must_include: dict[str, str] = _MUST_INCLUDE,
+) -> dict[str, dict[str, str]]:
+    """normalized-key → {raw_ent (standardized name), ent_type}
+    (``entities_utils.py::make_entities_lookup_dict`` contract): keys are
+    alphanumeric-normalized; every key also gets an UPPER variant; alias
+    keys map back to the record's standardized name; parent orgs become
+    ORG entries; must_include entries are added only if absent."""
+    ents: dict[str, dict[str, str]] = {}
+
+    def add(ent: str, ent_type: str, std: str | None = None) -> None:
+        ent = ent.strip()
+        key = replace_nonalpha_chars(ent)
+        if not key:
+            return
+        val = {"raw_ent": std or ent, "ent_type": ent_type}
+        ents[key] = val
+        ents[key.upper()] = val
+
+    for name, ent_type, aliases, parent in records:
+        add(name, ent_type)
+        for alias in aliases.split(";"):
+            if alias:
+                add(alias, ent_type, std=name)
+        if parent:
+            add(parent, "ORG")
+    for ent, ent_type in must_include.items():
+        key = replace_nonalpha_chars(ent)
+        if key and key not in ents:
+            val = {"raw_ent": ent, "ent_type": ent_type}
+            ents[key] = val
+            ents.setdefault(key.upper(), val)
+    return ents
+
+
+def lookup_order(ents: dict[str, dict[str, str]]) -> list[str]:
+    """Match priority over lookup keys: longest first (overlap removal —
+    ``remove_overlapping_ents`` keep-the-longest semantics), key asc as
+    the deterministic tie-break."""
+    return sorted(ents, key=lambda k: (-len(k), k))
+
+
+class LookupEntityExtractor:
+    """Full-parity gazetteer stage (M6): text and keys normalized with
+    :func:`replace_nonalpha_chars`, matched case-sensitively longest-first
+    with sentinel masking (keep-the-longest overlap removal), alias
+    mentions aggregated under the record's STANDARDIZED name →
+    (doc_id, entity, ent_type, n_mentions) edge rows.
+
+    Matching is substring-based masked replace (vectorizable + SQL-
+    mirrorable); the reference's flashtext trie adds word-boundary
+    checks — equivalent here because longer keys claim their spans first
+    and gazetteer keys carry uppercase letters real words don't embed."""
+
+    def __init__(self, records: tuple = DEFAULT_ENTITY_RECORDS,
+                 id_col: str = "doc_id", text_col: str = "text"):
+        self.lookup = make_entities_lookup_dict(records)
+        self.keys = lookup_order(self.lookup)
+        self.id_col = id_col
+        self.text_col = text_col
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        col = (
+            df[self.text_col]
+            .str.replace(r"[^a-zA-Z0-9\s]+", "", regex=True)
+            .str.replace(r"\s{2,}", " ", regex=True)
+        )
+        ids = df[self.id_col].to_numpy()
+        frames = []
+        for key in self.keys:
+            counts = col.str.count(re.escape(key)).to_numpy()
+            hit = counts > 0
+            if hit.any():
+                meta = self.lookup[key]
+                frames.append(pd.DataFrame({
+                    "doc_id": ids[hit],
+                    "entity": meta["raw_ent"],
+                    "ent_type": meta["ent_type"],
+                    "n_mentions": counts[hit].astype("int64"),
+                }))
+                col = col.str.replace(key, _SENTINEL * len(key), regex=False)
+        if not frames:
+            return pd.DataFrame(
+                {"doc_id": pd.Series(dtype=df[self.id_col].dtype),
+                 "entity": pd.Series(dtype="object"),
+                 "ent_type": pd.Series(dtype="object"),
+                 "n_mentions": pd.Series(dtype="int64")}
+            )
+        out = (
+            pd.concat(frames, ignore_index=True)
+            .groupby(["doc_id", "entity", "ent_type"], as_index=False)["n_mentions"]
+            .sum()
+        )
+        return out.sort_values(["doc_id", "entity"]).reset_index(drop=True)
+
+
 def top_entities(edges: pd.DataFrame, k: int = 5) -> pd.DataFrame:
     """Per-doc top-k entities by mention count (``entities.py:113-117``
     ``Counter(...).most_common(5)`` analog), deterministic tie-break."""

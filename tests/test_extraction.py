@@ -247,3 +247,47 @@ def test_ref_library_has_full_type_inventory():
     assert len(PATTERNS) >= 120
     for pat in PATTERNS.values():
         assert pat.groups >= 1  # each carries the numeric capture group
+
+
+# ---------------------------------------------------------------------------
+# Full-parity lookup gazetteer (entities_utils.py analog)
+# ---------------------------------------------------------------------------
+
+def test_lookup_dict_contract():
+    from gamechanger_data_ray.stages.extract import (
+        make_entities_lookup_dict, replace_nonalpha_chars)
+    l = make_entities_lookup_dict()
+    # alias maps to the standardized name; UPPER variant exists
+    assert l["DoD"]["raw_ent"] == "Department of Defense"
+    assert l["DOD"]["raw_ent"] == "Department of Defense"
+    assert l["USMC"]["ent_type"] == "ORG"
+    # keys are alphanumeric-normalized
+    assert replace_nonalpha_chars("U.S.C. Title 10-A") == "USC Title 10A"
+    assert all(k == replace_nonalpha_chars(k) for k in l)
+    # parent orgs become ORG entries
+    assert l["Department of Homeland Security"]["ent_type"] == "ORG"
+
+
+def test_lookup_extractor_alias_aggregation_and_overlap():
+    import pandas as pd
+    from gamechanger_data_ray.stages.extract import LookupEntityExtractor
+    df = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": [
+            # alias + UPPER + full form all aggregate under the standardized name
+            "The DoD met. The DOD agreed. The Department of Defense signed.",
+            # the longer key claims its span: United States inside the Corps
+            # name is masked, standalone United States still counts
+            "The United States Marine Corps and the United States.",
+            # normalization: punctuation stripped before matching
+            "The D.o.D convened.",  # normalizes to 'DoD' -> matches
+        ],
+    })
+    out = LookupEntityExtractor()(df)
+    r1 = out[out.doc_id == 1]
+    assert r1.entity.tolist() == ["Department of Defense"]
+    assert r1.n_mentions.tolist() == [3]
+    r2 = out[out.doc_id == 2].set_index("entity")["n_mentions"].to_dict()
+    assert r2 == {"United States Marine Corps": 1, "United States": 1}
+    r3 = out[out.doc_id == 3]
+    assert r3.entity.tolist() == ["Department of Defense"]
