@@ -286,15 +286,24 @@ _SEC_NAMES = ("PURPOSE", "RESPONSIBILITIES", "PROCEDURES", "REFERENCES")
 
 
 def _section_text(doc_id: int, text: str) -> tuple[str, str]:
-    """(layout, sectioned text) — numbered layout for even ids, caps
-    layout for odd (the per-type dispatch input)."""
+    """(layout, sectioned text) — the per-type dispatch input, rotated
+    over all five registered strategies by doc_id: numbered (DoD
+    SECTION-colon), caps (CJCS heading sentences), number_dot (Navy
+    ``1. Purpose.``), enclosure (DoD ``E1.``), eo (``Sec. 1.``)."""
     n = 2 + (1 if doc_id % 3 > 0 else 0) + (1 if doc_id % 3 == 2 else 0)
     bodies = [text, "duties", "steps", "list"]
-    if doc_id % 2 == 0:
-        parts = [f" SECTION {i + 1}: {_SEC_NAMES[i]} {bodies[i]}" for i in range(n)]
-        return "numbered", "".join(parts)
-    parts = [f" {_SEC_NAMES[i]}. {bodies[i]}" for i in range(n)]
-    return "caps", "".join(parts)
+    layout = ("numbered", "caps", "number_dot", "enclosure", "eo")[doc_id % 5]
+    fmt = {
+        "numbered": " SECTION {i}: {name} {body}",
+        "caps": " {name}. {body}",
+        "number_dot": " {i}. {name}. {body}",
+        "enclosure": " E{i}. {name} {body}",
+        "eo": " Sec. {i}. {name}. {body}",
+    }[layout]
+    parts = [
+        fmt.format(i=i + 1, name=_SEC_NAMES[i], body=bodies[i]) for i in range(n)
+    ]
+    return layout, "".join(parts)
 
 
 def docs_sections(sf_dir: str):

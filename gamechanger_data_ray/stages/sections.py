@@ -48,11 +48,60 @@ def parse_caps_sections(text: str) -> list[tuple[int, str, str]]:
     return out
 
 
+_NUMBER_DOT = re.compile(r"(?:^|\s)(\d{1,2})\s*\.\s+([A-Z][A-Za-z ]*?)\s*\.(?=\s|$)")
+_ENCLOSURE = re.compile(
+    r"\b(?:E\.?(\d{1,2})[\s\.]\s*|E(?:nclosure|NCLOSURE)\s+(\d{1,2}):?\s*)"
+    r"([A-Z][A-Z ]*[A-Z]|[A-Z])\b"
+)
+_EO_SEC = re.compile(r"\bSec(?:tion)?\.?\s+(\d{1,2})\s*\.\s+([A-Z][A-Za-z ]*?)\s*\.(?=\s|$)")
+
+
+def parse_number_dot_sections(text: str) -> list[tuple[int, str, str]]:
+    """Navy-issuance layout (``navy_utils.py::match_number_dot_section``):
+    ``1. Purpose. <body>`` numbered-dot headings; the declared number is
+    the section number."""
+    out = []
+    matches = list(_NUMBER_DOT.finditer(text))
+    for i, m in enumerate(matches):
+        end = matches[i + 1].start() if i + 1 < len(matches) else len(text)
+        out.append((int(m.group(1)), m.group(2).strip(), text[m.end():end].strip()))
+    return out
+
+
+def parse_enclosure_sections(text: str) -> list[tuple[int, str, str]]:
+    """DoD-issuance enclosure layout (``dod_utils.py::match_enclosure_num``):
+    ``E3. NAME`` or ``ENCLOSURE 3: NAME`` headings; the enclosure number
+    is the section number."""
+    out = []
+    matches = list(_ENCLOSURE.finditer(text))
+    for i, m in enumerate(matches):
+        end = matches[i + 1].start() if i + 1 < len(matches) else len(text)
+        num = int(m.group(1) or m.group(2))
+        out.append((num, m.group(3).strip(), text[m.end():end].strip()))
+    return out
+
+
+def parse_eo_sections(text: str) -> list[tuple[int, str, str]]:
+    """Executive-order layout (EO documents; the reference's ``EOParser``
+    reduces to title-as-purpose because crawled EO text arrives
+    unsectioned — real EO bodies carry ``Sec. 2. Name.`` headings, parsed
+    here): ``Section 1.`` / ``Sec. 2.`` headings."""
+    out = []
+    matches = list(_EO_SEC.finditer(text))
+    for i, m in enumerate(matches):
+        end = matches[i + 1].start() if i + 1 < len(matches) else len(text)
+        out.append((int(m.group(1)), m.group(2).strip(), text[m.end():end].strip()))
+    return out
+
+
 # type → strategy registry (ParserFactory.create dispatch,
 # ``parsers/parser_factory.py`` analog); register new layouts here.
 STRATEGIES: dict[str, Callable[[str], list[tuple[int, str, str]]]] = {
     "numbered": parse_numbered_sections,
     "caps": parse_caps_sections,
+    "number_dot": parse_number_dot_sections,
+    "enclosure": parse_enclosure_sections,
+    "eo": parse_eo_sections,
 }
 
 
