@@ -457,3 +457,57 @@ tf AS (
 )
 SELECT doc_id, topic, tfidf FROM scored WHERE rn <= 5
 """
+
+
+# ---------------------------------------------------------------------------
+# PII detection + redaction (training-data extension; module-level)
+# ---------------------------------------------------------------------------
+
+def _pii_suffix(doc_id: int) -> str:
+    d = doc_id
+    s = f" contact user{d}@example.mil"
+    if d % 3 == 0:
+        s += f" and admin{d}@example.mil"
+    if d % 2 == 1:
+        s += f" call {200 + d % 700}-555-{d % 10000:04d}"
+    if d % 4 == 0:
+        s += f" ssn {100 + d % 899:03d}-{10 + d % 89:02d}-{1000 + d % 8999:04d}"
+    if d % 5 == 0:
+        s += f" host 10.{d % 256}.{d % 100}.{1 + d % 254}"
+    return s
+
+
+def docs_pii(sf_dir: str):
+    """PII detection + redaction (`stages/pii.py::PiiRedactor`): corpus
+    seeded with deterministic emails/phones/SSNs/IPs; the stage counts
+    each type on the original text, redacts sequentially, and proves the
+    redaction by re-scanning (n_residual == 0 for every row)."""
+    from ..stages.pii import PiiRedactor
+
+    ds = cm.read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def seed(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["text"] = df["text"] + df["doc_id"].map(_pii_suffix)
+        return df
+
+    ds = ds.map_batches(seed, batch_format="pandas")
+    out = ds.map_batches(
+        PiiRedactor, batch_format="pandas", concurrency=(1, cm.pool_size())
+    )
+    return out.select_columns(
+        ["doc_id", "n_email", "n_ssn", "n_phone", "n_ipv4", "n_residual"]
+    )
+
+
+# counts are closed-form from the seeding arithmetic; n_residual == 0 is
+# the redaction proof (the Ray side measures it, the oracle asserts it)
+ORACLES["docs_pii"] = """
+SELECT doc_id,
+       (1 + CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END)::BIGINT AS n_email,
+       (CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END)::BIGINT AS n_ssn,
+       (CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END)::BIGINT AS n_phone,
+       (CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END)::BIGINT AS n_ipv4,
+       0::BIGINT AS n_residual
+FROM documents
+"""

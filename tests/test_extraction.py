@@ -291,3 +291,29 @@ def test_lookup_extractor_alias_aggregation_and_overlap():
     assert r2 == {"United States Marine Corps": 1, "United States": 1}
     r3 = out[out.doc_id == 3]
     assert r3.entity.tolist() == ["Department of Defense"]
+
+
+# ---------------------------------------------------------------------------
+# PII detection + redaction
+# ---------------------------------------------------------------------------
+
+def test_pii_redactor_counts_and_redacts():
+    from gamechanger_data_ray.stages.pii import PiiRedactor
+
+    df = pd.DataFrame({
+        "doc_id": [1, 2],
+        "text": [
+            "mail a.b+c@ex.org or admin@sub.ex.mil, ssn 123-45-6789, "
+            "call 703-555-0123 from 192.168.1.10",
+            "no pii here",
+        ],
+    })
+    out = PiiRedactor()(df)
+    r = out.iloc[0]
+    assert (r.n_email, r.n_ssn, r.n_phone, r.n_ipv4) == (2, 1, 1, 1)
+    assert r.n_residual == 0
+    assert "@" not in r.text and "123-45-6789" not in r.text
+    assert "[PII:EMAIL]" in r.text and "[PII:SSN]" in r.text
+    r2 = out.iloc[1]
+    assert (r2.n_email, r2.n_ssn, r2.n_phone, r2.n_ipv4, r2.n_residual) == (0, 0, 0, 0, 0)
+    assert r2.text == "no pii here"
