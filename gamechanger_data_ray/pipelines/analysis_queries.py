@@ -210,7 +210,7 @@ def dedup_minhash_lsh(sf_dir: str, tau: float = 0.5):
     ds = _with_near_copies(sf_dir)
     sigs = ds.map_batches(
         dd.MinHasher, batch_format="pandas", concurrency=(1, cm.pool_size())
-    ).materialize()  # consumed by the band pass and both join ends
+    )  # streams straight into the band pass (sigs travel WITH the band rows)
     return _verified_minhash_pairs(sigs, tau)
 
 
@@ -225,7 +225,7 @@ def dedup_tokens_minhash(sf_dir: str, tau: float = 0.5):
     ds = ray.data.from_arrow(corpus)
     sigs = ds.map_batches(
         dd.TokenMinHasher, batch_format="pyarrow", concurrency=(1, cm.pool_size())
-    ).materialize()  # consumed by the band pass and both join ends
+    )  # streams straight into the band pass (sigs travel WITH the band rows)
     return _verified_minhash_pairs(sigs, tau)
 
 
