@@ -31,25 +31,31 @@ def read_iud_manifest(
     ``seq`` is the manifest row number (deterministic within the manifest);
     unknown Process values raise — malformed events must not be silently
     dropped (the reference exits on empty/invalid input,
-    ``pipelines/core/cli.py:45-47``)."""
-    ds = ray.data.read_csv(path)
+    ``pipelines/core/cli.py:45-47``).
 
-    def normalize(t: pa.Table) -> pa.Table:
-        procs = t[process_col].to_pylist()
-        bad = [p for p in procs if p not in OP_MAP]
-        if bad:
-            raise ValueError(f"unknown Process values in manifest: {sorted(set(bad))[:5]}")
-        ops = pa.array([OP_MAP[p] for p in procs])
-        t = t.drop_columns([process_col])
-        t = t.add_column(0, "op", ops)
-        t = t.add_column(1, "lsn", pa.array([lsn] * t.num_rows, pa.int64()))
-        return t
+    Manifests are control-plane small, so the CSV is read ONCE on the
+    caller (deterministic file order — Ray's streaming executor does NOT
+    preserve block order by default, so deriving ``seq`` from
+    ``Dataset.to_pandas()`` would number rows nondeterministically) and
+    handed to Ray as a single in-order block."""
+    import pyarrow.csv as pacsv
 
-    ds = ds.map_batches(normalize, batch_format="pyarrow")
-    # global deterministic seq: rows numbered in manifest order
-    df = ds.to_pandas()  # manifests are control-plane small
-    df.insert(2, "seq", np.arange(len(df), dtype=np.int64))
-    return ray.data.from_pandas(df)
+    from ..state.fs import default_fs
+
+    fs = default_fs(None)
+    with fs.fs.open_input_stream(path) as f:
+        t = pacsv.read_csv(f)
+
+    procs = t[process_col].to_pylist()
+    bad = [p for p in procs if p not in OP_MAP]
+    if bad:
+        raise ValueError(f"unknown Process values in manifest: {sorted(set(bad))[:5]}")
+    ops = pa.array([OP_MAP[p] for p in procs])
+    t = t.drop_columns([process_col])
+    t = t.add_column(0, "op", ops)
+    t = t.add_column(1, "lsn", pa.array([lsn] * t.num_rows, pa.int64()))
+    t = t.add_column(2, "seq", pa.array(np.arange(t.num_rows, dtype=np.int64)))
+    return ray.data.from_arrow(t)
 
 
 def alive_sets(crawl_manifest: pd.DataFrame) -> dict[str, set]:

@@ -78,3 +78,31 @@ def test_date_parsers():
     assert col[0].as_py() == datetime(2021, 1, 1, 11)
     assert col[1].as_py() is None
     assert dates.format_timestamp(datetime(2021, 1, 1, 11)) == "2021-01-01T11:00:00"
+
+
+# ---------------------------------------------------------------------------
+# §2.9 path/prefix helpers
+# ---------------------------------------------------------------------------
+
+def test_path_join_and_prefix():
+    from gamechanger_data_ray.functions.paths import format_as_prefix, path_join
+
+    assert path_join("a/", "/b/", "c") == "a/b/c"
+    assert path_join("/root/", "x") == "/root/x"
+    assert path_join() == ""
+    assert format_as_prefix("bucket/raw") == "bucket/raw/"
+    assert format_as_prefix("bucket/raw///") == "bucket/raw/"
+
+
+def test_parse_prefixes():
+    from datetime import datetime
+
+    from gamechanger_data_ray.functions.paths import (
+        parse_epoch_prefix, parse_timestamped_prefix)
+
+    assert parse_timestamped_prefix("raw/2021-09-01T00:30:00/") == datetime(2021, 9, 1, 0, 30)
+    assert parse_timestamped_prefix("raw/not-a-ts/") is None
+    assert parse_timestamped_prefix("raw/2021-13-01T00:00:00/") is None  # bad month
+    assert parse_epoch_prefix("cl/epoch=000042/") == 42
+    assert parse_epoch_prefix("cl/epoch=7") == 7
+    assert parse_epoch_prefix("cl/other/") is None
