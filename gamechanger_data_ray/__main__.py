@@ -116,6 +116,22 @@ def main(argv: list[str] | None = None) -> int:
                     "(default: print summary counts only)")
     df.add_argument("--mode", choices=["events", "retractions"], default="events")
 
+    ae = sub.add_parser("apply-envelopes",
+                        help="replay Debezium-shaped JSONL change envelopes into the table")
+    ae.add_argument("--table", required=True)
+    ae.add_argument("--epoch", type=int, required=True,
+                    help="epoch to commit the batch as (exactly-once fence)")
+    ae.add_argument("--partitions", type=int, default=32)
+    ae.add_argument("files", nargs="+", help="envelope JSONL files")
+
+    pf = sub.add_parser("publish-feed",
+                        help="publish the diff between two committed epochs as "
+                             "Debezium-shaped JSONL envelopes")
+    pf.add_argument("--table", required=True)
+    pf.add_argument("--from-epoch", type=int, required=True)
+    pf.add_argument("--to-epoch", type=int, default=None)
+    pf.add_argument("--out", required=True)
+
     vw = sub.add_parser("view", help="build/refresh an incremental materialized view")
     vw.add_argument("--table", required=True)
     vw.add_argument("--view", required=True, help="view state dir")
@@ -262,6 +278,23 @@ def main(argv: list[str] | None = None) -> int:
                 }
             print(json.dumps({"from": args.from_epoch, "to": args.to_epoch,
                               "changes": counts, "out": args.out}))
+        elif args.cmd == "apply-envelopes":
+            from gamechanger_data_ray.sources.cdc_envelope import apply_envelopes
+
+            m = apply_envelopes(
+                args.files, args.table, epoch=args.epoch,
+                num_partitions=args.partitions,
+            )
+            print(json.dumps(
+                {"epoch": m.epoch if m else None,
+                 "totals": m.totals if m else {},
+                 "fenced": m is None}))
+        elif args.cmd == "publish-feed":
+            from gamechanger_data_ray.sources.cdc_envelope import publish_envelopes
+
+            publish_envelopes(args.table, args.out, args.from_epoch, args.to_epoch)
+            print(json.dumps({"from": args.from_epoch, "to": args.to_epoch,
+                              "out": args.out}))
         elif args.cmd == "view":
             from gamechanger_data_ray.engine.views import ViewDef, refresh
 
