@@ -61,6 +61,9 @@ def main(argv: list[str] | None = None) -> int:
     r.add_argument("--partitions", type=int, default=32)
     r.add_argument("--epochs-per-commit", type=int, default=None)
     r.add_argument("--exchange", choices=["staged", "sort"], default="staged")
+    r.add_argument("--merge-policy", choices=["rewrite", "delta"], default="rewrite",
+                   help="rewrite = copy-on-write partition files; delta = "
+                        "merge-on-read epoch deltas (fold with `compact`)")
 
     tl = sub.add_parser("tail", help="live-tail loop: poll for ready epochs, apply, repeat")
     tl.add_argument("--changelog", required=True)
@@ -78,12 +81,22 @@ def main(argv: list[str] | None = None) -> int:
     st = sub.add_parser("status", help="print the committed manifest summary")
     st.add_argument("--table", required=True)
 
+    gt = sub.add_parser("get", help="hash-routed point lookup of doc_ids "
+                                    "(reads only the routed partitions)")
+    gt.add_argument("--table", required=True)
+    gt.add_argument("keys", nargs="+", help="doc_id values to fetch")
+
     rs = sub.add_parser("restore", help="point-in-time rollback to an older epoch")
     rs.add_argument("--table", required=True)
     rs.add_argument("--epoch", type=int, required=True)
 
     va = sub.add_parser("validate", help="distributed schema+invariant validation of the snapshot")
     va.add_argument("--table", required=True)
+
+    cp = sub.add_parser("compact", help="fold merge-on-read deltas into base files "
+                                        "(same-epoch revision commit)")
+    cp.add_argument("--table", required=True)
+    cp.add_argument("--min-deltas", type=int, default=1)
 
     vc = sub.add_parser("vacuum", help="delete unreferenced data files + old manifests")
     vc.add_argument("--table", required=True)
@@ -202,6 +215,17 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps({"epoch": m.epoch, "rows": m.totals.get("rows")}))
         return 0
 
+    if args.cmd == "get":
+        from gamechanger_data_ray.engine.cdc import read_keys, routed_partition_files
+
+        t = read_keys(args.table, args.keys)
+        print(json.dumps({
+            "found": t.num_rows,
+            "partitions_read": len(routed_partition_files(args.table, args.keys)),
+            "rows": t.to_pylist(),
+        }, default=str))
+        return 0
+
     if args.cmd == "status":
         from gamechanger_data_ray.state import manifest as mf
 
@@ -238,8 +262,16 @@ def main(argv: list[str] | None = None) -> int:
                 m = replay(
                     args.changelog[0], args.table, num_partitions=args.partitions,
                     epochs_per_commit=args.epochs_per_commit, exchange=args.exchange,
+                    merge_policy=args.merge_policy,
                 )
             print(json.dumps({"epoch": m.epoch if m else None, "totals": m.totals if m else {}}))
+        elif args.cmd == "compact":
+            from gamechanger_data_ray.engine.maintenance import compact
+
+            m = compact(args.table, min_deltas=args.min_deltas)
+            print(json.dumps(
+                {"compacted": m is not None,
+                 "epoch": m.epoch if m else None, "rev": m.rev if m else None}))
         elif args.cmd == "tail":
             from gamechanger_data_ray.engine.cdc import tail
 

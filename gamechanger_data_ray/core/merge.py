@@ -112,6 +112,23 @@ def drop_tombstones(t: pa.Table, op: str = OP_COLUMN) -> pa.Table:
     return t.filter(pc.not_equal(t.column(op), pa.scalar(TOMBSTONE_OP)))
 
 
+def collapse_deltas(tables: list[pa.Table], sort_by_key: bool = True) -> pa.Table:
+    """Resolve a merge-on-read partition — base state + ordered delta files
+    (delta rows carry their real (lsn, seq), so plain LWW is the resolver;
+    delta tombstones suppress base rows and then drop out). Single-table
+    fast path: a copy-on-write partition is already resolved."""
+    if not tables:
+        return pa.table({})
+    if len(tables) == 1:
+        # a lone delta file (partition born in delta mode) still carries
+        # tombstone rows; a copy-on-write base never does (cheap no-op)
+        return drop_tombstones(tables[0]) if OP_COLUMN in tables[0].schema.names else tables[0]
+    out = drop_tombstones(lww_reduce(pa.concat_tables(tables, promote_options="default")))
+    if sort_by_key and out.num_rows:
+        out = out.take(pc.sort_indices(out, sort_keys=[(KEY_COLUMN, "ascending")]))
+    return out
+
+
 def merge_partition(
     state: pa.Table | None,
     events: pa.Table,

@@ -55,7 +55,13 @@ import ray.data
 
 from ..core import changelog as cl
 from ..core.hashing import partition_ids
-from ..core.merge import lww_reduce_weighted, merge_partition
+from ..core.merge import (
+    EVENTS_REP,
+    TOMBS_REP,
+    collapse_deltas,
+    lww_reduce_weighted,
+    merge_partition,
+)
 from ..core.reconcile import conform, unify_all, unify_schemas
 from ..state import manifest as mf
 from ..state.fs import StorageAdapter, default_fs
@@ -70,6 +76,96 @@ def _epoch_files(changelog_dir: str, epoch: int, fs: StorageAdapter | None = Non
 
 def _partition_path(epoch: int, part: int) -> str:
     return os.path.join(f"part={part:05d}", f"data-e{epoch:06d}.parquet")
+
+
+def _key_range(merged: pa.Table) -> tuple[str, str]:
+    """Zone-map entry for a freshly written partition file. The merge
+    writes rows key-sorted, so min/max are the first/last doc_id."""
+    if merged.num_rows == 0:
+        return "", ""
+    col = merged["doc_id"]
+    return str(col[0].as_py()), str(col[merged.num_rows - 1].as_py())
+
+
+def _delta_path(epoch: int, part: int) -> str:
+    return os.path.join(f"part={part:05d}", f"delta-e{epoch:06d}.parquet")
+
+
+# skinny columns a delta commit reads from existing state to keep lineage
+# counters exact without touching the payload
+_INDEX_COLUMNS = ["op", "lsn", "seq", "doc_id"]
+
+
+def _load_state(
+    table_dir: str, rels: list[str], schema: pa.Schema,
+    fs: StorageAdapter, columns: list[str] | None = None,
+) -> pa.Table | None:
+    """A partition's resolved current state: base file + any merge-on-read
+    deltas, LWW-collapsed with tombstones dropped."""
+    if not rels:
+        return None
+    tabs = [
+        conform(fs.read_parquet(os.path.join(table_dir, r), columns=columns),
+                schema if columns is None
+                else pa.schema([schema.field(schema.get_field_index(c)) for c in columns]))
+        for r in rels
+    ]
+    return collapse_deltas(tabs)
+
+
+def _merge_one_partition(
+    part: int,
+    events: pa.Table,
+    state_rels: list[str],
+    table_dir: str,
+    epoch: int,
+    schema: pa.Schema,
+    policy: str,
+    fs: StorageAdapter,
+) -> dict:
+    """Apply one partition's combined events under the given merge policy.
+
+    ``rewrite`` (copy-on-write): read full state (resolving any pending
+    deltas — so a rewrite epoch doubles as compaction), LWW-merge, write
+    the new base file.
+
+    ``delta`` (merge-on-read): write ONLY the epoch's combined events as
+    ``delta-eEEEEEE.parquet`` — tombstones included, real (lsn, seq)
+    carried, so plain LWW resolves them at read time. The base payload is
+    never read or rewritten: write amplification is O(changed keys), not
+    O(partition). Lineage counters stay EXACT by merging against a skinny
+    (op, lsn, seq, doc_id) index of the current state — columns only,
+    via parquet projection. The Hudi/Iceberg MOR trade re-expressed over
+    immutable hash partitions."""
+    if policy == "rewrite":
+        state = _load_state(table_dir, state_rels, schema, fs)
+        merged, counters = merge_partition(state, events)
+        out_rel = _partition_path(epoch, part)
+        out_abs = os.path.join(table_dir, out_rel)
+        fs.makedirs(os.path.dirname(out_abs))
+        fs.write_parquet_atomic(merged, out_abs)
+        kmin, kmax = _key_range(merged)
+        return {"part": part, "file": out_rel, "delta": "",
+                "key_min": kmin, "key_max": kmax,
+                **{k: int(counters[k]) for k in COUNTER_KEYS}}
+    if policy != "delta":
+        raise ValueError(f"unknown merge policy: {policy!r}")
+    winners = lww_reduce_weighted(events)
+    idx_cols = [c for c in _INDEX_COLUMNS if c in winners.schema.names]
+    state_idx = _load_state(table_dir, state_rels, schema, fs, columns=idx_cols)
+    ev_idx = winners.select(idx_cols + [EVENTS_REP, TOMBS_REP])
+    merged_idx, counters = merge_partition(state_idx, ev_idx)
+    body = winners.drop_columns([EVENTS_REP, TOMBS_REP])
+    if body.num_rows:
+        body = body.take(pc.sort_indices(body, sort_keys=[("doc_id", "ascending")]))
+    out_rel = _delta_path(epoch, part)
+    out_abs = os.path.join(table_dir, out_rel)
+    fs.makedirs(os.path.dirname(out_abs))
+    fs.write_parquet_atomic(body, out_abs)
+    kmin, kmax = _key_range(merged_idx)  # zone map covers the FULL alive state
+    return {"part": part, "file": "", "delta": out_rel,
+            "key_min": kmin, "key_max": kmax,
+            **{k: int(counters[k]) for k in COUNTER_KEYS}}
 
 
 def make_normalizer(unified_b64: str, num_partitions: int):
@@ -88,37 +184,30 @@ def make_merge_writer(
     table_dir: str,
     epoch: int,
     unified_b64: str,
-    state_files: dict[int, str],
+    state_files: dict[int, list[str]],
+    policy: str = "rewrite",
     fs: StorageAdapter | None = None,
 ):
     """map_groups fn for one hash partition: merge events against the
-    partition's current state file and write the new deterministic file.
-    Returns a one-row counters table (the only data the driver sees).
-    All I/O routes through the StorageAdapter (picklable; carried into
-    the task closure) so the merge runs against any pyarrow filesystem;
-    publication is atomic-rename on POSIX, atomic-PUT on object stores —
-    concurrent/stale attempts write byte-identical content either way."""
+    partition's current state (base + any pending deltas) and write the
+    new deterministic file under the given merge policy (see
+    :func:`_merge_one_partition`). Returns a one-row counters table (the
+    only data the driver sees). All I/O routes through the StorageAdapter
+    (picklable; carried into the task closure) so the merge runs against
+    any pyarrow filesystem; publication is atomic-rename on POSIX,
+    atomic-PUT on object stores — concurrent/stale attempts write
+    byte-identical content either way."""
     fs = default_fs(fs)
 
     def merge_write(group: pa.Table) -> pa.Table:
         schema = mf.schema_from_b64(unified_b64)
         part = int(group[PART_COLUMN][0].as_py())
         events = group.drop_columns([PART_COLUMN])
-        state = None
-        rel = state_files.get(part)
-        if rel is not None:
-            state = conform(fs.read_parquet(os.path.join(table_dir, rel)), schema)
-        merged, counters = merge_partition(state, events)
-        out_rel = _partition_path(epoch, part)
-        out_abs = os.path.join(table_dir, out_rel)
-        fs.makedirs(os.path.dirname(out_abs))
-        fs.write_parquet_atomic(merged, out_abs)
-        row = {
-            "part": [part],
-            "file": [out_rel],
-            **{k: [int(counters[k])] for k in COUNTER_KEYS},
-        }
-        return pa.table(row)
+        row = _merge_one_partition(
+            part, events, state_files.get(part, []), table_dir, epoch,
+            schema, policy, fs,
+        )
+        return pa.table({k: [v] for k, v in row.items()})
 
     return merge_write
 
@@ -128,14 +217,15 @@ def make_staged_merger(
     staging_dir: str,
     epoch: int,
     unified_b64: str,
-    state_files: dict[int, str],
+    state_files: dict[int, list[str]],
+    policy: str = "rewrite",
     fs: StorageAdapter | None = None,
 ):
     """Merge task for the staged exchange: each input row names one
     partition; the task reads that partition's staged files (already
-    conformed + weight-carrying) plus its current state file, merges, and
-    writes the deterministic output file. I/O via StorageAdapter (see
-    :func:`make_merge_writer`)."""
+    conformed + weight-carrying) plus its current state (base + pending
+    deltas), merges under the given policy, and writes the deterministic
+    output file. I/O via StorageAdapter (see :func:`make_merge_writer`)."""
     fs = default_fs(fs)
 
     def merge_staged(batch: pa.Table) -> pa.Table:
@@ -151,21 +241,15 @@ def make_staged_merger(
             events = pa.concat_tables(
                 [fs.read_parquet(f) for f in staged], promote_options="default"
             )
-            state = None
-            rel = state_files.get(part)
-            if rel is not None:
-                state = conform(fs.read_parquet(os.path.join(table_dir, rel)), schema)
-            merged, counters = merge_partition(state, events)
-            out_rel = _partition_path(epoch, part)
-            out_abs = os.path.join(table_dir, out_rel)
-            fs.makedirs(os.path.dirname(out_abs))
-            fs.write_parquet_atomic(merged, out_abs)
-            out_rows.append(
-                {"part": part, "file": out_rel, **{k: int(counters[k]) for k in COUNTER_KEYS}}
-            )
+            out_rows.append(_merge_one_partition(
+                part, events, state_files.get(part, []), table_dir, epoch,
+                schema, policy, fs,
+            ))
         if not out_rows:
             return pa.table(
-                {"part": pa.array([], pa.int64()), "file": pa.array([], pa.string())}
+                {"part": pa.array([], pa.int64()), "file": pa.array([], pa.string()),
+                 "delta": pa.array([], pa.string()),
+                 "key_min": pa.array([], pa.string()), "key_max": pa.array([], pa.string())}
                 | {k: pa.array([], pa.int64()) for k in COUNTER_KEYS}
             )
         return pa.table({k: [r[k] for r in out_rows] for k in out_rows[0]})
@@ -233,10 +317,12 @@ def apply_epoch(
     epoch: int,
     num_partitions: int = 32,
     exchange: str = "staged",
+    merge_policy: str = "rewrite",
     fs: StorageAdapter | None = None,
 ) -> mf.TableManifest | None:
     """Apply one ready epoch to the table (see :func:`apply_epochs`)."""
-    return apply_epochs(changelog_dir, table_dir, [epoch], num_partitions, exchange, fs=fs)
+    return apply_epochs(changelog_dir, table_dir, [epoch], num_partitions, exchange,
+                        merge_policy=merge_policy, fs=fs)
 
 
 def apply_epochs(
@@ -245,6 +331,7 @@ def apply_epochs(
     epochs: list[int],
     num_partitions: int = 32,
     exchange: str = "staged",
+    merge_policy: str = "rewrite",
     fs: StorageAdapter | None = None,
 ) -> mf.TableManifest | None:
     """Apply a run of ready epochs to the table in ONE pipeline; returns the
@@ -280,6 +367,7 @@ def apply_epochs(
         incoming,
         num_partitions=num_partitions,
         exchange=exchange,
+        merge_policy=merge_policy,
         fs=fs,
     )
 
@@ -292,6 +380,7 @@ def apply_events_dataset(
     num_partitions: int = 32,
     exchange: str = "staged",
     carry_forward: bool = True,
+    merge_policy: str = "rewrite",
     fs: StorageAdapter | None = None,
 ) -> mf.TableManifest | None:
     """Apply an arbitrary change-event Dataset (op/lsn/seq/doc_id + payload
@@ -302,6 +391,13 @@ def apply_events_dataset(
     a list of parquet FILE PATHS, in which case staging fuses
     read+normalize+partition+write into one task per file (zero plasma
     hops for the payload; see :func:`make_file_stager`).
+
+    ``merge_policy="rewrite"`` (default) is copy-on-write: each touched
+    partition's base file is fully rewritten (and any pending deltas are
+    folded in). ``"delta"`` is merge-on-read: only the epoch's combined
+    events land, as a per-partition delta file — O(changed keys) write
+    amplification, resolved by LWW at read / at the next compaction or
+    rewrite epoch (see :func:`_merge_one_partition`).
 
     The hash-partition count is pinned by the first commit: on an existing
     table the stored ``num_partitions`` always wins (routing events with a
@@ -321,9 +417,11 @@ def apply_events_dataset(
         else incoming_schema
     )
     unified_b64 = mf.schema_to_b64(unified)
-    state_files = (
-        {int(k): v["file"] for k, v in current.partitions.items()} if current else {}
-    )
+    state_files: dict[int, list[str]] = {}
+    if current is not None:
+        for k, v in current.partitions.items():
+            rels = ([v["file"]] if v.get("file") else []) + list(v.get("deltas", ()))
+            state_files[int(k)] = rels
 
     # retry_exceptions: normalize/merge are pure + the sink is idempotent
     # (deterministic file names), so retrying a task that died on a
@@ -374,7 +472,8 @@ def apply_events_dataset(
             counters_ds = ray.data.from_items(
                 [{"part": p} for p in touched]
             ).map_batches(
-                make_staged_merger(table_dir, staging, epoch, unified_b64, state_files, fs=fs),
+                make_staged_merger(table_dir, staging, epoch, unified_b64, state_files,
+                                   policy=merge_policy, fs=fs),
                 batch_size=1,
                 batch_format="pyarrow",
                 **_retry,
@@ -385,7 +484,8 @@ def apply_events_dataset(
         fs.rmtree(staging)
     elif exchange == "sort":
         counters_ds = ds.groupby(PART_COLUMN).map_groups(
-            make_merge_writer(table_dir, epoch, unified_b64, state_files, fs=fs),
+            make_merge_writer(table_dir, epoch, unified_b64, state_files,
+                              policy=merge_policy, fs=fs),
             batch_format="pyarrow",
         )
         counter_rows = counters_ds.take_all()  # O(num_partitions) rows — tiny
@@ -397,11 +497,28 @@ def apply_events_dataset(
     epoch_counters: dict[str, Any] = {"per_partition": {}, **{k: 0 for k in COUNTER_KEYS}}
     for r in counter_rows:
         p = str(r["part"])
-        partitions[p] = {
-            "file": r["file"],
-            "rows": int(r["rows_out"]),
-            "watermark_lsn": int(r["watermark_lsn"]),
-        }
+        prev = partitions.get(p, {})
+        if r.get("delta"):
+            # merge-on-read: base stays put, the epoch's delta is appended;
+            # rows/watermark/zone-map reflect the RESOLVED state (counters
+            # were computed against the skinny state index, so exact)
+            partitions[p] = {
+                "file": prev.get("file"),
+                "rows": int(r["rows_out"]),
+                "watermark_lsn": max(int(prev.get("watermark_lsn", 0)),
+                                     int(r["watermark_lsn"])),
+                "deltas": list(prev.get("deltas", ())) + [r["delta"]],
+            }
+        else:
+            # copy-on-write: new base resolves and supersedes any deltas
+            partitions[p] = {
+                "file": r["file"],
+                "rows": int(r["rows_out"]),
+                "watermark_lsn": int(r["watermark_lsn"]),
+            }
+        if r.get("key_min") is not None:
+            partitions[p]["key_min"] = r["key_min"]
+            partitions[p]["key_max"] = r["key_max"]
         epoch_counters["per_partition"][p] = {k: int(r[k]) for k in COUNTER_KEYS}
         for k in COUNTER_KEYS:
             if k != "watermark_lsn":
@@ -436,6 +553,7 @@ def replay(
     up_to_epoch: int | None = None,
     epochs_per_commit: int | None = None,
     exchange: str = "staged",
+    merge_policy: str = "rewrite",
     fs: StorageAdapter | None = None,
 ) -> mf.TableManifest | None:
     """Tail-and-apply loop: process every ready epoch strictly greater than
@@ -462,7 +580,7 @@ def replay(
             batch = pending[i : i + max(1, step)]
             m = apply_epochs(
                 changelog_dir, table_dir, batch, num_partitions=num_partitions,
-                exchange=exchange, fs=fs,
+                exchange=exchange, merge_policy=merge_policy, fs=fs,
             )
             if m is not None:
                 last = m
@@ -634,29 +752,165 @@ def apply_revocation_sweep(
     )
 
 
+def _manifest_dataset(
+    table_dir: str,
+    man: mf.TableManifest,
+    out_schema: pa.Schema,
+    predicate,
+    fs: StorageAdapter,
+) -> ray.data.Dataset:
+    """Streaming read of a manifest's state. Copy-on-write partitions go
+    through the plain parquet reader (predicate pushed down to row groups);
+    merge-on-read partitions are resolved one task per partition — read
+    base + deltas, LWW-collapse, THEN filter (pre-merge filtering on a
+    non-key predicate could drop a delta winner and resurrect the base
+    loser, so correctness demands post-merge evaluation there)."""
+    full_b64 = man.schema_b64
+    out_b64 = mf.schema_to_b64(out_schema)
+
+    def conform_batch(t: pa.Table) -> pa.Table:
+        return conform(t, mf.schema_from_b64(out_b64))
+
+    plain: list[str] = []
+    mor: list[dict] = []
+    for p in sorted(man.partitions, key=int):
+        e = man.partitions[p]
+        rels = ([e["file"]] if e.get("file") else []) + list(e.get("deltas", ()))
+        if not rels:
+            continue
+        if e.get("deltas"):
+            mor.append({"files": rels})
+        else:
+            plain.append(os.path.join(table_dir, e["file"]))
+
+    pieces: list[ray.data.Dataset] = []
+    if plain:
+        kwargs = {} if predicate is None else {"filter": predicate}
+        ds = ray.data.read_parquet(plain, filesystem=fs.fs, **kwargs)
+        pieces.append(ds.map_batches(conform_batch, batch_format="pyarrow"))
+    if mor:
+        def resolve(batch: pa.Table) -> pa.Table:
+            import pyarrow.dataset as pads
+
+            schema = mf.schema_from_b64(full_b64)
+            out: list[pa.Table] = []
+            for row in batch.to_pylist():
+                t = collapse_deltas([
+                    conform(fs.read_parquet(os.path.join(table_dir, r)), schema)
+                    for r in row["files"]
+                ])
+                if predicate is not None:
+                    t = pads.dataset(t).to_table(filter=predicate)
+                out.append(conform(t, mf.schema_from_b64(out_b64)))
+            return pa.concat_tables(out)
+
+        pieces.append(ray.data.from_items(mor).map_batches(
+            resolve, batch_size=1, batch_format="pyarrow",
+            retry_exceptions=True, max_retries=4,
+        ))
+    if not pieces:
+        return ray.data.from_arrow(
+            pa.table({f.name: pa.array([], f.type) for f in out_schema}))
+    ds = pieces[0]
+    for extra in pieces[1:]:
+        ds = ds.union(extra)
+    return ds
+
+
+def _project(schema: pa.Schema, payload_only: bool, columns: list[str] | None) -> pa.Schema:
+    if payload_only:
+        schema = pa.schema([f for f in schema if f.name != "op"])
+    if columns:
+        schema = pa.schema([schema.field(schema.get_field_index(c)) for c in columns])
+    return schema
+
+
 def read_table(
     table_dir: str, payload_only: bool = False, columns: list[str] | None = None,
-    fs: StorageAdapter | None = None,
+    predicate=None, fs: StorageAdapter | None = None,
 ) -> ray.data.Dataset:
     """The committed table as a streaming Dataset (conformed to the table
-    schema, since old partition files may predate a schema evolution)."""
+    schema, since old partition files may predate a schema evolution).
+
+    ``predicate`` (a ``pyarrow.dataset`` expression, e.g.
+    ``pc.field("n_tok") >= 100``) is pushed into the parquet scan for
+    row-group pruning — partition files are written doc_id-sorted, so
+    key-range predicates skip whole row groups at the footer. On
+    merge-on-read partitions it is applied after delta resolution."""
     fs = default_fs(fs)
     current = mf.load_current(table_dir, fs)
     if current is None or not current.partitions:
         return ray.data.from_arrow(pa.table({}))
+    out_schema = _project(current.schema, payload_only, columns)
+    return _manifest_dataset(table_dir, current, out_schema, predicate, fs)
+
+
+def routed_partition_files(
+    table_dir: str, keys: list, fs: StorageAdapter | None = None
+) -> list[str]:
+    """The (deduplicated) partition files that can possibly hold ``keys``:
+    re-hash each key with the table's pinned partition count and keep only
+    the matching manifest entries — O(|keys|) files, never a full scan.
+    Per-partition zone maps (``key_min``/``key_max``, written key-sorted)
+    prune further when present."""
+    fs = default_fs(fs)
+    current = mf.load_current(table_dir, fs)
+    if current is None or not current.partitions:
+        return []
+    npart = current.num_partitions or max(
+        (int(p) for p in current.partitions), default=0) + 1
+    by_pid: dict[int, list] = {}
+    for k, pid in zip(keys, partition_ids(pa.array(keys), npart).to_pylist()):
+        by_pid.setdefault(pid, []).append(k)
+    out = []
+    for pid, ks in sorted(by_pid.items()):
+        entry = current.partitions.get(str(pid))
+        if entry is None:
+            continue
+        kmin, kmax = entry.get("key_min"), entry.get("key_max")
+        if kmin is not None and kmax is not None and kmin <= kmax:
+            if not any(kmin <= str(k) <= kmax for k in ks):
+                continue
+        out.extend(current.partition_files(table_dir, str(pid)))
+    return out
+
+
+def read_keys(
+    table_dir: str,
+    keys: list,
+    columns: list[str] | None = None,
+    fs: StorageAdapter | None = None,
+) -> pa.Table:
+    """Hash-routed point lookup: fetch the committed rows for ``keys``
+    by reading ONLY the partitions their hashes route to (the analog of
+    the reference's fetch-doc-by-id path, e.g. the doc-by-filename gets in
+    ``dataPipelines/gc_ingest/tools/load/utils.py``) with parquet
+    ``doc_id IN (...)`` pushdown inside each file. Deleted keys are simply
+    absent (rewrite compacts tombstones on write; merge-on-read deltas are
+    LWW-resolved here — key-equality filtering commutes with the merge, so
+    the pushdown stays sound). Result is bounded by ``len(keys)`` rows,
+    returned driver-side and key-sorted."""
+    import pyarrow.dataset as pads
+
+    fs = default_fs(fs)
+    current = mf.load_current(table_dir, fs)
+    if current is None or not current.partitions:
+        return pa.table({})
+    files = routed_partition_files(table_dir, keys, fs)
     schema = current.schema
-    if payload_only:
-        drop = {"op"}
-        schema = pa.schema([f for f in schema if f.name not in drop])
+    if not files:
+        return conform(pa.table({}), schema).slice(0, 0)
+    flt = pads.field("doc_id").isin(keys)
+    tabs = [
+        conform(pads.dataset(f, filesystem=fs.fs).to_table(filter=flt), schema)
+        for f in files
+    ]
+    t = collapse_deltas(tabs)
     if columns:
-        schema = pa.schema([schema.field(schema.get_field_index(c)) for c in columns])
-    b64 = mf.schema_to_b64(schema)
-
-    def conform_batch(t: pa.Table) -> pa.Table:
-        return conform(t, mf.schema_from_b64(b64))
-
-    ds = ray.data.read_parquet(current.data_files(table_dir), filesystem=fs.fs)
-    return ds.map_batches(conform_batch, batch_format="pyarrow")
+        t = t.select(columns)
+    if t.num_rows:
+        t = t.take(pc.sort_indices(t, sort_keys=[("doc_id", "ascending")]))
+    return t
 
 
 def read_table_asof(
@@ -675,16 +929,8 @@ def read_table_asof(
         raise FileNotFoundError(
             f"cannot read as of epoch {epoch}: {len(missing)} file(s) vacuumed"
         )
-    schema = m.schema
-    if payload_only:
-        schema = pa.schema([f for f in schema if f.name != "op"])
-    b64 = mf.schema_to_b64(schema)
-
-    def conform_batch(t: pa.Table) -> pa.Table:
-        return conform(t, mf.schema_from_b64(b64))
-
-    ds = ray.data.read_parquet(m.data_files(table_dir))
-    return ds.map_batches(conform_batch, batch_format="pyarrow")
+    out_schema = _project(m.schema, payload_only, None)
+    return _manifest_dataset(table_dir, m, out_schema, None, default_fs(None))
 
 
 def table_to_arrow(table_dir: str, sort_by_key: bool = True) -> pa.Table:
@@ -693,9 +939,12 @@ def table_to_arrow(table_dir: str, sort_by_key: bool = True) -> pa.Table:
     if current is None or not current.partitions:
         return pa.table({})
     schema = current.schema
-    tabs = [
-        conform(pq.read_table(f), schema) for f in sorted(current.data_files(table_dir))
-    ]
+    tabs = []
+    for p in sorted(current.partitions, key=int):
+        files = current.partition_files(table_dir, p)
+        if not files:
+            continue
+        tabs.append(collapse_deltas([conform(pq.read_table(f), schema) for f in files]))
     t = pa.concat_tables(tabs)
     if sort_by_key and t.num_rows:
         t = t.take(pc.sort_indices(t, sort_keys=[("doc_id", "ascending")]))

@@ -31,6 +31,7 @@ import pyarrow as pa
 import ray.data
 
 from ..core.diff import CHANGE_COLUMN, SIGN_COLUMN, diff_states
+from ..core.merge import collapse_deltas
 from ..core.reconcile import conform, unify_schemas
 from ..state import manifest as mf
 from ..state.fs import StorageAdapter, default_fs
@@ -42,28 +43,37 @@ def load_manifest_fs(
     """Load a retained manifest through the storage adapter (works on any
     pyarrow filesystem, unlike the local-only maintenance helpers)."""
     fs = default_fs(fs)
-    path = os.path.join(table_dir, mf.MANIFEST_DIR, f"manifest-{epoch:06d}.json")
-    if not fs.exists(path):
+    mdir = os.path.join(table_dir, mf.MANIFEST_DIR)
+    # highest retained rev for the epoch (a rev = compaction rewrite of the
+    # same logical state; older revs' files may be vacuumed)
+    best: str | None = None
+    best_rev = -1
+    for name in fs.listdir(mdir):
+        er = mf.parse_manifest_name(name)
+        if er is not None and er[0] == epoch and er[1] > best_rev:
+            best, best_rev = name, er[1]
+    if best is None:
         raise FileNotFoundError(
-            f"no retained manifest for epoch {epoch} at {path} (vacuumed?)"
+            f"no retained manifest for epoch {epoch} at "
+            f"{os.path.join(mdir, mf.manifest_name(epoch))} (vacuumed?)"
         )
-    return mf.TableManifest.from_json(fs.read_text(path))
+    return mf.TableManifest.from_json(fs.read_text(os.path.join(mdir, best)))
 
 
 def _diff_task(table_dir: str, unified_b64: str, mode: str, fs: StorageAdapter):
+    def load(rels: list[str], schema: pa.Schema) -> pa.Table | None:
+        if not rels:
+            return None
+        return collapse_deltas(
+            [conform(fs.read_parquet(os.path.join(table_dir, r)), schema) for r in rels]
+        )
+
     def run(batch: pa.Table) -> pa.Table:
         schema = mf.schema_from_b64(unified_b64)
         out: list[pa.Table] = []
         for row in batch.to_pylist():
-            old = new = None
-            if row["old_file"]:
-                old = conform(
-                    fs.read_parquet(os.path.join(table_dir, row["old_file"])), schema
-                )
-            if row["new_file"]:
-                new = conform(
-                    fs.read_parquet(os.path.join(table_dir, row["new_file"])), schema
-                )
+            old = load(list(row["old_files"]), schema)
+            new = load(list(row["new_files"]), schema)
             out.append(diff_states(old, new, mode=mode))
         return pa.concat_tables(out)
 
@@ -97,13 +107,19 @@ def diff_table_epochs(
     unified = unify_schemas(man_old.schema, man_new.schema)
     unified_b64 = mf.schema_to_b64(unified)
 
+    def rels(man: mf.TableManifest, p: str) -> list[str]:
+        e = man.partitions.get(p)
+        if e is None:
+            return []
+        out = [e["file"]] if e.get("file") else []
+        return out + list(e.get("deltas", ()))
+
     work = []
     for p in sorted(set(man_old.partitions) | set(man_new.partitions), key=int):
-        old_rel = man_old.partitions.get(p, {}).get("file")
-        new_rel = man_new.partitions.get(p, {}).get("file")
-        if old_rel == new_rel:  # carry-forward: untouched partition, free prune
+        old_rels, new_rels = rels(man_old, p), rels(man_new, p)
+        if old_rels == new_rels:  # carry-forward: untouched partition, free prune
             continue
-        work.append({"part": int(p), "old_file": old_rel or "", "new_file": new_rel or ""})
+        work.append({"part": int(p), "old_files": old_rels, "new_files": new_rels})
 
     extra = (
         pa.field(CHANGE_COLUMN, pa.string())

@@ -34,24 +34,34 @@ import shutil
 from ..state import manifest as mf
 
 
-def list_manifests(table_dir: str) -> list[int]:
-    """Epochs with a retained manifest, ascending."""
+def _manifest_revs(table_dir: str) -> dict[int, int]:
+    """epoch -> highest retained rev."""
     mdir = os.path.join(table_dir, mf.MANIFEST_DIR)
     if not os.path.isdir(mdir):
-        return []
-    out = []
+        return {}
+    out: dict[int, int] = {}
     for name in os.listdir(mdir):
-        if name.startswith("manifest-") and name.endswith(".json"):
-            out.append(int(name[len("manifest-") : -len(".json")]))
-    return sorted(out)
+        er = mf.parse_manifest_name(name)
+        if er is not None:
+            out[er[0]] = max(out.get(er[0], 0), er[1])
+    return out
+
+
+def list_manifests(table_dir: str) -> list[int]:
+    """Epochs with a retained manifest, ascending."""
+    return sorted(_manifest_revs(table_dir))
 
 
 def load_manifest(table_dir: str, epoch: int) -> mf.TableManifest:
-    path = os.path.join(table_dir, mf.MANIFEST_DIR, f"manifest-{epoch:06d}.json")
-    if not os.path.exists(path):
+    """The manifest for ``epoch`` at its highest retained rev (a rev is a
+    physical rewrite — compaction — of the same logical state, so the
+    newest rev is always the one whose files exist)."""
+    rev = _manifest_revs(table_dir).get(epoch)
+    if rev is None:
         raise FileNotFoundError(
             f"no retained manifest for epoch {epoch} (have {list_manifests(table_dir)})"
         )
+    path = os.path.join(table_dir, mf.MANIFEST_DIR, mf.manifest_name(epoch, rev))
     with open(path) as f:
         return mf.TableManifest.from_json(f.read())
 
@@ -71,9 +81,89 @@ def restore(table_dir: str, epoch: int) -> mf.TableManifest:
     # so it bypasses the forward-only commit fence.
     mf._atomic_write(
         os.path.join(table_dir, mf.CURRENT_POINTER),
-        json.dumps({"epoch": epoch, "manifest": f"manifest-{epoch:06d}.json"}),
+        json.dumps({"epoch": epoch, "rev": target.rev, "manifest": target.name}),
     )
     return target
+
+
+def compact(table_dir: str, min_deltas: int = 1) -> mf.TableManifest | None:
+    """Fold merge-on-read deltas back into per-partition base files —
+    a physical rewrite of IDENTICAL logical state, committed as a same-epoch
+    revision (``rev+1``; the (epoch, rev) fence keeps stale attempts out).
+    One Ray task per delta-carrying partition; partitions below
+    ``min_deltas`` pending deltas (and all copy-on-write partitions) are
+    untouched. Returns the new manifest, or None if nothing to compact
+    or a racing rewrite already superseded this revision."""
+    import pyarrow as pa
+    import ray.data
+
+    from ..core.merge import collapse_deltas
+    from ..core.reconcile import conform
+    from ..state.fs import default_fs
+
+    fs = default_fs(None)
+    current = mf.load_current(table_dir, fs)
+    if current is None:
+        return None
+    todo = {
+        p: e for p, e in current.partitions.items()
+        if len(e.get("deltas", ())) >= max(1, min_deltas)
+    }
+    if not todo:
+        return None
+    b64 = current.schema_b64
+    new_rev = current.rev + 1
+    epoch = current.epoch
+
+    def compact_one(batch: pa.Table) -> pa.Table:
+        schema = mf.schema_from_b64(b64)
+        rows = []
+        for row in batch.to_pylist():
+            files = [os.path.join(table_dir, r) for r in row["files"]]
+            merged = collapse_deltas([conform(fs.read_parquet(f), schema) for f in files])
+            out_rel = os.path.join(
+                f"part={int(row['part']):05d}",
+                f"data-e{epoch:06d}r{new_rev:03d}.parquet",
+            )
+            fs.write_parquet_atomic(merged, os.path.join(table_dir, out_rel))
+            kmin = str(merged["doc_id"][0].as_py()) if merged.num_rows else ""
+            kmax = str(merged["doc_id"][merged.num_rows - 1].as_py()) if merged.num_rows else ""
+            rows.append({"part": int(row["part"]), "file": out_rel,
+                         "rows": merged.num_rows, "key_min": kmin, "key_max": kmax})
+        return pa.table({k: [r[k] for r in rows] for k in rows[0]})
+
+    work = [
+        {"part": int(p),
+         "files": ([e["file"]] if e.get("file") else []) + list(e["deltas"])}
+        for p, e in todo.items()
+    ]
+    results = ray.data.from_items(work).map_batches(
+        compact_one, batch_size=1, batch_format="pyarrow",
+        retry_exceptions=True, max_retries=4,
+    ).take_all()
+
+    partitions = dict(current.partitions)
+    for r in results:
+        p = str(r["part"])
+        partitions[p] = {
+            "file": r["file"],
+            "rows": int(r["rows"]),
+            "watermark_lsn": int(partitions[p].get("watermark_lsn", 0)),
+            "key_min": r["key_min"],
+            "key_max": r["key_max"],
+        }
+    manifest = mf.TableManifest(
+        epoch=epoch,
+        schema_b64=b64,
+        partitions=partitions,
+        epoch_counters=current.epoch_counters,
+        totals=current.totals,
+        num_partitions=current.num_partitions,
+        rev=new_rev,
+    )
+    if not mf.commit(table_dir, manifest):
+        return None
+    return manifest
 
 
 def vacuum(table_dir: str, keep_epochs: int = 2) -> dict:
@@ -106,9 +196,17 @@ def vacuum(table_dir: str, keep_epochs: int = 2) -> dict:
                 freed += os.path.getsize(p)
                 os.remove(p)
                 deleted += 1
-    for e in epochs:
-        if e not in kept:
-            os.remove(os.path.join(table_dir, mf.MANIFEST_DIR, f"manifest-{e:06d}.json"))
+    revs = _manifest_revs(table_dir)
+    mdir = os.path.join(table_dir, mf.MANIFEST_DIR)
+    for name in os.listdir(mdir):
+        er = mf.parse_manifest_name(name)
+        if er is None:
+            continue
+        e, r = er
+        # drop manifests of evicted epochs, and superseded (pre-compaction)
+        # revs of kept epochs — their files are already unreferenced
+        if e not in kept or r < revs.get(e, 0):
+            os.remove(os.path.join(mdir, name))
 
     # sweep staging debris from crashed/raced attempts of committed epochs
     # (a live attempt for a committed epoch is doomed to be fenced anyway,
@@ -251,9 +349,13 @@ def validate_table(table_dir: str) -> dict:
     part_re = re.compile(r"part=(\d+)/")
 
     def check(t: pa.Table) -> pd.DataFrame:
-        paths = t["path"].to_pylist()
-        t = conform(t.drop_columns(["path"]), mf.schema_from_b64(b64))
-        part = pd.Series([int(part_re.search(p).group(1)) for p in paths])
+        if "path" in t.column_names:
+            paths = t["path"].to_pylist()
+            part = pd.Series([int(part_re.search(p).group(1)) for p in paths])
+            t = conform(t.drop_columns(["path"]), mf.schema_from_b64(b64))
+        else:
+            part = pd.Series(t["_vpart"].to_pylist())
+            t = conform(t.drop_columns(["_vpart"]), mf.schema_from_b64(b64))
         ntok = pc.list_value_length(t["tokens"]).to_pandas().astype("float")
         n_tok_col = t["n_tok"].to_pandas().astype("float")
         doc = t["doc_id"].to_pandas()
@@ -273,9 +375,45 @@ def validate_table(table_dir: str) -> dict:
         )
         return viol.groupby("part", as_index=False).sum()
 
-    files = current.data_files(table_dir)
-    ds = ray.data.read_parquet(files, filesystem=fs.fs, include_paths=True)
-    partials = ds.map_batches(check, batch_format="pyarrow").to_pandas()
+    # copy-on-write partitions stream through the plain reader; merge-on-read
+    # partitions are LWW-resolved per partition first (delta files hold raw
+    # tombstone/superseded rows — validating them unresolved would be wrong)
+    plain_files, mor_work = [], []
+    for p, e in current.partitions.items():
+        if e.get("deltas"):
+            rels = ([e["file"]] if e.get("file") else []) + list(e["deltas"])
+            mor_work.append({"part": int(p), "files": rels})
+        elif e.get("file"):
+            plain_files.append(os.path.join(table_dir, e["file"]))
+
+    pieces = []
+    if plain_files:
+        ds = ray.data.read_parquet(plain_files, filesystem=fs.fs, include_paths=True)
+        pieces.append(ds.map_batches(check, batch_format="pyarrow"))
+    if mor_work:
+        from ..core.merge import collapse_deltas
+
+        def resolve(batch: pa.Table) -> pd.DataFrame:
+            schema = mf.schema_from_b64(b64)
+            outs = []
+            for row in batch.to_pylist():
+                t = collapse_deltas([
+                    conform(fs.read_parquet(os.path.join(table_dir, r)), schema)
+                    for r in row["files"]
+                ])
+                t = t.append_column(
+                    "_vpart", pa.array([int(row["part"])] * t.num_rows, pa.int64()))
+                outs.append(check(t))
+            return pd.concat(outs, ignore_index=True)
+
+        pieces.append(ray.data.from_items(mor_work).map_batches(
+            resolve, batch_size=1, batch_format="pyarrow"))
+    if not pieces:
+        return {"rows": 0, "violations": {}, "by_partition": {}}
+    ds = pieces[0]
+    for extra in pieces[1:]:
+        ds = ds.union(extra)
+    partials = ds.to_pandas()
     agg = partials.groupby("part").sum()
     viol_cols = [c for c in agg.columns if c != "rows"]
     totals = agg[viol_cols].sum()

@@ -105,8 +105,8 @@ class StorageAdapter:
 
     # -- parquet ------------------------------------------------------------
 
-    def read_parquet(self, path: str) -> pa.Table:
-        return pq.read_table(path, filesystem=self.fs)
+    def read_parquet(self, path: str, columns: list[str] | None = None) -> pa.Table:
+        return pq.read_table(path, filesystem=self.fs, columns=columns)
 
     def read_parquet_schema(self, path: str) -> pa.Schema:
         return pq.read_schema(path, filesystem=self.fs)

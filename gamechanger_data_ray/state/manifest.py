@@ -48,7 +48,10 @@ def schema_from_b64(s: str) -> pa.Schema:
 class TableManifest:
     epoch: int
     schema_b64: str
-    # partition id (str) -> {"file": relpath, "rows": int, "watermark_lsn": int}
+    # partition id (str) -> {"file": relpath|None, "rows": int,
+    #   "watermark_lsn": int, "key_min": str, "key_max": str,
+    #   "deltas": [relpath, ...]}   (deltas: merge-on-read epoch files,
+    #   ordered oldest→newest; absent/[] = plain copy-on-write partition)
     partitions: dict[str, dict[str, Any]] = field(default_factory=dict)
     # lineage: per-epoch counters for THIS epoch + running totals
     epoch_counters: dict[str, Any] = field(default_factory=dict)
@@ -58,13 +61,33 @@ class TableManifest:
     # (routing new events with a different modulus than the stored state
     # would silently duplicate keys across partition files)
     num_partitions: int | None = None
+    # same-epoch revision: bumped by physical rewrites that do not change
+    # logical state (compaction). Fencing is on (epoch, rev).
+    rev: int = 0
 
     @property
     def schema(self) -> pa.Schema:
         return schema_from_b64(self.schema_b64)
 
     def data_files(self, table_dir: str) -> list[str]:
-        return [os.path.join(table_dir, p["file"]) for p in self.partitions.values()]
+        out = []
+        for p in self.partitions.values():
+            if p.get("file"):
+                out.append(os.path.join(table_dir, p["file"]))
+            for d in p.get("deltas", ()):
+                out.append(os.path.join(table_dir, d))
+        return out
+
+    def partition_files(self, table_dir: str, part: str) -> list[str]:
+        """Base file + ordered delta files for one partition."""
+        p = self.partitions[part]
+        files = [os.path.join(table_dir, p["file"])] if p.get("file") else []
+        files += [os.path.join(table_dir, d) for d in p.get("deltas", ())]
+        return files
+
+    @property
+    def name(self) -> str:
+        return manifest_name(self.epoch, self.rev)
 
     def to_json(self) -> str:
         return json.dumps(
@@ -76,6 +99,7 @@ class TableManifest:
                 "epoch_counters": self.epoch_counters,
                 "totals": self.totals,
                 "num_partitions": self.num_partitions,
+                "rev": self.rev,
             },
             indent=1,
         )
@@ -90,7 +114,33 @@ class TableManifest:
             epoch_counters=d.get("epoch_counters", {}),
             totals=d.get("totals", {}),
             num_partitions=d.get("num_partitions"),
+            rev=d.get("rev", 0),
         )
+
+
+def manifest_name(epoch: int, rev: int = 0) -> str:
+    """``manifest-EEEEEE.json`` for rev 0 (back-compat with every manifest
+    written before revisions existed), ``manifest-EEEEEErRRR.json`` after a
+    same-epoch rewrite."""
+    return (f"manifest-{epoch:06d}.json" if rev == 0
+            else f"manifest-{epoch:06d}r{rev:03d}.json")
+
+
+def parse_manifest_name(name: str) -> tuple[int, int] | None:
+    """(epoch, rev) from a manifest filename, or None if not one."""
+    if not (name.startswith("manifest-") and name.endswith(".json")):
+        return None
+    stem = name[len("manifest-"):-len(".json")]
+    if "r" in stem:
+        e, _, r = stem.partition("r")
+        try:
+            return int(e), int(r)
+        except ValueError:
+            return None
+    try:
+        return int(stem), 0
+    except ValueError:
+        return None
 
 
 def _atomic_write(path: str, data: str) -> None:
@@ -121,23 +171,25 @@ def load_current(table_dir: str, fs: StorageAdapter | None = None) -> TableManif
 def commit(table_dir: str, manifest: TableManifest, fs: StorageAdapter | None = None) -> bool:
     """Atomically publish ``manifest`` as the table's current state.
 
-    Epoch fencing: refuses (returns False) if the committed epoch is already
-    >= manifest.epoch — a stale/duplicate attempt must not move the table
-    backwards (reference fence: ``snapshot/utils.py:193-195``). On stores
-    without atomic rename the pointer swap is a plain PUT — see
-    ``state/fs.py`` for the commit-protocol notes per store class.
+    Epoch fencing: refuses (returns False) if the committed (epoch, rev) is
+    already >= the manifest's — a stale/duplicate attempt must not move the
+    table backwards (reference fence: ``snapshot/utils.py:193-195``).
+    Same-epoch revisions (compaction: new files, identical logical state)
+    fence on ``rev``. On stores without atomic rename the pointer swap is a
+    plain PUT — see ``state/fs.py`` for the commit-protocol notes per
+    store class.
     """
     fs = default_fs(fs)
     cur = load_current(table_dir, fs)
-    if cur is not None and cur.epoch >= manifest.epoch:
+    if cur is not None and (cur.epoch, cur.rev) >= (manifest.epoch, manifest.rev):
         return False
     mdir = os.path.join(table_dir, MANIFEST_DIR)
     fs.makedirs(mdir)
-    name = f"manifest-{manifest.epoch:06d}.json"
+    name = manifest.name
     fs.atomic_write_text(os.path.join(mdir, name), manifest.to_json())
     fs.atomic_write_text(
         os.path.join(table_dir, CURRENT_POINTER),
-        json.dumps({"epoch": manifest.epoch, "manifest": name}),
+        json.dumps({"epoch": manifest.epoch, "rev": manifest.rev, "manifest": name}),
     )
     return True
 

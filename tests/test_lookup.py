@@ -1,0 +1,118 @@
+"""Hash-routed point lookup + predicate-pushdown reads.
+
+The lookup must read ONLY the partitions the requested keys hash to
+(O(|keys|) files, not a table scan) and return exactly the alive rows a
+full-scan filter would — the Ray-Data analog of the reference's
+fetch-doc-by-id path."""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pytest
+
+from gamechanger_data_ray.core.changelog import write_changelog
+from gamechanger_data_ray.engine.cdc import (
+    read_keys,
+    read_table,
+    replay,
+    routed_partition_files,
+    table_to_arrow,
+)
+
+
+@pytest.fixture(scope="module")
+def table(tmp_path_factory):
+    root = tmp_path_factory.mktemp("lookup")
+    cd, td = str(root / "cl"), str(root / "tb")
+    write_changelog(cd, num_epochs=2, events_per_epoch=400, num_keys=120, seed=3)
+    replay(cd, td, num_partitions=8)
+    return td
+
+
+def _alive(t: pa.Table) -> pa.Table:
+    if "op" in t.column_names:
+        t = t.filter(pc.field("op") != "D")
+    return t
+
+
+def test_lookup_routes_to_few_partitions(table):
+    full = _alive(table_to_arrow(table))
+    keys = full["doc_id"].to_pylist()[:3]
+    files = routed_partition_files(table, keys)
+    assert 1 <= len(files) <= len(keys) < 8
+
+
+def test_lookup_matches_full_scan_filter(table):
+    full = _alive(table_to_arrow(table))
+    all_keys = full["doc_id"].to_pylist()
+    keys = all_keys[::7][:10]
+    got = read_keys(table, keys)
+    want = _alive(full.filter(pc.field("doc_id").isin(keys)))
+    want = want.take(pc.sort_indices(want, sort_keys=[("doc_id", "ascending")]))
+    assert got.select(["doc_id", "tokens", "n_tok"]).equals(
+        want.select(["doc_id", "tokens", "n_tok"])
+    )
+
+
+def test_lookup_missing_keys_empty(table):
+    got = read_keys(table, ["no-such-doc-a", "no-such-doc-b"])
+    assert got.num_rows == 0
+    # schema still conforms to the table schema
+    assert "doc_id" in got.column_names and "tokens" in got.column_names
+
+
+def test_lookup_after_delete_finds_nothing(table, tmp_path):
+    """Deletes compact on write: a deleted key is absent from the lookup,
+    and the zone maps of the rewritten partitions reflect the removal."""
+    import shutil
+
+    import ray
+
+    from gamechanger_data_ray.engine.cdc import apply_events_dataset
+    from gamechanger_data_ray.state.manifest import committed_epoch
+
+    td = str(tmp_path / "tb")
+    shutil.copytree(table, td)
+    full = _alive(table_to_arrow(td))
+    dead = full["doc_id"].to_pylist()[:3]
+    assert read_keys(td, dead).num_rows == len(dead)  # present before
+    ev = pa.table({
+        "op": ["D"] * 3,
+        "lsn": pa.array([10**9] * 3, pa.int64()),
+        "seq": pa.array([0, 1, 2], pa.int64()),
+        "doc_id": dead,
+    })
+    m = apply_events_dataset(
+        ray.data.from_arrow(ev), td, committed_epoch(td) + 1, ev.schema,
+        num_partitions=8)
+    assert m is not None and m.epoch_counters["tombstones"] >= 3
+    assert read_keys(td, dead).num_rows == 0
+
+
+def test_manifest_zone_maps_written(table):
+    from gamechanger_data_ray.state import manifest as mf
+
+    cur = mf.load_current(table)
+    assert cur is not None
+    for p in cur.partitions.values():
+        assert "key_min" in p and "key_max" in p
+        assert p["key_min"] <= p["key_max"]
+
+
+def test_read_table_predicate_pushdown(table):
+    import pyarrow.dataset as pads
+
+    full = table_to_arrow(table)
+    cutoff = int(pc.approximate_median(full["n_tok"]).as_py())
+    got = read_table(table, predicate=pads.field("n_tok") >= cutoff).take_all()
+    want = full.filter(pc.field("n_tok") >= cutoff)
+    assert len(got) == want.num_rows
+
+
+def test_columns_projection(table):
+    got = read_keys(
+        table, table_to_arrow(table)["doc_id"].to_pylist()[:2],
+        columns=["doc_id", "n_tok"],
+    )
+    assert got.column_names == ["doc_id", "n_tok"]
