@@ -71,6 +71,10 @@ def main(argv: list[str] | None = None) -> int:
     tl.add_argument("--partitions", type=int, default=32)
     tl.add_argument("--poll-interval", type=float, default=5.0)
     tl.add_argument("--idle-polls", type=int, default=3)
+    tl.add_argument("--merge-policy", choices=["rewrite", "delta"], default="rewrite")
+    tl.add_argument("--auto-compact", type=int, default=None,
+                    help="with --merge-policy delta: fold deltas whenever a "
+                         "partition stacks more than N of them")
 
     s = sub.add_parser("sweep", help="revocation sweep from an alive-pairs CSV")
     s.add_argument("--table", required=True)
@@ -278,6 +282,7 @@ def main(argv: list[str] | None = None) -> int:
             m = tail(
                 args.changelog, args.table, num_partitions=args.partitions,
                 poll_interval=args.poll_interval, idle_polls=args.idle_polls,
+                merge_policy=args.merge_policy, auto_compact=args.auto_compact,
             )
             print(json.dumps({"epoch": m.epoch if m else None, "totals": m.totals if m else {}}))
         elif args.cmd == "repartition":

@@ -677,6 +677,8 @@ def tail(
     idle_polls: int = 3,
     max_epochs: int | None = None,
     exchange: str = "staged",
+    merge_policy: str = "rewrite",
+    auto_compact: int | None = None,
     fs: StorageAdapter | None = None,
 ) -> mf.TableManifest | None:
     """Live-tailing driver loop (the continuous form of :func:`replay` —
@@ -686,7 +688,12 @@ def tail(
     commits), stop after ``idle_polls`` consecutive empty polls or after
     ``max_epochs`` applied. Safe to run concurrently with a producer —
     the ready-marker gate keeps half-written epochs invisible, and a
-    crashed tailer resumes from the committed watermark."""
+    crashed tailer resumes from the committed watermark.
+
+    With ``merge_policy="delta"``, ``auto_compact=N`` bounds delta stacking
+    during a long tail: whenever any partition accumulates > N pending
+    deltas, a compaction revision folds them — so read amplification stays
+    O(N) while write amplification stays O(changed keys)."""
     import time as _time
 
     fs = default_fs(fs)
@@ -705,11 +712,21 @@ def tail(
         idle = 0
         m = apply_epochs(
             changelog_dir, table_dir, pending,
-            num_partitions=num_partitions, exchange=exchange, fs=fs,
+            num_partitions=num_partitions, exchange=exchange,
+            merge_policy=merge_policy, fs=fs,
         )
         if m is not None:
             last = m
             applied += len(pending)
+            if auto_compact is not None and any(
+                len(e.get("deltas", ())) > auto_compact
+                for e in m.partitions.values()
+            ):
+                from .maintenance import compact
+
+                c = compact(table_dir, min_deltas=auto_compact + 1, fs=fs)
+                if c is not None:
+                    last = c
     return last if last is not None else mf.load_current(table_dir, fs)
 
 

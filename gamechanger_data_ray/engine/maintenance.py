@@ -86,7 +86,7 @@ def restore(table_dir: str, epoch: int) -> mf.TableManifest:
     return target
 
 
-def compact(table_dir: str, min_deltas: int = 1) -> mf.TableManifest | None:
+def compact(table_dir: str, min_deltas: int = 1, fs=None) -> mf.TableManifest | None:
     """Fold merge-on-read deltas back into per-partition base files —
     a physical rewrite of IDENTICAL logical state, committed as a same-epoch
     revision (``rev+1``; the (epoch, rev) fence keeps stale attempts out).
@@ -101,7 +101,7 @@ def compact(table_dir: str, min_deltas: int = 1) -> mf.TableManifest | None:
     from ..core.reconcile import conform
     from ..state.fs import default_fs
 
-    fs = default_fs(None)
+    fs = default_fs(fs)
     current = mf.load_current(table_dir, fs)
     if current is None:
         return None
@@ -161,7 +161,7 @@ def compact(table_dir: str, min_deltas: int = 1) -> mf.TableManifest | None:
         num_partitions=current.num_partitions,
         rev=new_rev,
     )
-    if not mf.commit(table_dir, manifest):
+    if not mf.commit(table_dir, manifest, fs):
         return None
     return manifest
 

@@ -165,6 +165,27 @@ def test_vacuum_after_compact_drops_old_deltas(tables, tmp_path):
     assert table_to_arrow(td).equals(before)
 
 
+def test_tail_delta_with_auto_compact(tmp_path):
+    """Delta-mode tailing with auto_compact bounds delta stacking: after the
+    tail, no partition carries more than the threshold, and the state matches
+    a plain rewrite replay of the same changelog."""
+    from gamechanger_data_ray.engine.cdc import tail
+
+    cd = str(tmp_path / "cl")
+    write_changelog(cd, num_epochs=5, events_per_epoch=300, num_keys=100, seed=21)
+    td = str(tmp_path / "tb")
+    m = tail(cd, td, num_partitions=4, poll_interval=0.05, idle_polls=2,
+             max_epochs=5, merge_policy="delta", auto_compact=1)
+    assert m is not None
+    cur = mf.load_current(td)
+    # per-poll the tail applies ALL pending epochs in one commit, so with a
+    # cold start this lands 1 delta then compaction keeps the stack <= 1+1
+    assert all(len(e.get("deltas", ())) <= 2 for e in cur.partitions.values())
+    cow = str(tmp_path / "cow")
+    replay(cd, cow, num_partitions=4)
+    assert table_to_arrow(td).equals(table_to_arrow(cow))
+
+
 def test_rewrite_epoch_folds_pending_deltas(tables, tmp_path):
     """A rewrite commit on top of pending deltas resolves them (implicit
     compaction) — the new base carries the merged state, deltas cleared."""
