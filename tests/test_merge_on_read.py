@@ -165,6 +165,52 @@ def test_vacuum_after_compact_drops_old_deltas(tables, tmp_path):
     assert table_to_arrow(td).equals(before)
 
 
+def test_delta_epochs_on_existing_cow_table(tmp_path):
+    """Switching an established copy-on-write table to delta commits
+    mid-stream converges to the same state as rewrite-only."""
+    cd = str(tmp_path / "cl")
+    write_changelog(cd, num_epochs=4, events_per_epoch=400, num_keys=120,
+                    seed=17, evolution=True)
+    td = str(tmp_path / "tb")
+    replay(cd, td, num_partitions=4, up_to_epoch=2, epochs_per_commit=1)
+    m = replay(cd, td, num_partitions=4, epochs_per_commit=1, merge_policy="delta")
+    assert m is not None and m.epoch == 4
+    cur = mf.load_current(td)
+    assert any(e.get("deltas") for e in cur.partitions.values())
+    cow = str(tmp_path / "cow")
+    replay(cd, cow, num_partitions=4)
+    assert table_to_arrow(td).equals(table_to_arrow(cow))
+
+
+def test_delta_commit_crash_resume_is_identical(tmp_path):
+    """Kill between delta-file write and manifest commit: the rerun
+    overwrites the orphaned delta byte-identically (deterministic names)
+    and converges — the same exactly-once argument as rewrite mode."""
+    import shutil
+
+    cd = str(tmp_path / "cl")
+    write_changelog(cd, num_epochs=2, events_per_epoch=300, num_keys=80, seed=9)
+    td = str(tmp_path / "tb")
+    replay(cd, td, num_partitions=4, up_to_epoch=1, merge_policy="delta")
+    # snapshot the committed state, then fake a crashed epoch-2 attempt:
+    # delta files landed but the manifest pointer never advanced
+    td2 = str(tmp_path / "tb2")
+    shutil.copytree(td, td2)
+    replay(cd, td2, num_partitions=4, merge_policy="delta")  # full run
+    cur2 = mf.load_current(td2)
+    for p, e in cur2.partitions.items():
+        for rel in e.get("deltas", ()):
+            src = os.path.join(td2, rel)
+            dst = os.path.join(td, rel)
+            if not os.path.exists(dst):
+                os.makedirs(os.path.dirname(dst), exist_ok=True)
+                shutil.copyfile(src, dst)  # the orphaned pre-crash files
+    # resume: replay applies epoch 2 again over the orphaned files
+    m = replay(cd, td, num_partitions=4, merge_policy="delta")
+    assert m is not None and m.epoch == 2
+    assert table_to_arrow(td).equals(table_to_arrow(td2))
+
+
 def test_tail_delta_with_auto_compact(tmp_path):
     """Delta-mode tailing with auto_compact bounds delta stacking: after the
     tail, no partition carries more than the threshold, and the state matches
