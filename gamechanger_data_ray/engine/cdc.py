@@ -80,8 +80,10 @@ def _partition_path(epoch: int, part: int) -> str:
 
 def _key_range(merged: pa.Table) -> tuple[str, str]:
     """Zone-map entry for a freshly written partition file. The merge
-    writes rows key-sorted, so min/max are the first/last doc_id."""
-    if merged.num_rows == 0:
+    writes rows key-sorted, so min/max are the first/last doc_id. Only
+    string keys get a zone map: the stored bounds compare
+    lexicographically, which matches sort order for strings only."""
+    if merged.num_rows == 0 or not pa.types.is_string(merged.schema.field("doc_id").type):
         return "", ""
     col = merged["doc_id"]
     return str(col[0].as_py()), str(col[merged.num_rows - 1].as_py())
@@ -884,8 +886,12 @@ def routed_partition_files(
         entry = current.partitions.get(str(pid))
         if entry is None:
             continue
+        if entry.get("rows") == 0:
+            continue
         kmin, kmax = entry.get("key_min"), entry.get("key_max")
-        if kmin is not None and kmax is not None and kmin <= kmax:
+        # empty-string bounds mean "no zone map" (non-string keys, or a
+        # manifest predating zone maps) — route on hash alone
+        if kmin and kmax and kmin <= kmax:
             if not any(kmin <= str(k) <= kmax for k in ks):
                 continue
         out.extend(current.partition_files(table_dir, str(pid)))
