@@ -64,9 +64,40 @@ class ViewDef:
     Nulls: a NULL in a summed column contributes 0 (oracle equivalent:
     ``COALESCE(SUM(x), 0)``); NULL group keys form their own group, as in
     SQL ``GROUP BY``.
+
+    ``transform`` generalizes the view to MAP-then-AGGREGATE maintenance:
+    a per-batch row-deriving function (e.g. explode a document into term
+    rows) applied to the signed delta BEFORE the fold. The Z-set algebra
+    stays sound because the transform is per-row deterministic and must
+    REPLICATE each input row's ``sign`` onto every derived row — a
+    retracted document then retracts exactly the derived rows it once
+    contributed. With ``group_by=["term", "doc_id"]`` and a
+    tokenize-explode transform this IS an incrementally-maintained
+    inverted index (postings with term frequency = ``n_rows``), the
+    ES-publisher analog (``gc_elasticsearch_publisher.py:79-129``)
+    maintained at O(changed docs) per refresh instead of reindex-all.
+
+    Transform contract:
+    - receives a pyarrow.Table with ``source_columns`` + ``sign`` (int8,
+      +1 on the full-rebuild path);
+    - returns a Table carrying ``group_by`` + sum-source columns + the
+      inherited ``sign`` per derived row;
+    - ``transform_id`` (required with transform) names the logic in the
+      view signature — change it when the logic changes so a stale
+      view_dir is refused rather than silently mixed;
+    - ``derived_schema`` declares output column types the table schema
+      can't provide.
     """
 
-    def __init__(self, group_by: list[str], sums: dict[str, str] | None = None):
+    def __init__(
+        self,
+        group_by: list[str],
+        sums: dict[str, str] | None = None,
+        transform=None,
+        transform_id: str | None = None,
+        source_columns: list[str] | None = None,
+        derived_schema: pa.Schema | None = None,
+    ):
         if not group_by:
             raise ValueError("view needs at least one group-by column")
         self.group_by = tuple(group_by)
@@ -74,12 +105,24 @@ class ViewDef:
         clash = (set(self.sums) | {VIEW_COUNT}) & set(self.group_by)
         if clash or VIEW_COUNT in self.sums:
             raise ValueError(f"output column name collision: {clash or VIEW_COUNT}")
+        if transform is not None and not transform_id:
+            raise ValueError("a transform view needs a transform_id for its signature")
+        if transform is not None and not source_columns:
+            raise ValueError("a transform view must declare source_columns")
+        self.transform = transform
+        self.transform_id = transform_id
+        self.source_columns = tuple(source_columns or ())
+        self.derived_schema = derived_schema
 
     def signature(self) -> str:
-        spec = json.dumps([list(self.group_by), sorted(self.sums.items())])
+        spec = json.dumps(
+            [list(self.group_by), sorted(self.sums.items()), self.transform_id]
+        )
         return hashlib.sha256(spec.encode()).hexdigest()[:16]
 
     def needed_columns(self) -> list[str]:
+        if self.transform is not None:
+            return list(self.source_columns)
         return list(dict.fromkeys(list(self.group_by) + list(self.sums.values())))
 
     def agg_columns(self) -> list[str]:
@@ -91,10 +134,15 @@ def _sum_type(src_type: pa.DataType) -> pa.DataType:
 
 
 def _view_schema(view: ViewDef, table_schema: pa.Schema) -> pa.Schema:
-    fields = [table_schema.field(c) for c in view.group_by]
+    def field_of(c: str) -> pa.Field:
+        if view.derived_schema is not None and c in view.derived_schema.names:
+            return view.derived_schema.field(c)
+        return table_schema.field(c)
+
+    fields = [field_of(c) for c in view.group_by]
     fields.append(pa.field(VIEW_COUNT, pa.int64()))
     for out, src in view.sums.items():
-        fields.append(pa.field(out, _sum_type(table_schema.field(src).type)))
+        fields.append(pa.field(out, _sum_type(field_of(src).type)))
     return pa.schema(fields)
 
 
@@ -126,6 +174,16 @@ def _make_fold(view: ViewDef, schema_b64: str, num_partitions: int):
     def fold(batch: pa.Table) -> pa.Table:
         schema = mf.schema_from_b64(schema_b64)
         out_schema = schema.append(pa.field(PART_COLUMN, pa.int32()))
+        if view.transform is not None and batch.num_rows:
+            if SIGN_COLUMN not in batch.schema.names:
+                batch = batch.append_column(
+                    SIGN_COLUMN, pa.array(np.ones(batch.num_rows, dtype=np.int8))
+                )
+            batch = view.transform(batch)
+            if SIGN_COLUMN not in batch.schema.names:
+                raise ValueError(
+                    "view transform must carry the sign column onto derived rows"
+                )
         if batch.num_rows == 0:
             return pa.table(
                 {f.name: pa.array([], f.type) for f in out_schema}, schema=out_schema
@@ -206,6 +264,43 @@ def _make_part_merger(
         )
 
     return merge
+
+
+def inverted_index_view(text_column: str = "text", key_column: str = "doc_id") -> ViewDef:
+    """Incrementally-maintained inverted index as a transform view:
+    documents explode into lower-cased ``[a-z0-9]+`` term rows, grouped by
+    ``(term, doc_id)`` — so ``n_rows`` is the term frequency, postings for
+    a term are its rows, and document updates/deletes retract their old
+    terms through the Z-set sign. Per-term document frequency is
+    ``GROUP BY term`` over this view (or a second stacked view)."""
+
+    def explode(batch: pa.Table) -> pa.Table:
+        text = pc.coalesce(pc.cast(batch[text_column], pa.string()), pa.scalar(""))
+        toks = pc.split_pattern_regex(pc.utf8_lower(text), r"[^a-z0-9]+")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        idx = pa.array(np.repeat(np.arange(len(batch)), lens))
+        out = pa.table(
+            {
+                "term": pc.list_flatten(toks),
+                key_column: batch[key_column].combine_chunks().take(idx)
+                if isinstance(batch[key_column], pa.ChunkedArray)
+                else batch[key_column].take(idx),
+                SIGN_COLUMN: batch[SIGN_COLUMN].combine_chunks().take(idx)
+                if isinstance(batch[SIGN_COLUMN], pa.ChunkedArray)
+                else batch[SIGN_COLUMN].take(idx),
+            }
+        )
+        return out.filter(pc.not_equal(out["term"], pa.scalar("")))
+
+    return ViewDef(
+        group_by=["term", key_column],
+        transform=explode,
+        transform_id="inverted-index-v1",
+        source_columns=[key_column, text_column],
+        derived_schema=pa.schema([("term", pa.string())]),
+    )
 
 
 def refresh(
