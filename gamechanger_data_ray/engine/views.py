@@ -378,6 +378,7 @@ def refresh(
         partitions={k: v for k, v in partitions.items() if int(v["rows"])},
         epoch_counters={
             "view_sig": view.signature(),
+            "group_by": list(view.group_by),
             "mode": mode,
             "dirty_partitions": len(counters),
         },
@@ -399,6 +400,53 @@ def read_view(view_dir: str, fs: StorageAdapter | None = None) -> ray.data.Datas
     return ray.data.read_parquet(
         cur.data_files(view_dir), filesystem=fs.fs, columns=cur.schema.names
     )
+
+
+def lookup_terms(
+    view_dir: str, terms: list[str], fs: StorageAdapter | None = None
+) -> pa.Table:
+    """Postings lookup against an ``inverted_index_view`` state: rows
+    (term, doc_id, n_rows=tf) for the requested terms only. View partition
+    files are written sorted by group key (term first), so the
+    ``term IN (...)`` predicate prunes at parquet row-group granularity —
+    a term lookup reads footers plus the few row groups that can hold the
+    terms, never the whole index. Only the partitions the terms hash to
+    are opened at all (the same routing the fold used to place them)."""
+    import pyarrow.dataset as pads
+
+    fs = default_fs(fs)
+    cur = mf.load_current(view_dir, fs)
+    if cur is None or not cur.partitions:
+        return pa.table({})
+    npart = cur.num_partitions or len(cur.partitions)
+    # the fold routed each group row by the COMPOSED group key (e.g.
+    # "term\x00doc_id"), so terms alone pin a partition only for
+    # single-column views; multi-column indexes fall back to an all-
+    # partition scan that the per-file row-group predicate still prunes
+    group_by = cur.epoch_counters.get("group_by") or []
+    first_group = (group_by[0] if group_by else cur.schema.names[0])
+    if len(group_by) == 1:
+        pids = set(partition_ids(pa.array(terms), npart).to_pylist())
+        files = [
+            os.path.join(view_dir, cur.partitions[str(p)]["file"])
+            for p in sorted(pids)
+            if str(p) in cur.partitions
+        ]
+    else:
+        files = cur.data_files(view_dir)
+    if not files:
+        return pa.table({})
+    flt = pads.field(first_group).isin(terms)
+    tabs = [
+        pads.dataset(f, filesystem=fs.fs).to_table(
+            filter=flt, columns=cur.schema.names)
+        for f in files
+    ]
+    t = pa.concat_tables(tabs, promote_options="default")
+    if t.num_rows:
+        t = t.take(pc.sort_indices(
+            t, sort_keys=[(c, "ascending") for c in t.schema.names]))
+    return t
 
 
 def view_to_arrow(view_dir: str, fs: StorageAdapter | None = None) -> pa.Table:

@@ -127,6 +127,22 @@ def test_df_stacks_as_plain_view_over_index(tmp_path):
     assert dfd == {"alpha": 1, "beta": 3, "gamma": 1}
 
 
+def test_lookup_terms_reads_postings(tmp_path):
+    from gamechanger_data_ray.engine.views import lookup_terms
+
+    tb, vd = str(tmp_path / "tb"), str(tmp_path / "view")
+    e1 = _events([
+        ("I", 1, 0, "d1", "alpha beta beta"),
+        ("I", 1, 1, "d2", "beta delta"),
+        ("I", 1, 2, "d3", "gamma"),
+    ])
+    apply_events_dataset(ray.data.from_arrow(e1), tb, 1, e1.schema, num_partitions=4)
+    refresh(inverted_index_view(), vd, tb, num_partitions=4)
+    got = lookup_terms(vd, ["beta", "nosuchterm"])
+    rows = {(r["term"], r["doc_id"]): r["n_rows"] for r in got.to_pylist()}
+    assert rows == {("beta", "d1"): 2, ("beta", "d2"): 1}
+
+
 def test_transform_signature_guard(tmp_path):
     tb, vd = str(tmp_path / "tb"), str(tmp_path / "view")
     e1 = _events([("I", 1, 0, "d1", "alpha")])
