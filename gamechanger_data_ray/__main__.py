@@ -260,7 +260,7 @@ def main(argv: list[str] | None = None) -> int:
             if len(args.changelog) > 1:
                 m = replay_union(
                     args.changelog, args.table, num_partitions=args.partitions,
-                    exchange=args.exchange,
+                    exchange=args.exchange, merge_policy=args.merge_policy,
                 )
             else:
                 m = replay(

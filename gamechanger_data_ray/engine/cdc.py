@@ -599,6 +599,7 @@ def replay_union(
     table_dir: str,
     num_partitions: int = 32,
     exchange: str = "staged",
+    merge_policy: str = "rewrite",
     fs: StorageAdapter | None = None,
 ) -> mf.TableManifest | None:
     """Multi-source replay: union the pending epochs of several changelogs
@@ -667,7 +668,8 @@ def replay_union(
         events = events.union(p)
     return apply_events_dataset(
         events, table_dir, max(appliable), unify_all(schemas),
-        num_partitions=num_partitions, exchange=exchange, fs=fs,
+        num_partitions=num_partitions, exchange=exchange,
+        merge_policy=merge_policy, fs=fs,
     )
 
 
