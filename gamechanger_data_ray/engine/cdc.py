@@ -814,15 +814,39 @@ def _manifest_dataset(
             import pyarrow.dataset as pads
 
             schema = mf.schema_from_b64(full_b64)
+            proj = mf.schema_from_b64(out_b64)
+            # column pruning still applies under merge-on-read: read only
+            # the projected/predicate columns plus what LWW resolution
+            # needs (key + order + op), never the whole row
+            need = set(proj.names) | {"doc_id", "lsn", "seq", "op"}
+            if predicate is not None:
+                # predicate columns aren't introspectable portably; a
+                # predicate forces a full-column read of the small merged
+                # slice (the filter then projects)
+                cols = None
+            else:
+                cols = [n for n in schema.names if n in need]
+            read_schema = (schema if cols is None else
+                           pa.schema([schema.field(schema.get_field_index(c)) for c in cols]))
+            def read_one(path: str) -> pa.Table:
+                if cols is None:
+                    return conform(fs.read_parquet(path), read_schema)
+                # a file predating a schema evolution may lack some of the
+                # projected columns — read what it has, conform fills nulls
+                have = set(fs.read_parquet_schema(path).names)
+                return conform(
+                    fs.read_parquet(path, columns=[c for c in cols if c in have]),
+                    read_schema,
+                )
+
             out: list[pa.Table] = []
             for row in batch.to_pylist():
-                t = collapse_deltas([
-                    conform(fs.read_parquet(os.path.join(table_dir, r)), schema)
-                    for r in row["files"]
-                ])
+                t = collapse_deltas(
+                    [read_one(os.path.join(table_dir, r)) for r in row["files"]]
+                )
                 if predicate is not None:
                     t = pads.dataset(t).to_table(filter=predicate)
-                out.append(conform(t, mf.schema_from_b64(out_b64)))
+                out.append(conform(t, proj))
             return pa.concat_tables(out)
 
         pieces.append(ray.data.from_items(mor).map_batches(
