@@ -84,6 +84,8 @@ def main(argv: list[str] | None = None) -> int:
 
     st = sub.add_parser("status", help="print the committed manifest summary")
     st.add_argument("--table", required=True)
+    st.add_argument("--partitions", action="store_true",
+                    help="include per-partition rows/watermark/key-range/deltas")
 
     gt = sub.add_parser("get", help="hash-routed point lookup of doc_ids "
                                     "(reads only the routed partitions)")
@@ -237,17 +239,26 @@ def main(argv: list[str] | None = None) -> int:
         if cur is None:
             print(json.dumps({"table": args.table, "epoch": None}))
         else:
-            print(
-                json.dumps(
-                    {
-                        "table": args.table,
-                        "epoch": cur.epoch,
-                        "totals": cur.totals,
-                        "partitions": len(cur.partitions),
-                        "schema": str(cur.schema).replace("\n", "; "),
+            out = {
+                "table": args.table,
+                "epoch": cur.epoch,
+                "rev": cur.rev,
+                "totals": cur.totals,
+                "partitions": len(cur.partitions),
+                "schema": str(cur.schema).replace("\n", "; "),
+            }
+            if args.partitions:
+                out["per_partition"] = {
+                    p: {
+                        "rows": e.get("rows"),
+                        "watermark_lsn": e.get("watermark_lsn"),
+                        "key_min": e.get("key_min"),
+                        "key_max": e.get("key_max"),
+                        "pending_deltas": len(e.get("deltas", ())),
                     }
-                )
-            )
+                    for p, e in sorted(cur.partitions.items(), key=lambda kv: int(kv[0]))
+                }
+            print(json.dumps(out))
         return 0
 
     _ray_init(args.num_cpus)
