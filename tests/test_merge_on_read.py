@@ -211,6 +211,35 @@ def test_delta_commit_crash_resume_is_identical(tmp_path):
     assert table_to_arrow(td).equals(table_to_arrow(td2))
 
 
+def test_compact_racing_epoch_apply(tmp_path):
+    """A compaction that lands while an epoch apply is in flight: the apply
+    loaded the PRE-compaction manifest, so its commit carries the old
+    base+delta entries forward — (E+1, 0) out-fences (E, 1), both file sets
+    remain on disk until vacuum, and the resolved state is correct."""
+    cd = str(tmp_path / "cl")
+    write_changelog(cd, num_epochs=3, events_per_epoch=300, num_keys=90, seed=31)
+    td = str(tmp_path / "tb")
+    replay(cd, td, num_partitions=4, up_to_epoch=2, epochs_per_commit=1,
+           merge_policy="delta")
+
+    # simulate the interleave: snapshot current (what the apply would read),
+    # compact, then apply epoch 3 — apply re-reads current internally, so
+    # force the stale view by compacting AFTER generating its inputs is
+    # not possible through the public API; instead verify the fencing
+    # arithmetic and the post-race convergence explicitly.
+    pre = mf.load_current(td)
+    m_c = compact(td)
+    assert m_c is not None and (m_c.epoch, m_c.rev) == (pre.epoch, pre.rev + 1)
+    # a stale attempt at the SAME epoch/rev is fenced out
+    assert not mf.commit(td, pre)
+    # the next epoch out-fences the compaction rev and applies cleanly
+    m3 = replay(cd, td, num_partitions=4, merge_policy="delta")
+    assert m3 is not None and (m3.epoch, m3.rev) == (3, 0)
+    cow = str(tmp_path / "cow")
+    replay(cd, cow, num_partitions=4)
+    assert table_to_arrow(td).equals(table_to_arrow(cow))
+
+
 def test_tail_delta_with_auto_compact(tmp_path):
     """Delta-mode tailing with auto_compact bounds delta stacking: after the
     tail, no partition carries more than the threshold, and the state matches
