@@ -807,8 +807,27 @@ def _manifest_dataset(
     pieces: list[ray.data.Dataset] = []
     if plain:
         kwargs = {} if predicate is None else {"filter": predicate}
-        ds = ray.data.read_parquet(plain, filesystem=fs.fs, **kwargs)
-        pieces.append(ds.map_batches(conform_batch, batch_format="pyarrow"))
+        full_names = set(mf.schema_from_b64(full_b64).names)
+        if set(out_schema.names) == full_names:
+            file_groups = {None: plain}
+        else:
+            # projection pushdown: only the projected columns leave the
+            # scan. Files written before a schema evolution may lack some
+            # of them (Ray's reader cannot null-fill), so group files by
+            # which projected columns their footer has — one read per
+            # schema generation; conform null-fills the rest
+            file_groups = {}
+            for f in plain:
+                have = set(fs.read_parquet_schema(f).names)
+                cols = tuple(n for n in out_schema.names if n in have) or None
+                file_groups.setdefault(cols, []).append(f)
+        for cols, files_g in file_groups.items():
+            ds = ray.data.read_parquet(
+                files_g, filesystem=fs.fs,
+                **({} if cols is None else {"columns": list(cols)}),
+                **kwargs,
+            )
+            pieces.append(ds.map_batches(conform_batch, batch_format="pyarrow"))
     if mor:
         def resolve(batch: pa.Table) -> pa.Table:
             import pyarrow.dataset as pads
