@@ -54,8 +54,16 @@ def generate_epoch_table(
     mean_tokens: int = 64,
     evolution: bool = False,
     dup_frac: float = 0.02,
+    seq_offset: int = 0,
+    chunk: int | None = None,
 ) -> pa.Table:
     """One epoch's events as an Arrow table (deterministic in all args).
+
+    ``chunk``/``seq_offset`` support generating one epoch as several
+    independent sub-tables (distinct RNG streams, contiguous seq ranges) —
+    a single Arrow list<int32> array caps at 2^31 token values, so epochs
+    beyond ~10^9 tokens must be produced piecewise (``write_changelog``
+    does this automatically).
 
     ``zipf_a > 1`` draws doc ids from a zipfian distribution → hot keys.
     ``evolution`` applies FIXTURES.md §F3 per epoch number:
@@ -64,7 +72,8 @@ def generate_epoch_table(
     """
     import pyarrow.compute as pc
 
-    rng = np.random.default_rng(np.random.SeedSequence([seed, epoch]))
+    ss = [seed, epoch] if chunk is None else [seed, epoch, chunk]
+    rng = np.random.default_rng(np.random.SeedSequence(ss))
     n = events_per_epoch
     if zipf_a and zipf_a > 1.0:
         kidx = (rng.zipf(zipf_a, size=n) - 1) % num_keys
@@ -76,7 +85,7 @@ def generate_epoch_table(
     op = np.where(draw < 0.05, "D", np.where(draw < 0.30, "U", "I"))
     is_del = draw < 0.05
     lsn = np.full(n, epoch, dtype=np.int64)
-    seq = np.arange(n, dtype=np.int64)
+    seq = np.arange(n, dtype=np.int64) + seq_offset
     n_tok = np.clip(rng.lognormal(np.log(mean_tokens), 0.6, size=n), 1, 4096).astype(np.int32)
     # deletes carry no payload: zero-length + null mask (built in, never a
     # post-hoc if_else over the 10^8-value list column — that kernel
@@ -176,17 +185,34 @@ def write_changelog(
         if os.path.exists(marker):
             continue
         os.makedirs(d, exist_ok=True)
-        t = generate_epoch_table(
-            e, events_per_epoch, num_keys, seed=seed, zipf_a=zipf_a,
-            mean_tokens=mean_tokens, evolution=evolution, dup_frac=dup_frac,
-        )
-        files = []
-        for i in range(0, t.num_rows, rows_per_file):
-            fname = f"part-{i // rows_per_file:05d}.parquet"
-            pq.write_table(t.slice(i, rows_per_file), os.path.join(d, fname))
-            files.append(fname)
+        # one Arrow list<int32> array caps at 2^31 values; large epochs are
+        # generated as independent chunks (distinct RNG streams, contiguous
+        # seq ranges) so memory stays ~one chunk and offsets never overflow
+        _VAL_CAP = 1_200_000_000
+        est_vals = events_per_epoch * max(1, mean_tokens) * 2
+        n_chunks = max(1, -(-est_vals // _VAL_CAP))
+        per_chunk = -(-events_per_epoch // n_chunks)
+        files: list[str] = []
+        events_total = 0
+        fidx = 0
+        for ci in range(n_chunks):
+            rows = min(per_chunk, events_per_epoch - ci * per_chunk)
+            if rows <= 0:
+                break
+            t = generate_epoch_table(
+                e, rows, num_keys, seed=seed, zipf_a=zipf_a,
+                mean_tokens=mean_tokens, evolution=evolution, dup_frac=dup_frac,
+                seq_offset=ci * per_chunk,
+                chunk=None if n_chunks == 1 else ci,
+            )
+            events_total += t.num_rows
+            for i in range(0, t.num_rows, rows_per_file):
+                fname = f"part-{fidx:05d}.parquet"
+                pq.write_table(t.slice(i, rows_per_file), os.path.join(d, fname))
+                files.append(fname)
+                fidx += 1
         with open(marker + ".tmp", "w") as f:
-            json.dump({"epoch": e, "files": files, "events": t.num_rows}, f)
+            json.dump({"epoch": e, "files": files, "events": events_total}, f)
         os.replace(marker + ".tmp", marker)  # marker write is the visibility gate
     return paths
 
