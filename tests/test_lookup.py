@@ -110,6 +110,45 @@ def test_read_table_predicate_pushdown(table):
     assert len(got) == want.num_rows
 
 
+def test_projection_across_schema_generations(tmp_path):
+    """Column projection over a table whose partition files span a schema
+    evolution: untouched partitions carry pre-evolution files (no `lang`
+    column) while touched ones are post-evolution — the projected read
+    groups files by generation and null-fills the missing column."""
+    import ray
+
+    from gamechanger_data_ray.engine.cdc import apply_events_dataset
+
+    td = str(tmp_path / "tb")
+    e1 = pa.table({
+        "op": ["I"] * 8,
+        "lsn": pa.array([1] * 8, pa.int64()),
+        "seq": pa.array(range(8), pa.int64()),
+        "doc_id": [f"k{i}" for i in range(8)],
+        "n_tok": pa.array([10 + i for i in range(8)], pa.int32()),
+    })
+    apply_events_dataset(ray.data.from_arrow(e1), td, 1, e1.schema, num_partitions=4)
+    # epoch 2 touches ONE key and adds the `lang` column
+    e2 = pa.table({
+        "op": ["U"],
+        "lsn": pa.array([2], pa.int64()),
+        "seq": pa.array([0], pa.int64()),
+        "doc_id": ["k0"],
+        "n_tok": pa.array([99], pa.int32()),
+        "lang": ["en"],
+    })
+    apply_events_dataset(ray.data.from_arrow(e2), td, 2, e2.schema, num_partitions=4)
+    got = sorted(
+        read_table(td, columns=["doc_id", "lang", "n_tok"]).take_all(),
+        key=lambda r: r["doc_id"],
+    )
+    assert [r["doc_id"] for r in got] == [f"k{i}" for i in range(8)]
+    langs = {r["doc_id"]: r["lang"] for r in got}
+    assert langs["k0"] == "en"
+    assert all(langs[f"k{i}"] is None for i in range(1, 8))
+    assert {r["doc_id"]: r["n_tok"] for r in got}["k0"] == 99
+
+
 def test_columns_projection(table):
     got = read_keys(
         table, table_to_arrow(table)["doc_id"].to_pylist()[:2],
