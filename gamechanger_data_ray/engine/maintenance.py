@@ -274,12 +274,13 @@ def export_table(table_dir: str, bundle_dir: str) -> dict:
     os.makedirs(bundle_dir)
     footprint: dict[str, int] = {}
     for p in current.partitions.values():
-        rel = p["file"]
-        src = os.path.join(table_dir, rel)
-        dst = os.path.join(bundle_dir, rel)
-        os.makedirs(os.path.dirname(dst), exist_ok=True)
-        shutil.copyfile(src, dst)
-        footprint[rel] = os.path.getsize(dst)
+        rels = ([p["file"]] if p.get("file") else []) + list(p.get("deltas", ()))
+        for rel in rels:
+            src = os.path.join(table_dir, rel)
+            dst = os.path.join(bundle_dir, rel)
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            shutil.copyfile(src, dst)
+            footprint[rel] = os.path.getsize(dst)
     mf._atomic_write(
         os.path.join(bundle_dir, BUNDLE_MANIFEST),
         json.dumps(

@@ -211,6 +211,35 @@ def test_delta_commit_crash_resume_is_identical(tmp_path):
     assert table_to_arrow(td).equals(table_to_arrow(td2))
 
 
+def test_export_import_mor_and_rev_manifests(tables, tmp_path):
+    """A merge-on-read table exports with its delta files; a compacted
+    (rev > 0) table round-trips through export/import with the revision
+    preserved."""
+    import shutil
+
+    from gamechanger_data_ray.engine.maintenance import export_table, import_table
+
+    _, morr, _ = tables
+    # MOR table with pending deltas
+    b1 = str(tmp_path / "b1")
+    export_table(morr, b1)
+    t1 = str(tmp_path / "t1")
+    m = import_table(b1, t1)
+    assert any(e.get("deltas") for e in m.partitions.values())
+    assert table_to_arrow(t1).equals(table_to_arrow(morr))
+
+    # compacted revision round-trip
+    td = str(tmp_path / "tb")
+    shutil.copytree(morr, td)
+    compact(td)
+    b2 = str(tmp_path / "b2")
+    export_table(td, b2)
+    t2 = str(tmp_path / "t2")
+    m2 = import_table(b2, t2)
+    assert m2.rev == 1
+    assert table_to_arrow(t2).equals(table_to_arrow(td))
+
+
 def test_compact_racing_epoch_apply(tmp_path):
     """A compaction that lands while an epoch apply is in flight: the apply
     loaded the PRE-compaction manifest, so its commit carries the old
