@@ -240,6 +240,35 @@ def test_export_import_mor_and_rev_manifests(tables, tmp_path):
     assert table_to_arrow(t2).equals(table_to_arrow(td))
 
 
+def test_repartition_resolves_mor(tables, tmp_path):
+    """Repartitioning a merge-on-read table reads through the resolved view
+    and writes a clean copy-on-write layout at the new modulus."""
+    from gamechanger_data_ray.engine.maintenance import repartition_table
+
+    _, morr, _ = tables
+    out = str(tmp_path / "re16")
+    m = repartition_table(morr, out, 16)
+    assert m.num_partitions == 16
+    assert all(not e.get("deltas") for e in m.partitions.values())
+    a = table_to_arrow(morr).select(["doc_id", "tokens", "n_tok"])
+    b = table_to_arrow(out).select(["doc_id", "tokens", "n_tok"])
+    assert a.equals(b)
+
+
+def test_vacuum_keeps_pending_deltas(tables, tmp_path):
+    import shutil
+
+    _, morr, _ = tables
+    td = str(tmp_path / "tb")
+    shutil.copytree(morr, td)
+    before = table_to_arrow(td)
+    vacuum(td, keep_epochs=1)
+    assert glob.glob(os.path.join(td, "part=*", "delta-e*.parquet")), (
+        "vacuum must not delete deltas the current manifest references"
+    )
+    assert table_to_arrow(td).equals(before)
+
+
 def test_compact_racing_epoch_apply(tmp_path):
     """A compaction that lands while an epoch apply is in flight: the apply
     loaded the PRE-compaction manifest, so its commit carries the old
