@@ -27,7 +27,7 @@ import pandas as pd
 
 from ..core.hashing import sha256_hex
 from ..stages.extract import EntityExtractor, collect_refs, extract_dates, make_ref_patterns, top_entities
-from ..stages.sections import parse_sections
+from ..stages.sections import parse_sections, sections_to_fields
 from ..stages.text import OcrQualityGate, TopicScorer, replacement_char_ratio
 from . import common as cm
 from .extraction_queries import _PAGE_WORDS, _PAR_WORDS
@@ -65,6 +65,8 @@ class DocumentParser:
                 counts[w] = counts.get(w, 0) + 1
             keyw = [w for _, w in sorted(((-n, w) for w, n in counts.items()))[: self.keywords_k]]
             layout = "numbered" if did % 2 == 0 else "caps"
+            secs = parse_sections(text, layout)
+            sec_fields = sections_to_fields(secs)
             rows.append(
                 {
                     "doc_id": did,
@@ -79,7 +81,10 @@ class DocumentParser:
                     "top_entities_t": top_by_doc.get(did, []),
                     "keyw_5": keyw,
                     "topics_rs": topics_by_doc.get(did, []),
-                    "sections": [name for _, name, _ in parse_sections(text, layout)],
+                    "sections": [name for _, name, _ in secs],
+                    # the reference's 14-field named-sections contract
+                    # (add_sections.py:12-27) as a struct of string lists
+                    "section_fields": sec_fields,
                     "ocr_ok": replacement_char_ratio(text) <= self.ocr.threshold,
                 }
             )

@@ -109,3 +109,44 @@ def parse_sections(text: str, doc_layout: str) -> list[tuple[int, str, str]]:
     """Factory dispatch: unknown layouts fall back to the numbered parser
     (the reference defaults unknown doc types to its base parser)."""
     return STRATEGIES.get(doc_layout, parse_numbered_sections)(text)
+
+
+# canonical named-section fields of the reference's doc_dict contract
+# (``section_parse/add_sections.py:12-27`` — 13 named accessors +
+# all_sections), matched by keyword on the parsed heading name
+_FIELD_KEYWORDS: list[tuple[str, tuple[str, ...]]] = [
+    ("responsibilities_section", ("RESPONSIBILIT",)),
+    ("references_section", ("REFERENCE",)),
+    ("purpose_section", ("PURPOSE",)),
+    ("subject_section", ("SUBJECT",)),
+    ("procedures_section", ("PROCEDURE",)),
+    ("effective_date_section", ("EFFECTIVE DATE",)),
+    ("applicability_section", ("APPLICABILIT",)),
+    ("policy_section", ("POLICY", "POLICIES")),
+    ("organizations_section", ("ORGANIZATION",)),
+    ("definitions_section", ("DEFINITION",)),
+    ("table_of_contents_section", ("TABLE OF CONTENTS",)),
+    ("glossary_section", ("GLOSSARY",)),
+    ("summary_of_change_section", ("SUMMARY OF CHANGE",)),
+]
+
+
+def sections_to_fields(sections: list[tuple[int, str, str]]) -> dict[str, list[str]]:
+    """Classify parsed sections into the reference's named doc_dict fields
+    (``add_sections.py:12-27``): each canonical field collects the bodies
+    of headings matching its keyword (list — a document can repeat a
+    heading across enclosures); ``all_sections`` keeps every body in
+    document order. Unsupported/unmatched headings appear only in
+    ``all_sections``, mirroring the reference's empty-list default for
+    unsupported types."""
+    out: dict[str, list[str]] = {name: [] for name, _ in _FIELD_KEYWORDS}
+    out["all_sections"] = []
+    for _num, name, body in sections:
+        section_text = f"{name}. {body}".strip()
+        out["all_sections"].append(section_text)
+        upper = name.upper()
+        for field, keys in _FIELD_KEYWORDS:
+            if any(k in upper for k in keys):
+                out[field].append(section_text)
+                break
+    return out

@@ -165,6 +165,45 @@ def test_sections_golden(name):
     assert got == expected
 
 
+def test_sections_to_fields_named_contract():
+    """The 14-field doc_dict contract (`add_sections.py:12-27`): recognized
+    headings land in their canonical field; everything keeps document
+    order in all_sections; unmatched headings appear only there."""
+    from gamechanger_data_ray.stages.sections import parse_sections, sections_to_fields
+
+    text = (
+        "SECTION 1: PURPOSE This issuance establishes policy. "
+        "SECTION 2: APPLICABILITY Applies to all components. "
+        "SECTION 3: RESPONSIBILITIES The director shall oversee. "
+        "SECTION 4: REFERENCES See enclosure list. "
+        "SECTION 5: GLOSSARY Terms defined below. "
+        "SECTION 6: MISCELLANY Unmatched heading body."
+    )
+    fields = sections_to_fields(parse_sections(text, "numbered"))
+    assert len(fields["all_sections"]) == 6
+    assert fields["purpose_section"] == ["PURPOSE. This issuance establishes policy."]
+    assert fields["applicability_section"][0].startswith("APPLICABILITY.")
+    assert fields["responsibilities_section"][0].startswith("RESPONSIBILITIES.")
+    assert fields["references_section"][0].startswith("REFERENCES.")
+    assert fields["glossary_section"][0].startswith("GLOSSARY.")
+    # unmatched heading only in all_sections; unsupported fields stay []
+    assert fields["policy_section"] == [] and fields["definitions_section"] == []
+    assert all(k in fields for k in (
+        "subject_section", "procedures_section", "effective_date_section",
+        "organizations_section", "table_of_contents_section",
+        "summary_of_change_section"))
+
+
+def test_sections_to_fields_repeats_accumulate():
+    from gamechanger_data_ray.stages.sections import sections_to_fields
+
+    fields = sections_to_fields(
+        [(1, "REFERENCES", "ref a"), (2, "POLICY", "p"), (3, "REFERENCES", "ref b")]
+    )
+    assert fields["references_section"] == ["REFERENCES. ref a", "REFERENCES. ref b"]
+    assert fields["policy_section"] == ["POLICY. p"]
+
+
 # ---------------------------------------------------------------------------
 # OCR bad-page detection (M17)
 # ---------------------------------------------------------------------------
