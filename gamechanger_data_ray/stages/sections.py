@@ -54,6 +54,7 @@ _ENCLOSURE = re.compile(
     r"([A-Z][A-Z ]*[A-Z]|[A-Z])\b"
 )
 _EO_SEC = re.compile(r"\bSec(?:tion)?\.?\s+(\d{1,2})\s*\.\s+([A-Z][A-Za-z ]*?)\s*\.(?=\s|$)")
+_USC_SEC = re.compile(r"(?:^|\s)§+\s*(\d{1,5})[a-z]?\s*\.\s+")
 
 
 def parse_number_dot_sections(text: str) -> list[tuple[int, str, str]]:
@@ -94,6 +95,25 @@ def parse_eo_sections(text: str) -> list[tuple[int, str, str]]:
     return out
 
 
+def parse_uscode_sections(text: str) -> list[tuple[int, str, str]]:
+    """US-Code layout (``uscode_parser.py`` analog): ``§ 1234. Heading``
+    statute sections; the statute number is the section number, the
+    heading runs to the first sentence period (or the whole span), and the
+    body runs to the next ``§``."""
+    out = []
+    matches = list(_USC_SEC.finditer(text))
+    for i, m in enumerate(matches):
+        end = matches[i + 1].start() if i + 1 < len(matches) else len(text)
+        span = text[m.end():end].strip()
+        # statute headings sit on their own line; flat text falls back to
+        # the first sentence period
+        sep = "\n" if "\n" in span else "."
+        head, found, body = span.partition(sep)
+        out.append((int(m.group(1)), head.strip().rstrip("."),
+                    body.strip() if found else ""))
+    return out
+
+
 # type → strategy registry (ParserFactory.create dispatch,
 # ``parsers/parser_factory.py`` analog); register new layouts here.
 STRATEGIES: dict[str, Callable[[str], list[tuple[int, str, str]]]] = {
@@ -102,6 +122,7 @@ STRATEGIES: dict[str, Callable[[str], list[tuple[int, str, str]]]] = {
     "number_dot": parse_number_dot_sections,
     "enclosure": parse_enclosure_sections,
     "eo": parse_eo_sections,
+    "uscode": parse_uscode_sections,
 }
 
 
