@@ -400,6 +400,98 @@ GROUP BY doc_id, pos // {_PAGE_WORDS}, (pos % {_PAGE_WORDS}) // {_PAR_WORDS}
 
 
 # ---------------------------------------------------------------------------
+# Cross-corpus paragraph-level exact dedup — module-level (SQL-oracled)
+# ---------------------------------------------------------------------------
+
+# Composite position key so the canonical occurrence (lexicographic min of
+# (doc_id, page_num, par_num)) survives a plain mergeable MIN aggregate:
+# par_num < 4 by construction (_PAGE_WORDS/_PAR_WORDS), page_num gets 2^20
+# (≈40M words/doc), leaving doc_id ≤ 2^39 — documented scale bound.
+_PAR_POS_PAGE = 1 << 4
+_PAR_POS_DOC = 1 << 24
+
+
+def dedup_paragraphs(sf_dir: str):
+    """Cross-document PARAGRAPH-level exact dedup (the unit the big
+    training-data dedup pipelines operate on — boilerplate headers /
+    license blocks repeat across documents even when whole docs differ).
+    Segment (same M3/M4 grid as :func:`docs_paragraphs`) → sha256 the
+    paragraph text → per-batch combiner keeps one candidate per hash →
+    routed distributed finish: MIN over an order-preserving composite
+    position key picks the canonical first occurrence, SUM counts copies.
+    No driver-side state; one shuffle of (hash, pos, count) partials."""
+    import numpy as np
+
+    from ..core.hashing import sha256_hex
+
+    ds = cm.read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def par_partial(df: pd.DataFrame) -> pd.DataFrame:
+        words = df["text"].str.split(" ")
+        e = pd.DataFrame(
+            {
+                "doc_id": np.repeat(df["doc_id"].to_numpy(), words.str.len()),
+                "word": np.concatenate(words.to_numpy()),
+            }
+        )
+        pos = e.groupby("doc_id", sort=False).cumcount()
+        e["page_num"] = (pos // _PAGE_WORDS).astype("int64")
+        e["par_num"] = ((pos % _PAGE_WORDS) // _PAR_WORDS).astype("int64")
+        pars = e.groupby(["doc_id", "page_num", "par_num"], as_index=False, sort=False).agg(
+            par_text=("word", " ".join)
+        )
+        pars["content_hash"] = sha256_hex(pars["par_text"].tolist())
+        pars["pos_key"] = (
+            pars["doc_id"] * _PAR_POS_DOC
+            + pars["page_num"] * _PAR_POS_PAGE
+            + pars["par_num"]
+        ).astype("int64")
+        # combiner: one candidate + local copy count per hash per batch
+        return pars.groupby("content_hash", as_index=False).agg(
+            pos_key=("pos_key", "min"), n_copies=("pos_key", "size")
+        ).astype({"n_copies": "int64"})
+
+    partials = ds.map_batches(par_partial, batch_format="pandas")
+    merged = cm.routed_grouped_agg(
+        partials, ["content_hash"], {"pos_key": "min", "n_copies": "sum"}
+    )
+
+    def decode(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["doc_id"] = df["pos_key"] // _PAR_POS_DOC
+        df["page_num"] = (df["pos_key"] % _PAR_POS_DOC) // _PAR_POS_PAGE
+        df["par_num"] = df["pos_key"] % _PAR_POS_PAGE
+        return df[["content_hash", "doc_id", "page_num", "par_num", "n_copies"]]
+
+    return merged.map_batches(decode, batch_format="pandas")
+
+
+ORACLES["dedup_paragraphs"] = f"""
+WITH words AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word,
+         unnest(range(len(string_split(text, ' ')))) AS pos
+  FROM documents
+), pars AS (
+  SELECT doc_id,
+         CAST(pos // {_PAGE_WORDS} AS BIGINT) AS page_num,
+         CAST((pos % {_PAGE_WORDS}) // {_PAR_WORDS} AS BIGINT) AS par_num,
+         string_agg(word, ' ' ORDER BY pos) AS par_text
+  FROM words
+  GROUP BY doc_id, pos // {_PAGE_WORDS}, (pos % {_PAGE_WORDS}) // {_PAR_WORDS}
+), ranked AS (
+  SELECT sha256(par_text) AS content_hash, doc_id, page_num, par_num,
+         ROW_NUMBER() OVER (
+           PARTITION BY par_text ORDER BY doc_id, page_num, par_num
+         ) AS rn,
+         COUNT(*) OVER (PARTITION BY par_text) AS n_copies
+  FROM pars
+)
+SELECT content_hash, doc_id, page_num, par_num, n_copies
+FROM ranked WHERE rn = 1
+"""
+
+
+# ---------------------------------------------------------------------------
 # TF-IDF topics (M7) — module-level (pytest-oracled)
 # ---------------------------------------------------------------------------
 
