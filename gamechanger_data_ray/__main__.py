@@ -99,6 +99,14 @@ def main(argv: list[str] | None = None) -> int:
     va = sub.add_parser("validate", help="distributed schema+invariant validation of the snapshot")
     va.add_argument("--table", required=True)
 
+    ck = sub.add_parser("checksum", help="anti-entropy content digest (order- and "
+                                         "partitioning-independent; optionally compare two tables)")
+    ck.add_argument("--table", required=True)
+    ck.add_argument("--against", default=None,
+                    help="second table dir: report per-table digests + equal flag")
+    ck.add_argument("--partitions", action="store_true",
+                    help="include per-partition digests in the output")
+
     cp = sub.add_parser("compact", help="fold merge-on-read deltas into base files "
                                         "(same-epoch revision commit)")
     cp.add_argument("--table", required=True)
@@ -359,6 +367,19 @@ def main(argv: list[str] | None = None) -> int:
             from gamechanger_data_ray.engine.maintenance import validate_table
 
             print(json.dumps(validate_table(args.table)))
+        elif args.cmd == "checksum":
+            from gamechanger_data_ray.engine.maintenance import table_checksums
+
+            mine = table_checksums(args.table)
+            out = {"table": args.table, "rows": mine["rows"], "digest": mine["digest"]}
+            if args.partitions:
+                out["by_partition"] = mine["by_partition"]
+            if args.against:
+                other = table_checksums(args.against)
+                out["against"] = {"table": args.against, "rows": other["rows"],
+                                  "digest": other["digest"]}
+                out["equal"] = mine["digest"] == other["digest"]
+            print(json.dumps(out))
         elif args.cmd == "sweep":
             import pandas as pd
 

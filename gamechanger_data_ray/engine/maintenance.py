@@ -332,31 +332,18 @@ def validate_table(table_dir: str) -> dict:
     Driver sees O(P) partial rows (one per partition per block); payload
     never leaves the workers.
     """
-    import re
-
     import pandas as pd
     import pyarrow as pa
     import pyarrow.compute as pc
-    import ray.data
 
-    from ..core.reconcile import conform
     from ..state.fs import default_fs
 
     fs = default_fs(None)
     current = mf.load_current(table_dir, fs)
     if current is None or not current.partitions:
         return {"rows": 0, "violations": {}, "by_partition": {}}
-    b64 = mf.schema_to_b64(current.schema)
-    part_re = re.compile(r"part=(\d+)/")
 
-    def check(t: pa.Table) -> pd.DataFrame:
-        if "path" in t.column_names:
-            paths = t["path"].to_pylist()
-            part = pd.Series([int(part_re.search(p).group(1)) for p in paths])
-            t = conform(t.drop_columns(["path"]), mf.schema_from_b64(b64))
-        else:
-            part = pd.Series(t["_vpart"].to_pylist())
-            t = conform(t.drop_columns(["_vpart"]), mf.schema_from_b64(b64))
+    def check(t: pa.Table, part: pd.Series) -> pd.DataFrame:
         ntok = pc.list_value_length(t["tokens"]).to_pandas().astype("float")
         n_tok_col = t["n_tok"].to_pandas().astype("float")
         doc = t["doc_id"].to_pandas()
@@ -376,9 +363,45 @@ def validate_table(table_dir: str) -> dict:
         )
         return viol.groupby("part", as_index=False).sum()
 
-    # copy-on-write partitions stream through the plain reader; merge-on-read
-    # partitions are LWW-resolved per partition first (delta files hold raw
-    # tombstone/superseded rows — validating them unresolved would be wrong)
+    partials = _scan_resolved(table_dir, current, fs, check)
+    if partials is None:
+        return {"rows": 0, "violations": {}, "by_partition": {}}
+    agg = partials.groupby("part").sum()
+    viol_cols = [c for c in agg.columns if c != "rows"]
+    totals = agg[viol_cols].sum()
+    return {
+        "rows": int(agg["rows"].sum()),
+        "violations": {k: int(v) for k, v in totals.items() if v},
+        "by_partition": {
+            int(p): {k: int(r[k]) for k in viol_cols if r[k]}
+            for p, r in agg.iterrows()
+            if any(r[k] for k in viol_cols)
+        },
+    }
+
+
+def _scan_resolved(table_dir: str, current: mf.TableManifest, fs, check):
+    """Stream every committed partition — conformed to the manifest schema
+    and LWW-resolved for merge-on-read partitions (delta files hold raw
+    tombstone/superseded rows) — through ``check(table, part_series)``,
+    a per-block reducer returning a small DataFrame. Copy-on-write
+    partitions go through the plain parallel parquet reader; MOR
+    partitions resolve base+deltas inside one task each. Returns the
+    concatenated partials (driver sees O(P) rows), or None if the table
+    holds no files."""
+    import re
+
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from ..core.reconcile import conform
+    from ..state.fs import default_fs
+
+    fs = default_fs(fs)
+    b64 = mf.schema_to_b64(current.schema)
+    part_re = re.compile(r"part=(\d+)/")
+
     plain_files, mor_work = [], []
     for p, e in current.partitions.items():
         if e.get("deltas"):
@@ -387,10 +410,15 @@ def validate_table(table_dir: str) -> dict:
         elif e.get("file"):
             plain_files.append(os.path.join(table_dir, e["file"]))
 
+    def check_plain(t: pa.Table) -> pd.DataFrame:
+        paths = t["path"].to_pylist()
+        part = pd.Series([int(part_re.search(p).group(1)) for p in paths])
+        return check(conform(t.drop_columns(["path"]), mf.schema_from_b64(b64)), part)
+
     pieces = []
     if plain_files:
         ds = ray.data.read_parquet(plain_files, filesystem=fs.fs, include_paths=True)
-        pieces.append(ds.map_batches(check, batch_format="pyarrow"))
+        pieces.append(ds.map_batches(check_plain, batch_format="pyarrow"))
     if mor_work:
         from ..core.merge import collapse_deltas
 
@@ -402,28 +430,118 @@ def validate_table(table_dir: str) -> dict:
                     conform(fs.read_parquet(os.path.join(table_dir, r)), schema)
                     for r in row["files"]
                 ])
-                t = t.append_column(
-                    "_vpart", pa.array([int(row["part"])] * t.num_rows, pa.int64()))
-                outs.append(check(t))
+                outs.append(check(t, pd.Series([int(row["part"])] * t.num_rows)))
             return pd.concat(outs, ignore_index=True)
 
         pieces.append(ray.data.from_items(mor_work).map_batches(
             resolve, batch_size=1, batch_format="pyarrow"))
     if not pieces:
-        return {"rows": 0, "violations": {}, "by_partition": {}}
+        return None
     ds = pieces[0]
     for extra in pieces[1:]:
         ds = ds.union(extra)
-    partials = ds.to_pandas()
-    agg = partials.groupby("part").sum()
-    viol_cols = [c for c in agg.columns if c != "rows"]
-    totals = agg[viol_cols].sum()
+    return ds.to_pandas()
+
+
+_DIGEST_BYTES = 32
+
+
+def table_checksums(table_dir: str, fs=None) -> dict:
+    """Anti-entropy content digests for the committed snapshot.
+
+    Per row: sha256 over the canonical serialization of EVERY committed
+    column (sorted column order; list columns as raw little-endian
+    bytes), so bit-rot in the tokens payload is caught, not just metadata
+    drift. Rows fold into a partition digest by XOR — order-independent —
+    and partitions fold into the table digest the same way, so the table
+    digest is also PARTITIONING-independent: a repartitioned, exported/
+    imported, compacted, or merge-on-read replica of the same logical
+    state digests identically, while any single changed row flips it.
+    The analog of the reference's export integrity footprint
+    (``dataPipelines/gc_ingest/tools/db/utils.py:135-235``) upgraded to
+    a comparable-across-layout checksum; workers reduce locally and the
+    driver sees one 32-byte digest + row count per partition per block.
+    """
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from ..state.fs import default_fs
+
+    fs = default_fs(fs)
+    current = mf.load_current(table_dir, fs)
+    zero = bytes(_DIGEST_BYTES)
+    if current is None or not current.partitions:
+        return {"rows": 0, "digest": zero.hex(), "by_partition": {}}
+
+    def digest_rows(t: pa.Table, part: pd.Series) -> pd.DataFrame:
+        t = t.combine_chunks()
+        n = t.num_rows
+        if n == 0:
+            return pd.DataFrame({"part": [], "rows": [], "digest": []})
+        scalar_parts: list[np.ndarray] = []
+        list_bytes: list[list[bytes]] = []
+        for name in sorted(t.column_names):
+            col = t.column(name)
+            arr = col.chunk(0) if isinstance(col, pa.ChunkedArray) else col
+            if pa.types.is_list(arr.type) or pa.types.is_large_list(arr.type):
+                flat = arr.flatten().to_numpy(zero_copy_only=False)
+                offs = arr.offsets.to_numpy(zero_copy_only=False)
+                offs = offs - offs[0]
+                list_bytes.append(
+                    [flat[offs[i]:offs[i + 1]].tobytes() for i in range(n)]
+                )
+            else:
+                scalar_parts.append(
+                    np.asarray(arr.cast(pa.string()).fill_null("\x00").to_pandas(), dtype=object)
+                )
+        heads = [
+            "\x1f".join(vals).encode("utf-8")
+            for vals in zip(*scalar_parts)
+        ] if scalar_parts else [b""] * n
+        digests = np.frombuffer(
+            b"".join(
+                hashlib.sha256(
+                    heads[i] + b"\x1e" + b"\x1e".join(lb[i] for lb in list_bytes)
+                ).digest()
+                for i in range(n)
+            ),
+            dtype=np.uint8,
+        ).reshape(n, _DIGEST_BYTES)
+        out = pd.DataFrame({"part": part.to_numpy(), "rows": 1})
+        folded = (
+            pd.DataFrame(digests)
+            .groupby(out["part"].to_numpy())
+            .agg(lambda c: np.bitwise_xor.reduce(c.to_numpy().astype(np.uint8)))
+        )
+        counts = out.groupby("part", as_index=True)["rows"].sum()
+        return pd.DataFrame({
+            "part": folded.index.astype(int),
+            "rows": counts.loc[folded.index].to_numpy(),
+            "digest": [bytes(np.asarray(r, dtype=np.uint8)).hex()
+                       for r in folded.to_numpy()],
+        })
+
+    partials = _scan_resolved(table_dir, current, fs, digest_rows)
+    if partials is None or partials.empty:
+        return {"rows": 0, "digest": zero.hex(), "by_partition": {}}
+
+    def fold_hex(hexes) -> str:
+        acc = np.zeros(_DIGEST_BYTES, dtype=np.uint8)
+        for h in hexes:
+            acc ^= np.frombuffer(bytes.fromhex(h), dtype=np.uint8)
+        return bytes(acc).hex()
+
+    by_part = partials.groupby("part").agg(
+        rows=("rows", "sum"), digest=("digest", fold_hex)
+    )
     return {
-        "rows": int(agg["rows"].sum()),
-        "violations": {k: int(v) for k, v in totals.items() if v},
+        "rows": int(by_part["rows"].sum()),
+        "digest": fold_hex(by_part["digest"]),
         "by_partition": {
-            int(p): {k: int(r[k]) for k in viol_cols if r[k]}
-            for p, r in agg.iterrows()
-            if any(r[k] for k in viol_cols)
+            int(p): {"rows": int(r["rows"]), "digest": r["digest"]}
+            for p, r in by_part.iterrows()
         },
     }
