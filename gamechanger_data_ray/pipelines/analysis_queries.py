@@ -471,6 +471,53 @@ def ann_lsh(sf_dir: str, n_planes: int = 6):
     return out
 
 
+def ann_pq(sf_dir: str, n_sub: int = 8, n_cents: int = 64, rerank: int = 50):
+    """Product-quantization ANN (the COMPRESSED-corpus scale path beside
+    IVF/LSH): codebooks train on the same bounded deterministic sample as
+    :func:`ann_ivf`, then one distributed encode pass replaces each
+    vector with n_sub uint8 codes (32× smaller at d=64/n_sub=8 — a
+    10^10-vector corpus's codes fit in a fraction of fleet RAM). Search
+    is the standard two-phase shape: (1) asymmetric distance computation
+    over the codes — per-query LUTs built once per actor, scores are
+    uint8 gathers + sums, raw embeddings untouched — shortlists
+    ``rerank`` candidates per query; (2) exact cosine re-ranks ONLY the
+    shortlist (a bounded Q×rerank id-filtered second read, not a corpus
+    scan). Approximate (rows-only); recall vs brute force asserted in
+    tests."""
+    ds0 = cm.read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    n = ds0.count()  # parquet metadata count — no scan
+    step = max(1, n // _KMEANS_SAMPLE)
+
+    def every_step(t: pa.Table) -> pa.Table:
+        vid = t["vec_id"].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(vid % step == 0))
+
+    sample = ds0.map_batches(every_step, batch_format="pyarrow").to_pandas()
+    m = sim.normalize_rows(sim._to_matrix(sample["embedding"]))
+    codebooks = sim.train_pq_codebooks(m, n_sub=n_sub, n_cents=n_cents)
+    cb_ref = cm.broadcast(codebooks)
+
+    encoded = cm.read(sf_dir, "embeddings", columns=["vec_id", "embedding"]).map_batches(
+        sim.PQEncoder, fn_constructor_args=(cb_ref,),
+        batch_format="pyarrow", concurrency=(1, cm.pool_size()),
+    )
+    q_ref = cm.broadcast(_query_matrix(sf_dir))
+    shortlist = encoded.map_batches(
+        sim.PQADCTopK, fn_constructor_args=(q_ref, cb_ref, rerank),
+        batch_format="pyarrow", concurrency=(1, cm.pool_size()),
+    )
+    cand_ids = sorted(set(sim.global_topk(shortlist.to_pandas(), rerank)["vec_id"]))
+    narrowed = cm.read(sf_dir, "embeddings", columns=["vec_id", "embedding"]).map_batches(
+        lambda t: t.filter(pc.is_in(t["vec_id"], value_set=pa.array(cand_ids))),
+        batch_format="pyarrow",
+    )
+    cands = narrowed.map_batches(
+        sim.BruteForceTopK, fn_constructor_args=(q_ref, _TOPK),
+        batch_format="pyarrow", concurrency=(1, cm.pool_size()),
+    )
+    return sim.global_topk(cands.to_pandas(), _TOPK)
+
+
 def embedding_dedup_cosine(sf_dir: str, tau: float = 0.95, n_planes: int = 6):
     """Embedding near-dup pairs (cosine ≥ tau) with seeded exact copies.
 

@@ -185,3 +185,126 @@ class LSHAssigner:
         m = normalize_rows(_to_matrix(batch[self.vec_col]))
         codes = lsh_code(m, self.planes).astype(np.int32)
         return batch.append_column("bucket", pa.array(codes))
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — the compressed-corpus ANN scale path:
+# 64 f32 (256 B) per vector become n_sub uint8 codes (8 B at n_sub=8, 32×),
+# so a 10^10-vector corpus's codes fit a fraction of the fleet's RAM and
+# search never touches the raw embeddings after the one-time encode pass.
+# ---------------------------------------------------------------------------
+
+
+def kmeans_euclid(m: np.ndarray, n_clusters: int, iters: int = 8, seed: int = 99) -> np.ndarray:
+    """Deterministic few-iteration euclidean Lloyd's (PQ subspaces are
+    NOT normalized, so cosine k-means would be wrong here)."""
+    rng = np.random.default_rng(seed)
+    idx = rng.choice(len(m), size=min(n_clusters, len(m)), replace=False)
+    cents = m[np.sort(idx)].copy()
+    for _ in range(iters):
+        d2 = ((m[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = np.argmin(d2, axis=1)
+        for c in range(len(cents)):
+            mask = assign == c
+            if mask.any():
+                cents[c] = m[mask].mean(axis=0)
+    return cents
+
+
+def train_pq_codebooks(
+    sample: np.ndarray, n_sub: int = 8, n_cents: int = 32, seed: int = 99
+) -> np.ndarray:
+    """Per-subspace codebooks (n_sub, n_cents, d/n_sub) trained on a
+    BOUNDED normalized sample — same fixed-driver-memory contract as the
+    IVF centroid training."""
+    n, d = sample.shape
+    if d % n_sub:
+        raise ValueError(f"dim {d} not divisible by n_sub {n_sub}")
+    subs = sample.reshape(n, n_sub, d // n_sub)
+    return np.stack([
+        kmeans_euclid(subs[:, s, :], n_cents, seed=seed + s) for s in range(n_sub)
+    ])
+
+
+def pq_encode(m: np.ndarray, codebooks: np.ndarray) -> np.ndarray:
+    """(n, d) normalized vectors → (n, n_sub) uint8 nearest-centroid codes."""
+    n = m.shape[0]
+    n_sub, n_cents, d_sub = codebooks.shape
+    subs = m.reshape(n, n_sub, d_sub)
+    codes = np.empty((n, n_sub), dtype=np.uint8)
+    for s in range(n_sub):
+        # ||x-c||² argmin == argmax(x·c - ||c||²/2); one matmul per subspace
+        dots = subs[:, s, :] @ codebooks[s].T
+        codes[:, s] = np.argmax(dots - 0.5 * (codebooks[s] ** 2).sum(axis=1), axis=1)
+    return codes
+
+
+class PQEncoder:
+    """map_batches stage: normalize + PQ-encode each vector (codebooks
+    broadcast once per actor); emits (id, code binary) — the raw
+    embedding column is DROPPED, which is the point."""
+
+    def __init__(self, codebooks_ref, id_col: str = "vec_id", vec_col: str = "embedding"):
+        self.codebooks = ray.get(codebooks_ref)
+        self.id_col = id_col
+        self.vec_col = vec_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        m = normalize_rows(_to_matrix(batch[self.vec_col]))
+        codes = pq_encode(m, self.codebooks)
+        n, n_sub = codes.shape
+        raw = codes.tobytes()
+        return pa.table({
+            self.id_col: batch[self.id_col],
+            "code": pa.array([raw[i * n_sub:(i + 1) * n_sub] for i in range(n)],
+                             pa.binary()),
+        })
+
+
+class PQADCTopK:
+    """map_batches stage over ENCODED rows: asymmetric distance
+    computation — each actor precomputes per-query lookup tables
+    LUT[q, s, c] = q_s · codebook[s, c] once in ``__init__``, then a
+    batch's approximate cosines are pure uint8 gathers + sums (no float
+    reconstruction, no raw vectors)."""
+
+    def __init__(self, queries_ref, codebooks_ref, k: int):
+        q = ray.get(queries_ref)
+        self.qids = q["ids"]
+        cb = ray.get(codebooks_ref)  # (n_sub, n_cents, d_sub)
+        n_sub, n_cents, d_sub = cb.shape
+        qm = q["matrix"].reshape(len(self.qids), n_sub, d_sub)
+        # (Q, n_sub, n_cents)
+        self.lut = np.einsum("qsd,scd->qsc", qm, cb)
+        self.k = k
+        self.n_sub = n_sub
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        code_col = batch["code"]
+        if isinstance(code_col, pa.ChunkedArray):
+            code_col = code_col.combine_chunks()
+        buf = b"".join(code_col.to_pylist())
+        codes = np.frombuffer(buf, dtype=np.uint8).reshape(-1, self.n_sub)
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        n = len(ids)
+        sims = np.empty((len(self.qids), n))
+        for s in range(self.n_sub):
+            contrib = self.lut[:, s, :][:, codes[:, s]]  # (Q, n)
+            sims = contrib if s == 0 else sims + contrib
+        sims = np.round(sims, 6)
+        self_mask = ids[None, :] == self.qids[:, None]
+        sims = np.where(self_mask, -np.inf, sims)
+        k = min(self.k, n)
+        out_q, out_v, out_s = [], [], []
+        for qi in range(len(self.qids)):
+            order = np.lexsort((ids, -sims[qi]))[:k]
+            s_vals = sims[qi][order]
+            fin = np.isfinite(s_vals)
+            out_q.append(np.full(fin.sum(), self.qids[qi]))
+            out_v.append(ids[order][fin])
+            out_s.append(s_vals[fin])
+        return pa.table({
+            "query_id": pa.array(np.concatenate(out_q)),
+            "vec_id": pa.array(np.concatenate(out_v)),
+            "cosine": pa.array(np.concatenate(out_s).astype(np.float64)),
+        })

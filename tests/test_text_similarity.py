@@ -142,3 +142,39 @@ def test_lsh_probe_codes():
     codes = sim.probe_codes(0b1010, 4, hamming=1)
     assert codes[0] == 0b1010 and len(codes) == 5
     assert set(codes) == {0b1010, 0b1011, 0b1000, 0b1110, 0b0010}
+
+
+def test_pq_recall_vs_brute_force(sf_dir):
+    """PQ-ADC over 8×uint8 codes (32× compression) must recover most of
+    the brute-force top-5 — the compressed-corpus scale path."""
+    from gamechanger_data_ray.pipelines.analysis_queries import ann_pq, ann_topk_cosine
+
+    exact = ann_topk_cosine(sf_dir)
+    approx = ann_pq(sf_dir)
+    exact_sets = exact.groupby("query_id")["vec_id"].apply(set)
+    approx_sets = approx.groupby("query_id")["vec_id"].apply(set)
+    recalls = [
+        len(exact_sets[q] & approx_sets.get(q, set())) / len(exact_sets[q])
+        for q in exact_sets.index
+    ]
+    assert np.mean(recalls) >= 0.5, f"mean PQ recall too low: {np.mean(recalls)}"
+
+
+def test_pq_encode_roundtrip_properties():
+    """Codes are deterministic, one byte per subspace, and ADC scores
+    approximate true cosines (monotone enough to rank)."""
+    rng = np.random.default_rng(3)
+    m = sim.normalize_rows(rng.normal(size=(300, 64)))
+    cb = sim.train_pq_codebooks(m, n_sub=8, n_cents=32)
+    codes1, codes2 = sim.pq_encode(m, cb), sim.pq_encode(m, cb)
+    assert codes1.dtype == np.uint8 and codes1.shape == (300, 8)
+    assert (codes1 == codes2).all()
+    # ADC approximation: reconstruct from codebooks, compare to true dot
+    recon = np.concatenate(
+        [cb[s][codes1[:, s]] for s in range(8)], axis=1
+    )
+    q = m[0]
+    true = m @ q
+    approx = recon @ q
+    # mean absolute error small relative to the cosine range
+    assert np.mean(np.abs(true - approx)) < 0.15
