@@ -252,6 +252,44 @@ def _token_corpus(sf_dir: str) -> pa.Table:
     )
 
 
+def dedup_token_spans(sf_dir: str, window: int = 16):
+    """Exact repeated TOKEN-SPAN detection over the tokens payload — the
+    windowed substring-dedup shape of "Deduplicating Training Data Makes
+    Language Models Better" (Lee et al., 2021): every 16-token window is
+    rolling-hashed (vectorized, one sliding view + matvec per doc), a
+    per-batch combiner collapses to one (hash, doc, occ) row per doc, and
+    ONE routed groupby finds hashes spanning ≥2 distinct docs. Output:
+    span_hash, n_docs, n_occ, example_doc (lexicographic-min doc).
+    Rows-only; exact equality vs a naive serial oracle in tests."""
+    corpus = _token_corpus(sf_dir)
+    ds = ray.data.from_arrow(corpus)
+
+    partials = ds.map_batches(
+        lambda t: dd.span_partials(t, window), batch_format="pyarrow"
+    )
+
+    def add_route(df: pd.DataFrame, num_routes: int = 256) -> pd.DataFrame:
+        df = df.copy()
+        df["_route"] = (df["span_hash"].to_numpy().astype(np.uint64)
+                        % np.uint64(num_routes)).astype("int64")
+        return df
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("span_hash", as_index=False).agg(
+            n_docs=("doc_id", "nunique"), n_occ=("occ", "sum"),
+            example_doc=("doc_id", "min"),
+        )
+        return out[out["n_docs"] >= 2]
+
+    out = (
+        partials.map_batches(add_route, batch_format="pandas")
+        .groupby("_route")
+        .map_groups(lambda g: finish(g.drop(columns=["_route"])), batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values("span_hash").reset_index(drop=True)
+
+
 def dedup_simhash(sf_dir: str, max_hamming: int = 8):
     """SimHash near-dup pairs via 16-bit chunk bucketing (rows-only)."""
     ds = _with_near_copies(sf_dir)

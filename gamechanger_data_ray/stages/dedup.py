@@ -397,3 +397,70 @@ def routed_bucket_pairs_est(
     ]
     out = [o for o in out if len(o)]
     return pd.concat(out, ignore_index=True) if out else empty
+
+
+# ---------------------------------------------------------------------------
+# Exact repeated token-span detection (the "Deduplicating Training Data
+# Makes Language Models Better" substring-dedup shape, windowed): every
+# W-token window gets a 64-bit polynomial rolling hash; windows whose hash
+# repeats across ≥2 documents are repeated spans. At 10^10-window scale a
+# 64-bit hash admits rare birthday collisions — a production run would
+# confirm token equality within each hash group (the group is already
+# co-located); the tests here verify against a naive oracle.
+# ---------------------------------------------------------------------------
+
+_SPAN_BASE = np.uint64(0x100000001B3)
+
+
+@np.errstate(over="ignore")  # scoped, not process-global
+def token_window_hashes(tokens: np.ndarray, window: int) -> np.ndarray:
+    """All W-token windows of one doc → uint64 polynomial hashes
+    (vectorized: one sliding-window view + one matvec, no Python loop
+    over windows)."""
+    if len(tokens) < window:
+        return np.empty(0, dtype=np.uint64)
+    powers = np.empty(window, dtype=np.uint64)
+    powers[-1] = np.uint64(1)
+    for i in range(window - 2, -1, -1):
+        powers[i] = powers[i + 1] * _SPAN_BASE
+    wins = np.lib.stride_tricks.sliding_window_view(
+        tokens.astype(np.uint64), window
+    )
+    # +1 so token id 0 contributes; wrap-around multiply is the hash
+    return ((wins + np.uint64(1)) * powers[None, :]).sum(axis=1)
+
+
+def span_partials(
+    t, window: int, id_col: str = "doc_id", tok_col: str = "tokens"
+):
+    """Per-batch combiner for span dedup: one (span_hash, doc_id, occ)
+    row per distinct hash per doc — the doc loop is per-document, the
+    window hashing inside it is vectorized."""
+    import pandas as pd
+    import pyarrow as pa
+
+    col = t[tok_col]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    flat = col.flatten().to_numpy(zero_copy_only=False)
+    offs = col.offsets.to_numpy(zero_copy_only=False)
+    offs = offs - offs[0]
+    ids = t[id_col].to_pylist()
+    out_h, out_d, out_c = [], [], []
+    for i, did in enumerate(ids):
+        h = token_window_hashes(flat[offs[i]:offs[i + 1]], window)
+        if len(h) == 0:
+            continue
+        uniq, counts = np.unique(h, return_counts=True)
+        out_h.append(uniq)
+        out_d.extend([did] * len(uniq))
+        out_c.append(counts)
+    if not out_h:
+        return pd.DataFrame({"span_hash": pd.Series(dtype="int64"),
+                             "doc_id": pd.Series(dtype="object"),
+                             "occ": pd.Series(dtype="int64")})
+    return pd.DataFrame({
+        "span_hash": np.concatenate(out_h).astype(np.int64),  # u64 bits as i64
+        "doc_id": out_d,
+        "occ": np.concatenate(out_c).astype(np.int64),
+    })

@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pytest
 
@@ -63,3 +64,56 @@ def test_token_dedup_query_finds_seeded_pairs(sf_dir):
     found = {a for a, b in pairs if b == f"near-{a}"}
     assert seeded, "corpus must contain seeded near-copies"
     assert len(found) >= 0.85 * len(seeded), (len(found), len(seeded))
+
+
+def test_token_span_dedup_matches_naive_oracle(sf_dir):
+    """dedup_token_spans must equal a serial dict-based oracle exactly
+    (same rolling hash, naive aggregation)."""
+    from collections import defaultdict
+
+    from gamechanger_data_ray.pipelines.analysis_queries import (
+        _token_corpus,
+        dedup_token_spans,
+    )
+    from gamechanger_data_ray.stages.dedup import token_window_hashes
+
+    W = 16
+    out = dedup_token_spans(sf_dir, window=W)
+
+    corpus = _token_corpus(sf_dir).to_pandas()
+    docs_by_hash = defaultdict(set)
+    occ_by_hash = defaultdict(int)
+    for did, toks in zip(corpus["doc_id"], corpus["tokens"]):
+        for h in token_window_hashes(np.asarray(toks, dtype=np.int64), W):
+            docs_by_hash[int(np.int64(h))].add(did)
+            occ_by_hash[int(np.int64(h))] += 1
+    expect = (
+        pd.DataFrame(
+            [
+                {"span_hash": h, "n_docs": len(d), "n_occ": occ_by_hash[h],
+                 "example_doc": min(d)}
+                for h, d in docs_by_hash.items() if len(d) >= 2
+            ]
+        )
+        .sort_values("span_hash")
+        .reset_index(drop=True)
+    )
+    assert len(expect) > 0, "seeded near-copies must produce repeated spans"
+    pd.testing.assert_frame_equal(
+        out.astype({"span_hash": "int64", "n_docs": "int64", "n_occ": "int64"}),
+        expect.astype({"span_hash": "int64", "n_docs": "int64", "n_occ": "int64"}),
+    )
+
+
+def test_token_window_hashes_properties():
+    """Position sensitivity, short-doc emptiness, and window count."""
+    from gamechanger_data_ray.stages.dedup import token_window_hashes
+
+    t = np.arange(20, dtype=np.int64)
+    h = token_window_hashes(t, 16)
+    assert len(h) == 5
+    # permuted window hashes differently (position-weighted)
+    a = token_window_hashes(np.array([1, 2, 3, 4], dtype=np.int64), 4)
+    b = token_window_hashes(np.array([4, 3, 2, 1], dtype=np.int64), 4)
+    assert a[0] != b[0]
+    assert len(token_window_hashes(np.arange(3), 16)) == 0
