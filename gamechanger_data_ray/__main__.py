@@ -64,6 +64,9 @@ def main(argv: list[str] | None = None) -> int:
     r.add_argument("--merge-policy", choices=["rewrite", "delta"], default="rewrite",
                    help="rewrite = copy-on-write partition files; delta = "
                         "merge-on-read epoch deltas (fold with `compact`)")
+    r.add_argument("--rename", action="append", default=[], metavar="OLD=NEW",
+                   help="source-boundary column rename (schema evolution); "
+                        "repeatable; epochs carrying either name conform")
 
     tl = sub.add_parser("tail", help="live-tail loop: poll for ready epochs, apply, repeat")
     tl.add_argument("--changelog", required=True)
@@ -276,6 +279,7 @@ def main(argv: list[str] | None = None) -> int:
         if args.cmd == "replay":
             from gamechanger_data_ray.engine.cdc import replay, replay_union
 
+            renames = dict(kv.split("=", 1) for kv in args.rename) or None
             if len(args.changelog) > 1:
                 m = replay_union(
                     args.changelog, args.table, num_partitions=args.partitions,
@@ -285,7 +289,7 @@ def main(argv: list[str] | None = None) -> int:
                 m = replay(
                     args.changelog[0], args.table, num_partitions=args.partitions,
                     epochs_per_commit=args.epochs_per_commit, exchange=args.exchange,
-                    merge_policy=args.merge_policy,
+                    merge_policy=args.merge_policy, renames=renames,
                 )
             print(json.dumps({"epoch": m.epoch if m else None, "totals": m.totals if m else {}}))
         elif args.cmd == "compact":

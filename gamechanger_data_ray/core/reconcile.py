@@ -123,3 +123,39 @@ def unify_all(schemas: list[pa.Schema]) -> pa.Schema:
     for s in schemas[1:]:
         out = unify_schemas(out, s)
     return out
+
+
+def _validate_renames(names: list[str], renames: dict[str, str]) -> None:
+    """A rename may not land on a name the batch ALSO carries unrenamed
+    (silent column merge), nor may two old names map to one new name."""
+    targets = list(renames.values())
+    if len(set(targets)) != len(targets):
+        raise SchemaEvolutionError(f"rename targets collide: {renames}")
+    for old, new in renames.items():
+        if old in names and new in names:
+            raise SchemaEvolutionError(
+                f"rename {old!r}->{new!r} collides with existing column {new!r}")
+
+
+def rename_schema(schema: pa.Schema, renames: dict[str, str] | None) -> pa.Schema:
+    """Schema with the rename map applied (old names absent pass through —
+    the map describes a TRANSITION, so epochs from before and after the
+    producer's rename both conform). The source-boundary half of the
+    reference's rename/delete projection (``parse.py:154-205``)."""
+    if not renames:
+        return schema
+    _validate_renames(schema.names, renames)
+    return pa.schema(
+        [f.with_name(renames.get(f.name, f.name)) for f in schema],
+        metadata=schema.metadata,
+    )
+
+
+def rename_table(table: pa.Table, renames: dict[str, str] | None) -> pa.Table:
+    """Batch with the rename map applied (see :func:`rename_schema`)."""
+    if not renames:
+        return table
+    _validate_renames(table.schema.names, renames)
+    return table.rename_columns(
+        [renames.get(n, n) for n in table.schema.names]
+    )

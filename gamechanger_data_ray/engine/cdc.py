@@ -62,7 +62,13 @@ from ..core.merge import (
     lww_reduce_weighted,
     merge_partition,
 )
-from ..core.reconcile import conform, unify_all, unify_schemas
+from ..core.reconcile import (
+    conform,
+    rename_schema,
+    rename_table,
+    unify_all,
+    unify_schemas,
+)
 from ..state import manifest as mf
 from ..state.fs import StorageAdapter, default_fs
 
@@ -170,11 +176,13 @@ def _merge_one_partition(
             **{k: int(counters[k]) for k in COUNTER_KEYS}}
 
 
-def make_normalizer(unified_b64: str, num_partitions: int):
-    """Stateless map_batches fn: conform → partial LWW reduce → add part."""
+def make_normalizer(unified_b64: str, num_partitions: int,
+                    renames: dict[str, str] | None = None):
+    """Stateless map_batches fn: rename → conform → partial LWW reduce →
+    add part."""
     def normalize(batch: pa.Table) -> pa.Table:
         schema = mf.schema_from_b64(unified_b64)
-        batch = conform(batch, schema)
+        batch = conform(rename_table(batch, renames), schema)
         batch = lww_reduce_weighted(batch)  # combiner: ≤1 row per key per batch
         part = partition_ids(batch["doc_id"], num_partitions)
         return batch.append_column(PART_COLUMN, pc.cast(part, pa.int32()))
@@ -264,6 +272,7 @@ def make_file_stager(
     unified_b64: str,
     num_partitions: int,
     fs: StorageAdapter | None = None,
+    renames: dict[str, str] | None = None,
 ):
     """Fused map-side shuffle write, one task per CHANGELOG FILE: read →
     conform → weighted LWW combine → hash-partition → write one staged
@@ -283,7 +292,7 @@ def make_file_stager(
         schema = mf.schema_from_b64(unified_b64)
         out_files, out_parts = [], []
         for path in batch["path"].to_pylist():
-            t = conform(fs.read_parquet(path), schema)
+            t = conform(rename_table(fs.read_parquet(path), renames), schema)
             t = lww_reduce_weighted(t)
             part = pc.cast(partition_ids(t["doc_id"], num_partitions), pa.int32())
             order = pc.sort_indices(part)
@@ -321,10 +330,11 @@ def apply_epoch(
     exchange: str = "staged",
     merge_policy: str = "rewrite",
     fs: StorageAdapter | None = None,
+    renames: dict[str, str] | None = None,
 ) -> mf.TableManifest | None:
     """Apply one ready epoch to the table (see :func:`apply_epochs`)."""
     return apply_epochs(changelog_dir, table_dir, [epoch], num_partitions, exchange,
-                        merge_policy=merge_policy, fs=fs)
+                        merge_policy=merge_policy, fs=fs, renames=renames)
 
 
 def apply_epochs(
@@ -335,9 +345,17 @@ def apply_epochs(
     exchange: str = "staged",
     merge_policy: str = "rewrite",
     fs: StorageAdapter | None = None,
+    renames: dict[str, str] | None = None,
 ) -> mf.TableManifest | None:
     """Apply a run of ready epochs to the table in ONE pipeline; returns the
     committed manifest (at ``max(epochs)``).
+
+    ``renames`` is an old→new column-name map applied at the source
+    boundary (each file's batch AND footer schema) before schema
+    unification — the rename half of schema evolution: a producer that
+    renamed a column mid-stream keeps writing to the SAME table column.
+    Epochs that predate the rename (old name) and postdate it (new name)
+    both conform; the map is a transition, not a requirement.
 
     Batching is sound because the LWW reduce is associative over the
     ``(lsn, seq)`` total order: merging epochs {2,3,4} in one shuffle gives
@@ -356,8 +374,11 @@ def apply_epochs(
     if mf.committed_epoch(table_dir, fs) >= epoch:
         return None
     files = [f for e in sorted(epochs) for f in _epoch_files(changelog_dir, e, fs)]
-    # unify: footer schemas of the epoch's files + current table schema.
-    incoming = unify_all([fs.read_parquet_schema(f) for f in files])
+    # unify: footer schemas of the epoch's files (renamed first) + current
+    # table schema.
+    incoming = unify_all(
+        [rename_schema(fs.read_parquet_schema(f), renames) for f in files]
+    )
     # the staged exchange takes the raw FILE LIST: each stage task fuses
     # read+normalize+partition+write (no plasma round-trips); the sort
     # exchange needs a Dataset
@@ -371,6 +392,7 @@ def apply_epochs(
         exchange=exchange,
         merge_policy=merge_policy,
         fs=fs,
+        renames=renames,
     )
 
 
@@ -384,6 +406,7 @@ def apply_events_dataset(
     carry_forward: bool = True,
     merge_policy: str = "rewrite",
     fs: StorageAdapter | None = None,
+    renames: dict[str, str] | None = None,
 ) -> mf.TableManifest | None:
     """Apply an arbitrary change-event Dataset (op/lsn/seq/doc_id + payload
     columns) to the table as ``epoch`` — the core upsert used by epoch
@@ -435,7 +458,7 @@ def apply_events_dataset(
         from_files = False
     if not from_files:
         ds = events_ds.map_batches(
-            make_normalizer(unified_b64, num_partitions),
+            make_normalizer(unified_b64, num_partitions, renames=renames),
             batch_format="pyarrow",
             **_retry,
         )
@@ -455,7 +478,8 @@ def apply_events_dataset(
             stage_rows = (
                 ray.data.from_items([{"path": p} for p in events_ds])
                 .map_batches(
-                    make_file_stager(staging, unified_b64, num_partitions, fs=fs),
+                    make_file_stager(staging, unified_b64, num_partitions, fs=fs,
+                                     renames=renames),
                     batch_size=1,
                     batch_format="pyarrow",
                     **_retry,
@@ -557,6 +581,7 @@ def replay(
     exchange: str = "staged",
     merge_policy: str = "rewrite",
     fs: StorageAdapter | None = None,
+    renames: dict[str, str] | None = None,
 ) -> mf.TableManifest | None:
     """Tail-and-apply loop: process every ready epoch strictly greater than
     the committed checkpoint, ascending (``checkpoint/utils.py:104-119``).
@@ -583,6 +608,7 @@ def replay(
             m = apply_epochs(
                 changelog_dir, table_dir, batch, num_partitions=num_partitions,
                 exchange=exchange, merge_policy=merge_policy, fs=fs,
+                renames=renames,
             )
             if m is not None:
                 last = m
