@@ -284,6 +284,7 @@ def main(argv: list[str] | None = None) -> int:
                 m = replay_union(
                     args.changelog, args.table, num_partitions=args.partitions,
                     exchange=args.exchange, merge_policy=args.merge_policy,
+                    renames=renames,
                 )
             else:
                 m = replay(

@@ -627,6 +627,7 @@ def replay_union(
     exchange: str = "staged",
     merge_policy: str = "rewrite",
     fs: StorageAdapter | None = None,
+    renames: dict[str, str] | list[dict[str, str] | None] | None = None,
 ) -> mf.TableManifest | None:
     """Multi-source replay: union the pending epochs of several changelogs
     into one table — the reference's many-crawlers-one-corpus model
@@ -650,7 +651,11 @@ def replay_union(
     correct at-least-once behavior (production systems add per-source
     heartbeat/low-watermark signals to declare intentional gaps).
     Epoch numbering is assumed shared across sources (a time-derived LSN
-    at production scale)."""
+    at production scale).
+
+    ``renames``: one old→new column map for all sources, or a per-source
+    list (sources rename independently; each map is a transition — see
+    :func:`apply_epochs`)."""
     fs = default_fs(fs)
     fs.makedirs(table_dir)
     after = mf.committed_epoch(table_dir, fs)
@@ -670,15 +675,27 @@ def replay_union(
         return mf.load_current(table_dir, fs)
 
     n = len(changelog_dirs)
+    per_source_renames: list[dict[str, str] | None]
+    if isinstance(renames, list):
+        if len(renames) != n:
+            raise ValueError(
+                f"per-source renames list has {len(renames)} entries for {n} sources")
+        per_source_renames = renames
+    else:
+        per_source_renames = [renames] * n
     parts: list[ray.data.Dataset] = []
     schemas: list[pa.Schema] = []
     for i, d in enumerate(changelog_dirs):
         files = [f for e in appliable if e in ready[i] for f in _epoch_files(d, e, fs)]
         if not files:
             continue
-        schemas.extend(fs.read_parquet_schema(f) for f in files)
+        src_renames = per_source_renames[i]
+        schemas.extend(
+            rename_schema(fs.read_parquet_schema(f), src_renames) for f in files
+        )
 
-        def remap(t: pa.Table, i=i, n=n) -> pa.Table:
+        def remap(t: pa.Table, i=i, n=n, src_renames=src_renames) -> pa.Table:
+            t = rename_table(t, src_renames)
             seq = pc.add(
                 pc.multiply(pc.cast(t["seq"], pa.int64()), pa.scalar(n, pa.int64())),
                 pa.scalar(i, pa.int64()),

@@ -102,3 +102,20 @@ def test_rename_cli(changelogs, tmp_path):
     assert out["epoch"] == 2
     t = table_to_arrow(tb)
     assert "origin" not in t.schema.names and "source" in t.schema.names
+
+
+def test_union_replay_per_source_renames(changelogs, tmp_path):
+    """Two sources, one renamed its column: per-source maps converge the
+    union to the same schema/state as the all-canonical union."""
+    from gamechanger_data_ray.engine.cdc import replay_union
+
+    cl, cl_renamed = changelogs
+    # canonical union of the SAME source twice would collide on seq remap
+    # determinism, so compare: union(cl, cl_renamed+map) vs union(cl, cl)
+    ta, tb = str(tmp_path / "ua"), str(tmp_path / "ub")
+    replay_union([cl, cl], ta, num_partitions=4)
+    replay_union([cl, cl_renamed], tb, num_partitions=4,
+                 renames=[None, {"origin": "source"}])
+    a, b = table_to_arrow(ta), table_to_arrow(tb)
+    assert a.schema.names == b.schema.names
+    assert a.equals(b)
