@@ -78,6 +78,8 @@ def main(argv: list[str] | None = None) -> int:
     tl.add_argument("--auto-compact", type=int, default=None,
                     help="with --merge-policy delta: fold deltas whenever a "
                          "partition stacks more than N of them")
+    tl.add_argument("--rename", action="append", default=[], metavar="OLD=NEW",
+                    help="source-boundary column rename (schema evolution); repeatable")
 
     s = sub.add_parser("sweep", help="revocation sweep from an alive-pairs CSV")
     s.add_argument("--table", required=True)
@@ -307,6 +309,7 @@ def main(argv: list[str] | None = None) -> int:
                 args.changelog, args.table, num_partitions=args.partitions,
                 poll_interval=args.poll_interval, idle_polls=args.idle_polls,
                 merge_policy=args.merge_policy, auto_compact=args.auto_compact,
+                renames=dict(kv.split("=", 1) for kv in args.rename) or None,
             )
             print(json.dumps({"epoch": m.epoch if m else None, "totals": m.totals if m else {}}))
         elif args.cmd == "repartition":

@@ -727,6 +727,7 @@ def tail(
     merge_policy: str = "rewrite",
     auto_compact: int | None = None,
     fs: StorageAdapter | None = None,
+    renames: dict[str, str] | None = None,
 ) -> mf.TableManifest | None:
     """Live-tailing driver loop (the continuous form of :func:`replay` —
     reference analog: the cron-driven checkpoint job,
@@ -760,7 +761,7 @@ def tail(
         m = apply_epochs(
             changelog_dir, table_dir, pending,
             num_partitions=num_partitions, exchange=exchange,
-            merge_policy=merge_policy, fs=fs,
+            merge_policy=merge_policy, fs=fs, renames=renames,
         )
         if m is not None:
             last = m
