@@ -44,6 +44,7 @@ with at-least-once tailing + idempotent sink = exactly-once observable.
 from __future__ import annotations
 
 import os
+import time as _time_mod
 import uuid
 from typing import Any
 
@@ -474,6 +475,7 @@ def apply_events_dataset(
             table_dir, "_staging", f"epoch-{epoch:06d}-{uuid.uuid4().hex}"
         )
         fs.rmtree(staging)  # (fresh name — a no-op guard)
+        _t_stage = _time_mod.perf_counter()
         if from_files:
             stage_rows = (
                 ray.data.from_items([{"path": p} for p in events_ds])
@@ -494,6 +496,7 @@ def apply_events_dataset(
                 for d in fs.listdir(staging)
                 if d.startswith(PART_COLUMN + "=")
             )
+        _t_merge = _time_mod.perf_counter()
         if touched:
             counters_ds = ray.data.from_items(
                 [{"part": p} for p in touched]
@@ -508,13 +511,19 @@ def apply_events_dataset(
         else:
             counter_rows = []  # empty epoch: nothing merged, manifest still advances
         fs.rmtree(staging)
+        _t_done = _time_mod.perf_counter()
+        phase_wall = {"stage": round(_t_merge - _t_stage, 3),
+                      "merge": round(_t_done - _t_merge, 3)}
     elif exchange == "sort":
+        _t_stage = _time_mod.perf_counter()
         counters_ds = ds.groupby(PART_COLUMN).map_groups(
             make_merge_writer(table_dir, epoch, unified_b64, state_files,
                               policy=merge_policy, fs=fs),
             batch_format="pyarrow",
         )
         counter_rows = counters_ds.take_all()  # O(num_partitions) rows — tiny
+        # one fused pipeline: the sort exchange can't split stage vs merge
+        phase_wall = {"pipeline": round(_time_mod.perf_counter() - _t_stage, 3)}
     else:
         raise ValueError(f"unknown exchange strategy: {exchange!r}")
 
@@ -552,6 +561,9 @@ def apply_events_dataset(
     epoch_counters["watermark_lsn"] = max(
         (int(r["watermark_lsn"]) for r in counter_rows), default=0
     )
+    # per-phase wall clocks (driver-observed): surfaced via `history`/`jobs`
+    # so a slow replay localizes to exchange vs merge without re-running
+    epoch_counters["phase_wall"] = phase_wall
 
     totals = dict(current.totals) if current else {}
     for k in ("events_in", "upserts", "deletes", "tombstones"):

@@ -41,3 +41,22 @@ def test_failed_job_records_error(tmp_path):
     hist = job_history(td)
     assert [h["status"] for h in hist] == [STATUS_STARTED, STATUS_FAILED]
     assert "boom" in hist[1]["error"]
+
+
+def test_phase_wall_in_epoch_counters(tmp_path):
+    """Each commit records driver-observed stage/merge wall clocks so a
+    slow replay localizes to exchange vs merge from `history` alone."""
+    from gamechanger_data_ray.core.changelog import write_changelog
+    from gamechanger_data_ray.engine.cdc import replay
+
+    cd, td = str(tmp_path / "cl"), str(tmp_path / "tb")
+    write_changelog(cd, num_epochs=2, events_per_epoch=400, num_keys=80)
+    m = replay(cd, td, num_partitions=4)
+    pw = m.epoch_counters["phase_wall"]
+    assert set(pw) == {"stage", "merge"}
+    assert pw["stage"] > 0 and pw["merge"] > 0
+
+    # sort exchange records the fused pipeline wall
+    td2 = str(tmp_path / "tb2")
+    m2 = replay(cd, td2, num_partitions=4, exchange="sort")
+    assert m2.epoch_counters["phase_wall"].get("pipeline", 0) > 0
