@@ -121,6 +121,14 @@ def main(argv: list[str] | None = None) -> int:
     vc.add_argument("--table", required=True)
     vc.add_argument("--keep-epochs", type=int, default=2)
 
+    pr = sub.add_parser("prune", help="changelog retention: drop epochs every "
+                                      "consumer table has durably applied")
+    pr.add_argument("--changelog", required=True)
+    pr.add_argument("--up-to-epoch", type=int, default=None)
+    pr.add_argument("--applied-table", action="append", default=[],
+                    help="consumer table dir; repeat per consumer — pruning "
+                         "never outruns the laggiest one")
+
     hi = sub.add_parser("history", help="per-epoch lineage counters from retained manifests")
     hi.add_argument("--table", required=True)
 
@@ -375,6 +383,12 @@ def main(argv: list[str] | None = None) -> int:
             from gamechanger_data_ray.engine.maintenance import validate_table
 
             print(json.dumps(validate_table(args.table)))
+        elif args.cmd == "prune":
+            from gamechanger_data_ray.core.changelog import prune_changelog
+
+            print(json.dumps(prune_changelog(
+                args.changelog, up_to_epoch=args.up_to_epoch,
+                applied_tables=args.applied_table or None)))
         elif args.cmd == "checksum":
             from gamechanger_data_ray.engine.maintenance import table_checksums
 

@@ -238,3 +238,44 @@ def ready_epochs(base: str, after: int = 0, fs=None) -> list[int]:
         if e > after and fs.exists(os.path.join(base, name, READY_MARKER)):
             out.append(e)
     return sorted(out)
+
+
+def prune_changelog(
+    base: str,
+    up_to_epoch: int | None = None,
+    applied_tables: list[str] | None = None,
+    fs=None,
+) -> dict:
+    """Changelog retention: delete epoch dirs that every consumer has
+    durably applied — the archive-growth answer on the SOURCE side
+    (``vacuum`` is the same answer on the table side; the reference's
+    timestamped archive keeps everything, which a 10^10-event feed
+    cannot).
+
+    The bound is ``min(up_to_epoch, min(committed epoch of each table in
+    applied_tables))`` — pass the consuming tables and pruning can never
+    outrun a lagging consumer; a table that has applied nothing pins the
+    changelog whole. Epochs are removed ascending, ready marker FIRST
+    (an interrupted prune leaves a non-ready epoch dir, which every
+    reader already ignores — never a half-readable epoch)."""
+    from ..state.fs import default_fs
+
+    fs = default_fs(fs)
+    bound = up_to_epoch
+    if applied_tables:
+        from ..state import manifest as mf
+
+        applied = [mf.committed_epoch(t, fs) for t in applied_tables]
+        lag = min(applied)
+        bound = lag if bound is None else min(bound, lag)
+    if bound is None:
+        raise ValueError("prune needs up_to_epoch and/or applied_tables")
+    removed = []
+    for e in ready_epochs(base):
+        if e > bound:
+            break
+        d = epoch_dir(base, e)
+        fs.rm(os.path.join(d, READY_MARKER))  # unpublish first (atomic)
+        fs.rmtree(d)
+        removed.append(e)
+    return {"pruned_epochs": removed, "bound": int(bound)}

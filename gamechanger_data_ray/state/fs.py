@@ -84,6 +84,13 @@ class StorageAdapter:
         except (FileNotFoundError, OSError):
             pass
 
+    def rm(self, path: str) -> None:
+        """Delete one file; missing is fine (idempotent retention ops)."""
+        try:
+            self.fs.delete_file(path)
+        except (FileNotFoundError, OSError):
+            pass
+
     # -- small text objects (manifests, pointers, markers) ------------------
 
     def read_text(self, path: str) -> str:

@@ -222,3 +222,49 @@ def test_validate_empty_table(tmp_path, ray_session):
 
     out = validate_table(str(tmp_path / "nope"))
     assert out == {"rows": 0, "violations": {}, "by_partition": {}}
+
+
+def test_prune_changelog_respects_laggiest_consumer(tmp_path):
+    from gamechanger_data_ray.core.changelog import (
+        prune_changelog,
+        ready_epochs,
+        write_changelog,
+    )
+
+    cd = str(tmp_path / "cl")
+    write_changelog(cd, num_epochs=4, events_per_epoch=200, num_keys=50)
+    fast, slow = str(tmp_path / "fast"), str(tmp_path / "slow")
+    replay(cd, fast, num_partitions=2)                  # applied 4
+    replay(cd, slow, num_partitions=2, up_to_epoch=2)   # applied 2
+
+    out = prune_changelog(cd, applied_tables=[fast, slow])
+    assert out == {"pruned_epochs": [1, 2], "bound": 2}
+    assert ready_epochs(cd) == [3, 4]
+    # slow consumer catches up from what's left, converging with fast
+    m = replay(cd, slow, num_partitions=2)
+    assert m.epoch == 4
+    assert table_to_arrow(slow).equals(table_to_arrow(fast))
+    # idempotent: nothing new applied, nothing more to prune
+    assert prune_changelog(cd, applied_tables=[fast, slow])["pruned_epochs"] == [3, 4]
+
+
+def test_prune_changelog_explicit_bound_and_guard(tmp_path):
+    import pytest
+
+    from gamechanger_data_ray.core.changelog import (
+        prune_changelog,
+        ready_epochs,
+        write_changelog,
+    )
+
+    cd = str(tmp_path / "cl")
+    write_changelog(cd, num_epochs=3, events_per_epoch=100, num_keys=20)
+    with pytest.raises(ValueError):
+        prune_changelog(cd)
+    out = prune_changelog(cd, up_to_epoch=1)
+    assert out["pruned_epochs"] == [1] and ready_epochs(cd) == [2, 3]
+    # a consumer that applied NOTHING pins everything, even with a bound
+    empty_tb = str(tmp_path / "tb_empty")
+    out = prune_changelog(cd, up_to_epoch=3, applied_tables=[empty_tb])
+    assert out["pruned_epochs"] == []
+    assert ready_epochs(cd) == [2, 3]
