@@ -109,6 +109,8 @@ QUERY_NAMES = [
     "docs_bm25",
     "docs_repetition",
     "docs_mixture_sample",
+    "dedup_token_spans",
+    "ann_pq",
 ]
 
 
@@ -117,9 +119,13 @@ def resolve_query(queries: dict, name: str):
     50-slot driver contract) resolve to their module function."""
     if name in queries:
         return queries[name]
-    from gamechanger_data_ray.pipelines import search
+    from gamechanger_data_ray.pipelines import analysis_queries, search
 
-    return getattr(search, name)
+    for mod in (search, analysis_queries):
+        fn = getattr(mod, name, None)
+        if fn is not None:
+            return fn
+    raise AttributeError(f"no query or module function named {name!r}")
 
 
 def consume(result) -> None:

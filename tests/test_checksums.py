@@ -114,3 +114,34 @@ def test_checksum_cli(table, tmp_path):
     res = json.loads(r.stdout.strip().splitlines()[-1])
     assert res["equal"] is True
     assert res["digest"] == res["against"]["digest"]
+
+
+def test_checksum_fold_properties():
+    """The XOR fold itself: permutation- and split-invariant, single-bit
+    sensitive (hypothesis)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    import numpy as np
+
+    def fold(digests):
+        acc = np.zeros(32, dtype=np.uint8)
+        for d in digests:
+            acc ^= np.frombuffer(d, dtype=np.uint8)
+        return bytes(acc)
+
+    @settings(max_examples=50, deadline=None)
+    @given(st.lists(st.binary(min_size=32, max_size=32), min_size=1, max_size=20),
+           st.randoms(use_true_random=False))
+    def check(digests, rnd):
+        base = fold(digests)
+        shuffled = list(digests)
+        rnd.shuffle(shuffled)
+        assert fold(shuffled) == base  # order-independent
+        cut = rnd.randrange(len(digests) + 1)
+        assert fold([fold(digests[:cut]), fold(digests[cut:])]) == base  # split-independent
+        flipped = bytearray(digests[0])
+        flipped[0] ^= 1
+        assert fold([bytes(flipped)] + list(digests[1:])) != base  # bit-sensitive
+
+    check()
