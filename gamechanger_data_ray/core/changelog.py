@@ -271,11 +271,21 @@ def prune_changelog(
     if bound is None:
         raise ValueError("prune needs up_to_epoch and/or applied_tables")
     removed = []
-    for e in ready_epochs(base):
+    for name in sorted(fs.listdir(base)):
+        if not name.startswith(EPOCH_PREFIX):
+            continue
+        try:
+            e = int(name[len(EPOCH_PREFIX):])
+        except ValueError:
+            continue
         if e > bound:
-            break
-        d = epoch_dir(base, e)
-        fs.rm(os.path.join(d, READY_MARKER))  # unpublish first (atomic)
+            continue
+        d = os.path.join(base, name)
+        if fs.exists(os.path.join(d, READY_MARKER)):
+            fs.rm(os.path.join(d, READY_MARKER))  # unpublish first (atomic)
+            removed.append(e)
+        # a marker-less dir ≤ bound is debris from an interrupted prune (or
+        # an abandoned producer attempt below the applied watermark) —
+        # readers never saw it; sweep it either way
         fs.rmtree(d)
-        removed.append(e)
     return {"pruned_epochs": removed, "bound": int(bound)}

@@ -268,3 +268,40 @@ def test_prune_changelog_explicit_bound_and_guard(tmp_path):
     out = prune_changelog(cd, up_to_epoch=3, applied_tables=[empty_tb])
     assert out["pruned_epochs"] == []
     assert ready_epochs(cd) == [2, 3]
+
+
+def test_interrupted_prune_leaves_only_invisible_debris(tmp_path, monkeypatch):
+    """Crash between marker removal and dir removal: the epoch is already
+    invisible to every reader (marker-first ordering), and a prune rerun
+    sweeps the debris."""
+    from gamechanger_data_ray.core.changelog import (
+        prune_changelog,
+        ready_epochs,
+        write_changelog,
+    )
+    from gamechanger_data_ray.state.fs import StorageAdapter
+
+    cd = str(tmp_path / "cl")
+    write_changelog(cd, num_epochs=2, events_per_epoch=100, num_keys=20)
+
+    real_rmtree = StorageAdapter.rmtree
+    calls = {"n": 0}
+
+    def crashing_rmtree(self, path):
+        if "epoch=" in path:
+            calls["n"] += 1
+            raise RuntimeError("crash between unpublish and delete")
+        return real_rmtree(self, path)
+
+    monkeypatch.setattr(StorageAdapter, "rmtree", crashing_rmtree)
+    with pytest.raises(RuntimeError):
+        prune_changelog(cd, up_to_epoch=1)
+    monkeypatch.setattr(StorageAdapter, "rmtree", real_rmtree)
+
+    assert calls["n"] == 1
+    assert ready_epochs(cd) == [2]  # epoch 1's debris is INVISIBLE already
+    out = prune_changelog(cd, up_to_epoch=1)  # rerun sweeps the debris dir
+    assert out["pruned_epochs"] == []  # nothing newly unpublished
+    import os as _os
+    assert not _os.path.isdir(_os.path.join(cd, "epoch=000001"))
+    assert ready_epochs(cd) == [2]
