@@ -64,3 +64,24 @@ class BloomFilter:
         out = BloomFilter(int(self.n_bits), self.k)
         out.bits = self.bits | other.bits
         return out
+
+    # -- sidecar serialization (per-partition negative-lookup blooms) -------
+
+    def to_bytes(self) -> bytes:
+        """16-byte header (n_bits, k as uint64 LE) + the bit vector."""
+        head = np.array([int(self.n_bits), self.k], dtype="<u8").tobytes()
+        return head + self.bits.astype("<u8").tobytes()
+
+    @classmethod
+    def from_bytes(cls, raw: bytes) -> "BloomFilter":
+        head = np.frombuffer(raw[:16], dtype="<u8")
+        out = cls(int(head[0]), int(head[1]))
+        out.bits = np.frombuffer(raw[16:], dtype="<u8").astype(np.uint64)
+        return out
+
+
+def sized_for(n_keys: int, bits_per_key: int = 10, k: int = 4) -> BloomFilter:
+    """A filter sized to ~1% FP for ``n_keys`` (10 bits/key, k=4),
+    rounded up to a multiple of 64 bits."""
+    n_bits = max(1024, ((n_keys * bits_per_key + 63) // 64) * 64)
+    return BloomFilter(n_bits, k)

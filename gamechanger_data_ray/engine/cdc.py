@@ -122,6 +122,27 @@ def _load_state(
     return collapse_deltas(tabs)
 
 
+BLOOM_SUFFIX = ".bloom"
+
+
+def _write_bloom_sidecar(merged: pa.Table, base_abs: str, fs: StorageAdapter) -> None:
+    """Per-partition key Bloom sidecar (``<base>.parquet.bloom``): lets a
+    point lookup prove a key DEFINITELY absent from one tiny fixed-size
+    read instead of opening the parquet footer — at P=10k partitions the
+    manifest stays small because the filter lives next to its base file,
+    not in the manifest. Written after (and keyed to) the base: a reader
+    that sees the new base but a stale/missing sidecar only loses the
+    shortcut, never correctness (no false negatives; sidecar absence =
+    no pruning). Derived data — rewrite overwrites it with its base."""
+    from ..core.bloom import sized_for
+    from ..core.hashing import fnv1a64
+
+    bloom = sized_for(max(1, merged.num_rows))
+    if merged.num_rows:
+        bloom.add_many(fnv1a64(pc.cast(merged["doc_id"], pa.string())))
+    fs.atomic_write_bytes(base_abs + BLOOM_SUFFIX, bloom.to_bytes())
+
+
 def _merge_one_partition(
     part: int,
     events: pa.Table,
@@ -153,6 +174,7 @@ def _merge_one_partition(
         out_abs = os.path.join(table_dir, out_rel)
         fs.makedirs(os.path.dirname(out_abs))
         fs.write_parquet_atomic(merged, out_abs)
+        _write_bloom_sidecar(merged, out_abs, fs)
         kmin, kmax = _key_range(merged)
         return {"part": part, "file": out_rel, "delta": "",
                 "key_min": kmin, "key_max": kmax,
@@ -972,7 +994,14 @@ def routed_partition_files(
     re-hash each key with the table's pinned partition count and keep only
     the matching manifest entries — O(|keys|) files, never a full scan.
     Per-partition zone maps (``key_min``/``key_max``, written key-sorted)
-    prune further when present."""
+    prune further when present; on delta-free partitions the Bloom sidecar
+    (``.parquet.bloom``, written with the base) proves definite absence
+    from one tiny read, so lookups of missing keys touch no parquet at
+    all. Both prunes are advisory — a missing sidecar or empty zone map
+    just means no shortcut."""
+    from ..core.bloom import BloomFilter
+    from ..core.hashing import fnv1a64
+
     fs = default_fs(fs)
     current = mf.load_current(table_dir, fs)
     if current is None or not current.partitions:
@@ -995,6 +1024,20 @@ def routed_partition_files(
         if kmin and kmax and kmin <= kmax:
             if not any(kmin <= str(k) <= kmax for k in ks):
                 continue
+        # bloom prune: only when the base alone is the whole state
+        # (pending deltas may hold keys the base's sidecar never saw)
+        if not entry.get("deltas") and entry.get("file"):
+            sidecar = os.path.join(table_dir, entry["file"] + BLOOM_SUFFIX)
+            try:
+                raw = fs.read_bytes(sidecar)
+            except (FileNotFoundError, OSError):
+                raw = None
+            if raw is not None:
+                bloom = BloomFilter.from_bytes(raw)
+                maybe = bloom.contains_many(
+                    fnv1a64(pa.array([str(k) for k in ks], pa.string())))
+                if not maybe.any():
+                    continue
         out.extend(current.partition_files(table_dir, str(pid)))
     return out
 

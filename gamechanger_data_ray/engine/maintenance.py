@@ -126,6 +126,9 @@ def compact(table_dir: str, min_deltas: int = 1, fs=None) -> mf.TableManifest | 
                 f"data-e{epoch:06d}r{new_rev:03d}.parquet",
             )
             fs.write_parquet_atomic(merged, os.path.join(table_dir, out_rel))
+            from .cdc import _write_bloom_sidecar
+
+            _write_bloom_sidecar(merged, os.path.join(table_dir, out_rel), fs)
             kmin = str(merged["doc_id"][0].as_py()) if merged.num_rows else ""
             kmax = str(merged["doc_id"][merged.num_rows - 1].as_py()) if merged.num_rows else ""
             rows.append({"part": int(row["part"]), "file": out_rel,
@@ -169,10 +172,12 @@ def compact(table_dir: str, min_deltas: int = 1, fs=None) -> mf.TableManifest | 
 def vacuum(table_dir: str, keep_epochs: int = 2) -> dict:
     """Delete partition data files not referenced by the current manifest or
     the ``keep_epochs`` most recent retained manifests; drop manifests older
-    than the window. Returns {files_deleted, bytes_freed, manifests_kept}."""
+    than the window. Returns {files_deleted, sidecars_deleted, bytes_freed,
+    manifests_kept}."""
     current = mf.load_current(table_dir)
     if current is None:
-        return {"files_deleted": 0, "bytes_freed": 0, "manifests_kept": []}
+        return {"files_deleted": 0, "sidecars_deleted": 0, "bytes_freed": 0,
+                "manifests_kept": []}
     epochs = list_manifests(table_dir)
     # retained window: everything >= the keep_epochs-th most recent, and
     # always the committed epoch (restore target safety)
@@ -185,7 +190,7 @@ def vacuum(table_dir: str, keep_epochs: int = 2) -> dict:
             continue
         referenced.update(os.path.abspath(p) for p in m.data_files(table_dir))
 
-    deleted, freed = 0, 0
+    deleted, freed, sidecars = 0, 0, 0
     for root, _dirs, files in os.walk(table_dir):
         base = os.path.basename(root)
         if not base.startswith("part="):
@@ -196,6 +201,12 @@ def vacuum(table_dir: str, keep_epochs: int = 2) -> dict:
                 freed += os.path.getsize(p)
                 os.remove(p)
                 deleted += 1
+            elif fname.endswith(".parquet.bloom") and p[: -len(".bloom")] not in referenced:
+                # sidecars are derived data keyed to their base — orphaned
+                # when the base falls out of the retained window
+                freed += os.path.getsize(p)
+                os.remove(p)
+                sidecars += 1
     revs = _manifest_revs(table_dir)
     mdir = os.path.join(table_dir, mf.MANIFEST_DIR)
     for name in os.listdir(mdir):
@@ -222,7 +233,8 @@ def vacuum(table_dir: str, keep_epochs: int = 2) -> dict:
                 continue
             if e <= current.epoch:
                 shutil.rmtree(os.path.join(staging_root, name), ignore_errors=True)
-    return {"files_deleted": deleted, "bytes_freed": freed, "manifests_kept": kept}
+    return {"files_deleted": deleted, "sidecars_deleted": sidecars,
+            "bytes_freed": freed, "manifests_kept": kept}
 
 
 def repartition_table(

@@ -91,6 +91,23 @@ class StorageAdapter:
         except (FileNotFoundError, OSError):
             pass
 
+    # -- small binary objects (bloom sidecars) -------------------------------
+
+    def read_bytes(self, path: str) -> bytes:
+        with self.fs.open_input_stream(path) as f:
+            return f.read()
+
+    def atomic_write_bytes(self, path: str, data: bytes) -> None:
+        """Binary twin of :meth:`atomic_write_text` (same commit split)."""
+        if self.atomic_rename:
+            tmp = f"{path}.tmp-{uuid.uuid4().hex}"
+            with self.fs.open_output_stream(tmp) as f:
+                f.write(data)
+            self.fs.move(tmp, path)
+        else:
+            with self.fs.open_output_stream(path) as f:
+                f.write(data)
+
     # -- small text objects (manifests, pointers, markers) ------------------
 
     def read_text(self, path: str) -> str:

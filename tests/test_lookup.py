@@ -155,3 +155,102 @@ def test_columns_projection(table):
         columns=["doc_id", "n_tok"],
     )
     assert got.column_names == ["doc_id", "n_tok"]
+
+
+def _absent_inrange_key(table):
+    """An ABSENT key that lands inside its routed partition's zone-map
+    range — so only the bloom (not the zone map) can prune it."""
+    from gamechanger_data_ray.core.hashing import partition_ids
+    from gamechanger_data_ray.state import manifest as mf
+
+    cur = mf.load_current(table)
+    npart = cur.num_partitions
+    present = set(_alive(table_to_arrow(table))["doc_id"].to_pylist())
+    for i in range(500):
+        k = f"doc-{i:08d}a"
+        if k in present:
+            continue
+        pid = partition_ids(pa.array([k]), npart).to_pylist()[0]
+        e = cur.partitions.get(str(pid))
+        if e and e.get("key_min") and e["key_min"] <= k <= e["key_max"]:
+            return k
+    raise AssertionError("no in-range absent key found")
+
+
+def test_bloom_sidecars_written_and_prune_absent_keys(table):
+    import glob
+    import os
+
+    sidecars = glob.glob(os.path.join(table, "part=*", "*.parquet.bloom"))
+    assert sidecars, "rewrite merges must write bloom sidecars"
+    # an absent key INSIDE its partition's zone range: only the bloom can
+    # prove absence, and with it NO parquet file is touched
+    k = _absent_inrange_key(table)
+    assert routed_partition_files(table, [k]) == []
+    assert read_keys(table, [k]).num_rows == 0
+    # present keys still resolve through the bloom
+    full = _alive(table_to_arrow(table))
+    keys = full["doc_id"].to_pylist()[:5]
+    got = read_keys(table, keys)
+    assert sorted(got["doc_id"].to_pylist()) == sorted(keys)
+
+
+def test_lookup_without_sidecars_still_works(table, tmp_path):
+    """Tables written before sidecars existed (or with sidecars deleted)
+    only lose the shortcut."""
+    import glob
+    import os
+    import shutil
+
+    k = _absent_inrange_key(table)
+    td = str(tmp_path / "nosc")
+    shutil.copytree(table, td)
+    for s in glob.glob(os.path.join(td, "part=*", "*.bloom")):
+        os.remove(s)
+    assert routed_partition_files(td, [k]) != []        # no bloom, no prune
+    assert read_keys(td, [k]).num_rows == 0             # still correct
+    full = _alive(table_to_arrow(td))
+    keys = full["doc_id"].to_pylist()[:5]
+    assert sorted(read_keys(td, keys)["doc_id"].to_pylist()) == sorted(keys)
+
+
+def test_vacuum_sweeps_orphaned_sidecars(tmp_path):
+    import glob
+    import os
+
+    from gamechanger_data_ray.engine.maintenance import vacuum
+
+    cd, td = str(tmp_path / "cl"), str(tmp_path / "tb")
+    write_changelog(cd, num_epochs=3, events_per_epoch=300, num_keys=60)
+    replay(cd, td, num_partitions=4, epochs_per_commit=1)
+    all_blooms = set(glob.glob(os.path.join(td, "part=*", "*.bloom")))
+    assert len(all_blooms) > 4  # several epochs' bases have sidecars
+    vacuum(td, keep_epochs=1)
+    left = set(glob.glob(os.path.join(td, "part=*", "*.bloom")))
+    live = set(glob.glob(os.path.join(td, "part=*", "*.parquet")))
+    assert left < all_blooms  # orphans swept
+    assert left == {p + ".bloom" for p in live}  # exactly the live bases' sidecars
+    # lookups still green post-vacuum
+    full = _alive(table_to_arrow(td))
+    keys = full["doc_id"].to_pylist()[:3]
+    assert sorted(read_keys(td, keys)["doc_id"].to_pylist()) == sorted(keys)
+
+
+def test_compaction_writes_sidecar_and_bloom_prunes_after(tmp_path):
+    from gamechanger_data_ray.engine.maintenance import compact
+
+    cd, td = str(tmp_path / "cl"), str(tmp_path / "tb")
+    write_changelog(cd, num_epochs=2, events_per_epoch=300, num_keys=60)
+    replay(cd, td, num_partitions=4, epochs_per_commit=1, merge_policy="delta")
+    compact(td)
+    import glob
+    import os
+
+    from gamechanger_data_ray.state import manifest as mf
+
+    cur = mf.load_current(td)
+    assert all(not e.get("deltas") for e in cur.partitions.values())
+    bases = [os.path.join(td, e["file"]) for e in cur.partitions.values() if e.get("file")]
+    assert bases and all(os.path.exists(b + ".bloom") for b in bases)
+    k = _absent_inrange_key(td)
+    assert routed_partition_files(td, [k]) == []
