@@ -180,6 +180,14 @@ def main(argv: list[str] | None = None) -> int:
                     help="OUT=SRC summed column; repeatable")
     vw.add_argument("--partitions", type=int, default=8)
 
+    jv = sub.add_parser("join-view", help="build/refresh an incremental equi-join "
+                                          "view of two co-partitioned CDC tables")
+    jv.add_argument("--left", required=True)
+    jv.add_argument("--right", required=True)
+    jv.add_argument("--view", required=True, help="view state dir")
+    jv.add_argument("--on", default="doc_id")
+    jv.add_argument("--how", default="inner", choices=["inner", "left_outer"])
+
     args = p.parse_args(argv)
 
     if args.cmd == "generate":
@@ -378,6 +386,17 @@ def main(argv: list[str] | None = None) -> int:
             print(json.dumps(
                 {"epoch": m.epoch if m else None,
                  "mode": m.epoch_counters.get("mode") if m else "current",
+                 "rows": m.totals.get("rows") if m else None}))
+        elif args.cmd == "join-view":
+            from gamechanger_data_ray.engine.join_views import refresh_join
+
+            m = refresh_join(args.view, args.left, args.right,
+                             on=args.on, how=args.how)
+            print(json.dumps(
+                {"epoch": m.epoch if m else None,
+                 "mode": m.epoch_counters.get("mode") if m else "current",
+                 "dirty_partitions":
+                     m.epoch_counters.get("dirty_partitions") if m else 0,
                  "rows": m.totals.get("rows") if m else None}))
         elif args.cmd == "validate":
             from gamechanger_data_ray.engine.maintenance import validate_table

@@ -95,6 +95,8 @@ def _make_partition_joiner(
                if c in set(rschema.names) and c != on and c != "op"]
 
     def join_part(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
         rows_out = []
         for item in batch.to_pylist():
             part = int(item["part"])
@@ -106,11 +108,28 @@ def _make_partition_joiner(
                 _load_state(right_dir, list(item["right_rels"]), rschema, fs),
                 rschema, overlap, suffixes[1],
             )
-            joined = lt.join(rt, keys=on, join_type=_PA_JOIN_TYPE[how])
-            if joined.num_rows:
-                joined = joined.take(
-                    pc.sort_indices(joined, sort_keys=[(on, "ascending")])
-                )
+            # Acero can't join tables with nested non-key columns (the
+            # tokens payload is list<int32>) — join key + row-index
+            # projections instead, then take() the payloads through the
+            # matched index pairs (null right index on an outer miss
+            # takes as null, which is exactly the outer-join fill).
+            li = pa.table({on: lt[on],
+                           "__li": np.arange(lt.num_rows, dtype=np.int64)})
+            ri = pa.table({on: rt[on],
+                           "__ri": np.arange(rt.num_rows, dtype=np.int64)})
+            idx = li.join(ri, keys=on, join_type=_PA_JOIN_TYPE[how])
+            if idx.num_rows:
+                idx = idx.take(pc.sort_indices(
+                    idx, sort_keys=[(on, "ascending"), ("__li", "ascending"),
+                                    ("__ri", "ascending")]))
+            cols: dict[str, Any] = {}
+            for name in lt.schema.names:
+                cols[name] = (idx[on] if name == on
+                              else pc.take(lt[name], idx["__li"]))
+            for name in rt.schema.names:
+                if name != on:
+                    cols[name] = pc.take(rt[name], idx["__ri"])
+            joined = pa.table(cols)
             rel = os.path.join(f"part={part:05d}", f"join-e{epoch:06d}.parquet")
             out_abs = os.path.join(view_dir, rel)
             if joined.num_rows:

@@ -124,6 +124,26 @@ def test_overlapping_payload_columns_get_suffixes(tmp_path):
     assert list(t["note_r"]) == ["from-right"]
 
 
+def test_nested_list_payloads_join(tmp_path):
+    """Acero rejects nested non-key columns — the index-pair join path
+    must carry a tokens list<int32> payload through intact."""
+    lt, rt = str(tmp_path / "l"), str(tmp_path / "r")
+    toks = pa.table({
+        "op": pa.array(["I", "I"]), "lsn": pa.array([1, 1], pa.int64()),
+        "seq": pa.array([0, 1], pa.int64()),
+        "doc_id": pa.array(["a", "b"]),
+        "tokens": pa.array([[1, 2, 3], [4]], pa.list_(pa.int32())),
+    })
+    _apply(lt, 1, toks)
+    _apply(rt, 1, _events([("I", 1, 0, "a", "body-a")], "body"))
+    vd = str(tmp_path / "v")
+    refresh_join(vd, lt, rt)
+    t = read_join_view(vd).to_pandas()
+    assert len(t) == 1
+    assert list(t["tokens"].iloc[0]) == [1, 2, 3]
+    assert t["body"].iloc[0] == "body-a"
+
+
 def test_mismatched_partitioning_is_rejected(tmp_path):
     lt, rt = str(tmp_path / "l"), str(tmp_path / "r")
     _apply(lt, 1, _events([("I", 1, 0, "k1", "x")], "title"))
