@@ -96,6 +96,105 @@ def _key_range(merged: pa.Table) -> tuple[str, str]:
     return str(col[0].as_py()), str(col[merged.num_rows - 1].as_py())
 
 
+# columns that never get payload zone maps: engine bookkeeping + the key
+# (the key has its own sorted-file zone map, key_min/key_max)
+_STATS_EXCLUDE = {"op", "lsn", "seq", "doc_id", PART_COLUMN, EVENTS_REP, TOMBS_REP}
+
+
+def _col_stats_json(t: pa.Table) -> str:
+    """Payload-column zone maps for a freshly written partition file:
+    ``{col: [min, max]}`` over scalar payload columns (ints, floats,
+    strings, bools — list/struct payloads carry no useful ordering),
+    JSON-encoded so it rides the one-row counters table back through the
+    exchange. Nulls are skipped; an all-null (or NaN-tainted float)
+    column is omitted — absent bounds mean "unknown", never "empty", so
+    readers simply don't prune on them. This is the Iceberg/Delta
+    data-skipping idea at the hash-partition grain: stats live in the
+    manifest, so a bounded scan prunes whole partitions from the ONE
+    driver-side manifest read, before any parquet footer is opened —
+    at P=10k that's 10k file opens saved per pruned predicate scan."""
+    import math
+
+    out: dict[str, list] = {}
+    for field in t.schema:
+        if field.name in _STATS_EXCLUDE:
+            continue
+        ty = field.type
+        if not (pa.types.is_integer(ty) or pa.types.is_floating(ty)
+                or pa.types.is_boolean(ty) or pa.types.is_string(ty)
+                or pa.types.is_large_string(ty)):
+            continue
+        mm = pc.min_max(t[field.name]).as_py()
+        mn, mx = mm["min"], mm["max"]
+        if mn is None or mx is None:
+            continue
+        if isinstance(mn, float) and (math.isnan(mn) or math.isnan(mx)):
+            continue
+        out[field.name] = [mn, mx]
+    import json
+
+    return json.dumps(out)
+
+
+def _widen_col_stats(prev: dict, new: dict) -> dict:
+    """Stats fold for a merge-on-read delta commit: the resolved state is
+    (base ∪ delta), so sound bounds are the UNION of the two — kept only
+    for columns the previous bounds already covered (a column the base
+    never had bounds for stays unbounded). Updates and deletes can only
+    leave the union too WIDE, never too narrow — wide is sound for
+    pruning; the next rewrite or compaction re-tightens from the real
+    resolved rows."""
+    out: dict[str, list] = {}
+    for c, (mn, mx) in prev.items():
+        if c in new:
+            nmn, nmx = new[c]
+            try:
+                out[c] = [min(mn, nmn), max(mx, nmx)]
+            except TypeError:  # retype mid-stream: bound no longer comparable
+                continue
+        else:  # delta had only nulls for c — base bounds still cover all
+            out[c] = [mn, mx]
+    return out
+
+
+def _stats_overlap(stats: dict | None, bounds: dict) -> bool:
+    """May this partition hold rows inside ``bounds``? Missing stats (or a
+    missing column, or a non-comparable type) always answer yes — pruning
+    is an advisory shortcut, never a correctness dependency."""
+    if not stats:
+        return True
+    for c, (lo, hi) in bounds.items():
+        s = stats.get(c)
+        if s is None:
+            continue
+        mn, mx = s
+        try:
+            if (lo is not None and mx < lo) or (hi is not None and mn > hi):
+                return False
+        except TypeError:
+            continue
+    return True
+
+
+def _bounds_expr(bounds: dict):
+    """``{col: (lo, hi)}`` (either side None = unbounded) → a pyarrow
+    dataset expression, ANDed into the scan so the row-level result is
+    exact whatever the partition-level pruning missed. NULLs in a bounded
+    column are excluded, matching SQL comparison semantics."""
+    import pyarrow.dataset as pads
+
+    expr = None
+    for c, (lo, hi) in bounds.items():
+        parts = []
+        if lo is not None:
+            parts.append(pads.field(c) >= lo)
+        if hi is not None:
+            parts.append(pads.field(c) <= hi)
+        for e in parts:
+            expr = e if expr is None else expr & e
+    return expr
+
+
 def _delta_path(epoch: int, part: int) -> str:
     return os.path.join(f"part={part:05d}", f"delta-e{epoch:06d}.parquet")
 
@@ -178,6 +277,7 @@ def _merge_one_partition(
         kmin, kmax = _key_range(merged)
         return {"part": part, "file": out_rel, "delta": "",
                 "key_min": kmin, "key_max": kmax,
+                "col_stats": _col_stats_json(merged),
                 **{k: int(counters[k]) for k in COUNTER_KEYS}}
     if policy != "delta":
         raise ValueError(f"unknown merge policy: {policy!r}")
@@ -195,6 +295,9 @@ def _merge_one_partition(
     fs.write_parquet_atomic(body, out_abs)
     kmin, kmax = _key_range(merged_idx)  # zone map covers the FULL alive state
     return {"part": part, "file": "", "delta": out_rel,
+            # delta-body stats only; the driver widens them into the
+            # previous bounds so the manifest covers the resolved state
+            "col_stats": _col_stats_json(body),
             "key_min": kmin, "key_max": kmax,
             **{k: int(counters[k]) for k in COUNTER_KEYS}}
 
@@ -282,6 +385,7 @@ def make_staged_merger(
             return pa.table(
                 {"part": pa.array([], pa.int64()), "file": pa.array([], pa.string()),
                  "delta": pa.array([], pa.string()),
+                 "col_stats": pa.array([], pa.string()),
                  "key_min": pa.array([], pa.string()), "key_max": pa.array([], pa.string())}
                 | {k: pa.array([], pa.int64()) for k in COUNTER_KEYS}
             )
@@ -576,6 +680,18 @@ def apply_events_dataset(
         if r.get("key_min") is not None:
             partitions[p]["key_min"] = r["key_min"]
             partitions[p]["key_max"] = r["key_max"]
+        if r.get("col_stats") is not None:
+            import json as _json
+
+            new_stats = _json.loads(r["col_stats"]) if r["col_stats"] else {}
+            if not r.get("delta") or not prev:
+                # rewrite (or first-ever commit of this partition as a
+                # delta, where the delta IS the whole state): exact stats
+                partitions[p]["col_stats"] = new_stats
+            elif prev.get("col_stats") is not None:
+                partitions[p]["col_stats"] = _widen_col_stats(
+                    prev["col_stats"], new_stats)
+            # else: prev predates payload stats → bounds unknown, stay absent
         epoch_counters["per_partition"][p] = {k: int(r[k]) for k in COUNTER_KEYS}
         for k in COUNTER_KEYS:
             if k != "watermark_lsn":
@@ -857,6 +973,7 @@ def _manifest_dataset(
     out_schema: pa.Schema,
     predicate,
     fs: StorageAdapter,
+    bounds: dict | None = None,
 ) -> ray.data.Dataset:
     """Streaming read of a manifest's state. Copy-on-write partitions go
     through the plain parquet reader (predicate pushed down to row groups);
@@ -877,6 +994,8 @@ def _manifest_dataset(
         rels = ([e["file"]] if e.get("file") else []) + list(e.get("deltas", ()))
         if not rels:
             continue
+        if bounds and not _stats_overlap(e.get("col_stats"), bounds):
+            continue  # manifest zone maps prove no row can match
         if e.get("deltas"):
             mor.append({"files": rels})
         else:
@@ -969,7 +1088,7 @@ def _project(schema: pa.Schema, payload_only: bool, columns: list[str] | None) -
 
 def read_table(
     table_dir: str, payload_only: bool = False, columns: list[str] | None = None,
-    predicate=None, fs: StorageAdapter | None = None,
+    predicate=None, bounds: dict | None = None, fs: StorageAdapter | None = None,
 ) -> ray.data.Dataset:
     """The committed table as a streaming Dataset (conformed to the table
     schema, since old partition files may predate a schema evolution).
@@ -978,13 +1097,24 @@ def read_table(
     ``pc.field("n_tok") >= 100``) is pushed into the parquet scan for
     row-group pruning — partition files are written doc_id-sorted, so
     key-range predicates skip whole row groups at the footer. On
-    merge-on-read partitions it is applied after delta resolution."""
+    merge-on-read partitions it is applied after delta resolution.
+
+    ``bounds`` (``{col: (lo, hi)}``, either side None = unbounded, closed
+    interval) does the same AND adds manifest-level data skipping: whole
+    partitions whose committed payload zone maps (``col_stats``) prove no
+    overlap are dropped before any file is opened. Rows with NULL in a
+    bounded column are excluded (SQL comparison semantics)."""
     fs = default_fs(fs)
     current = mf.load_current(table_dir, fs)
     if current is None or not current.partitions:
         return ray.data.from_arrow(pa.table({}))
     out_schema = _project(current.schema, payload_only, columns)
-    return _manifest_dataset(table_dir, current, out_schema, predicate, fs)
+    if bounds:
+        expr = _bounds_expr(bounds)
+        if expr is not None:
+            predicate = expr if predicate is None else predicate & expr
+    return _manifest_dataset(table_dir, current, out_schema, predicate, fs,
+                             bounds=bounds)
 
 
 def routed_partition_files(

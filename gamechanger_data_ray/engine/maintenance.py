@@ -131,8 +131,13 @@ def compact(table_dir: str, min_deltas: int = 1, fs=None) -> mf.TableManifest | 
             _write_bloom_sidecar(merged, os.path.join(table_dir, out_rel), fs)
             kmin = str(merged["doc_id"][0].as_py()) if merged.num_rows else ""
             kmax = str(merged["doc_id"][merged.num_rows - 1].as_py()) if merged.num_rows else ""
+            from .cdc import _col_stats_json
+
             rows.append({"part": int(row["part"]), "file": out_rel,
-                         "rows": merged.num_rows, "key_min": kmin, "key_max": kmax})
+                         "rows": merged.num_rows, "key_min": kmin, "key_max": kmax,
+                         # exact again: compaction re-tightens the wide
+                         # union bounds accumulated by delta commits
+                         "col_stats": _col_stats_json(merged)})
         return pa.table({k: [r[k] for r in rows] for k in rows[0]})
 
     work = [
@@ -154,6 +159,7 @@ def compact(table_dir: str, min_deltas: int = 1, fs=None) -> mf.TableManifest | 
             "watermark_lsn": int(partitions[p].get("watermark_lsn", 0)),
             "key_min": r["key_min"],
             "key_max": r["key_max"],
+            "col_stats": json.loads(r["col_stats"]) if r.get("col_stats") else {},
         }
     manifest = mf.TableManifest(
         epoch=epoch,

@@ -50,6 +50,9 @@ class TableManifest:
     schema_b64: str
     # partition id (str) -> {"file": relpath|None, "rows": int,
     #   "watermark_lsn": int, "key_min": str, "key_max": str,
+    #   "col_stats": {col: [min, max]},  (payload zone maps; possibly
+    #     wide after delta commits — see cdc._widen_col_stats; absent =
+    #     unknown, never prune)
     #   "deltas": [relpath, ...]}   (deltas: merge-on-read epoch files,
     #   ordered oldest→newest; absent/[] = plain copy-on-write partition)
     partitions: dict[str, dict[str, Any]] = field(default_factory=dict)
