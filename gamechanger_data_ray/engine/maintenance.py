@@ -346,6 +346,9 @@ def validate_table(table_dir: str) -> dict:
     - ``doc_id`` non-null and non-empty
     - committed rows carry ``op`` ∈ {I, U} (tombstones never land)
     - ``lsn >= 0`` and ``version_hash`` non-null for payload rows
+    - every non-null scalar payload value lies inside its partition's
+      committed zone map (``col_stats``) — a stale/corrupt bound would
+      silently drop rows from bounded scans, so it is checked here
 
     Driver sees O(P) partial rows (one per partition per block); payload
     never leaves the workers.
@@ -361,6 +364,10 @@ def validate_table(table_dir: str) -> dict:
     if current is None or not current.partitions:
         return {"rows": 0, "violations": {}, "by_partition": {}}
 
+    # tiny {part: col_stats} map, closed over by the check tasks
+    stats_map = {int(p): (e.get("col_stats") or {})
+                 for p, e in current.partitions.items()}
+
     def check(t: pa.Table, part: pd.Series) -> pd.DataFrame:
         ntok = pc.list_value_length(t["tokens"]).to_pandas().astype("float")
         n_tok_col = t["n_tok"].to_pandas().astype("float")
@@ -368,6 +375,21 @@ def validate_table(table_dir: str) -> dict:
         op = t["op"].to_pandas()
         lsn = t["lsn"].to_pandas()
         vh = t["version_hash"].to_pandas()
+        zone_oob = pd.Series(0, index=part.index)
+        for pval in part.unique():
+            st = stats_map.get(int(pval))
+            if not st:
+                continue
+            mask = part == pval
+            for c, (mn, mx) in st.items():
+                if c not in t.schema.names:
+                    continue
+                col = t[c].to_pandas()[mask]
+                try:
+                    bad = col.notna() & ((col < mn) | (col > mx))
+                except TypeError:  # retyped column vs old bound: skip
+                    continue
+                zone_oob[mask] += bad.astype(int)
         viol = pd.DataFrame(
             {
                 "part": part,
@@ -377,6 +399,7 @@ def validate_table(table_dir: str) -> dict:
                 "bad_op": (~op.isin(["I", "U"])).astype(int),
                 "bad_lsn": (lsn.isna() | (lsn < 0)).astype(int),
                 "null_version_hash": vh.isna().astype(int),
+                "zone_map_oob": zone_oob,
             }
         )
         return viol.groupby("part", as_index=False).sum()

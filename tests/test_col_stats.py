@@ -133,6 +133,32 @@ def test_widen_and_overlap_edge_cases():
     assert _stats_overlap({"a": [5, 9]}, {"a": (9, 20)})
 
 
+def test_validate_flags_corrupt_zone_map(tmp_path):
+    """A manifest bound narrower than the real data (stale/corrupt stats
+    would silently drop rows from bounded scans) is caught by validate."""
+    from dataclasses import replace
+
+    from gamechanger_data_ray.engine.maintenance import validate_table
+
+    from gamechanger_data_ray.core.changelog import generate_epoch_table
+
+    tb2 = str(tmp_path / "t2")
+    t = generate_epoch_table(1, 500, 100, seed=3)
+    apply_events_dataset(ray.data.from_arrow(t), tb2, 1, t.schema,
+                         num_partitions=P)
+    assert validate_table(tb2)["violations"] == {}
+    cur = mf.load_current(tb2)
+    parts = dict(cur.partitions)
+    victim = next(p for p, e in parts.items() if e["rows"] > 1)
+    st = dict(parts[victim]["col_stats"])
+    st["n_tok"] = [st["n_tok"][0], st["n_tok"][0]]  # shrink max to min
+    parts[victim] = {**parts[victim], "col_stats": st}
+    assert mf.commit(tb2, replace(cur, partitions=parts, rev=cur.rev + 1))
+    out = validate_table(tb2)
+    assert out["violations"].get("zone_map_oob", 0) >= 1
+    assert int(victim) in out["by_partition"]
+
+
 def test_all_null_column_omitted_and_null_rows_excluded(tmp_path):
     tb = str(tmp_path / "t")
     t = _events([("I", f"d{i}", i, "s") for i in range(8)], 1)
