@@ -68,6 +68,17 @@ def main(argv: list[str] | None = None) -> int:
                    help="source-boundary column rename (schema evolution); "
                         "repeatable; epochs carrying either name conform")
 
+    bs = sub.add_parser("bootstrap", help="initial consistent-snapshot load: parquet "
+                        "snapshot -> epoch-0 table; tail the changelog from epoch 1")
+    bs.add_argument("--from", dest="snapshot", required=True,
+                    help="snapshot parquet file/dir/prefix")
+    bs.add_argument("--table", required=True)
+    bs.add_argument("--partitions", type=int, default=32)
+    bs.add_argument("--key", default="doc_id",
+                    help="snapshot key column (renamed to doc_id)")
+    bs.add_argument("--exchange", choices=["staged", "sort"], default="staged")
+    bs.add_argument("--merge-policy", choices=["rewrite", "delta"], default="rewrite")
+
     tl = sub.add_parser("tail", help="live-tail loop: poll for ready epochs, apply, repeat")
     tl.add_argument("--changelog", required=True)
     tl.add_argument("--table", required=True)
@@ -311,6 +322,16 @@ def main(argv: list[str] | None = None) -> int:
                     merge_policy=args.merge_policy, renames=renames,
                 )
             print(json.dumps({"epoch": m.epoch if m else None, "totals": m.totals if m else {}}))
+        elif args.cmd == "bootstrap":
+            from gamechanger_data_ray.engine.cdc import bootstrap_table
+
+            m = bootstrap_table(
+                args.snapshot, args.table, num_partitions=args.partitions,
+                key=args.key, exchange=args.exchange,
+                merge_policy=args.merge_policy,
+            )
+            print(json.dumps({"epoch": m.epoch, "totals": m.totals,
+                              "duplicate_keys": m.totals["events_in"] - m.totals["rows"]}))
         elif args.cmd == "compact":
             from gamechanger_data_ray.engine.maintenance import compact
 

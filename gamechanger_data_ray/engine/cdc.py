@@ -722,6 +722,81 @@ def apply_events_dataset(
     return manifest
 
 
+def bootstrap_table(
+    snapshot: str | list[str],
+    table_dir: str,
+    num_partitions: int = 32,
+    key: str = "doc_id",
+    exchange: str = "staged",
+    merge_policy: str = "rewrite",
+    fs: StorageAdapter | None = None,
+) -> mf.TableManifest:
+    """Initial consistent-snapshot load — the "snapshot, then stream" half
+    of a CDC bootstrap (Debezium snapshot mode; the reference's one-time
+    S3 corpus clone before incremental ingest,
+    ``paasJobs/jobs/configs/clone_s3_ingest_NGA.conf.sh``). Reads the
+    snapshot parquet (a directory/prefix or explicit file list, any
+    schema with a ``key`` column), synthesizes the change-event
+    bookkeeping (``op='I'``, ``lsn=0``), and commits it as **epoch 0** so
+    a subsequent ``replay``/``tail`` of the changelog picks up at epoch 1
+    with no gap and no overlap.
+
+    Determinism with duplicate keys: a keyed source snapshot should hold
+    each key once, but if duplicates slip in, ``seq`` is synthesized from
+    the row's ``version_hash`` content hash when that column exists — so
+    the LWW winner is a function of row CONTENT, not of nondeterministic
+    block order, and a re-run converges to the identical table. The
+    returned manifest's ``totals`` expose the dedup: ``events_in`` >
+    ``rows`` means the snapshot carried duplicate keys.
+
+    Refuses to run on a table that already has committed state (bootstrap
+    is the genesis write; use ``replay`` / ``apply_events_dataset`` for
+    everything after)."""
+    fs = default_fs(fs)
+    if mf.load_current(table_dir, fs) is not None:
+        raise FileExistsError(
+            f"bootstrap target already committed: {table_dir} "
+            "(bootstrap only creates tables; tail the changelog instead)")
+    ds = ray.data.read_parquet(snapshot, filesystem=fs.fs)
+    in_schema = ds.schema().base_schema
+    if key not in in_schema.names:
+        raise ValueError(f"snapshot has no key column {key!r}: {in_schema.names}")
+    has_vh = "version_hash" in in_schema.names
+
+    def to_events(t: pa.Table) -> pa.Table:
+        from ..core.hashing import fnv1a64
+
+        if key != "doc_id":
+            t = t.rename_columns(
+                ["doc_id" if c == key else c for c in t.schema.names])
+        n = t.num_rows
+        if has_vh:
+            seq = pa.array(
+                (fnv1a64(pc.cast(t["version_hash"], pa.string())) >> np.uint64(1))
+                .astype(np.int64))
+        else:
+            seq = pa.array(np.zeros(n, dtype=np.int64))
+        return pa.table({
+            "op": pa.array(["I"] * n, pa.string()),
+            "lsn": pa.array(np.zeros(n, dtype=np.int64)),
+            "seq": seq,
+            **{c: t[c] for c in t.schema.names if c not in ("op", "lsn", "seq")},
+        })
+
+    events = ds.map_batches(to_events, batch_format="pyarrow")
+    ev_fields = [pa.field("op", pa.string()), pa.field("lsn", pa.int64()),
+                 pa.field("seq", pa.int64())]
+    payload = [f if f.name != key else pa.field("doc_id", f.type)
+               for f in in_schema if f.name not in ("op", "lsn", "seq")]
+    schema = pa.schema(ev_fields + payload)
+    m = apply_events_dataset(
+        events, table_dir, 0, schema, num_partitions=num_partitions,
+        exchange=exchange, merge_policy=merge_policy, fs=fs)
+    if m is None:
+        raise RuntimeError(f"bootstrap commit fenced out at {table_dir}")
+    return m
+
+
 def replay(
     changelog_dir: str,
     table_dir: str,
