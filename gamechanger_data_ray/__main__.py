@@ -108,6 +108,16 @@ def main(argv: list[str] | None = None) -> int:
     gt.add_argument("--table", required=True)
     gt.add_argument("keys", nargs="+", help="doc_id values to fetch")
 
+    sc = sub.add_parser("scan", help="bounded snapshot scan: zone-map partition "
+                        "skipping + predicate pushdown, streamed to parquet")
+    sc.add_argument("--table", required=True)
+    sc.add_argument("--bounds", action="append", default=[], metavar="COL:LO:HI",
+                    help="closed interval on a scalar payload column; empty "
+                         "side = unbounded (e.g. n_tok:1024: ); repeatable")
+    sc.add_argument("--columns", nargs="*", default=None)
+    sc.add_argument("--out", default=None,
+                    help="output parquet dir (omit to just count)")
+
     rs = sub.add_parser("restore", help="point-in-time rollback to an older epoch")
     rs.add_argument("--table", required=True)
     rs.add_argument("--epoch", type=int, required=True)
@@ -270,6 +280,44 @@ def main(argv: list[str] | None = None) -> int:
             "partitions_read": len(routed_partition_files(args.table, args.keys)),
             "rows": t.to_pylist(),
         }, default=str))
+        return 0
+
+    if args.cmd == "scan":
+        from gamechanger_data_ray.engine.cdc import _stats_overlap, read_table
+        from gamechanger_data_ray.state import manifest as mf
+
+        def side(v: str):
+            if v == "":
+                return None
+            for cast in (int, float):
+                try:
+                    return cast(v)
+                except ValueError:
+                    continue
+            return v
+
+        bounds = {}
+        for spec in args.bounds:
+            col, lo, hi = spec.split(":", 2)
+            bounds[col] = (side(lo), side(hi))
+        cur = mf.load_current(args.table)
+        skipped = 0
+        if cur is not None and bounds:
+            skipped = sum(
+                1 for e in cur.partitions.values()
+                if not _stats_overlap(e.get("col_stats"), bounds))
+        ds = read_table(args.table, columns=args.columns or None,
+                        bounds=bounds or None)
+        if args.out:
+            ds.write_parquet(args.out)
+            rows = None  # avoid a second pass; the sink already streamed it
+        else:
+            rows = ds.count()
+        print(json.dumps({
+            "partitions_total": len(cur.partitions) if cur else 0,
+            "partitions_skipped": skipped,
+            **({"rows": rows} if rows is not None else {"out": args.out}),
+        }))
         return 0
 
     if args.cmd == "status":

@@ -116,6 +116,24 @@ def test_delta_commit_widens_then_compaction_tightens(tmp_path):
     assert sorted(got3["n_tok"]) == [300, 400]
 
 
+def test_scan_cli_reports_skipped_partitions(tmp_path):
+    import json
+    import os
+    import subprocess
+    import sys
+
+    tb, keys, _ = _seed(tmp_path)
+    env = dict(os.environ, PYTHONPATH="/root/repo")
+    r = subprocess.run(
+        [sys.executable, "-m", "gamechanger_data_ray", "--num-cpus", "4",
+         "scan", "--table", tb, "--bounds", "n_tok:2000:2005"],
+        capture_output=True, text=True, env=env, cwd="/root/repo",
+    )
+    assert r.returncode == 0, r.stderr[-500:]
+    out = json.loads(r.stdout.strip().splitlines()[-1])
+    assert out == {"partitions_total": P, "partitions_skipped": P - 1, "rows": 6}
+
+
 def test_widen_and_overlap_edge_cases():
     # column absent from delta body (all-null there) keeps base bounds
     assert _widen_col_stats({"a": [1, 5]}, {}) == {"a": [1, 5]}
