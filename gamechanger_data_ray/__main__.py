@@ -108,6 +108,15 @@ def main(argv: list[str] | None = None) -> int:
     gt.add_argument("--table", required=True)
     gt.add_argument("keys", nargs="+", help="doc_id values to fetch")
 
+    dr = sub.add_parser("drift", help="distribution drift report between two "
+                        "committed epochs (per-column PSI + histograms)")
+    dr.add_argument("--table", required=True)
+    dr.add_argument("--from-epoch", type=int, required=True)
+    dr.add_argument("--to-epoch", type=int, default=None,
+                    help="default: the current epoch")
+    dr.add_argument("--column", action="append", default=None,
+                    help="profile only these columns (default: all scalar payload)")
+
     sc = sub.add_parser("scan", help="bounded snapshot scan: zone-map partition "
                         "skipping + predicate pushdown, streamed to parquet")
     sc.add_argument("--table", required=True)
@@ -280,6 +289,13 @@ def main(argv: list[str] | None = None) -> int:
             "partitions_read": len(routed_partition_files(args.table, args.keys)),
             "rows": t.to_pylist(),
         }, default=str))
+        return 0
+
+    if args.cmd == "drift":
+        from gamechanger_data_ray.engine.drift import drift_report
+
+        print(json.dumps(drift_report(
+            args.table, args.from_epoch, args.to_epoch, args.column)))
         return 0
 
     if args.cmd == "scan":

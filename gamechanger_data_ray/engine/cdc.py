@@ -1286,7 +1286,8 @@ def read_keys(
 
 
 def read_table_asof(
-    table_dir: str, epoch: int, payload_only: bool = False
+    table_dir: str, epoch: int, payload_only: bool = False,
+    columns: list[str] | None = None,
 ) -> ray.data.Dataset:
     """Time-travel read: the table as of a retained epoch's manifest,
     WITHOUT moving the ``_CURRENT`` pointer (the non-destructive sibling
@@ -1301,7 +1302,7 @@ def read_table_asof(
         raise FileNotFoundError(
             f"cannot read as of epoch {epoch}: {len(missing)} file(s) vacuumed"
         )
-    out_schema = _project(m.schema, payload_only, None)
+    out_schema = _project(m.schema, payload_only, columns)
     return _manifest_dataset(table_dir, m, out_schema, None, default_fs(None))
 
 
