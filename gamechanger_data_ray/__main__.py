@@ -108,6 +108,13 @@ def main(argv: list[str] | None = None) -> int:
     gt.add_argument("--table", required=True)
     gt.add_argument("keys", nargs="+", help="doc_id values to fetch")
 
+    te = sub.add_parser("export-training", help="export the committed token table "
+                        "as packed fixed-length training chunks")
+    te.add_argument("--table", required=True)
+    te.add_argument("--out", required=True)
+    te.add_argument("--cap", type=int, default=2048,
+                    help="tokens per training chunk")
+
     dr = sub.add_parser("drift", help="distribution drift report between two "
                         "committed epochs (per-column PSI + histograms)")
     dr.add_argument("--table", required=True)
@@ -289,6 +296,12 @@ def main(argv: list[str] | None = None) -> int:
             "partitions_read": len(routed_partition_files(args.table, args.keys)),
             "rows": t.to_pylist(),
         }, default=str))
+        return 0
+
+    if args.cmd == "export-training":
+        from gamechanger_data_ray.engine.training_export import export_training
+
+        print(json.dumps(export_training(args.table, args.out, cap=args.cap)))
         return 0
 
     if args.cmd == "drift":

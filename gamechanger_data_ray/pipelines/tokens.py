@@ -382,7 +382,9 @@ def pack_token_chunks(sf_dir: str, cap: int = PACK_CAP):
     return chunk_sized_tokens(ds.map_batches(keyed, batch_format="pyarrow"), cap)
 
 
-def chunk_sized_tokens(sized: ray.data.Dataset, cap: int) -> ray.data.Dataset:
+def chunk_sized_tokens(
+    sized: ray.data.Dataset, cap: int, per_bucket: pd.DataFrame | None = None
+) -> ray.data.Dataset:
     """The distributed concat-and-chunk plan over a sized tokens Dataset
     ``(doc_id, tokens, n_tok:int64, bucket)`` where bucket order follows
     doc_id order:
@@ -402,21 +404,24 @@ def chunk_sized_tokens(sized: ray.data.Dataset, cap: int) -> ray.data.Dataset:
             and amortizes the per-group call overhead (one vectorized
             call per 64 chunks, not one pandas frame per chunk)."""
 
-    # a prefix-sum is inherently two-pass: persist the sized stream so the
-    # totals pass and the split pass don't re-run the upstream transform
-    # (Ray spills blocks to disk; at lake scale, point this at the stored
-    # table instead)
-    sized = sized.materialize()
+    if per_bucket is None:
+        # a prefix-sum is inherently two-pass: persist the sized stream so
+        # the totals pass and the split pass don't re-run the upstream
+        # transform (Ray spills blocks to disk). At lake scale pass
+        # ``per_bucket`` computed from the stored table instead — a skinny
+        # projected read — and this stays a single streaming pass (see
+        # engine/training_export.py).
+        sized = sized.materialize()
 
-    def bucket_partial(df: pd.DataFrame) -> pd.DataFrame:
-        return df.groupby("bucket", as_index=False).agg(total=("n_tok", "sum"))
+        def bucket_partial(df: pd.DataFrame) -> pd.DataFrame:
+            return df.groupby("bucket", as_index=False).agg(total=("n_tok", "sum"))
 
-    per_bucket = (
-        sized.map_batches(bucket_partial, batch_format="pandas")
-        .to_pandas()
-        .groupby("bucket", as_index=False)["total"]
-        .sum()
-    )
+        per_bucket = (
+            sized.map_batches(bucket_partial, batch_format="pandas")
+            .to_pandas()
+            .groupby("bucket", as_index=False)["total"]
+            .sum()
+        )
     base_ref = cm.broadcast(_bucket_base_offsets(per_bucket))
 
     def split_pieces(g: pd.DataFrame) -> pd.DataFrame:

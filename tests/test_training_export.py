@@ -1,0 +1,109 @@
+"""CDC table → packed training chunks: byte identity against the serial
+concat-and-chunk oracle in (partition, doc_id) order, MOR/COW layout
+independence, ready-marker gating, and re-export refusal."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data
+
+from gamechanger_data_ray.core.hashing import partition_ids
+from gamechanger_data_ray.engine.cdc import apply_events_dataset, table_to_arrow
+from gamechanger_data_ray.engine.maintenance import compact
+from gamechanger_data_ray.engine.training_export import (
+    export_training,
+    read_training_export,
+)
+
+P = 4
+CAP = 16
+
+
+def _events(rows, epoch):
+    op, doc, toks = zip(*rows)
+    n = len(rows)
+    return pa.table({
+        "op": pa.array(op, pa.string()),
+        "lsn": pa.array(np.full(n, epoch, dtype=np.int64)),
+        "seq": pa.array(np.arange(n, dtype=np.int64)),
+        "doc_id": pa.array(doc, pa.string()),
+        "tokens": pa.array([list(t) for t in toks], pa.list_(pa.int32())),
+        "n_tok": pa.array([len(t) for t in toks], pa.int32()),
+        "source": pa.array(["s"] * n, pa.string()),
+    })
+
+
+def _apply(tb, epoch, t, policy="rewrite"):
+    apply_events_dataset(ray.data.from_arrow(t), tb, epoch, t.schema,
+                         num_partitions=P, merge_policy=policy)
+
+
+def _seed(tmp_path, policy="rewrite"):
+    tb = str(tmp_path / f"t-{policy}")
+    rng = np.random.default_rng(11)
+    rows1 = [("I", f"d{i:03d}", rng.integers(0, 100, size=rng.integers(1, 40)))
+             for i in range(50)]
+    _apply(tb, 1, _events(rows1, 1))
+    # epoch 2: update some docs, delete a few
+    rows2 = ([("U", f"d{i:03d}", rng.integers(100, 200, size=rng.integers(1, 30)))
+              for i in range(0, 20, 3)]
+             + [("D", f"d{i:03d}", []) for i in (5, 17, 41)])
+    _apply(tb, 2, _events(rows2, 2), policy=policy)
+    return tb
+
+
+def _oracle_chunks(tb: str) -> list[list[int]]:
+    """Serial oracle: resolved rows in (partition, doc_id) order, token
+    streams concatenated, cut every CAP."""
+    t = table_to_arrow(tb)
+    part = partition_ids(t["doc_id"], P).to_pylist()
+    order = sorted(range(t.num_rows),
+                   key=lambda i: (part[i], t["doc_id"][i].as_py()))
+    flat = [tok for i in order for tok in t["tokens"][i].as_py()]
+    return [flat[i:i + CAP] for i in range(0, len(flat), CAP)]
+
+
+def _got_chunks(out: str) -> list[list[int]]:
+    df = read_training_export(out).to_pandas().sort_values("chunk_id")
+    return [list(x) for x in df["tokens"]]
+
+
+def test_export_matches_serial_oracle(tmp_path):
+    tb = _seed(tmp_path)
+    out = str(tmp_path / "out")
+    marker = export_training(tb, out, cap=CAP)
+    expect = _oracle_chunks(tb)
+    got = _got_chunks(out)
+    assert got == expect
+    assert marker["chunks"] == len(expect)
+    assert marker["total_tokens"] == sum(len(c) for c in expect)
+    assert marker["epoch"] == 2
+    # all full caps except possibly the tail
+    assert all(len(c) == CAP for c in got[:-1])
+
+
+def test_layout_independence_mor_vs_compacted(tmp_path):
+    """A merge-on-read stack exports the same bytes as its compacted
+    rewrite — physical layout never leaks into the training data."""
+    tb = _seed(tmp_path, policy="delta")
+    out1 = str(tmp_path / "o1")
+    export_training(tb, out1, cap=CAP)
+    compact(tb)
+    out2 = str(tmp_path / "o2")
+    export_training(tb, out2, cap=CAP)
+    assert _got_chunks(out1) == _got_chunks(out2) == _oracle_chunks(tb)
+
+
+def test_marker_gates_consumers_and_rerun_refused(tmp_path):
+    tb = _seed(tmp_path)
+    out = str(tmp_path / "out")
+    with pytest.raises(FileNotFoundError):
+        read_training_export(out)  # nothing there yet
+    export_training(tb, out, cap=CAP)
+    with pytest.raises(FileExistsError):
+        export_training(tb, out, cap=CAP)  # immutable artifact
+    assert read_training_export(out).count() > 0
+    with pytest.raises(FileNotFoundError):
+        export_training(str(tmp_path / "nope"), str(tmp_path / "o3"))
