@@ -39,6 +39,10 @@ from .cdc import _STATS_EXCLUDE, read_table_asof
 # otherwise produce a bucket per row)
 MAX_BUCKETS = 200
 
+# per-block short-circuit marker: a block that alone exceeds MAX_BUCKETS
+# ships one sentinel row instead of a bucket per value
+_HC_SENTINEL = "__high_cardinality__"
+
 
 def _profilable(schema: pa.Schema, columns: list[str] | None) -> list[str]:
     out = []
@@ -85,6 +89,11 @@ def _epoch_histograms(
         cols.append("_rows"); buckets.append(""); ns.append(t.num_rows)
         for c in columns:
             vc = _bucketize(t[c], c in numeric).value_counts()
+            if len(vc) > MAX_BUCKETS:
+                # id/hash-like column: don't ship (or fold) a bucket per
+                # row — one sentinel row marks it high-cardinality
+                cols.append(c); buckets.append(_HC_SENTINEL); ns.append(len(vc))
+                continue
             cols.extend([c] * len(vc))
             buckets.extend(vc.index.tolist())
             ns.extend(int(v) for v in vc.values)
@@ -144,9 +153,15 @@ def drift_report(
     report_cols: dict[str, Any] = {}
     for c in cols:
         hf, ht = hist_f[c], hist_t[c]
-        if max(len(hf), len(ht)) > MAX_BUCKETS:
-            report_cols[c] = {"high_cardinality": True,
-                              "distinct_from": len(hf), "distinct_to": len(ht)}
+        if (_HC_SENTINEL in hf or _HC_SENTINEL in ht
+                or max(len(hf), len(ht)) > MAX_BUCKETS):
+            # exact distinct count is only known when no block
+            # short-circuited (None = "too many to count cheaply")
+            report_cols[c] = {
+                "high_cardinality": True,
+                "distinct_from": None if _HC_SENTINEL in hf else len(hf),
+                "distinct_to": None if _HC_SENTINEL in ht else len(ht),
+            }
             continue
         report_cols[c] = {
             "psi": psi(hf, ht),

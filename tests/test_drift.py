@@ -79,8 +79,11 @@ def test_high_cardinality_flag_and_column_selection(tmp_path):
     t = t.append_column("tag", pa.array([f"tag-{i:05d}" for i in range(n)]))
     _apply(tb, 1, t)
     rep = drift_report(tb, 1, 1)
-    assert rep["columns"]["tag"] == {
-        "high_cardinality": True, "distinct_from": n, "distinct_to": n}
+    tag = rep["columns"]["tag"]
+    assert tag["high_cardinality"] is True
+    # exact distinct when no block short-circuited, None otherwise
+    assert tag["distinct_from"] in (n, None)
+    assert tag["distinct_to"] == tag["distinct_from"]
     only = drift_report(tb, 1, 1, columns=["n_tok"])
     assert list(only["columns"]) == ["n_tok"]
     with pytest.raises(ValueError):
