@@ -108,6 +108,10 @@ def main(argv: list[str] | None = None) -> int:
     gt.add_argument("--table", required=True)
     gt.add_argument("keys", nargs="+", help="doc_id values to fetch")
 
+    rt = sub.add_parser("restamp-stats", help="recompute exact payload zone maps "
+                        "(manifest-only revision; repairs/backfills/tightens col_stats)")
+    rt.add_argument("--table", required=True)
+
     te = sub.add_parser("export-training", help="export the committed token table "
                         "as packed fixed-length training chunks")
     te.add_argument("--table", required=True)
@@ -296,6 +300,15 @@ def main(argv: list[str] | None = None) -> int:
             "partitions_read": len(routed_partition_files(args.table, args.keys)),
             "rows": t.to_pylist(),
         }, default=str))
+        return 0
+
+    if args.cmd == "restamp-stats":
+        from gamechanger_data_ray.engine.maintenance import restamp_stats
+
+        m = restamp_stats(args.table)
+        print(json.dumps({"committed": m is not None,
+                          "epoch": m.epoch if m else None,
+                          "rev": m.rev if m else None}))
         return 0
 
     if args.cmd == "export-training":

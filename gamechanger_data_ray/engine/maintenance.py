@@ -175,6 +175,89 @@ def compact(table_dir: str, min_deltas: int = 1, fs=None) -> mf.TableManifest | 
     return manifest
 
 
+def restamp_stats(table_dir: str, fs=None) -> mf.TableManifest | None:
+    """Recompute EXACT payload zone maps for every partition from the
+    resolved data and commit them as a same-epoch revision — a
+    manifest-only repair: no data file is touched. Three uses: fix the
+    corruption ``validate`` flags as ``zone_map_oob``, backfill
+    ``col_stats`` on tables committed before payload zone maps existed,
+    and tighten the soundly-wide bounds merge-on-read delta commits
+    accumulate without paying for a compaction. One Ray task per
+    partition, projected to nothing (stats need every scalar column, but
+    list payloads — the wide ``tokens`` column — are never read: the
+    parquet scan projects them out). Returns the committed manifest, or
+    None if there is nothing committed or a racing rewrite fenced it."""
+    import pyarrow as pa
+    import ray.data
+
+    from ..core.merge import collapse_deltas
+    from ..core.reconcile import conform
+    from ..state.fs import default_fs
+    from .cdc import _STATS_EXCLUDE, _col_stats_json
+
+    fs = default_fs(fs)
+    current = mf.load_current(table_dir, fs)
+    if current is None or not current.partitions:
+        return None
+    b64 = current.schema_b64
+    # scalar payload columns + what LWW resolution needs — the wide list
+    # payload never leaves the parquet footer
+    schema = current.schema
+    stat_cols = [f.name for f in schema
+                 if f.name not in _STATS_EXCLUDE and not pa.types.is_nested(f.type)]
+    read_cols = sorted({"op", "lsn", "seq", "doc_id", *stat_cols}
+                       & set(schema.names))
+
+    def stats_one(batch: pa.Table) -> pa.Table:
+        schema_w = mf.schema_from_b64(b64)
+        proj = pa.schema([schema_w.field(schema_w.get_field_index(c))
+                          for c in read_cols])
+        rows = []
+        for row in batch.to_pylist():
+            tabs = []
+            for rel in row["files"]:
+                f = os.path.join(table_dir, rel)
+                have = set(fs.read_parquet_schema(f).names)
+                tabs.append(conform(
+                    fs.read_parquet(f, columns=[c for c in read_cols if c in have]),
+                    proj))
+            t = collapse_deltas(tabs)
+            rows.append({"part": int(row["part"]),
+                         "col_stats": _col_stats_json(t)})
+        return pa.table({k: [r[k] for r in rows] for k in rows[0]})
+
+    work = [
+        {"part": int(p),
+         "files": ([e["file"]] if e.get("file") else []) + list(e.get("deltas", ()))}
+        for p, e in current.partitions.items()
+        if e.get("file") or e.get("deltas")
+    ]
+    if not work:
+        return None
+    results = ray.data.from_items(work).map_batches(
+        stats_one, batch_size=1, batch_format="pyarrow",
+        retry_exceptions=True, max_retries=4,
+    ).take_all()  # O(P) rows
+
+    partitions = dict(current.partitions)
+    for r in results:
+        p = str(r["part"])
+        partitions[p] = {**partitions[p],
+                         "col_stats": json.loads(r["col_stats"]) if r["col_stats"] else {}}
+    manifest = mf.TableManifest(
+        epoch=current.epoch,
+        schema_b64=b64,
+        partitions=partitions,
+        epoch_counters=current.epoch_counters,
+        totals=current.totals,
+        num_partitions=current.num_partitions,
+        rev=current.rev + 1,
+    )
+    if not mf.commit(table_dir, manifest, fs):
+        return None
+    return manifest
+
+
 def vacuum(table_dir: str, keep_epochs: int = 2) -> dict:
     """Delete partition data files not referenced by the current manifest or
     the ``keep_epochs`` most recent retained manifests; drop manifests older

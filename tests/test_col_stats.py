@@ -177,6 +177,41 @@ def test_validate_flags_corrupt_zone_map(tmp_path):
     assert int(victim) in out["by_partition"]
 
 
+def test_restamp_repairs_backfills_and_tightens(tmp_path):
+    """restamp-stats fixes a corrupted bound (validate goes clean again),
+    backfills col_stats on a pre-stats manifest, and tightens MOR-widened
+    bounds to exact — all without touching a data file."""
+    from dataclasses import replace
+
+    from gamechanger_data_ray.engine.maintenance import restamp_stats, validate_table
+
+    # (a) tighten: delta commit widened n_tok on partition 0 to [0, 400]
+    tb, keys, _ = _seed(tmp_path)
+    rows = [("U", keys[0][0], 300, "fix"), ("U", keys[0][1], 400, "fix")]
+    _apply(tb, 2, _events(rows, 2), policy="delta")
+    wide = mf.load_current(tb)
+    assert wide.partitions["0"]["col_stats"]["n_tok"] == [0, 400]
+    m = restamp_stats(tb)
+    assert m.rev == wide.rev + 1
+    assert m.partitions["0"]["col_stats"]["n_tok"] == [2, 400]  # exact
+    # files untouched, deltas still pending
+    assert m.partitions["0"]["deltas"] == wide.partitions["0"]["deltas"]
+    # (b) corrupt + (c) strip → repair + backfill
+    cur = mf.load_current(tb)
+    parts = dict(cur.partitions)
+    st = dict(parts["1"]["col_stats"])
+    st["n_tok"] = [0, 1]  # too narrow: real values are 1000..1009
+    parts["1"] = {**parts["1"], "col_stats": st}
+    parts["2"] = {k: v for k, v in parts["2"].items() if k != "col_stats"}
+    assert mf.commit(tb, replace(cur, partitions=parts, rev=cur.rev + 1))
+    m2 = restamp_stats(tb)
+    assert m2.partitions["1"]["col_stats"]["n_tok"] == [1000, 1009]
+    assert m2.partitions["2"]["col_stats"]["n_tok"] == [2000, 2009]
+    # bounded reads exact again after the repair
+    got = read_table(tb, bounds={"n_tok": (1000, 1009)}).count()
+    assert got == 10
+
+
 def test_all_null_column_omitted_and_null_rows_excluded(tmp_path):
     tb = str(tmp_path / "t")
     t = _events([("I", f"d{i}", i, "s") for i in range(8)], 1)
