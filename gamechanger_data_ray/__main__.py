@@ -328,9 +328,22 @@ def main(argv: list[str] | None = None) -> int:
         from gamechanger_data_ray.engine.cdc import _stats_overlap, read_table
         from gamechanger_data_ray.state import manifest as mf
 
-        def side(v: str):
+        cur = mf.load_current(args.table)
+
+        def side(col: str, v: str):
             if v == "":
                 return None
+            # coerce by the COLUMN's type, not by what the string looks
+            # like — a string column may hold numeric-looking values
+            if cur is not None and col in cur.schema.names:
+                import pyarrow as pa
+
+                ty = cur.schema.field(col).type
+                if pa.types.is_integer(ty):
+                    return int(v)
+                if pa.types.is_floating(ty):
+                    return float(v)
+                return v
             for cast in (int, float):
                 try:
                     return cast(v)
@@ -340,9 +353,11 @@ def main(argv: list[str] | None = None) -> int:
 
         bounds = {}
         for spec in args.bounds:
-            col, lo, hi = spec.split(":", 2)
-            bounds[col] = (side(lo), side(hi))
-        cur = mf.load_current(args.table)
+            parts_ = spec.split(":", 2)
+            if len(parts_) != 3:
+                p.error(f"--bounds expects COL:LO:HI (empty side = unbounded), got {spec!r}")
+            col, lo, hi = parts_
+            bounds[col] = (side(col, lo), side(col, hi))
         skipped = 0
         if cur is not None and bounds:
             skipped = sum(

@@ -97,8 +97,11 @@ def _key_range(merged: pa.Table) -> tuple[str, str]:
 
 
 # columns that never get payload zone maps: engine bookkeeping + the key
-# (the key has its own sorted-file zone map, key_min/key_max)
-_STATS_EXCLUDE = {"op", "lsn", "seq", "doc_id", PART_COLUMN, EVENTS_REP, TOMBS_REP}
+# (the key has its own sorted-file zone map, key_min/key_max; version_hash
+# is a content hash — min/max over it can never prune and only bloats
+# manifests and drift reports)
+_STATS_EXCLUDE = {"op", "lsn", "seq", "doc_id", "version_hash",
+                  PART_COLUMN, EVENTS_REP, TOMBS_REP}
 
 
 def _col_stats_json(t: pa.Table) -> str:
@@ -761,6 +764,13 @@ def bootstrap_table(
     in_schema = ds.schema().base_schema
     if key not in in_schema.names:
         raise ValueError(f"snapshot has no key column {key!r}: {in_schema.names}")
+    reserved = {"op", "lsn", "seq"} & set(in_schema.names)
+    if reserved:
+        # silently dropping a payload column that happens to collide with
+        # the event bookkeeping would be invisible data loss
+        raise ValueError(
+            f"snapshot carries reserved event-bookkeeping column names "
+            f"{sorted(reserved)}; rename them before bootstrapping")
     has_vh = "version_hash" in in_schema.names
 
     def to_events(t: pa.Table) -> pa.Table:
@@ -1157,6 +1167,12 @@ def _project(schema: pa.Schema, payload_only: bool, columns: list[str] | None) -
     if payload_only:
         schema = pa.schema([f for f in schema if f.name != "op"])
     if columns:
+        # explicit check: get_field_index returns -1 for a missing name and
+        # schema.field(-1) would silently return the LAST field
+        missing = [c for c in columns if schema.get_field_index(c) < 0]
+        if missing:
+            raise ValueError(f"columns not in table schema: {missing} "
+                             f"(have {schema.names})")
         schema = pa.schema([schema.field(schema.get_field_index(c)) for c in columns])
     return schema
 

@@ -70,7 +70,7 @@ def _bucketize(arr: pa.ChunkedArray | pa.Array, numeric: bool) -> pd.Series:
         lab = pd.Series("null", index=s.index, dtype=object)
         ok = s.notna()
         pos = ok & (s >= 1)
-        lab[ok & ~(s >= 1)] = "<=0"
+        lab[ok & ~(s >= 1)] = "<1"  # everything below the first pow-2 bin
         if pos.any():
             k = np.floor(np.log2(s[pos].astype("float64"))).astype(int)
             lab[pos] = "2^" + k.astype(str)
@@ -148,10 +148,22 @@ def drift_report(
     cols = _profilable(cur.schema, columns)
     numeric = {f.name for f in cur.schema
                if pa.types.is_integer(f.type) or pa.types.is_floating(f.type)}
-    rows_f, hist_f = _epoch_histograms(table_dir, epoch_from, cols, numeric)
-    rows_t, hist_t = _epoch_histograms(table_dir, e_to, cols, numeric)
+    # a column added by schema evolution doesn't exist in older manifests'
+    # schemas — profile each epoch over what it actually has and report
+    # the asymmetry instead of crashing the whole run
+    from .maintenance import load_manifest
+
+    have_f = set(load_manifest(table_dir, epoch_from).schema.names)
+    have_t = set(load_manifest(table_dir, e_to).schema.names)
+    rows_f, hist_f = _epoch_histograms(
+        table_dir, epoch_from, [c for c in cols if c in have_f], numeric)
+    rows_t, hist_t = _epoch_histograms(
+        table_dir, e_to, [c for c in cols if c in have_t], numeric)
     report_cols: dict[str, Any] = {}
     for c in cols:
+        if c not in have_f or c not in have_t:
+            report_cols[c] = {"absent_at": "from" if c not in have_f else "to"}
+            continue
         hf, ht = hist_f[c], hist_t[c]
         if (_HC_SENTINEL in hf or _HC_SENTINEL in ht
                 or max(len(hf), len(ht)) > MAX_BUCKETS):

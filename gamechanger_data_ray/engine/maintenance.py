@@ -459,15 +459,19 @@ def validate_table(table_dir: str) -> dict:
         lsn = t["lsn"].to_pandas()
         vh = t["version_hash"].to_pandas()
         zone_oob = pd.Series(0, index=part.index)
+        stat_cols = {c for st in stats_map.values() for c in st
+                     if c in t.schema.names}
+        col_cache = {c: t[c].to_pandas() for c in stat_cols}  # convert once
         for pval in part.unique():
             st = stats_map.get(int(pval))
             if not st:
                 continue
             mask = part == pval
             for c, (mn, mx) in st.items():
-                if c not in t.schema.names:
+                col = col_cache.get(c)
+                if col is None:
                     continue
-                col = t[c].to_pandas()[mask]
+                col = col[mask]
                 try:
                     bad = col.notna() & ((col < mn) | (col > mx))
                 except TypeError:  # retyped column vs old bound: skip

@@ -83,6 +83,14 @@ def export_training(
     if fs.exists(os.path.join(out_dir, EXPORT_MARKER)):
         raise FileExistsError(
             f"completed export already at {out_dir}; export to a fresh dir")
+    debris = fs.list_files(out_dir)
+    if debris:
+        # a crashed export left files but no marker: re-running into the
+        # same dir would MERGE stale chunks into the new export (duplicate
+        # chunk_ids read back as silently corrupt training data)
+        raise FileExistsError(
+            f"{out_dir} holds {len(debris)} file(s) from an incomplete "
+            "export; remove them or export to a fresh dir")
     work = _partition_work(table_dir, cur)
     b64 = cur.schema_b64
 
@@ -132,7 +140,7 @@ def export_training(
             sized, batch_size=1, batch_format="pyarrow",
             retry_exceptions=True, max_retries=4)
         chunks = chunk_sized_tokens(stream, cap, per_bucket=per_bucket)
-        chunks.write_parquet(out_dir)
+        chunks.write_parquet(out_dir, filesystem=fs.fs)  # same FS as the marker
     marker = {
         "table": table_dir,
         "epoch": cur.epoch,
@@ -148,9 +156,13 @@ def export_training(
     return marker
 
 
-def read_training_export(out_dir: str) -> ray.data.Dataset:
+def read_training_export(
+    out_dir: str, fs: StorageAdapter | None = None
+) -> ray.data.Dataset:
     """The exported chunks as a Dataset — gated on the ready marker, so a
     half-written export is invisible to consumers."""
-    if not os.path.exists(os.path.join(out_dir, EXPORT_MARKER)):
+    fs = default_fs(fs)
+    if not fs.exists(os.path.join(out_dir, EXPORT_MARKER)):
         raise FileNotFoundError(f"no completed export at {out_dir}")
-    return ray.data.read_parquet(out_dir, file_extensions=["parquet"])
+    return ray.data.read_parquet(out_dir, filesystem=fs.fs,
+                                 file_extensions=["parquet"])

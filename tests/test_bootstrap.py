@@ -100,3 +100,12 @@ def test_key_rename_and_committed_guard(tmp_path):
         bootstrap_table(snap, tb, num_partitions=P, key="pub_id")
     with pytest.raises(ValueError):
         bootstrap_table(snap, str(tmp_path / "tb3"), key="missing_col")
+
+
+def test_reserved_bookkeeping_names_rejected(tmp_path):
+    """A snapshot payload column named op/lsn/seq would silently vanish
+    into the event bookkeeping — refuse instead."""
+    p = str(tmp_path / "s.parquet")
+    pq.write_table(pa.table({"doc_id": ["a"], "seq": [1], "v": ["x"]}), p)
+    with pytest.raises(ValueError, match="reserved"):
+        bootstrap_table(p, str(tmp_path / "tb"), num_partitions=P)

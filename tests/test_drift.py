@@ -70,6 +70,19 @@ def test_drift_detects_source_shift(tmp_path):
                if "psi" in c)
 
 
+def test_schema_evolution_column_reported_absent(tmp_path):
+    """A column added mid-stream doesn't exist in older epochs' schemas;
+    drift reports the asymmetry instead of crashing the run."""
+    tb = str(tmp_path / "t")
+    _apply(tb, 1, _events([f"d{i}" for i in range(10)], [8] * 10, ["s"] * 10, 1))
+    t2 = _events([f"e{i}" for i in range(10)], [8] * 10, ["s"] * 10, 2)
+    t2 = t2.append_column("lang", pa.array(["en"] * 10))
+    _apply(tb, 2, t2)
+    rep = drift_report(tb, 1, 2)
+    assert rep["columns"]["lang"] == {"absent_at": "from"}
+    assert rep["columns"]["n_tok"]["psi"] == 0.0  # unchanged distribution
+
+
 def test_high_cardinality_flag_and_column_selection(tmp_path):
     tb = str(tmp_path / "t")
     n = MAX_BUCKETS + 50

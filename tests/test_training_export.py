@@ -107,3 +107,18 @@ def test_marker_gates_consumers_and_rerun_refused(tmp_path):
     assert read_training_export(out).count() > 0
     with pytest.raises(FileNotFoundError):
         export_training(str(tmp_path / "nope"), str(tmp_path / "o3"))
+
+
+def test_crashed_export_debris_refused(tmp_path):
+    """An out_dir holding files but no marker (a crashed export) is
+    refused — re-running into it would merge stale chunks into the new
+    export as silently duplicated chunk_ids."""
+    import os
+
+    tb = _seed(tmp_path)
+    out = str(tmp_path / "out")
+    os.makedirs(out)
+    with open(os.path.join(out, "stale-chunk.parquet"), "wb") as f:
+        f.write(b"debris")
+    with pytest.raises(FileExistsError, match="incomplete"):
+        export_training(tb, out, cap=CAP)
