@@ -67,6 +67,9 @@ def main(argv: list[str] | None = None) -> int:
     r.add_argument("--rename", action="append", default=[], metavar="OLD=NEW",
                    help="source-boundary column rename (schema evolution); "
                         "repeatable; epochs carrying either name conform")
+    r.add_argument("--update-mode", choices=["replace", "coalesce"], default="replace",
+                   help="replace = whole-row LWW; coalesce = column-level "
+                        "partial updates (null cells leave columns untouched)")
 
     bs = sub.add_parser("bootstrap", help="initial consistent-snapshot load: parquet "
                         "snapshot -> epoch-0 table; tail the changelog from epoch 1")
@@ -425,6 +428,7 @@ def main(argv: list[str] | None = None) -> int:
                     args.changelog[0], args.table, num_partitions=args.partitions,
                     epochs_per_commit=args.epochs_per_commit, exchange=args.exchange,
                     merge_policy=args.merge_policy, renames=renames,
+                    update_mode=args.update_mode,
                 )
             print(json.dumps({"epoch": m.epoch if m else None, "totals": m.totals if m else {}}))
         elif args.cmd == "bootstrap":

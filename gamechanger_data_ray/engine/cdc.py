@@ -254,6 +254,7 @@ def _merge_one_partition(
     schema: pa.Schema,
     policy: str,
     fs: StorageAdapter,
+    update_mode: str = "replace",
 ) -> dict:
     """Apply one partition's combined events under the given merge policy.
 
@@ -271,7 +272,12 @@ def _merge_one_partition(
     immutable hash partitions."""
     if policy == "rewrite":
         state = _load_state(table_dir, state_rels, schema, fs)
-        merged, counters = merge_partition(state, events)
+        if update_mode == "coalesce":
+            from ..core.coalesce import merge_partition_coalesce
+
+            merged, counters = merge_partition_coalesce(state, events)
+        else:
+            merged, counters = merge_partition(state, events)
         out_rel = _partition_path(epoch, part)
         out_abs = os.path.join(table_dir, out_rel)
         fs.makedirs(os.path.dirname(out_abs))
@@ -284,6 +290,11 @@ def _merge_one_partition(
                 **{k: int(counters[k]) for k in COUNTER_KEYS}}
     if policy != "delta":
         raise ValueError(f"unknown merge policy: {policy!r}")
+    if update_mode == "coalesce":
+        # read-time LWW resolution of deltas would wipe columns a partial
+        # update left null; coalesce-aware resolution is not implemented
+        raise ValueError("update_mode='coalesce' requires merge_policy='rewrite' "
+                         "(merge-on-read deltas resolve by row-LWW at read time)")
     winners = lww_reduce_weighted(events)
     idx_cols = [c for c in _INDEX_COLUMNS if c in winners.schema.names]
     state_idx = _load_state(table_dir, state_rels, schema, fs, columns=idx_cols)
@@ -305,14 +316,27 @@ def _merge_one_partition(
             **{k: int(counters[k]) for k in COUNTER_KEYS}}
 
 
+def _combine(batch: pa.Table, update_mode: str) -> pa.Table:
+    """The pre-exchange combiner: ≤1 row per key per batch. ``replace`` =
+    row-LWW; ``coalesce`` = column-level partial-update reduce (the
+    lifted representation composes through the exchange — see
+    ``core/coalesce.py``)."""
+    if update_mode == "coalesce":
+        from ..core.coalesce import attach_orders, coalesce_reduce
+
+        return coalesce_reduce(attach_orders(batch))
+    return lww_reduce_weighted(batch)
+
+
 def make_normalizer(unified_b64: str, num_partitions: int,
-                    renames: dict[str, str] | None = None):
-    """Stateless map_batches fn: rename → conform → partial LWW reduce →
+                    renames: dict[str, str] | None = None,
+                    update_mode: str = "replace"):
+    """Stateless map_batches fn: rename → conform → partial reduce →
     add part."""
     def normalize(batch: pa.Table) -> pa.Table:
         schema = mf.schema_from_b64(unified_b64)
         batch = conform(rename_table(batch, renames), schema)
-        batch = lww_reduce_weighted(batch)  # combiner: ≤1 row per key per batch
+        batch = _combine(batch, update_mode)
         part = partition_ids(batch["doc_id"], num_partitions)
         return batch.append_column(PART_COLUMN, pc.cast(part, pa.int32()))
 
@@ -326,6 +350,7 @@ def make_merge_writer(
     state_files: dict[int, list[str]],
     policy: str = "rewrite",
     fs: StorageAdapter | None = None,
+    update_mode: str = "replace",
 ):
     """map_groups fn for one hash partition: merge events against the
     partition's current state (base + any pending deltas) and write the
@@ -344,7 +369,7 @@ def make_merge_writer(
         events = group.drop_columns([PART_COLUMN])
         row = _merge_one_partition(
             part, events, state_files.get(part, []), table_dir, epoch,
-            schema, policy, fs,
+            schema, policy, fs, update_mode,
         )
         return pa.table({k: [v] for k, v in row.items()})
 
@@ -359,6 +384,7 @@ def make_staged_merger(
     state_files: dict[int, list[str]],
     policy: str = "rewrite",
     fs: StorageAdapter | None = None,
+    update_mode: str = "replace",
 ):
     """Merge task for the staged exchange: each input row names one
     partition; the task reads that partition's staged files (already
@@ -382,7 +408,7 @@ def make_staged_merger(
             )
             out_rows.append(_merge_one_partition(
                 part, events, state_files.get(part, []), table_dir, epoch,
-                schema, policy, fs,
+                schema, policy, fs, update_mode,
             ))
         if not out_rows:
             return pa.table(
@@ -403,6 +429,7 @@ def make_file_stager(
     num_partitions: int,
     fs: StorageAdapter | None = None,
     renames: dict[str, str] | None = None,
+    update_mode: str = "replace",
 ):
     """Fused map-side shuffle write, one task per CHANGELOG FILE: read →
     conform → weighted LWW combine → hash-partition → write one staged
@@ -423,7 +450,7 @@ def make_file_stager(
         out_files, out_parts = [], []
         for path in batch["path"].to_pylist():
             t = conform(rename_table(fs.read_parquet(path), renames), schema)
-            t = lww_reduce_weighted(t)
+            t = _combine(t, update_mode)
             part = pc.cast(partition_ids(t["doc_id"], num_partitions), pa.int32())
             order = pc.sort_indices(part)
             t = t.take(order)
@@ -476,6 +503,7 @@ def apply_epochs(
     merge_policy: str = "rewrite",
     fs: StorageAdapter | None = None,
     renames: dict[str, str] | None = None,
+    update_mode: str = "replace",
 ) -> mf.TableManifest | None:
     """Apply a run of ready epochs to the table in ONE pipeline; returns the
     committed manifest (at ``max(epochs)``).
@@ -523,6 +551,7 @@ def apply_epochs(
         merge_policy=merge_policy,
         fs=fs,
         renames=renames,
+        update_mode=update_mode,
     )
 
 
@@ -537,6 +566,7 @@ def apply_events_dataset(
     merge_policy: str = "rewrite",
     fs: StorageAdapter | None = None,
     renames: dict[str, str] | None = None,
+    update_mode: str = "replace",
 ) -> mf.TableManifest | None:
     """Apply an arbitrary change-event Dataset (op/lsn/seq/doc_id + payload
     columns) to the table as ``epoch`` — the core upsert used by epoch
@@ -559,12 +589,25 @@ def apply_events_dataset(
     different modulus than the state files would duplicate keys); use
     :func:`repartition_table` to change it. ``carry_forward=False`` drops
     untouched-partition carry-forward (repartition rewrites only)."""
+    if update_mode not in ("replace", "coalesce"):
+        raise ValueError(f"unknown update_mode: {update_mode!r}")
+    if update_mode == "coalesce" and merge_policy != "rewrite":
+        raise ValueError("update_mode='coalesce' requires merge_policy='rewrite'")
     fs = default_fs(fs)
     current = mf.load_current(table_dir, fs)
     if current is not None and current.epoch >= epoch:
         return None
     if carry_forward and current is not None and current.num_partitions:
         num_partitions = current.num_partitions
+    if current is not None and carry_forward:
+        # update semantics are a TABLE property: mixing replace- and
+        # coalesce-merged epochs would silently change what an update
+        # means for untouched columns
+        stored_mode = current.epoch_counters.get("update_mode", "replace")
+        if stored_mode != update_mode:
+            raise ValueError(
+                f"table was built with update_mode={stored_mode!r}; "
+                f"got {update_mode!r}")
 
     unified = (
         unify_schemas(current.schema, incoming_schema)
@@ -588,7 +631,8 @@ def apply_events_dataset(
         from_files = False
     if not from_files:
         ds = events_ds.map_batches(
-            make_normalizer(unified_b64, num_partitions, renames=renames),
+            make_normalizer(unified_b64, num_partitions, renames=renames,
+                            update_mode=update_mode),
             batch_format="pyarrow",
             **_retry,
         )
@@ -610,7 +654,7 @@ def apply_events_dataset(
                 ray.data.from_items([{"path": p} for p in events_ds])
                 .map_batches(
                     make_file_stager(staging, unified_b64, num_partitions, fs=fs,
-                                     renames=renames),
+                                     renames=renames, update_mode=update_mode),
                     batch_size=1,
                     batch_format="pyarrow",
                     **_retry,
@@ -631,7 +675,8 @@ def apply_events_dataset(
                 [{"part": p} for p in touched]
             ).map_batches(
                 make_staged_merger(table_dir, staging, epoch, unified_b64, state_files,
-                                   policy=merge_policy, fs=fs),
+                                   policy=merge_policy, fs=fs,
+                                   update_mode=update_mode),
                 batch_size=1,
                 batch_format="pyarrow",
                 **_retry,
@@ -647,7 +692,8 @@ def apply_events_dataset(
         _t_stage = _time_mod.perf_counter()
         counters_ds = ds.groupby(PART_COLUMN).map_groups(
             make_merge_writer(table_dir, epoch, unified_b64, state_files,
-                              policy=merge_policy, fs=fs),
+                              policy=merge_policy, fs=fs,
+                              update_mode=update_mode),
             batch_format="pyarrow",
         )
         counter_rows = counters_ds.take_all()  # O(num_partitions) rows — tiny
@@ -705,6 +751,7 @@ def apply_events_dataset(
     # per-phase wall clocks (driver-observed): surfaced via `history`/`jobs`
     # so a slow replay localizes to exchange vs merge without re-running
     epoch_counters["phase_wall"] = phase_wall
+    epoch_counters["update_mode"] = update_mode
 
     totals = dict(current.totals) if current else {}
     for k in ("events_in", "upserts", "deletes", "tombstones"):
@@ -817,6 +864,7 @@ def replay(
     merge_policy: str = "rewrite",
     fs: StorageAdapter | None = None,
     renames: dict[str, str] | None = None,
+    update_mode: str = "replace",
 ) -> mf.TableManifest | None:
     """Tail-and-apply loop: process every ready epoch strictly greater than
     the committed checkpoint, ascending (``checkpoint/utils.py:104-119``).
@@ -843,7 +891,7 @@ def replay(
             m = apply_epochs(
                 changelog_dir, table_dir, batch, num_partitions=num_partitions,
                 exchange=exchange, merge_policy=merge_policy, fs=fs,
-                renames=renames,
+                renames=renames, update_mode=update_mode,
             )
             if m is not None:
                 last = m
