@@ -206,6 +206,10 @@ def main(argv: list[str] | None = None) -> int:
     ae.add_argument("--epoch", type=int, required=True,
                     help="epoch to commit the batch as (exactly-once fence)")
     ae.add_argument("--partitions", type=int, default=32)
+    ae.add_argument("--update-mode", choices=["replace", "coalesce"],
+                    default="replace",
+                    help="coalesce = envelopes are partial images (omitted "
+                         "fields leave columns untouched)")
     ae.add_argument("files", nargs="+", help="envelope JSONL files")
 
     pf = sub.add_parser("publish-feed",
@@ -493,7 +497,7 @@ def main(argv: list[str] | None = None) -> int:
 
             m = apply_envelopes(
                 args.files, args.table, epoch=args.epoch,
-                num_partitions=args.partitions,
+                num_partitions=args.partitions, update_mode=args.update_mode,
             )
             print(json.dumps(
                 {"epoch": m.epoch if m else None,

@@ -172,8 +172,13 @@ def apply_envelopes(
     payload_schema: pa.Schema | None = None,
     num_partitions: int = 32,
     fs: StorageAdapter | None = None,
+    update_mode: str = "replace",
 ):
     """Replay JSONL envelope files into the lake table as ``epoch``.
+
+    ``update_mode="coalesce"`` treats envelopes as PARTIAL images
+    (Debezium patch semantics): an ``after`` that omits a field leaves
+    that column untouched instead of nulling it.
 
     Same exactly-once contract as native replay: if ``epoch`` is at or
     below the committed checkpoint this is a no-op (returns None), so a
@@ -220,7 +225,7 @@ def apply_envelopes(
     )
     return apply_events_dataset(
         events, table_dir, epoch, incoming,
-        num_partitions=num_partitions, fs=fs,
+        num_partitions=num_partitions, fs=fs, update_mode=update_mode,
     )
 
 

@@ -177,3 +177,36 @@ def test_publish_envelopes_closure(tmp_path):
     a = table_to_arrow(td).select(cols)
     b = table_to_arrow(td2).select(cols)
     assert a.equals(b), "published feed did not reconverge the e1 state to e3"
+
+
+def test_partial_envelopes_coalesce(tmp_path):
+    """Debezium patch semantics end-to-end: an 'after' image carrying only
+    the changed field leaves other columns untouched under
+    update_mode='coalesce' (and would null them under replace)."""
+    td = str(tmp_path / "tb")
+    f1, f2 = str(tmp_path / "e1.jsonl"), str(tmp_path / "e2.jsonl")
+    _write_jsonl(f1, [{
+        "op": "c", "before": None,
+        "after": {"doc_id": "a", "version_hash": "h1", "tokens": [1, 2],
+                  "n_tok": 2, "source": "web"},
+        "source": {"lsn": 1}, "seq": 0, "ts_ms": 1,
+    }])
+    # partial update: only source changes; tokens/n_tok/version_hash omitted
+    _write_jsonl(f2, [{
+        "op": "u", "before": None,
+        "after": {"doc_id": "a", "source": "pdf"},
+        "source": {"lsn": 2}, "seq": 0, "ts_ms": 2,
+    }])
+    schema = pa.schema([("version_hash", pa.string()),
+                        ("tokens", pa.list_(pa.int32())),
+                        ("n_tok", pa.int32()), ("source", pa.string())])
+    apply_envelopes([f1], td, epoch=1, payload_fields=PAYLOAD,
+                    payload_schema=schema, num_partitions=2,
+                    update_mode="coalesce")
+    apply_envelopes([f2], td, epoch=2, payload_fields=PAYLOAD,
+                    payload_schema=schema, num_partitions=2,
+                    update_mode="coalesce")
+    row = table_to_arrow(td).to_pylist()[0]
+    assert row["source"] == "pdf"
+    assert row["tokens"] == [1, 2] and row["n_tok"] == 2
+    assert row["version_hash"] == "h1"
