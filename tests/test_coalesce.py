@@ -187,7 +187,10 @@ def test_replay_full_images_coalesce_equals_replace(tmp_path):
     from gamechanger_data_ray.engine.cdc import replay
 
     cl = str(tmp_path / "cl")
-    write_changelog(cl, num_epochs=3, events_per_epoch=600, num_keys=150)
+    # evolution on: column add (lang@3) + widen (n_tok int64@4) must flow
+    # through the lifted representation too
+    write_changelog(cl, num_epochs=4, events_per_epoch=600, num_keys=150,
+                    evolution=True)
     ta, tb = str(tmp_path / "a"), str(tmp_path / "b")
     ma = replay(cl, ta, num_partitions=4)
     mb = replay(cl, tb, num_partitions=4, update_mode="coalesce")
