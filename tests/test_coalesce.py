@@ -179,6 +179,40 @@ def test_engine_e2e_coalesce_mode(tmp_path):
         apply(4, [("U", "d1", None, "s3")], merge_policy="delta")
 
 
+def test_e2e_partial_image_soak_matches_oracle(tmp_path):
+    """Multi-epoch engine convergence on ~30k PARTIAL events (each update
+    writes a random subset of columns; deletes and within-epoch shuffles
+    included) against the serial fold oracle — the randomized kernel test
+    at engine scale, through the real exchange + commit path."""
+    rng = np.random.default_rng(5)
+    tb = str(tmp_path / "t")
+    all_events: list[dict] = []
+    for epoch in (1, 2, 3):
+        n = 10_000
+        ops = np.where(rng.random(n) < 0.08, "D", "U")
+        docs = [f"d{int(k):05d}" for k in rng.integers(0, 4_000, size=n)]
+        e = {
+            "op": pa.array(ops, pa.string()),
+            "lsn": pa.array(np.full(n, epoch, dtype=np.int64)),
+            "seq": pa.array(rng.permutation(n).astype(np.int64)),  # shuffled
+            "doc_id": pa.array(docs, pa.string()),
+        }
+        for c in PAYLOAD:
+            write = (rng.random(n) < 0.5) & (ops != "D")
+            vals = [f"{c}.{epoch}.{i}" if w else None
+                    for i, w in enumerate(write)]
+            e[c] = pa.array(vals, pa.string())
+        t = pa.table(e)
+        apply_events_dataset(ray.data.from_arrow(t), tb, epoch, t.schema,
+                             num_partitions=8, update_mode="coalesce")
+        all_events.extend(t.to_pylist())
+    expect = _oracle(all_events)
+    got = {}
+    for row in table_to_arrow(tb).to_pylist():
+        got[row["doc_id"]] = {c: row[c] for c in PAYLOAD if row[c] is not None}
+    assert got == expect
+
+
 def test_replay_full_images_coalesce_equals_replace(tmp_path):
     """On a changelog of FULL row images (the generator's), coalesce and
     replace produce byte-identical state — coalesce strictly generalizes
