@@ -395,6 +395,7 @@ def main(argv: list[str] | None = None) -> int:
                 "table": args.table,
                 "epoch": cur.epoch,
                 "rev": cur.rev,
+                "update_mode": cur.epoch_counters.get("update_mode", "replace"),
                 "totals": cur.totals,
                 "partitions": len(cur.partitions),
                 "schema": str(cur.schema).replace("\n", "; "),

@@ -104,6 +104,8 @@ def test_reduce_is_associative_over_batch_splits():
         # weights compose too: total events represented is invariant
         assert (pc.sum(recombined["_events_rep"]).as_py()
                 == pc.sum(whole["_events_rep"]).as_py() == len(events))
+        # and the reduce is idempotent (a no-op on its own output)
+        assert _final(coalesce_reduce(whole)) == _final(whole)
 
 
 def test_partition_merge_against_state_and_counters():
