@@ -94,6 +94,7 @@ def main(argv: list[str] | None = None) -> int:
                          "partition stacks more than N of them")
     tl.add_argument("--rename", action="append", default=[], metavar="OLD=NEW",
                     help="source-boundary column rename (schema evolution); repeatable")
+    tl.add_argument("--update-mode", choices=["replace", "coalesce"], default="replace")
 
     s = sub.add_parser("sweep", help="revocation sweep from an alive-pairs CSV")
     s.add_argument("--table", required=True)
@@ -426,7 +427,7 @@ def main(argv: list[str] | None = None) -> int:
                 m = replay_union(
                     args.changelog, args.table, num_partitions=args.partitions,
                     exchange=args.exchange, merge_policy=args.merge_policy,
-                    renames=renames,
+                    renames=renames, update_mode=args.update_mode,
                 )
             else:
                 m = replay(
@@ -461,6 +462,7 @@ def main(argv: list[str] | None = None) -> int:
                 poll_interval=args.poll_interval, idle_polls=args.idle_polls,
                 merge_policy=args.merge_policy, auto_compact=args.auto_compact,
                 renames=dict(kv.split("=", 1) for kv in args.rename) or None,
+                update_mode=args.update_mode,
             )
             print(json.dumps({"epoch": m.epoch if m else None, "totals": m.totals if m else {}}))
         elif args.cmd == "repartition":

@@ -911,6 +911,7 @@ def replay_union(
     merge_policy: str = "rewrite",
     fs: StorageAdapter | None = None,
     renames: dict[str, str] | list[dict[str, str] | None] | None = None,
+    update_mode: str = "replace",
 ) -> mf.TableManifest | None:
     """Multi-source replay: union the pending epochs of several changelogs
     into one table — the reference's many-crawlers-one-corpus model
@@ -995,7 +996,7 @@ def replay_union(
     return apply_events_dataset(
         events, table_dir, max(appliable), unify_all(schemas),
         num_partitions=num_partitions, exchange=exchange,
-        merge_policy=merge_policy, fs=fs,
+        merge_policy=merge_policy, fs=fs, update_mode=update_mode,
     )
 
 
@@ -1011,6 +1012,7 @@ def tail(
     auto_compact: int | None = None,
     fs: StorageAdapter | None = None,
     renames: dict[str, str] | None = None,
+    update_mode: str = "replace",
 ) -> mf.TableManifest | None:
     """Live-tailing driver loop (the continuous form of :func:`replay` —
     reference analog: the cron-driven checkpoint job,
@@ -1045,6 +1047,7 @@ def tail(
             changelog_dir, table_dir, pending,
             num_partitions=num_partitions, exchange=exchange,
             merge_policy=merge_policy, fs=fs, renames=renames,
+            update_mode=update_mode,
         )
         if m is not None:
             last = m

@@ -237,6 +237,53 @@ def test_replay_full_images_coalesce_equals_replace(tmp_path):
         assert ma.totals[k] == mb.totals[k]
 
 
+def _publish_epoch(cl_dir: str, epoch: int, t: pa.Table) -> None:
+    import json
+    import os
+
+    import pyarrow.parquet as pq
+
+    from gamechanger_data_ray.core.changelog import READY_MARKER, epoch_dir
+
+    d = epoch_dir(cl_dir, epoch)
+    os.makedirs(d, exist_ok=True)
+    pq.write_table(t, os.path.join(d, "part-00000.parquet"))
+    with open(os.path.join(d, READY_MARKER), "w") as f:
+        json.dump({"epoch": epoch, "files": ["part-00000.parquet"],
+                   "events": t.num_rows}, f)
+
+
+def test_union_replay_cross_source_column_patching(tmp_path):
+    """Two producers patch DIFFERENT columns of the same keys in the same
+    epoch — union replay under coalesce merges both patches per column
+    (the many-crawlers-one-corpus model where each crawler owns a facet)."""
+    from gamechanger_data_ray.engine.cdc import replay_union
+
+    a, b, tb = str(tmp_path / "a"), str(tmp_path / "b"), str(tmp_path / "tb")
+    base = _table([
+        {"op": "I", "lsn": 1, "seq": i, "doc_id": f"d{i}",
+         "a": f"a{i}", "b": f"b{i}", "c": f"c{i}"} for i in range(6)
+    ])
+    _publish_epoch(a, 1, base)
+    _publish_epoch(b, 1, _table(
+        [{"op": "U", "lsn": 1, "seq": 100, "doc_id": "d0", "c": "c0-src-b"}]))
+    # epoch 2: source A patches column 'a'; source B patches column 'b'
+    _publish_epoch(a, 2, _table(
+        [{"op": "U", "lsn": 2, "seq": i, "doc_id": f"d{i}", "a": f"A{i}"}
+         for i in range(3)]))
+    _publish_epoch(b, 2, _table(
+        [{"op": "U", "lsn": 2, "seq": i, "doc_id": f"d{i}", "b": f"B{i}"}
+         for i in range(3)]))
+    m = replay_union([a, b], tb, num_partitions=4, update_mode="coalesce")
+    assert m.epoch == 2  # max appliable epoch, vouched by both sources
+    rows = {r["doc_id"]: r for r in table_to_arrow(tb).to_pylist()}
+    # both facets landed; untouched column survived
+    assert (rows["d0"]["a"], rows["d0"]["b"]) == ("A0", "B0")
+    assert rows["d0"]["c"] == "c0-src-b"  # B's epoch-1 patch beat A's insert
+    assert (rows["d1"]["a"], rows["d1"]["b"], rows["d1"]["c"]) == ("A1", "B1", "c1")
+    assert (rows["d4"]["a"], rows["d4"]["b"], rows["d4"]["c"]) == ("a4", "b4", "c4")
+
+
 def test_engine_replace_vs_coalesce_differ_on_partials(tmp_path):
     """The same partial-update epoch wipes columns under replace and
     preserves them under coalesce — the semantic the mode guard protects."""
