@@ -53,6 +53,10 @@ def main(argv: list[str] | None = None) -> int:
     g.add_argument("--seed", type=int, default=42)
     g.add_argument("--zipf", type=float, default=0.0)
     g.add_argument("--evolution", action="store_true")
+    g.add_argument("--partial-frac", type=float, default=0.0,
+                   help="fraction of U rows emitted as PARTIAL images "
+                        "(tokens+n_tok or source nulled) — pair with "
+                        "replay --update-mode coalesce")
 
     r = sub.add_parser("replay", help="tail-and-apply all ready epochs to the table")
     r.add_argument("--changelog", required=True, action="append",
@@ -245,7 +249,7 @@ def main(argv: list[str] | None = None) -> int:
         paths = write_changelog(
             args.out, num_epochs=args.epochs, events_per_epoch=args.events,
             num_keys=args.keys, seed=args.seed, zipf_a=args.zipf,
-            evolution=args.evolution,
+            evolution=args.evolution, partial_frac=args.partial_frac,
         )
         print(json.dumps({"epochs": len(paths), "out": args.out}))
         return 0

@@ -56,6 +56,7 @@ def generate_epoch_table(
     dup_frac: float = 0.02,
     seq_offset: int = 0,
     chunk: int | None = None,
+    partial_frac: float = 0.0,
 ) -> pa.Table:
     """One epoch's events as an Arrow table (deterministic in all args).
 
@@ -157,6 +158,22 @@ def generate_epoch_table(
     }
     if lang_idx is not None:
         cols["lang"] = pa.array(LANGS[lang_idx[full_idx]])
+    if partial_frac > 0:
+        # partial images for coalesce-mode benches/tests: each U row keeps
+        # tokens+n_tok OR source (never both nulled), drawn AFTER the main
+        # stream so partial_frac=0 output is bit-identical to before
+        is_u = op[full_idx] == "U"
+        drop_tok = is_u & (rng.random(len(full_idx)) < partial_frac)
+        drop_src = is_u & ~drop_tok & (rng.random(len(full_idx)) < partial_frac)
+        if drop_tok.any():
+            m = pa.array(~drop_tok)
+            cols["tokens"] = pc.if_else(m, cols["tokens"],
+                                        pa.scalar(None, cols["tokens"].type))
+            cols["n_tok"] = pc.if_else(m, cols["n_tok"],
+                                       pa.scalar(None, cols["n_tok"].type))
+        if drop_src.any():
+            cols["source"] = pc.if_else(pa.array(~drop_src), cols["source"],
+                                        pa.scalar(None, pa.string()))
     return pa.table(cols)
 
 
@@ -171,6 +188,7 @@ def write_changelog(
     evolution: bool = False,
     rows_per_file: int = 250_000,
     dup_frac: float = 0.02,
+    partial_frac: float = 0.0,
 ) -> list[str]:
     """Write epoch directories (with ready markers); returns epoch dir paths.
 
@@ -202,6 +220,7 @@ def write_changelog(
             t = generate_epoch_table(
                 e, rows, num_keys, seed=seed, zipf_a=zipf_a,
                 mean_tokens=mean_tokens, evolution=evolution, dup_frac=dup_frac,
+                partial_frac=partial_frac,
                 seq_offset=ci * per_chunk,
                 chunk=None if n_chunks == 1 else ci,
             )

@@ -215,6 +215,43 @@ def test_e2e_partial_image_soak_matches_oracle(tmp_path):
     assert got == expect
 
 
+def test_generator_partial_frac_replay_matches_fold(tmp_path):
+    """generate --partial-frac + replay --update-mode coalesce end-to-end:
+    the committed table equals a serial per-column fold of every raw
+    event (dup deliveries included)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from gamechanger_data_ray.core.changelog import write_changelog
+    from gamechanger_data_ray.engine.cdc import replay
+
+    cl, tb = str(tmp_path / "cl"), str(tmp_path / "tb")
+    write_changelog(cl, num_epochs=3, events_per_epoch=500, num_keys=120,
+                    seed=3, partial_frac=0.6)
+    replay(cl, tb, num_partitions=4, update_mode="coalesce")
+    payload = ("version_hash", "tokens", "n_tok", "source")
+    events = []
+    for f in glob.glob(f"{cl}/epoch=*/*.parquet"):
+        events.extend(pq.read_table(f).to_pylist())
+    state: dict[str, dict] = {}
+    for e in sorted(events, key=lambda e: (e["lsn"], e["seq"])):
+        if e["op"] == "D":
+            state.pop(e["doc_id"], None)
+        else:
+            cur = state.setdefault(e["doc_id"], {})
+            for c in payload:
+                if e[c] is not None:
+                    cur[c] = tuple(e[c]) if isinstance(e[c], list) else e[c]
+    got = {}
+    for r in table_to_arrow(tb).to_pylist():
+        got[r["doc_id"]] = {
+            c: (tuple(r[c]) if isinstance(r[c], list) else r[c])
+            for c in payload if r[c] is not None
+        }
+    assert got == state
+
+
 def test_replay_full_images_coalesce_equals_replace(tmp_path):
     """On a changelog of FULL row images (the generator's), coalesce and
     replace produce byte-identical state — coalesce strictly generalizes
