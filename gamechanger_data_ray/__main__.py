@@ -116,6 +116,14 @@ def main(argv: list[str] | None = None) -> int:
     gt.add_argument("--table", required=True)
     gt.add_argument("keys", nargs="+", help="doc_id values to fetch")
 
+    tg = sub.add_parser("tag", help="named snapshot tags: pin a retained epoch "
+                        "through vacuum (Iceberg-style release tags)")
+    tg.add_argument("--table", required=True)
+    tg.add_argument("--set", metavar="NAME", default=None,
+                    help="create/move NAME (at --epoch, default: committed)")
+    tg.add_argument("--epoch", type=int, default=None)
+    tg.add_argument("--delete", metavar="NAME", default=None)
+
     rt = sub.add_parser("restamp-stats", help="recompute exact payload zone maps "
                         "(manifest-only revision; repairs/backfills/tightens col_stats)")
     rt.add_argument("--table", required=True)
@@ -312,6 +320,18 @@ def main(argv: list[str] | None = None) -> int:
             "partitions_read": len(routed_partition_files(args.table, args.keys)),
             "rows": t.to_pylist(),
         }, default=str))
+        return 0
+
+    if args.cmd == "tag":
+        from gamechanger_data_ray.engine.maintenance import list_tags, tag, untag
+
+        if args.set:
+            tags = tag(args.table, args.set, epoch=args.epoch)
+        elif args.delete:
+            tags = untag(args.table, args.delete)
+        else:
+            tags = list_tags(args.table)
+        print(json.dumps({"tags": tags}))
         return 0
 
     if args.cmd == "restamp-stats":

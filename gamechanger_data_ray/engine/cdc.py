@@ -1353,16 +1353,19 @@ def read_keys(
 
 
 def read_table_asof(
-    table_dir: str, epoch: int, payload_only: bool = False,
+    table_dir: str, epoch: int | str, payload_only: bool = False,
     columns: list[str] | None = None,
 ) -> ray.data.Dataset:
     """Time-travel read: the table as of a retained epoch's manifest,
     WITHOUT moving the ``_CURRENT`` pointer (the non-destructive sibling
     of ``maintenance.restore``; analog of reading a timestamped snapshot
-    prefix, ``gc_ingest/tools/snapshot/utils.py:180-257``). Fails clearly
-    if the manifest or its files were vacuumed."""
-    from .maintenance import load_manifest
+    prefix, ``gc_ingest/tools/snapshot/utils.py:180-257``). ``epoch`` may
+    be a named tag (``maintenance.tag`` — vacuum-pinned snapshots). Fails
+    clearly if the manifest or its files were vacuumed."""
+    from .maintenance import load_manifest, resolve_tag
 
+    if isinstance(epoch, str):
+        epoch = resolve_tag(table_dir, epoch)
     m = load_manifest(table_dir, epoch)
     missing = [f for f in m.data_files(table_dir) if not os.path.exists(f)]
     if missing:

@@ -258,6 +258,62 @@ def restamp_stats(table_dir: str, fs=None) -> mf.TableManifest | None:
     return manifest
 
 
+TAGS_FILE = "_TAGS.json"
+
+
+def list_tags(table_dir: str) -> dict[str, int]:
+    """Named snapshot tags: {name: epoch}. Tags pin their epoch's manifest
+    and data files through vacuum — the Iceberg tag idea for reproducible
+    reads ("the corpus release we trained v3 on") on top of the retained
+    manifest history."""
+    p = os.path.join(table_dir, TAGS_FILE)
+    if not os.path.exists(p):
+        return {}
+    with open(p) as f:
+        return {k: int(v) for k, v in json.load(f).items()}
+
+
+def _write_tags(table_dir: str, tags: dict[str, int]) -> None:
+    p = os.path.join(table_dir, TAGS_FILE)
+    tmp = p + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(tags, f, sort_keys=True)
+    os.replace(tmp, p)  # atomic: readers see old or new tag set, never half
+
+
+def tag(table_dir: str, name: str, epoch: int | None = None) -> dict[str, int]:
+    """Create/move a named tag. Defaults to the committed epoch; the target
+    epoch must have a retained manifest (you can't pin what vacuum already
+    dropped)."""
+    cur = mf.load_current(table_dir)
+    if cur is None:
+        raise FileNotFoundError(f"no committed table at {table_dir}")
+    e = cur.epoch if epoch is None else epoch
+    if e not in list_manifests(table_dir):
+        raise ValueError(f"epoch {e} has no retained manifest "
+                         f"(have {list_manifests(table_dir)})")
+    tags = list_tags(table_dir)
+    tags[name] = e
+    _write_tags(table_dir, tags)
+    return tags
+
+
+def untag(table_dir: str, name: str) -> dict[str, int]:
+    tags = list_tags(table_dir)
+    if name not in tags:
+        raise KeyError(f"no tag {name!r} (have {sorted(tags)})")
+    del tags[name]
+    _write_tags(table_dir, tags)
+    return tags
+
+
+def resolve_tag(table_dir: str, name: str) -> int:
+    tags = list_tags(table_dir)
+    if name not in tags:
+        raise KeyError(f"no tag {name!r} (have {sorted(tags)})")
+    return tags[name]
+
+
 def vacuum(table_dir: str, keep_epochs: int = 2) -> dict:
     """Delete partition data files not referenced by the current manifest or
     the ``keep_epochs`` most recent retained manifests; drop manifests older
@@ -268,9 +324,11 @@ def vacuum(table_dir: str, keep_epochs: int = 2) -> dict:
         return {"files_deleted": 0, "sidecars_deleted": 0, "bytes_freed": 0,
                 "manifests_kept": []}
     epochs = list_manifests(table_dir)
-    # retained window: everything >= the keep_epochs-th most recent, and
-    # always the committed epoch (restore target safety)
-    kept = sorted(set(epochs[-keep_epochs:]) | {current.epoch})
+    # retained window: everything >= the keep_epochs-th most recent, the
+    # committed epoch (restore target safety), and every TAGGED epoch —
+    # tags pin reproducible snapshots through retention
+    kept = sorted(set(epochs[-keep_epochs:]) | {current.epoch}
+                  | set(list_tags(table_dir).values()))
     referenced: set[str] = set()
     for e in kept:
         try:
