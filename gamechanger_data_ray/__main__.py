@@ -85,6 +85,9 @@ def main(argv: list[str] | None = None) -> int:
                     help="snapshot key column (renamed to doc_id)")
     bs.add_argument("--exchange", choices=["staged", "sort"], default="staged")
     bs.add_argument("--merge-policy", choices=["rewrite", "delta"], default="rewrite")
+    bs.add_argument("--update-mode", choices=["replace", "coalesce"], default="replace",
+                    help="set coalesce if the changelog you will tail carries "
+                         "partial images (the mode is pinned at genesis)")
 
     tl = sub.add_parser("tail", help="live-tail loop: poll for ready epochs, apply, repeat")
     tl.add_argument("--changelog", required=True)
@@ -467,7 +470,7 @@ def main(argv: list[str] | None = None) -> int:
             m = bootstrap_table(
                 args.snapshot, args.table, num_partitions=args.partitions,
                 key=args.key, exchange=args.exchange,
-                merge_policy=args.merge_policy,
+                merge_policy=args.merge_policy, update_mode=args.update_mode,
             )
             print(json.dumps({"epoch": m.epoch, "totals": m.totals,
                               "duplicate_keys": m.totals["events_in"] - m.totals["rows"]}))

@@ -780,6 +780,7 @@ def bootstrap_table(
     exchange: str = "staged",
     merge_policy: str = "rewrite",
     fs: StorageAdapter | None = None,
+    update_mode: str = "replace",
 ) -> mf.TableManifest:
     """Initial consistent-snapshot load — the "snapshot, then stream" half
     of a CDC bootstrap (Debezium snapshot mode; the reference's one-time
@@ -848,7 +849,8 @@ def bootstrap_table(
     schema = pa.schema(ev_fields + payload)
     m = apply_events_dataset(
         events, table_dir, 0, schema, num_partitions=num_partitions,
-        exchange=exchange, merge_policy=merge_policy, fs=fs)
+        exchange=exchange, merge_policy=merge_policy, fs=fs,
+        update_mode=update_mode)
     if m is None:
         raise RuntimeError(f"bootstrap commit fenced out at {table_dir}")
     return m

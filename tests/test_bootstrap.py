@@ -102,6 +102,34 @@ def test_key_rename_and_committed_guard(tmp_path):
         bootstrap_table(snap, str(tmp_path / "tb3"), key="missing_col")
 
 
+def test_bootstrap_coalesce_mode_then_partial_tail(tmp_path):
+    """A coalesce table is born at genesis: bootstrap pins the mode so the
+    partial-image tail is accepted (and a replace tail refused)."""
+    import ray.data
+
+    from gamechanger_data_ray.engine.cdc import apply_events_dataset
+
+    snap, tb = str(tmp_path / "s.parquet"), str(tmp_path / "tb")
+    _snapshot(snap, n=8)
+    bootstrap_table(snap, tb, num_partitions=P, update_mode="coalesce")
+    # partial update: only source set; tokens/n_tok stay from the snapshot
+    t = pa.table({
+        "op": pa.array(["U"]), "lsn": pa.array([1], pa.int64()),
+        "seq": pa.array([0], pa.int64()), "doc_id": pa.array(["doc-00003"]),
+        "tokens": pa.array([None], pa.list_(pa.int32())),
+        "n_tok": pa.array([None], pa.int32()),
+        "source": pa.array(["patched"]),
+    })
+    apply_events_dataset(ray.data.from_arrow(t), tb, 1, t.schema,
+                         num_partitions=P, update_mode="coalesce")
+    rows = {r["doc_id"]: r for r in table_to_arrow(tb).to_pylist()}
+    assert rows["doc-00003"]["source"] == "patched"
+    assert rows["doc-00003"]["tokens"] == [3, 4]  # snapshot cells kept
+    with pytest.raises(ValueError, match="update_mode"):
+        apply_events_dataset(ray.data.from_arrow(t), tb, 2, t.schema,
+                             num_partitions=P)  # replace refused
+
+
 def test_reserved_bookkeeping_names_rejected(tmp_path):
     """A snapshot payload column named op/lsn/seq would silently vanish
     into the event bookkeeping — refuse instead."""
