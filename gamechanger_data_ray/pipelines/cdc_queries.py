@@ -156,6 +156,10 @@ def cdc_view_rollup(sf_dir: str):
         ]
     )
     view = ViewDef(["source"], {"sum_chars": "n_chars"})
+    # pin the derived changelog once: each epoch's filter would otherwise
+    # re-execute the derivation (3×). In a real deployment the changelog
+    # IS durable storage; this stands in for reading it from disk.
+    ev = ev.materialize()
     for epoch in (1, 2, 3):
         e = ev.filter(
             expr=f"lsn == {epoch}"
