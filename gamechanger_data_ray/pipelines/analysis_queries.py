@@ -539,13 +539,12 @@ def ann_pq(sf_dir: str, n_sub: int = 8, n_cents: int = 64, rerank: int = 50):
     codebooks = sim.train_pq_codebooks(m, n_sub=n_sub, n_cents=n_cents)
     cb_ref = cm.broadcast(codebooks)
 
-    encoded = cm.read(sf_dir, "embeddings", columns=["vec_id", "embedding"]).map_batches(
-        sim.PQEncoder, fn_constructor_args=(cb_ref,),
-        batch_format="pyarrow", concurrency=(1, cm.pool_size()),
-    )
+    # one-shot search: encode + ADC fused in a single actor pass (the
+    # codes aren't persisted here — PQEncoder/PQADCTopK stay the split
+    # shape for a stored compressed corpus)
     q_ref = cm.broadcast(_query_matrix(sf_dir))
-    shortlist = encoded.map_batches(
-        sim.PQADCTopK, fn_constructor_args=(q_ref, cb_ref, rerank),
+    shortlist = cm.read(sf_dir, "embeddings", columns=["vec_id", "embedding"]).map_batches(
+        sim.PQEncodeADCTopK, fn_constructor_args=(q_ref, cb_ref, rerank),
         batch_format="pyarrow", concurrency=(1, cm.pool_size()),
     )
     cand_ids = sorted(set(sim.global_topk(shortlist.to_pandas(), rerank)["vec_id"]))

@@ -286,6 +286,9 @@ class PQADCTopK:
         buf = b"".join(code_col.to_pylist())
         codes = np.frombuffer(buf, dtype=np.uint8).reshape(-1, self.n_sub)
         ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        return self._score(ids, codes)
+
+    def _score(self, ids: np.ndarray, codes: np.ndarray) -> pa.Table:
         n = len(ids)
         sims = np.empty((len(self.qids), n))
         for s in range(self.n_sub):
@@ -308,3 +311,25 @@ class PQADCTopK:
             "vec_id": pa.array(np.concatenate(out_v)),
             "cosine": pa.array(np.concatenate(out_s).astype(np.float64)),
         })
+
+
+class PQEncodeADCTopK(PQADCTopK):
+    """Fused encode + ADC score for ONE-SHOT searches: when the codes are
+    not being persisted (the ad-hoc ann query path), encoding and scoring
+    in the same actor pass drops a full object-store round-trip of the
+    code column and a second actor-pool spin-up. The two-stage split
+    (:class:`PQEncoder` → :class:`PQADCTopK`) remains the shape for a
+    STORED compressed corpus, where the codes are the artifact."""
+
+    def __init__(self, queries_ref, codebooks_ref, k: int,
+                 id_col: str = "vec_id", vec_col: str = "embedding"):
+        super().__init__(queries_ref, codebooks_ref, k)
+        self.codebooks = ray.get(codebooks_ref)
+        self.id_col = id_col
+        self.vec_col = vec_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        m = normalize_rows(_to_matrix(batch[self.vec_col]))
+        codes = pq_encode(m, self.codebooks)
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False)
+        return self._score(ids, codes)
