@@ -233,6 +233,25 @@ def merge_partition_coalesce(
         keys = won[KEY_COLUMN].to_pylist()
         counters["deletes"] = sum(1 for k, d in zip(keys, dels) if d and k in state_keys)
         won = won.filter(pc.invert(is_del))
+    # per-column cell-write lineage: how many surviving rows' CURRENT cell
+    # was (re)written by this epoch's events. Sound because lsn is
+    # epoch-monotone: every event cell order ≥ this epoch's min lsn,
+    # every carried state cell order < it.
+    import json as _json
+
+    cell_writes: dict[str, int] = {}
+    if won.num_rows and events_in:
+        ev_min = int(pc.min(events["lsn"]).as_py() or 0)
+        for c in payload_columns(won.schema):
+            if c == ORIGIN:
+                continue
+            ol = won[ORD_LSN + c]
+            wrote = pc.and_(pc.is_valid(ol),
+                            pc.greater_equal(ol, pa.scalar(ev_min, pa.int64())))
+            n_w = int(pc.sum(pc.cast(wrote, pa.int64())).as_py() or 0)
+            if n_w:
+                cell_writes[c] = n_w
+    counters["cell_writes"] = _json.dumps(cell_writes)
     drop = [c for c in (ORIGIN, EVENTS_REP, TOMBS_REP) if c in won.schema.names]
     out = strip_transients(won.drop_columns(drop))
     if out.num_rows:

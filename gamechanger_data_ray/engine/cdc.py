@@ -287,6 +287,7 @@ def _merge_one_partition(
         return {"part": part, "file": out_rel, "delta": "",
                 "key_min": kmin, "key_max": kmax,
                 "col_stats": _col_stats_json(merged),
+                "cell_writes": counters.pop("cell_writes", ""),
                 **{k: int(counters[k]) for k in COUNTER_KEYS}}
     if policy != "delta":
         raise ValueError(f"unknown merge policy: {policy!r}")
@@ -312,6 +313,7 @@ def _merge_one_partition(
             # delta-body stats only; the driver widens them into the
             # previous bounds so the manifest covers the resolved state
             "col_stats": _col_stats_json(body),
+            "cell_writes": "",
             "key_min": kmin, "key_max": kmax,
             **{k: int(counters[k]) for k in COUNTER_KEYS}}
 
@@ -415,6 +417,7 @@ def make_staged_merger(
                 {"part": pa.array([], pa.int64()), "file": pa.array([], pa.string()),
                  "delta": pa.array([], pa.string()),
                  "col_stats": pa.array([], pa.string()),
+                 "cell_writes": pa.array([], pa.string()),
                  "key_min": pa.array([], pa.string()), "key_max": pa.array([], pa.string())}
                 | {k: pa.array([], pa.int64()) for k in COUNTER_KEYS}
             )
@@ -741,6 +744,12 @@ def apply_events_dataset(
                 partitions[p]["col_stats"] = _widen_col_stats(
                     prev["col_stats"], new_stats)
             # else: prev predates payload stats → bounds unknown, stay absent
+        if r.get("cell_writes"):
+            import json as _json2
+
+            for c, v in _json2.loads(r["cell_writes"]).items():
+                cw = epoch_counters.setdefault("cell_writes", {})
+                cw[c] = cw.get(c, 0) + int(v)
         epoch_counters["per_partition"][p] = {k: int(r[k]) for k in COUNTER_KEYS}
         for k in COUNTER_KEYS:
             if k != "watermark_lsn":

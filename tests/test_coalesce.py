@@ -166,6 +166,9 @@ def test_engine_e2e_coalesce_mode(tmp_path):
     m2 = apply(2, [("U", f"d{i}", None, "s1") for i in range(0, 12, 2)]
                + [("D", "d3", None, None)])
     assert m2.epoch_counters["update_mode"] == "coalesce"
+    # per-column cell-write lineage: the partial epoch patched source on
+    # 6 surviving rows; tokens/n_tok cells were NOT rewritten
+    assert m2.epoch_counters["cell_writes"] == {"source": 6}
     got = {r["doc_id"]: r for r in table_to_arrow(tb).to_pylist()}
     assert "d3" not in got and len(got) == 11
     assert got["d0"]["source"] == "s1" and got["d0"]["tokens"] == [0, 0]
