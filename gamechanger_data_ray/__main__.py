@@ -96,6 +96,7 @@ def main(argv: list[str] | None = None) -> int:
     tl.add_argument("--poll-interval", type=float, default=5.0)
     tl.add_argument("--idle-polls", type=int, default=3)
     tl.add_argument("--merge-policy", choices=["rewrite", "delta"], default="rewrite")
+    tl.add_argument("--exchange", choices=["staged", "sort"], default="staged")
     tl.add_argument("--auto-compact", type=int, default=None,
                     help="with --merge-policy delta: fold deltas whenever a "
                          "partition stacks more than N of them")
@@ -487,6 +488,7 @@ def main(argv: list[str] | None = None) -> int:
             m = tail(
                 args.changelog, args.table, num_partitions=args.partitions,
                 poll_interval=args.poll_interval, idle_polls=args.idle_polls,
+                exchange=args.exchange,
                 merge_policy=args.merge_policy, auto_compact=args.auto_compact,
                 renames=dict(kv.split("=", 1) for kv in args.rename) or None,
                 update_mode=args.update_mode,
