@@ -40,6 +40,19 @@ def _ray_init(num_cpus: int | None):
     DataContext.get_current().enable_progress_bars = False
 
 
+
+def _epoch_arg(table_dir: str, v):
+    """Epoch selector: an int, a numeric string, or a snapshot tag name."""
+    if v is None or isinstance(v, int):
+        return v
+    try:
+        return int(v)
+    except ValueError:
+        from gamechanger_data_ray.engine.maintenance import resolve_tag
+
+        return resolve_tag(table_dir, v)
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="gamechanger_data_ray")
     p.add_argument("--num-cpus", type=int, default=None)
@@ -142,9 +155,10 @@ def main(argv: list[str] | None = None) -> int:
     dr = sub.add_parser("drift", help="distribution drift report between two "
                         "committed epochs (per-column PSI + histograms)")
     dr.add_argument("--table", required=True)
-    dr.add_argument("--from-epoch", type=int, required=True)
-    dr.add_argument("--to-epoch", type=int, default=None,
-                    help="default: the current epoch")
+    dr.add_argument("--from-epoch", required=True,
+                    help="epoch number or snapshot tag name")
+    dr.add_argument("--to-epoch", default=None,
+                    help="epoch number or tag (default: the current epoch)")
     dr.add_argument("--column", action="append", default=None,
                     help="profile only these columns (default: all scalar payload)")
 
@@ -211,8 +225,10 @@ def main(argv: list[str] | None = None) -> int:
 
     df = sub.add_parser("diff", help="I/U/D changelog between two committed epochs")
     df.add_argument("--table", required=True)
-    df.add_argument("--from-epoch", type=int, required=True)
-    df.add_argument("--to-epoch", type=int, default=None)
+    df.add_argument("--from-epoch", required=True,
+                    help="epoch number or snapshot tag name")
+    df.add_argument("--to-epoch", default=None,
+                    help="epoch number or tag (default: committed)")
     df.add_argument("--out", default=None, help="write change rows as parquet here "
                     "(default: print summary counts only)")
     df.add_argument("--mode", choices=["events", "retractions"], default="events")
@@ -357,7 +373,8 @@ def main(argv: list[str] | None = None) -> int:
         from gamechanger_data_ray.engine.drift import drift_report
 
         print(json.dumps(drift_report(
-            args.table, args.from_epoch, args.to_epoch, args.column)))
+            args.table, _epoch_arg(args.table, args.from_epoch),
+            _epoch_arg(args.table, args.to_epoch), args.column)))
         return 0
 
     if args.cmd == "scan":
@@ -505,7 +522,8 @@ def main(argv: list[str] | None = None) -> int:
             from gamechanger_data_ray.engine.diff import diff_table_epochs
 
             ds = diff_table_epochs(
-                args.table, args.from_epoch, args.to_epoch, mode=args.mode
+                args.table, _epoch_arg(args.table, args.from_epoch),
+                _epoch_arg(args.table, args.to_epoch), mode=args.mode
             )
             if args.out:
                 # write, then count from the written files: no mid-pipeline
