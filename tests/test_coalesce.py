@@ -218,6 +218,40 @@ def test_e2e_partial_image_soak_matches_oracle(tmp_path):
     assert got == expect
 
 
+def test_incremental_view_over_coalesce_table(tmp_path):
+    """Materialized-view maintenance is update-mode-agnostic: the Z-set
+    retraction diff works over committed STATES, so a rollup view over a
+    coalesce table stays equal to recomputation through partial updates
+    that move keys between groups."""
+    from gamechanger_data_ray.engine.views import ViewDef, read_view, refresh
+
+    tb, vd = str(tmp_path / "t"), str(tmp_path / "v")
+    docs = [f"d{i}" for i in range(12)]
+    t1 = _engine_events([("I", d, [1, 2], "s0" if i % 2 else "s1")
+                         for i, d in enumerate(docs)], 1)
+    apply_events_dataset(ray.data.from_arrow(t1), tb, 1, t1.schema,
+                         num_partitions=4, update_mode="coalesce")
+    view = ViewDef(["source"], {"sum_tok": "n_tok"})
+    refresh(view, vd, tb, num_partitions=2)
+    # partial epoch: move d0/d2 to source s2 (tokens untouched), delete d5
+    t2 = _engine_events([("U", "d0", None, "s2"), ("U", "d2", None, "s2"),
+                         ("D", "d5", None, None)], 2)
+    apply_events_dataset(ray.data.from_arrow(t2), tb, 2, t2.schema,
+                         num_partitions=4, update_mode="coalesce")
+    m = refresh(view, vd, tb, num_partitions=2)
+    assert m.epoch_counters["mode"] == "incremental"
+    got = {r["source"]: (r["n_rows"], r["sum_tok"])
+           for r in read_view(vd).to_pandas().to_dict("records")}
+    # recompute oracle from the final state
+    state = table_to_arrow(tb).to_pandas()
+    expect = {
+        src: (len(g), int(g["n_tok"].sum()))
+        for src, g in state.groupby("source")
+    }
+    assert got == expect
+    assert got["s2"] == (2, 4)  # moved keys kept their untouched tokens
+
+
 def test_generator_partial_frac_replay_matches_fold(tmp_path):
     """generate --partial-frac + replay --update-mode coalesce end-to-end:
     the committed table equals a serial per-column fold of every raw
