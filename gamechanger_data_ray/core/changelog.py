@@ -88,10 +88,23 @@ def generate_epoch_table(
     lsn = np.full(n, epoch, dtype=np.int64)
     seq = np.arange(n, dtype=np.int64) + seq_offset
     n_tok = np.clip(rng.lognormal(np.log(mean_tokens), 0.6, size=n), 1, 4096).astype(np.int32)
-    # deletes carry no payload: zero-length + null mask (built in, never a
-    # post-hoc if_else over the 10^8-value list column — that kernel
-    # dominated generation wall time)
-    tok_len = np.where(is_del, 0, n_tok).astype(np.int64)
+    # partial images (coalesce-mode fixtures): drawn from an INDEPENDENT
+    # rng stream so the main stream — and therefore partial_frac=0 output
+    # — is bit-identical to before the feature existed. Each partial U
+    # row drops tokens+n_tok OR source, never both.
+    if partial_frac > 0:
+        prng = np.random.default_rng(np.random.SeedSequence(ss + [104729]))
+        is_u = op == "U"
+        drop_tok = is_u & (prng.random(n) < partial_frac)
+        drop_src = is_u & ~drop_tok & (prng.random(n) < partial_frac)
+    else:
+        drop_tok = drop_src = np.zeros(n, dtype=bool)
+    # deletes (and token-dropping partials) carry no token payload:
+    # zero-length + null mask built into the ListArray — never a post-hoc
+    # if_else over the 10^8-value list column (that kernel dominated
+    # generation wall time)
+    tok_null = is_del | drop_tok
+    tok_len = np.where(tok_null, 0, n_tok).astype(np.int64)
     offsets = np.zeros(n + 1, dtype=np.int64)
     np.cumsum(tok_len, out=offsets[1:])
     values = rng.integers(0, 50257, size=int(offsets[-1]), dtype=np.int32)
@@ -123,10 +136,10 @@ def generate_epoch_table(
         - np.repeat(out_offsets[:-1], out_len)
     )
     out_values = values[pos]
-    del_out = is_del[full_idx]
+    tok_null_out = tok_null[full_idx]
     tokens = pa.ListArray.from_arrays(
         pa.array(out_offsets, pa.int64()), pa.array(out_values, pa.int32()),
-        mask=pa.array(del_out),
+        mask=pa.array(tok_null_out),
     )
 
     # strings via Arrow C++ kernels (np.char is Python-loop slow at 10^7)
@@ -144,7 +157,8 @@ def generate_epoch_table(
     )
 
     n_tok_out = pa.array(
-        n_tok[full_idx].astype(np.int64 if evolved else np.int32), mask=del_out
+        n_tok[full_idx].astype(np.int64 if evolved else np.int32),
+        mask=tok_null_out,
     )
     cols: dict[str, pa.Array] = {
         "op": pa.array(op[full_idx]),
@@ -158,22 +172,11 @@ def generate_epoch_table(
     }
     if lang_idx is not None:
         cols["lang"] = pa.array(LANGS[lang_idx[full_idx]])
-    if partial_frac > 0:
-        # partial images for coalesce-mode benches/tests: each U row keeps
-        # tokens+n_tok OR source (never both nulled), drawn AFTER the main
-        # stream so partial_frac=0 output is bit-identical to before
-        is_u = op[full_idx] == "U"
-        drop_tok = is_u & (rng.random(len(full_idx)) < partial_frac)
-        drop_src = is_u & ~drop_tok & (rng.random(len(full_idx)) < partial_frac)
-        if drop_tok.any():
-            m = pa.array(~drop_tok)
-            cols["tokens"] = pc.if_else(m, cols["tokens"],
-                                        pa.scalar(None, cols["tokens"].type))
-            cols["n_tok"] = pc.if_else(m, cols["n_tok"],
-                                       pa.scalar(None, cols["n_tok"].type))
-        if drop_src.any():
-            cols["source"] = pc.if_else(pa.array(~drop_src), cols["source"],
-                                        pa.scalar(None, pa.string()))
+    if partial_frac > 0 and drop_src.any():
+        # source is a short string column (n rows, not 10^8 values) — a
+        # plain masked array swap is cheap here
+        src_out = src_pool[src_idx[full_idx]]
+        cols["source"] = pa.array(src_out, mask=drop_src[full_idx])
     return pa.table(cols)
 
 
