@@ -131,6 +131,8 @@ def main(argv: list[str] | None = None) -> int:
     gt = sub.add_parser("get", help="hash-routed point lookup of doc_ids "
                                     "(reads only the routed partitions)")
     gt.add_argument("--table", required=True)
+    gt.add_argument("--at", default=None, metavar="EPOCH_OR_TAG",
+                    help="time-travel lookup against a retained epoch or tag")
     gt.add_argument("keys", nargs="+", help="doc_id values to fetch")
 
     tg = sub.add_parser("tag", help="named snapshot tags: pin a retained epoch "
@@ -334,10 +336,13 @@ def main(argv: list[str] | None = None) -> int:
     if args.cmd == "get":
         from gamechanger_data_ray.engine.cdc import read_keys, routed_partition_files
 
-        t = read_keys(args.table, args.keys)
+        at = _epoch_arg(args.table, args.at)
+        t = read_keys(args.table, args.keys, epoch=at)
         print(json.dumps({
             "found": t.num_rows,
-            "partitions_read": len(routed_partition_files(args.table, args.keys)),
+            "partitions_read": len(
+                routed_partition_files(args.table, args.keys, epoch=at)),
+            **({"as_of_epoch": at} if at is not None else {}),
             "rows": t.to_pylist(),
         }, default=str))
         return 0

@@ -1270,8 +1270,23 @@ def read_table(
                              bounds=bounds)
 
 
+def _resolve_manifest(
+    table_dir: str, epoch: int | str | None, fs: StorageAdapter
+) -> mf.TableManifest | None:
+    """None → the committed manifest; an int → that retained epoch; a
+    string → a snapshot tag name."""
+    if epoch is None:
+        return mf.load_current(table_dir, fs)
+    from .maintenance import load_manifest, resolve_tag
+
+    if isinstance(epoch, str):
+        epoch = resolve_tag(table_dir, epoch)
+    return load_manifest(table_dir, epoch)
+
+
 def routed_partition_files(
-    table_dir: str, keys: list, fs: StorageAdapter | None = None
+    table_dir: str, keys: list, fs: StorageAdapter | None = None,
+    epoch: int | str | None = None,
 ) -> list[str]:
     """The (deduplicated) partition files that can possibly hold ``keys``:
     re-hash each key with the table's pinned partition count and keep only
@@ -1286,7 +1301,7 @@ def routed_partition_files(
     from ..core.hashing import fnv1a64
 
     fs = default_fs(fs)
-    current = mf.load_current(table_dir, fs)
+    current = _resolve_manifest(table_dir, epoch, fs)
     if current is None or not current.partitions:
         return []
     npart = current.num_partitions or max(
@@ -1330,6 +1345,7 @@ def read_keys(
     keys: list,
     columns: list[str] | None = None,
     fs: StorageAdapter | None = None,
+    epoch: int | str | None = None,
 ) -> pa.Table:
     """Hash-routed point lookup: fetch the committed rows for ``keys``
     by reading ONLY the partitions their hashes route to (the analog of
@@ -1339,14 +1355,18 @@ def read_keys(
     absent (rewrite compacts tombstones on write; merge-on-read deltas are
     LWW-resolved here — key-equality filtering commutes with the merge, so
     the pushdown stays sound). Result is bounded by ``len(keys)`` rows,
-    returned driver-side and key-sorted."""
+    returned driver-side and key-sorted.
+
+    ``epoch`` (an int or a snapshot tag name) answers the point lookup
+    AS OF that retained manifest — "what did this doc look like in the
+    v3 training release" — at the same O(|keys|) cost."""
     import pyarrow.dataset as pads
 
     fs = default_fs(fs)
-    current = mf.load_current(table_dir, fs)
+    current = _resolve_manifest(table_dir, epoch, fs)
     if current is None or not current.partitions:
         return pa.table({})
-    files = routed_partition_files(table_dir, keys, fs)
+    files = routed_partition_files(table_dir, keys, fs, epoch=epoch)
     schema = current.schema
     if not files:
         return conform(pa.table({}), schema).slice(0, 0)

@@ -44,6 +44,35 @@ def test_tag_pins_epoch_through_vacuum(tmp_path):
         read_table_asof(tb, "v1-release")
 
 
+def test_point_lookup_as_of_epoch_and_tag(tmp_path):
+    """Time-travel point lookup: read_keys(epoch=...) answers against the
+    retained manifest — an updated key shows its old version, a key
+    deleted later is still visible — at the same O(|keys|) routing."""
+    import pyarrow as pa
+
+    from gamechanger_data_ray.engine.cdc import read_keys
+
+    tb = _table(tmp_path)
+    cur = read_keys(tb, ["doc-00000007"])
+    old = read_keys(tb, ["doc-00000007"], epoch=1)
+    tag(tb, "first", epoch=1)
+    by_tag = read_keys(tb, ["doc-00000007"], epoch="first")
+    assert old.equals(by_tag)
+    if cur.num_rows and old.num_rows:
+        # same key, possibly different version: lsn monotone
+        assert cur["lsn"][0].as_py() >= old["lsn"][0].as_py()
+    # a key alive at epoch 1 but deleted by epoch 4 is visible only as-of
+    state1 = {r["doc_id"] for r in read_keys(
+        tb, [f"doc-{i:08d}" for i in range(80)], epoch=1).to_pylist()}
+    state4 = {r["doc_id"] for r in read_keys(
+        tb, [f"doc-{i:08d}" for i in range(80)]).to_pylist()}
+    gone = state1 - state4
+    if gone:
+        k = sorted(gone)[0]
+        assert read_keys(tb, [k], epoch="first").num_rows == 1
+        assert read_keys(tb, [k]).num_rows == 0
+
+
 def test_tag_lifecycle_and_guards(tmp_path):
     tb = _table(tmp_path, epochs=2)
     assert list_tags(tb) == {}
