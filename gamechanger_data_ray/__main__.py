@@ -171,6 +171,8 @@ def main(argv: list[str] | None = None) -> int:
                     help="closed interval on a scalar payload column; empty "
                          "side = unbounded (e.g. n_tok:1024: ); repeatable")
     sc.add_argument("--columns", nargs="*", default=None)
+    sc.add_argument("--at", default=None, metavar="EPOCH_OR_TAG",
+                    help="scan as of a retained epoch or snapshot tag")
     sc.add_argument("--out", default=None,
                     help="output parquet dir (omit to just count)")
 
@@ -383,10 +385,15 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     if args.cmd == "scan":
-        from gamechanger_data_ray.engine.cdc import _stats_overlap, read_table
-        from gamechanger_data_ray.state import manifest as mf
+        from gamechanger_data_ray.engine.cdc import (
+            _resolve_manifest,
+            _stats_overlap,
+            read_table,
+        )
+        from gamechanger_data_ray.state.fs import default_fs
 
-        cur = mf.load_current(args.table)
+        at = _epoch_arg(args.table, args.at)
+        cur = _resolve_manifest(args.table, at, default_fs(None))
 
         def side(col: str, v: str):
             if v == "":
@@ -422,7 +429,7 @@ def main(argv: list[str] | None = None) -> int:
                 1 for e in cur.partitions.values()
                 if not _stats_overlap(e.get("col_stats"), bounds))
         ds = read_table(args.table, columns=args.columns or None,
-                        bounds=bounds or None)
+                        bounds=bounds or None, epoch=at)
         if args.out:
             ds.write_parquet(args.out)
             rows = None  # avoid a second pass; the sink already streamed it

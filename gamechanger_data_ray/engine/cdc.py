@@ -1242,6 +1242,7 @@ def _project(schema: pa.Schema, payload_only: bool, columns: list[str] | None) -
 def read_table(
     table_dir: str, payload_only: bool = False, columns: list[str] | None = None,
     predicate=None, bounds: dict | None = None, fs: StorageAdapter | None = None,
+    epoch: int | str | None = None,
 ) -> ray.data.Dataset:
     """The committed table as a streaming Dataset (conformed to the table
     schema, since old partition files may predate a schema evolution).
@@ -1256,9 +1257,13 @@ def read_table(
     interval) does the same AND adds manifest-level data skipping: whole
     partitions whose committed payload zone maps (``col_stats``) prove no
     overlap are dropped before any file is opened. Rows with NULL in a
-    bounded column are excluded (SQL comparison semantics)."""
+    bounded column are excluded (SQL comparison semantics).
+
+    ``epoch`` (an int or a snapshot tag name) scans AS OF that retained
+    manifest instead of the committed one — bounded time-travel scans
+    compose with all of the above."""
     fs = default_fs(fs)
-    current = mf.load_current(table_dir, fs)
+    current = _resolve_manifest(table_dir, epoch, fs)
     if current is None or not current.partitions:
         return ray.data.from_arrow(pa.table({}))
     out_schema = _project(current.schema, payload_only, columns)
