@@ -153,6 +153,8 @@ def main(argv: list[str] | None = None) -> int:
     te.add_argument("--out", required=True)
     te.add_argument("--cap", type=int, default=2048,
                     help="tokens per training chunk")
+    te.add_argument("--at", default=None, metavar="EPOCH_OR_TAG",
+                    help="export as of a retained epoch or snapshot tag")
 
     dr = sub.add_parser("drift", help="distribution drift report between two "
                         "committed epochs (per-column PSI + histograms)")
@@ -373,7 +375,9 @@ def main(argv: list[str] | None = None) -> int:
     if args.cmd == "export-training":
         from gamechanger_data_ray.engine.training_export import export_training
 
-        print(json.dumps(export_training(args.table, args.out, cap=args.cap)))
+        print(json.dumps(export_training(
+            args.table, args.out, cap=args.cap,
+            epoch=_epoch_arg(args.table, args.at))))
         return 0
 
     if args.cmd == "drift":

@@ -66,15 +66,21 @@ def export_training(
     out_dir: str,
     cap: int = 2048,
     fs: StorageAdapter | None = None,
+    epoch: int | str | None = None,
 ) -> dict[str, Any]:
     """Export the committed table's token streams as packed ``cap``-length
     training chunks under ``out_dir`` (parquet + ``_EXPORT.json`` marker).
     Returns the marker dict. Refuses an ``out_dir`` that already carries a
-    completed export (immutable artifacts; export to a fresh dir)."""
+    completed export (immutable artifacts; export to a fresh dir).
+
+    ``epoch`` (an int or a snapshot tag name) exports AS OF that retained
+    manifest — tag a training release once, re-export its byte-identical
+    chunks forever, however far the live table has moved on."""
     from ..pipelines.tokens import chunk_sized_tokens
+    from .cdc import _resolve_manifest
 
     fs = default_fs(fs)
-    cur = mf.load_current(table_dir, fs)
+    cur = _resolve_manifest(table_dir, epoch, fs)
     if cur is None:
         raise FileNotFoundError(f"no committed table at {table_dir}")
     for need in ("tokens", "n_tok"):

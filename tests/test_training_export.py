@@ -109,6 +109,27 @@ def test_marker_gates_consumers_and_rerun_refused(tmp_path):
         export_training(str(tmp_path / "nope"), str(tmp_path / "o3"))
 
 
+def test_export_as_of_tag_is_frozen(tmp_path):
+    """Tag a release, keep ingesting, re-export the tag: byte-identical
+    chunks both times — the pinned snapshot, not the moved-on table."""
+    from gamechanger_data_ray.engine.maintenance import tag
+
+    tb = str(tmp_path / "t")
+    _apply(tb, 1, _events([("I", f"d{i:03d}", [i, i]) for i in range(30)], 1))
+    tag(tb, "v1")
+    out1 = str(tmp_path / "o1")
+    m1 = export_training(tb, out1, cap=CAP, epoch="v1")
+    # the table moves on: updates + deletes land after the tag
+    _apply(tb, 2, _events([("U", "d001", [9, 9, 9]), ("D", "d002", [])], 2))
+    out2, out3 = str(tmp_path / "o2"), str(tmp_path / "o3")
+    m2 = export_training(tb, out2, cap=CAP, epoch="v1")
+    m3 = export_training(tb, out3, cap=CAP)  # current state
+    assert _got_chunks(out1) == _got_chunks(out2)
+    assert m1["total_tokens"] == m2["total_tokens"]
+    assert m1["epoch"] == m2["epoch"] == 1 and m3["epoch"] == 2
+    assert _got_chunks(out3) != _got_chunks(out1)
+
+
 def test_crashed_export_debris_refused(tmp_path):
     """An out_dir holding files but no marker (a crashed export) is
     refused — re-running into it would merge stale chunks into the new
