@@ -190,6 +190,10 @@ def main(argv: list[str] | None = None) -> int:
     ck.add_argument("--table", required=True)
     ck.add_argument("--against", default=None,
                     help="second table dir: report per-table digests + equal flag")
+    ck.add_argument("--at", default=None, metavar="EPOCH_OR_TAG",
+                    help="digest --table as of a retained epoch or tag")
+    ck.add_argument("--against-at", default=None, metavar="EPOCH_OR_TAG",
+                    help="digest --against as of a retained epoch or tag")
     ck.add_argument("--partitions", action="store_true",
                     help="include per-partition digests in the output")
 
@@ -611,12 +615,14 @@ def main(argv: list[str] | None = None) -> int:
         elif args.cmd == "checksum":
             from gamechanger_data_ray.engine.maintenance import table_checksums
 
-            mine = table_checksums(args.table)
+            mine = table_checksums(args.table,
+                                   epoch=_epoch_arg(args.table, args.at))
             out = {"table": args.table, "rows": mine["rows"], "digest": mine["digest"]}
             if args.partitions:
                 out["by_partition"] = mine["by_partition"]
             if args.against:
-                other = table_checksums(args.against)
+                other = table_checksums(
+                    args.against, epoch=_epoch_arg(args.against, args.against_at))
                 out["against"] = {"table": args.against, "rows": other["rows"],
                                   "digest": other["digest"]}
                 out["equal"] = mine["digest"] == other["digest"]

@@ -632,7 +632,7 @@ def _scan_resolved(table_dir: str, current: mf.TableManifest, fs, check):
 _DIGEST_BYTES = 32
 
 
-def table_checksums(table_dir: str, fs=None) -> dict:
+def table_checksums(table_dir: str, fs=None, epoch=None) -> dict:
     """Anti-entropy content digests for the committed snapshot.
 
     Per row: sha256 over the canonical serialization of EVERY committed
@@ -656,8 +656,13 @@ def table_checksums(table_dir: str, fs=None) -> dict:
 
     from ..state.fs import default_fs
 
+    from .cdc import _resolve_manifest
+
     fs = default_fs(fs)
-    current = mf.load_current(table_dir, fs)
+    # epoch: None = committed; int/tag = as-of a retained manifest — so a
+    # pinned release verifies against its replica long after both tables
+    # have moved on
+    current = _resolve_manifest(table_dir, epoch, fs)
     zero = bytes(_DIGEST_BYTES)
     if current is None or not current.partitions:
         return {"rows": 0, "digest": zero.hex(), "by_partition": {}}

@@ -73,6 +73,31 @@ def test_point_lookup_as_of_epoch_and_tag(tmp_path):
         assert read_keys(tb, [k]).num_rows == 0
 
 
+def test_checksum_as_of_tag(tmp_path):
+    """A pinned release's digest is stable however far the table moves —
+    the cross-replica verification story for training snapshots."""
+    from gamechanger_data_ray.engine.maintenance import table_checksums
+
+    tb = _table(tmp_path, epochs=3)
+    tag(tb, "rel", epoch=2)
+    d2 = table_checksums(tb, epoch="rel")["digest"]
+    d2_int = table_checksums(tb, epoch=2)["digest"]
+    cur = table_checksums(tb)["digest"]
+    assert d2 == d2_int
+    assert d2 != cur  # epoch 3 changed rows
+    # as-of digest equals the digest the table had when it WAS epoch 2:
+    # rebuild a second table up to epoch 2 only and compare
+    import os
+
+    from gamechanger_data_ray.engine.cdc import replay
+
+    cl = str(tmp_path / "cl")
+    tb2 = str(tmp_path / "tb2")
+    assert os.path.isdir(cl)
+    replay(cl, tb2, num_partitions=4, up_to_epoch=2)
+    assert table_checksums(tb2)["digest"] == d2
+
+
 def test_tag_lifecycle_and_guards(tmp_path):
     tb = _table(tmp_path, epochs=2)
     assert list_tags(tb) == {}
