@@ -180,7 +180,8 @@ def main(argv: list[str] | None = None) -> int:
 
     rs = sub.add_parser("restore", help="point-in-time rollback to an older epoch")
     rs.add_argument("--table", required=True)
-    rs.add_argument("--epoch", type=int, required=True)
+    rs.add_argument("--epoch", required=True,
+                    help="epoch number or snapshot tag name")
 
     va = sub.add_parser("validate", help="distributed schema+invariant validation of the snapshot")
     va.add_argument("--table", required=True)
@@ -295,7 +296,7 @@ def main(argv: list[str] | None = None) -> int:
     if args.cmd == "restore":
         from gamechanger_data_ray.engine.maintenance import restore
 
-        m = restore(args.table, args.epoch)
+        m = restore(args.table, _epoch_arg(args.table, args.epoch))
         print(json.dumps({"epoch": m.epoch, "rows": m.totals.get("rows")}))
         return 0
 
