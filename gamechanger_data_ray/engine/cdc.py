@@ -1150,28 +1150,53 @@ def _manifest_dataset(
 
     pieces: list[ray.data.Dataset] = []
     if plain:
-        kwargs = {} if predicate is None else {"filter": predicate}
         full_names = set(mf.schema_from_b64(full_b64).names)
-        if set(out_schema.names) == full_names:
-            file_groups = {None: plain}
+        project = set(out_schema.names) != full_names
+        if not project and predicate is None:
+            file_groups = {(None, True): plain}
         else:
             # projection pushdown: only the projected columns leave the
             # scan. Files written before a schema evolution may lack some
-            # of them (Ray's reader cannot null-fill), so group files by
+            # columns (Ray's reader cannot null-fill), so group files by
             # which projected columns their footer has — one read per
-            # schema generation; conform null-fills the rest
+            # schema generation; conform null-fills the rest. The group
+            # also records footer COMPLETENESS: a pushed-down predicate may
+            # reference an evolved column some old files lack (its names
+            # aren't introspectable from a pyarrow expression), and pushing
+            # it into such a scan errors instead of null-excluding — those
+            # groups evaluate the predicate post-conform instead.
             file_groups = {}
             for f in plain:
                 have = set(fs.read_parquet_schema(f).names)
-                cols = tuple(n for n in out_schema.names if n in have) or None
-                file_groups.setdefault(cols, []).append(f)
-        for cols, files_g in file_groups.items():
-            ds = ray.data.read_parquet(
-                files_g, filesystem=fs.fs,
-                **({} if cols is None else {"columns": list(cols)}),
-                **kwargs,
-            )
-            pieces.append(ds.map_batches(conform_batch, batch_format="pyarrow"))
+                cols = (
+                    (tuple(n for n in out_schema.names if n in have) or None)
+                    if project else None
+                )
+                file_groups.setdefault((cols, have >= full_names), []).append(f)
+        for (cols, complete), files_g in file_groups.items():
+            if predicate is None or complete:
+                ds = ray.data.read_parquet(
+                    files_g, filesystem=fs.fs,
+                    **({} if cols is None else {"columns": list(cols)}),
+                    **({} if predicate is None else {"filter": predicate}),
+                )
+                pieces.append(
+                    ds.map_batches(conform_batch, batch_format="pyarrow"))
+            else:
+                # pre-evolution file generation + predicate: read what the
+                # file has, conform to the FULL schema (null-fills evolved
+                # columns), filter post-conform (NULL rows are excluded,
+                # the documented bounds semantics), then project
+                def late_filter(t: pa.Table, _pred=predicate) -> pa.Table:
+                    import pyarrow.dataset as pads
+
+                    t = conform(t, mf.schema_from_b64(full_b64))
+                    t = pads.dataset(t).to_table(filter=_pred)
+                    return conform(t, mf.schema_from_b64(out_b64))
+
+                ds = ray.data.read_parquet(files_g, filesystem=fs.fs)
+                pieces.append(
+                    ds.map_batches(late_filter, batch_format="pyarrow"))
     if mor:
         def resolve(batch: pa.Table) -> pa.Table:
             import pyarrow.dataset as pads

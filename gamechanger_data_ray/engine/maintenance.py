@@ -284,7 +284,18 @@ def _write_tags(table_dir: str, tags: dict[str, int]) -> None:
 def tag(table_dir: str, name: str, epoch: int | None = None) -> dict[str, int]:
     """Create/move a named tag. Defaults to the committed epoch; the target
     epoch must have a retained manifest (you can't pin what vacuum already
-    dropped)."""
+    dropped). Numeric names are rejected: every epoch selector in the CLI
+    and the read paths accepts "an int OR a tag", and a tag named '2024'
+    would silently resolve as epoch 2024 instead of the pinned snapshot."""
+    try:
+        int(name)
+    except ValueError:
+        pass
+    else:
+        raise ValueError(
+            f"tag name {name!r} parses as an epoch number; numeric tag "
+            "names are ambiguous in epoch selectors — pick a non-numeric "
+            "name")
     cur = mf.load_current(table_dir)
     if cur is None:
         raise FileNotFoundError(f"no committed table at {table_dir}")
@@ -404,9 +415,15 @@ def repartition_table(
     if mf.load_current(out_dir) is not None:
         raise FileExistsError(f"repartition target already committed: {out_dir}")
     rows = read_table(table_dir)  # keeps op/lsn/seq/version_hash provenance
+    # update semantics are a TABLE property (see apply_events_dataset): the
+    # rewritten table must carry the source's update_mode, or a coalesce
+    # table comes back stamped 'replace' and subsequent coalesce replays
+    # are rejected (and replace replays silently null-wipe columns)
+    src_mode = current.epoch_counters.get("update_mode", "replace")
     m = apply_events_dataset(
         rows, out_dir, current.epoch, current.schema,
         num_partitions=new_partitions, exchange=exchange,
+        update_mode=src_mode,
     )
     if m is None:
         raise RuntimeError(f"repartition commit fenced out at {out_dir}")
@@ -677,20 +694,30 @@ def table_checksums(table_dir: str, fs=None, epoch=None) -> dict:
         for name in sorted(t.column_names):
             col = t.column(name)
             arr = col.chunk(0) if isinstance(col, pa.ChunkedArray) else col
+            # every field is length-prefixed ("<len>:<bytes>", NULL = the
+            # single byte \x00, which no prefix can start with) so the
+            # per-row serialization is INJECTIVE: a literal \x00 or \x1f in
+            # a value can no longer collide with NULL or shift field
+            # boundaries (two different rows digesting identically would
+            # let the anti-entropy compare report equal on unequal replicas)
             if pa.types.is_list(arr.type) or pa.types.is_large_list(arr.type):
                 flat = arr.flatten().to_numpy(zero_copy_only=False)
                 offs = arr.offsets.to_numpy(zero_copy_only=False)
                 offs = offs - offs[0]
                 list_bytes.append(
-                    [flat[offs[i]:offs[i + 1]].tobytes() for i in range(n)]
+                    [(lambda b: str(len(b)).encode() + b":" + b)(
+                        flat[offs[i]:offs[i + 1]].tobytes())
+                     for i in range(n)]
                 )
             else:
-                scalar_parts.append(
-                    np.asarray(arr.cast(pa.string()).fill_null("\x00").to_pandas(), dtype=object)
-                )
+                vals = arr.cast(pa.string()).to_pandas()
+                scalar_parts.append(np.asarray(
+                    [b"\x00" if v is None else
+                     (lambda b: str(len(b)).encode() + b":" + b)(
+                         v.encode("utf-8"))
+                     for v in vals], dtype=object))
         heads = [
-            "\x1f".join(vals).encode("utf-8")
-            for vals in zip(*scalar_parts)
+            b"\x1f".join(vals) for vals in zip(*scalar_parts)
         ] if scalar_parts else [b""] * n
         digests = np.frombuffer(
             b"".join(

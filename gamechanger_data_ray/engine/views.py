@@ -425,8 +425,16 @@ def lookup_terms(
     # partition scan that the per-file row-group predicate still prunes
     group_by = cur.epoch_counters.get("group_by") or []
     first_group = (group_by[0] if group_by else cur.schema.names[0])
+    # coerce the probe terms to the group column's type (so the row-group
+    # predicate compares in-type), then route through the SAME string
+    # canonicalization the fold used (_group_key casts every group column
+    # to string) — hashing a typed array directly would route int keys to
+    # the wrong partition and silently return missing rows
+    term_arr = pa.array(terms).cast(cur.schema.field(first_group).type)
+    terms = term_arr.to_pylist()
     if len(group_by) == 1:
-        pids = set(partition_ids(pa.array(terms), npart).to_pylist())
+        key_arr = _group_key(pa.table({first_group: term_arr}), (first_group,))
+        pids = set(partition_ids(key_arr, npart).to_pylist())
         files = [
             os.path.join(view_dir, cur.partitions[str(p)]["file"])
             for p in sorted(pids)

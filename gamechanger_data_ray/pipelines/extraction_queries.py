@@ -269,7 +269,7 @@ def _entities_oracle() -> str:
     union = "\nUNION ALL\n".join(selects)
     return (
         "WITH " + ",\n".join(ctes)
-        + "\nSELECT doc_id, entity, ent_type, SUM(n) AS n_mentions FROM ("
+        + "\nSELECT doc_id, entity, ent_type, CAST(SUM(n) AS BIGINT) AS n_mentions FROM ("
         + union
         + ") GROUP BY doc_id, entity, ent_type HAVING SUM(n) > 0"
     )
