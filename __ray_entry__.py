@@ -12,8 +12,8 @@ training-data/token pipelines and the extraction operators lead, the
 long-green relational tail follows. Operators whose registered face was
 merged or rotated out (q6, topk_part_types, sliding window, split
 text/multimodal variants, events_date_features, filter_project_rename,
-docs_explode_words, events_running_total, …) remain implemented +
-pytest-oracled in
+docs_explode_words, events_running_total, text_heuristics, …) remain
+implemented + pytest-oracled in
 their modules; tests/test_queries.py checks the full module oracle set,
 not just the registered subset.
 
@@ -65,7 +65,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "training_data_pipeline": T.training_data_pipeline_q,
         "tokenize_documents": T.tokenize_documents_q,
         "doc_token_counts": T.doc_token_counts,
-        "pack_token_chunks": T.pack_token_chunks,
+        "pack_token_chunks": T.pack_token_chunks_q,
         "docs_pack_assignment": T.docs_pack_assignment,
         "ntok_quantiles": T.ntok_quantiles,
         "vocab_topk": T.vocab_topk,
@@ -91,14 +91,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hot_keys_countmin": I.hot_keys_countmin,
         # --- text analysis / dedup / similarity / multimodal ---
         "text_metrics": A.text_metrics,
-        "text_heuristics": A.text_heuristics,
+        "dedup_token_spans": A.dedup_token_spans_q,
         "dedup_exact": A.dedup_exact,
         "dedup_minhash_lsh": A.dedup_minhash_lsh,
         "dedup_tokens_minhash": A.dedup_tokens_minhash,
         "dedup_simhash": A.dedup_simhash,
         "dedup_ngram_jaccard": A.dedup_ngram_jaccard,
         "ann_topk_cosine": A.ann_topk_cosine,
-        "ann_ivf": A.ann_ivf,
+        "ann_ivf": A.ann_ivf_q,
         "embedding_dedup_cosine": A.embedding_dedup_cosine,
         "multimodal_pipeline": A.multimodal_pipeline,
         # --- relational / windowed / joins ---
@@ -141,9 +141,12 @@ def all_module_oracles() -> dict[str, str]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-equivalent SQL per REGISTERED query (omitted for
-    heuristic/approximate ops — langid/fingerprint, MinHash/SimHash/IVF
-    pair sets, sketches — which the driver records as rows-only checks;
-    those are verified against pure-python oracles in tests/)."""
+    """DuckDB-equivalent SQL per REGISTERED query. Omitted only for
+    genuinely approximate ops — HLL distinct and the MinHash/SimHash
+    candidate-pair sets — which the driver records as rows-only checks;
+    those are verified against pure-python oracles in tests/. Exact ops
+    that merely USE a sketch or an index (hot_keys_countmin's CMS-prune +
+    exact-verify, ann_ivf's probe-all face, dedup_ngram_jaccard's
+    inverted index, dedup_token_spans' rolling hash) DO carry oracles."""
     registered = set(queries())
     return {k: v for k, v in all_module_oracles().items() if k in registered}

@@ -294,6 +294,102 @@ def dedup_token_spans(sf_dir: str, window: int = 16):
     return out.sort_values("span_hash").reset_index(drop=True)
 
 
+def _arith_token_corpus(sf_dir: str) -> ray.data.Dataset:
+    """(doc_id, tokens) corpus + truncated near-copies, derived
+    arithmetically from ``documents.doc_id`` (token j of base doc d =
+    (d·31 + j·7) % 50257, n_tok = 1 + (d·13) % 97; docs with
+    doc_id%10==0 get a copy at doc_id+offset keeping max(16, 90%) of the
+    tokens) — SQL-constructible, unlike :func:`_token_corpus`'s numpy-RNG
+    payload, so the span-dedup face below gets a real DuckDB oracle."""
+    from .tokens import arith_tokens
+
+    ds = cm.read(sf_dir, "documents", columns=["doc_id"])
+
+    def gen(t: pa.Table) -> pa.Table:
+        did = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        m = 1 + (did * 13) % 97
+        cmask = did % 10 == 0
+        base = np.concatenate([did, did[cmask]])
+        out_id = np.concatenate([did, did[cmask] + _COPY_OFFSET])
+        out_m = np.concatenate([m, np.maximum(16, (m[cmask] * 9) // 10)])
+        return pa.table({
+            "doc_id": pa.array(out_id, pa.int64()),
+            "tokens": arith_tokens(base, out_m),
+        })
+
+    return ds.map_batches(gen, batch_format="pyarrow")
+
+
+def dedup_token_spans_q(sf_dir: str, window: int = 16):
+    """Driver-checkable face of :func:`dedup_token_spans` (Lee et al.
+    windowed span dedup): the SAME vectorized rolling-hash + per-batch
+    combiner + routed groupby machinery over the arithmetic corpus,
+    projected per doc to (n_dup_spans, n_dup_occ) — the count of this
+    doc's distinct ``window``-token spans that also appear in ≥1 other
+    doc, and their total occurrences. Hash values never leave the
+    pipeline, so the DuckDB oracle recomputes with literal window strings
+    (the 64-bit-collision caveat of ``stages/dedup.py`` applies —
+    collision-free at any testdata scale)."""
+    partials = _arith_token_corpus(sf_dir).map_batches(
+        lambda t: dd.span_partials(t, window), batch_format="pyarrow"
+    )
+
+    def add_route(df: pd.DataFrame, num_routes: int = 256) -> pd.DataFrame:
+        df = df.copy()
+        df["_route"] = (df["span_hash"].to_numpy().astype(np.uint64)
+                        % np.uint64(num_routes)).astype("int64")
+        return df
+
+    def per_doc_partial(g: pd.DataFrame) -> pd.DataFrame:
+        # (span_hash, doc_id) rows are globally unique (one corpus row per
+        # doc ⇒ one combiner row), so distinct-doc count == row count
+        g = g.drop(columns=["_route"])
+        sz = g.groupby("span_hash")["doc_id"].transform("size")
+        g = g[sz >= 2]
+        return g.groupby("doc_id", as_index=False).agg(
+            n_dup_spans=("span_hash", "size"), n_dup_occ=("occ", "sum"))
+
+    routed = (
+        partials.map_batches(add_route, batch_format="pandas")
+        .groupby("_route").map_groups(per_doc_partial, batch_format="pandas")
+    )
+    # a doc's spans hash into many routes → distributed sum by doc
+    out = cm.routed_grouped_agg(
+        routed, ["doc_id"], {"n_dup_spans": "sum", "n_dup_occ": "sum"}
+    ).to_pandas()
+    return (out.astype({"doc_id": "int64", "n_dup_spans": "int64",
+                        "n_dup_occ": "int64"})
+            .sort_values("doc_id").reset_index(drop=True))
+
+
+ORACLES["dedup_token_spans"] = f"""
+WITH docs AS (SELECT doc_id, 1 + (doc_id * 13) % 97 AS m FROM documents),
+corpus AS (
+  SELECT doc_id, doc_id AS base, m FROM docs
+  UNION ALL
+  SELECT doc_id + {_COPY_OFFSET}, doc_id, GREATEST(16, (m * 9) // 10)
+  FROM docs WHERE doc_id % 10 = 0
+), tok AS (
+  SELECT doc_id, j, (base * 31 + j * 7) % 50257 AS tokval
+  FROM corpus, unnest(range(m)) AS t(j)
+), win AS (
+  SELECT doc_id,
+         string_agg(tokval, ',') OVER (PARTITION BY doc_id ORDER BY j
+            ROWS BETWEEN CURRENT ROW AND 15 FOLLOWING) AS wkey,
+         COUNT(*) OVER (PARTITION BY doc_id ORDER BY j
+            ROWS BETWEEN CURRENT ROW AND 15 FOLLOWING) AS wlen
+  FROM tok
+), occ AS (
+  SELECT doc_id, wkey, CAST(COUNT(*) AS BIGINT) AS occ
+  FROM win WHERE wlen = 16 GROUP BY 1, 2
+), shared AS (SELECT wkey FROM occ GROUP BY wkey HAVING COUNT(*) >= 2)
+SELECT o.doc_id, CAST(COUNT(*) AS BIGINT) AS n_dup_spans,
+       CAST(SUM(o.occ) AS BIGINT) AS n_dup_occ
+FROM occ o JOIN shared s USING (wkey)
+GROUP BY 1
+"""
+
+
 def dedup_simhash(sf_dir: str, max_hamming: int = 8):
     """SimHash near-dup pairs via 16-bit chunk bucketing (rows-only)."""
     ds = _with_near_copies(sf_dir)
@@ -339,52 +435,129 @@ def dedup_simhash(sf_dir: str, max_hamming: int = 8):
     return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
 
-def dedup_ngram_jaccard(sf_dir: str, tau: float = 0.6):
-    """Exact word-3-gram Jaccard verification of LSH candidates (rows-only;
-    the exact-verify tail of the MinHash pipeline). The candidate PAIR
-    LIST (already reduced by LSH) hash-joins back to the corpus on each
-    end to fetch the two texts — the corpus itself never materializes on
-    the driver and never broadcasts; Jaccard is computed per pair inside
-    ``map_batches``."""
+def dedup_ngram_jaccard(
+    sf_dir: str, tau_num: int = 3, tau_den: int = 5, k: int = 3,
+    max_posting: int = 10_000,
+):
+    """EXACT word-k-gram Jaccard near-dup pairs via a distributed shingle
+    inverted index (no LSH approximation — this is the exact-dedup
+    counterpart of :func:`dedup_minhash_lsh`):
+
+    1. per-doc DISTINCT shingles → (shingle, doc_id) posting rows and
+       per-doc shingle counts, both computed in the same pass (each doc
+       lives in one batch);
+    2. routed groupby(shingle): a vectorized self-merge per route expands
+       each posting into co-occurring pairs — one pandas merge per route,
+       not one python loop per shingle. Postings longer than
+       ``max_posting`` (stopword shingles; quadratic pair bombs) are
+       dropped — none exist in testdata (max posting = 7 at sf0.01), at
+       open-corpus scale the cap trades those shingles' contribution for
+       boundedness like ``stages/dedup.py``'s LSH bucket cap;
+    3. routed groupby(id_a, id_b) sums |A∩B|; two bucketed hash joins
+       fetch |A| and |B| (the corpus never lands on the driver);
+    4. the τ-threshold test runs in INTEGER arithmetic
+       (n_inter·tau_den ≥ tau_num·n_union) so no float rounding enters
+       the driver hash. Output (id_a, id_b, n_inter, n_union);
+       jaccard = n_inter/n_union ≥ tau_num/tau_den (default 3/5 = 0.6).
+    """
     from .joins import bucketed_hash_join
 
-    cand = dedup_minhash_lsh(sf_dir, tau=0.3)
-    if cand.empty:
-        return pd.DataFrame({"id_a": [], "id_b": [], "jaccard": []})
-    pairs = ray.data.from_arrow(
-        pa.table({"id_a": pa.array(cand["id_a"]), "id_b": pa.array(cand["id_b"])})
-    )
     corpus = _with_near_copies(sf_dir)
-    text_a = corpus.map_batches(
-        lambda t: pa.table({"id_a": t["doc_id"], "text_a": t["text"]}),
-        batch_format="pyarrow",
-    )
-    text_b = corpus.map_batches(
-        lambda t: pa.table({"id_b": t["doc_id"], "text_b": t["text"]}),
-        batch_format="pyarrow",
-    )
-    j = bucketed_hash_join(pairs, text_a, on="id_a", num_buckets=16)
-    j = j.map_batches(
-        lambda df: pa.table(
-            {"id_a": pa.array(df["id_a"]), "id_b": pa.array(df["id_b"]),
-             "text_a": pa.array(df["text_a"], pa.string())}
-        ),
-        batch_format="pandas",
-    )
-    j = bucketed_hash_join(j, text_b, on="id_b", num_buckets=16)
 
-    def jac(df: pd.DataFrame) -> pd.DataFrame:
-        if df.empty:
-            return pd.DataFrame({"id_a": [], "id_b": [], "jaccard": []})
-        v = [
-            round(dd.exact_jaccard(a, b), 6)
-            for a, b in zip(df["text_a"], df["text_b"])
-        ]
-        out = df[["id_a", "id_b"]].assign(jaccard=v)
-        return out[out["jaccard"] >= tau]
+    def shingle_rows(df: pd.DataFrame) -> pd.DataFrame:
+        rows_d, rows_s = [], []
+        for did, text in zip(df["doc_id"], df["text"]):
+            sh = set(dd.word_shingles(text, k))
+            rows_d.extend([did] * len(sh))
+            rows_s.extend(sh)
+        return pd.DataFrame({
+            "doc_id": pd.Series(rows_d, dtype="int64"),
+            "s": pd.Series(rows_s, dtype="object"),
+        })
 
-    out = j.map_batches(jac, batch_format="pandas").to_pandas()
+    def size_rows(df: pd.DataFrame) -> pd.DataFrame:
+        n = [len(set(dd.word_shingles(t, k))) for t in df["text"]]
+        return pd.DataFrame({"doc_id": df["doc_id"].astype("int64").to_numpy(),
+                             "n_sh": pd.Series(n, dtype="int64")})
+
+    postings = corpus.map_batches(shingle_rows, batch_format="pandas")
+    sizes = corpus.map_batches(size_rows, batch_format="pandas")
+
+    def add_route(df: pd.DataFrame, num_routes: int = 256) -> pd.DataFrame:
+        df = df.copy()
+        h = pd.util.hash_pandas_object(df["s"], index=False)
+        df["_route"] = (h % num_routes).astype("int64")
+        return df
+
+    def pairs_in_route(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns=["_route"])
+        # kill singleton + oversized postings vectorized
+        sz = g.groupby("s")["doc_id"].transform("size")
+        g = g[(sz >= 2) & (sz <= max_posting)]
+        if g.empty:
+            return pd.DataFrame({"id_a": pd.Series(dtype="int64"),
+                                 "id_b": pd.Series(dtype="int64"),
+                                 "n_inter": pd.Series(dtype="int64")})
+        m = g.merge(g, on="s", suffixes=("_a", "_b"))
+        m = m[m["doc_id_a"] < m["doc_id_b"]]
+        out = (m.groupby(["doc_id_a", "doc_id_b"], as_index=False)
+                .agg(n_inter=("s", "size")))
+        return out.rename(columns={"doc_id_a": "id_a", "doc_id_b": "id_b"})
+
+    # shingles of one pair land in many routes → second routed sum by pair
+    partial_pairs = (
+        postings.map_batches(add_route, batch_format="pandas")
+        .groupby("_route").map_groups(pairs_in_route, batch_format="pandas")
+    )
+    pairs = cm.routed_grouped_agg(partial_pairs, ["id_a", "id_b"],
+                                  {"n_inter": "sum"})
+
+    size_a = sizes.map_batches(
+        lambda df: df.rename(columns={"doc_id": "id_a", "n_sh": "n_a"}),
+        batch_format="pandas")
+    size_b = sizes.map_batches(
+        lambda df: df.rename(columns={"doc_id": "id_b", "n_sh": "n_b"}),
+        batch_format="pandas")
+    j = bucketed_hash_join(pairs, size_a, on="id_a", num_buckets=16)
+    j = j.map_batches(lambda df: df[["id_a", "id_b", "n_inter", "n_a"]],
+                      batch_format="pandas")
+    j = bucketed_hash_join(j, size_b, on="id_b", num_buckets=16)
+
+    def threshold(df: pd.DataFrame) -> pd.DataFrame:
+        u = (df["n_a"] + df["n_b"] - df["n_inter"]).astype("int64")
+        out = df.assign(n_union=u)[["id_a", "id_b", "n_inter", "n_union"]]
+        out = out[out["n_inter"] * tau_den >= tau_num * out["n_union"]]
+        return out.astype({"id_a": "int64", "id_b": "int64",
+                           "n_inter": "int64", "n_union": "int64"})
+
+    out = j.map_batches(threshold, batch_format="pandas").to_pandas()
     return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+ORACLES["dedup_ngram_jaccard"] = f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {_COPY_OFFSET},
+         array_to_string(list_slice(string_split(text, ' '), 1,
+                                    len(string_split(text, ' ')) - 5), ' ')
+  FROM documents WHERE doc_id % 10 = 0
+), w AS (SELECT doc_id, string_split(text, ' ') AS w FROM corpus),
+sh AS (
+  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+  FROM w, unnest(range(1, len(w) - 1)) AS t(i)
+), sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(COUNT(*) AS BIGINT) AS n_inter
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT i.id_a, i.id_b, i.n_inter,
+       CAST(sa.n + sb.n - i.n_inter AS BIGINT) AS n_union
+FROM inter i JOIN sizes sa ON sa.doc_id = i.id_a
+             JOIN sizes sb ON sb.doc_id = i.id_b
+WHERE i.n_inter * 5 >= 3 * (sa.n + sb.n - i.n_inter)
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -477,6 +650,19 @@ def ann_ivf(sf_dir: str, nprobe: int = 3, n_clusters: int = 16):
     )
     out = sim.global_topk(cands.to_pandas(), _TOPK)
     return out
+
+
+def ann_ivf_q(sf_dir: str):
+    """Driver-checkable face of :func:`ann_ivf`: probing EVERY list
+    (nprobe = n_clusters) makes IVF exhaustive, so the result must EQUAL
+    brute-force top-k exactly — same oracle as ``ann_topk_cosine``. The
+    full machinery (sampled k-means, IVFAssigner actor pool, probe-set
+    bucket filter, per-batch top-k, global merge) still runs; the pruned
+    nprobe=3 recall is asserted in tests/test_text_similarity.py."""
+    return ann_ivf(sf_dir, nprobe=16, n_clusters=16)
+
+
+ORACLES["ann_ivf"] = ORACLES["ann_topk_cosine"]
 
 
 def ann_lsh(sf_dir: str, n_planes: int = 6):

@@ -228,13 +228,24 @@ def distinct_users_hll(sf_dir: str, p: int = 12):
     return pd.DataFrame({"approx_distinct_users": [round(merged.estimate())]})
 
 
-def hot_keys_countmin(sf_dir: str, topk: int = 5):
-    """Heavy-hitter detection via Count-Min: per-batch partial sketches +
-    per-batch local top candidates, sketches summed on the driver (fixed
-    memory), candidates re-estimated against the merged sketch → top-k
-    hot user_ids. The skew monitor a 10^10-event replay would feed its
-    partitioning decisions from. Approximate (rows-only driver check);
-    exact-top-k containment asserted in tests/test_sketch.py."""
+def hot_keys_countmin(sf_dir: str, threshold: int = 70):
+    """Heavy hitters (keys with ≥ ``threshold`` events) via Count-Min
+    sketch-prune + exact-verify — the skew monitor a 10^10-event replay
+    feeds its salting decisions from, as an EXACT (driver-hashable) op:
+
+    pass 1: per-batch CMS partials (fixed 4×4096 memory each), elementwise-
+            summed on the driver — O(#batches) fixed-size rows, never keys;
+    pass 2: per-batch local value_counts, keys pruned by the broadcast
+            merged sketch's estimate ≥ threshold. CMS never UNDER-counts,
+            so the candidate set is a superset of the true heavy hitters
+            and the prune is loss-free; it is also tiny, because the
+            threshold cuts the unbounded key space to the hot tail. The
+            surviving partial counts take one routed sum, and the final
+            exact filter drops CMS false positives.
+
+    Output (user_id, n_events) is EXACT — the sketch only prunes, so the
+    DuckDB oracle is a plain GROUP BY ... HAVING. One-sided-error and
+    merge==bulk sketch properties stay in tests/test_sketch.py."""
     import numpy as np
 
     from ..core.hashing import fnv1a64
@@ -247,27 +258,44 @@ def hot_keys_countmin(sf_dir: str, topk: int = 5):
         col = pc.cast(t["user_id"], pa.string())
         col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
         cm_sk.add_many(fnv1a64(col))
-        # local candidates: this batch's most frequent keys
-        vc = pd.Series(col.to_pylist()).value_counts().head(4 * topk)
-        return pa.table(
-            {
-                "table": pa.array([cm_sk.table.tobytes()], pa.binary()),
-                "cands": pa.array([list(vc.index)], pa.list_(pa.string())),
-            }
-        )
+        return pa.table({"table": pa.array([cm_sk.table.tobytes()], pa.binary())})
 
     merged = CountMin()
-    cands: set[str] = set()
     for b in ds.map_batches(partial, batch_format="pyarrow").iter_batches(
         batch_format="pyarrow"
     ):
-        for raw, cl_ in zip(b["table"].to_pylist(), b["cands"].to_pylist()):
+        for raw in b["table"].to_pylist():
             other = CountMin()
             other.table = np.frombuffer(raw, dtype=np.int64).reshape(other.table.shape).copy()
             merged = merged.merge(other)
-            cands.update(cl_)
-    cand_arr = pa.array(sorted(cands), pa.string())
-    est = merged.estimate_many(fnv1a64(cand_arr))
-    out = pd.DataFrame({"user_id": cand_arr.to_pylist(), "est_count": est})
-    out = out.sort_values(["est_count", "user_id"], ascending=[False, True]).head(topk)
-    return out.reset_index(drop=True)
+    sk_ref = cm.broadcast(merged.table)
+
+    class CandidateCounter:
+        """Per-batch exact counts of sketch-candidate keys only."""
+
+        def __init__(self):
+            self.sk = CountMin()
+            self.sk.table = __import__("ray").get(sk_ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            vc = df.groupby("user_id", as_index=False).agg(
+                n_events=("user_id", "size"))
+            keys = pa.array(vc["user_id"].astype(str), pa.string())
+            est = self.sk.estimate_many(fnv1a64(keys))
+            out = vc[est >= threshold]
+            return out.astype({"user_id": "int64", "n_events": "int64"})
+
+    cand = ds.map_batches(CandidateCounter, batch_format="pandas",
+                          concurrency=(1, cm.pool_size()))
+    summed = cm.routed_grouped_agg(cand, ["user_id"], {"n_events": "sum"})
+    out = summed.map_batches(
+        lambda df: df[df["n_events"] >= threshold], batch_format="pandas"
+    ).to_pandas()
+    return (out.astype({"user_id": "int64", "n_events": "int64"})
+            .sort_values("user_id").reset_index(drop=True))
+
+
+ORACLES["hot_keys_countmin"] = """
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events
+FROM events GROUP BY user_id HAVING COUNT(*) >= 70
+"""

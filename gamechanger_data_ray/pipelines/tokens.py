@@ -360,6 +360,75 @@ def token_table(sf_dir: str) -> pa.Table:
     )
 
 
+def arith_tokens(base: np.ndarray, m: np.ndarray) -> pa.ListArray:
+    """Vectorized arithmetic token payload: token j of base doc d =
+    (d·31 + j·7) % 50257, m tokens per row — the SQL-constructible
+    pre-tokenized corpus (DuckDB rebuilds it with range()+unnest, see
+    ORACLES["pack_token_chunks"]), shaped per BASELINE.json's input_hint
+    (tokens:list<int32>). One numpy pass, no per-row python."""
+    offs = np.zeros(len(base) + 1, dtype=np.int64)
+    np.cumsum(m, out=offs[1:])
+    total = int(offs[-1])
+    j = np.arange(total, dtype=np.int64) - np.repeat(offs[:-1], m)
+    flat = (np.repeat(base * 31, m) + j * 7) % 50257
+    return pa.ListArray.from_arrays(
+        pa.array(offs, pa.int32()), pa.array(flat.astype(np.int32), pa.int32())
+    )
+
+
+def synth_token_stream(sf_dir: str) -> ray.data.Dataset:
+    """Sized tokens Dataset (doc_id, tokens, n_tok, bucket) derived
+    arithmetically from ``documents.doc_id`` (n_tok = 1 + (d·13) % 97) —
+    the generator-free corpus the driver's DuckDB oracle can rebuild,
+    unlike :func:`token_table`'s numpy-RNG payload."""
+    ds = cm.read(sf_dir, "documents", columns=["doc_id"])
+
+    def gen(t: pa.Table) -> pa.Table:
+        did = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        m = 1 + (did * 13) % 97
+        return pa.table({
+            "doc_id": pa.array(did, pa.int64()),
+            "tokens": arith_tokens(did, m),
+            "n_tok": pa.array(m, pa.int64()),
+            "bucket": pa.array(did // _RANGE_WIDTH, pa.int64()),
+        })
+
+    return ds.map_batches(gen, batch_format="pyarrow")
+
+
+def pack_token_chunks_q(sf_dir: str, cap: int = PACK_CAP):
+    """Driver-checkable face of :func:`pack_token_chunks`: the SAME
+    distributed concat-and-chunk plan (:func:`chunk_sized_tokens` —
+    prefix-sum offsets, self-slicing docs, range-grouped zero-copy
+    assembly) over the arithmetic corpus, projected to
+    (chunk_id, n_tok, checksum) with the positional checksum. Byte-level
+    chunk equality vs a serial numpy oracle stays in
+    tests/test_tokens_pipelines.py."""
+    chunks = chunk_sized_tokens(synth_token_stream(sf_dir), cap)
+
+    def project(df: pd.DataFrame) -> pd.DataFrame:
+        out = _checksum_frame(df["chunk_id"], "chunk_id", df["tokens"])
+        out.insert(1, "n_tok", df["n_tok"].astype("int64").to_numpy())
+        return out
+
+    return chunks.map_batches(project, batch_format="pandas")
+
+
+ORACLES["pack_token_chunks"] = f"""
+WITH docs AS (SELECT doc_id, 1 + (doc_id * 13) % 97 AS m FROM documents),
+toks AS (SELECT doc_id, unnest(range(m)) AS j FROM docs),
+stream AS (
+  SELECT (doc_id * 31 + j * 7) % 50257 AS token_id,
+         ROW_NUMBER() OVER (ORDER BY doc_id, j) - 1 AS gpos
+  FROM toks
+)
+SELECT CAST(gpos // {PACK_CAP} AS BIGINT) AS chunk_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tok,
+       CAST(SUM(token_id * ((gpos % {PACK_CAP}) + 1)) AS BIGINT) AS checksum
+FROM stream GROUP BY 1
+"""
+
+
 def pack_token_chunks(sf_dir: str, cap: int = PACK_CAP):
     """Concat-and-chunk packing: the token streams of all docs (in doc_id
     order) concatenated and cut into fixed ``cap``-length training
