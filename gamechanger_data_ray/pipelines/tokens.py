@@ -69,20 +69,62 @@ GROUP BY word ORDER BY n DESC, word LIMIT 50
 
 def _full_vocab(sf_dir: str) -> pd.DataFrame:
     """word → token_id, id = dense rank by (global freq desc, word asc) —
-    the vocabulary-build pass of a tokenizer. Distributed partial counts;
-    the finish ranks O(|vocab|) rows on the driver (swap for a
-    distributed sort at open-vocabulary scale)."""
+    the vocabulary-build pass of a tokenizer, fully distributed:
+
+    partial counts → routed distributed sum (one row per word, never on
+    the driver) → bucket by (n, first byte): within a bucket the global
+    rank order is purely alphabetical, so rank = bucket base offset +
+    local sort position — the same prefix-sum trick as
+    :func:`_bucket_base_offsets`. The driver scan is O(#buckets), and
+    #distinct counts is O(√total_tokens) (Σ of distinct count values ≤
+    total), NOT O(|vocab|). The final ``to_pandas`` materializes only the
+    finished (word, token_id) table, which every Tokenizer actor needs as
+    a broadcast dict anyway — bounded like any real tokenizer vocab."""
     ds = cm.read(sf_dir, "documents", columns=["text"])
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         words = df["text"].str.split(" ").explode()
         return words.value_counts().rename_axis("word").reset_index(name="n")
 
-    partials = ds.map_batches(partial, batch_format="pandas").to_pandas()
-    vocab = partials.groupby("word", as_index=False)["n"].sum()
-    vocab = vocab.sort_values(["n", "word"], ascending=[False, True]).reset_index(drop=True)
-    vocab["token_id"] = np.arange(len(vocab), dtype=np.int64)
-    return vocab[["word", "token_id"]]
+    counts = cm.routed_grouped_agg(
+        ds.map_batches(partial, batch_format="pandas"), ["word"], {"n": "sum"}
+    )
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        first = df["word"].str.slice(0, 1)
+        return pd.DataFrame({
+            "word": df["word"].to_numpy(),
+            "n": df["n"].astype("int64").to_numpy(),
+            "b": first.map(lambda s: ord(s) if s else 0).astype("int64").to_numpy(),
+        })
+
+    keyed = counts.map_batches(add_bucket, batch_format="pandas")
+    keyed = keyed.materialize()  # prefix-sum is two-pass: sizes, then rank
+
+    sizes = (
+        keyed.map_batches(
+            lambda df: df.groupby(["n", "b"], as_index=False).agg(
+                cnt=("word", "size")),
+            batch_format="pandas",
+        )
+        .to_pandas()  # O(#buckets × #blocks) rows — count metadata, not words
+        .groupby(["n", "b"], as_index=False)["cnt"].sum()
+        .sort_values(["n", "b"], ascending=[False, True])
+    )
+    offs = np.concatenate([[0], sizes["cnt"].to_numpy().cumsum()[:-1]])
+    base_ref = cm.broadcast(dict(zip(zip(sizes["n"], sizes["b"]), offs)))
+
+    def rank_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        base = ray.get(base_ref)[(int(g["n"].iloc[0]), int(g["b"].iloc[0]))]
+        g = g.sort_values("word")
+        return pd.DataFrame({
+            "word": g["word"].to_numpy(),
+            "token_id": base + np.arange(len(g), dtype=np.int64),
+        })
+
+    ranked = keyed.groupby(["n", "b"]).map_groups(
+        rank_bucket, batch_format="pandas")
+    return ranked.to_pandas()
 
 
 class Tokenizer:
