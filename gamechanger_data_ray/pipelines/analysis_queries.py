@@ -390,25 +390,32 @@ GROUP BY 1
 """
 
 
-def dedup_simhash(sf_dir: str, max_hamming: int = 8):
-    """SimHash near-dup pairs via 16-bit chunk bucketing (rows-only)."""
+def dedup_simhash(sf_dir: str, max_hamming: int = 8, max_bucket: int = 200):
+    """SimHash near-dup pairs via 16-bit chunk bucketing (rows-only).
+
+    Buckets are capped at ``max_bucket`` members (same skew guard as the
+    MinHash path, :func:`..stages.dedup.bucket_pairs`): N near-identical
+    boilerplate docs would otherwise all land in one chunk bucket and
+    cost O(N²). Within a bucket the hamming distances are one vectorized
+    XOR + popcount matrix, not a per-pair Python loop."""
     ds = _with_near_copies(sf_dir)
     hashed = ds.map_batches(dd.SimHasher, batch_format="pandas", concurrency=(1, cm.pool_size()))
     chunks = hashed.map_batches(dd.simhash_chunks, batch_format="pandas")
 
     def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        import itertools
-
-        rows = g.drop_duplicates("doc_id")[["doc_id", "simhash"]].values.tolist()
-        out_a, out_b, ham = [], [], []
-        for (ida, ha), (idb, hb) in itertools.combinations(sorted(rows), 2):
-            d = dd.hamming64(int(ha), int(hb))
-            if d <= max_hamming:
-                out_a.append(ida)
-                out_b.append(idb)
-                ham.append(d)
-        return pd.DataFrame({"id_a": out_a, "id_b": out_b, "hamming": ham}).astype(
-            {"id_a": "int64", "id_b": "int64", "hamming": "int64"}
+        sub = g.drop_duplicates("doc_id").sort_values("doc_id").iloc[:max_bucket]
+        ids = sub["doc_id"].to_numpy(dtype=np.int64)
+        hs = sub["simhash"].to_numpy(dtype=np.int64).view(np.uint64)
+        n = len(ids)
+        x = hs[:, None] ^ hs[None, :]  # (n, n) uint64
+        d = np.unpackbits(x.view(np.uint8).reshape(n, n, 8), axis=2).sum(
+            axis=2, dtype=np.int64
+        )
+        ia, ib = np.triu_indices(n, k=1)
+        keep = d[ia, ib] <= max_hamming
+        return pd.DataFrame(
+            {"id_a": ids[ia[keep]], "id_b": ids[ib[keep]],
+             "hamming": d[ia, ib][keep]}
         )
 
     def routed_pairs(g: pd.DataFrame) -> pd.DataFrame:

@@ -215,3 +215,32 @@ def test_dedup_clusters_links_near_copies(ray_session):
     grp = out.reset_index().groupby("cluster")["doc_id"].min()
     for cluster, mn in grp.items():
         assert cluster == mn
+
+
+def test_simhash_boilerplate_bucket_cap(tmp_path):
+    """1000 near-identical boilerplate docs all land in the same chunk
+    buckets; the max_bucket cap must keep the pair pass bounded instead
+    of exploding to ~half a million Python pairs."""
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from gamechanger_data_ray.pipelines.analysis_queries import dedup_simhash
+
+    boiler = " ".join(f"w{i % 37}" for i in range(120))
+    n = 1000
+    pq.write_table(
+        pa.table({
+            "doc_id": pa.array(range(1, n + 1), pa.int64()),
+            "text": pa.array([boiler] * n),
+        }),
+        str(tmp_path / "documents.parquet"),
+    )
+    t0 = time.monotonic()
+    pairs = dedup_simhash(str(tmp_path), max_bucket=200)
+    elapsed = time.monotonic() - t0
+    # cap bounds output: <= C(200,2) per bucket, deduped across buckets
+    assert 0 < len(pairs) <= 200 * 199 // 2
+    assert (pairs["hamming"] == 0).all()
+    assert elapsed < 60, f"bucket cap failed to bound the pair pass: {elapsed:.1f}s"
