@@ -755,14 +755,20 @@ def ann_pq(sf_dir: str, n_sub: int = 8, n_cents: int = 64, rerank: int = 50):
 def embedding_dedup_cosine(sf_dir: str, tau: float = 0.95, n_planes: int = 6):
     """Embedding near-dup pairs (cosine ≥ tau) with seeded exact copies.
 
-    Scale plan (no whole-corpus broadcast, no O(N²) work): every vector
-    fans out to its hyperplane-LSH home bucket plus all hamming-1 probe
-    buckets (1+P rows per vector); ONE groupby(bucket) co-locates
-    candidates; within each bucket an exact home×all matmul finds pairs
-    ≥ tau; a final keyed dedup collapses pairs found via both endpoints.
-    High-cosine pairs differ in few sign bits, so hamming-1 multiprobe
-    catches boundary-plane flips; exact copies always share a bucket.
-    Raise ``n_planes`` to shrink buckets as the corpus grows."""
+    Scale plan (no whole-corpus broadcast, no O(N²) work, and the
+    payload never rides the fan-out): every vector fans out to its
+    hyperplane-LSH home bucket plus all hamming-1 probe buckets as a
+    16-byte ``(bucket, vec_id, home)`` row — the embedding itself is NOT
+    replicated 1+P times through the shuffle. ONE groupby(bucket) emits
+    candidate id pairs (home × all, id_a < id_b); a keyed dedup collapses
+    pairs found via both endpoints; two bucketed hash joins fetch each
+    endpoint's vector back exactly once; a vectorized row-wise dot scores
+    and filters ≥ tau. High-cosine pairs differ in few sign bits, so
+    hamming-1 multiprobe catches boundary-plane flips; exact copies
+    always share a bucket. Raise ``n_planes`` to shrink buckets as the
+    corpus grows."""
+    from .joins import bucketed_hash_join
+
     ds = cm.read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
 
     def with_copies(t: pa.Table) -> pa.Table:
@@ -772,7 +778,17 @@ def embedding_dedup_cosine(sf_dir: str, tau: float = 0.95, n_planes: int = 6):
         return pa.concat_tables([t, c])
 
     corpus = ds.map_batches(with_copies, batch_format="pyarrow")
-    dim = len(corpus.take(1)[0]["embedding"])
+    # dim from one row-group footer read — no pipeline execution for take(1)
+    import pyarrow.parquet as pq
+
+    import os as _os
+
+    first = next(
+        pq.ParquetFile(_os.path.join(sf_dir, "embeddings.parquet")).iter_batches(
+            batch_size=1, columns=["embedding"]
+        )
+    )
+    dim = len(first["embedding"][0])
     planes = sim.hyperplanes(dim, n_planes)
     planes_ref = cm.broadcast(planes)
 
@@ -789,40 +805,67 @@ def embedding_dedup_cosine(sf_dir: str, tau: float = 0.95, n_planes: int = 6):
             {
                 "bucket": buckets.astype(np.int64),
                 "vec_id": np.tile(ids, rows_per),
-                "emb": list(np.tile(m, (rows_per, 1))),
                 "home": np.repeat([True] + [False] * n_planes, len(ids)),
             }
         )
 
     fanned = corpus.map_batches(fan_out, batch_format="pyarrow")
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+    def bucket_candidates(g: pd.DataFrame) -> pd.DataFrame:
         g = g.drop_duplicates("vec_id")
-        home = g[g["home"]]
-        if home.empty or len(g) < 2:
+        home = g.loc[g["home"], "vec_id"].to_numpy(dtype=np.int64)
+        allv = g["vec_id"].to_numpy(dtype=np.int64)
+        if len(home) == 0 or len(allv) < 2:
+            return pd.DataFrame(
+                {"id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64")}
+            )
+        a = np.repeat(home, len(allv))
+        b = np.tile(allv, len(home))
+        keep = a < b  # hamming<=1 probes are symmetric: the a<b order
+        return pd.DataFrame({"id_a": a[keep], "id_b": b[keep]})  # always surfaces
+
+    # A pair surfaces at most twice (once per endpoint's home bucket), so
+    # candidate dedup is NOT worth a shuffle: carry the ≤2× duplicates
+    # through the joins and drop them on the tiny ≥tau result instead.
+    cands = fanned.groupby("bucket").map_groups(bucket_candidates, batch_format="pandas")
+
+    def vec_side(id_name: str, emb_name: str):
+        # emit an Arrow list<double> column, NOT pandas ndarray cells —
+        # ndarray cells become Ray tensor-extension arrays that the sort
+        # exchange inside the hash join cannot normalize to pandas
+        def prep(t: pa.Table) -> pa.Table:
+            m = sim.normalize_rows(sim._to_matrix(t["embedding"]))
+            offsets = pa.array(
+                np.arange(0, (len(m) + 1) * dim, dim, dtype=np.int32)
+            )
+            la = pa.ListArray.from_arrays(
+                offsets, pa.array(m.reshape(-1), pa.float64())
+            )
+            return pa.table({id_name: t["vec_id"], emb_name: la})
+
+        return corpus.map_batches(prep, batch_format="pyarrow")
+
+    joined = bucketed_hash_join(cands, vec_side("id_a", "emb_a"), on="id_a")
+    joined = bucketed_hash_join(joined, vec_side("id_b", "emb_b"), on="id_b")
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
             return pd.DataFrame(
                 {"id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64"),
                  "cosine": pd.Series(dtype="float64")}
             )
-        hm = np.vstack([np.asarray(v, dtype=np.float64) for v in home["emb"]])
-        am = np.vstack([np.asarray(v, dtype=np.float64) for v in g["emb"]])
-        sims = hm @ am.T
-        hid = home["vec_id"].to_numpy()
-        aid = g["vec_id"].to_numpy()
-        ii, jj = np.where(sims >= tau)
-        a, b = hid[ii], aid[jj]
-        keep = a < b
+        ma = np.vstack([np.asarray(v, dtype=np.float64) for v in df["emb_a"]])
+        mb = np.vstack([np.asarray(v, dtype=np.float64) for v in df["emb_b"]])
+        cos = (ma * mb).sum(axis=1)
+        keep = cos >= tau
         return pd.DataFrame(
-            {"id_a": a[keep], "id_b": b[keep],
-             "cosine": np.round(sims[ii, jj][keep], 5)}
+            {"id_a": df["id_a"].to_numpy(dtype=np.int64)[keep],
+             "id_b": df["id_b"].to_numpy(dtype=np.int64)[keep],
+             "cosine": np.round(cos[keep], 5)}
         )
 
-    pairs = fanned.groupby("bucket").map_groups(bucket_pairs, batch_format="pandas")
-    # a pair can surface from either endpoint's home bucket → keyed dedup
-    pairs = pairs.groupby(["id_a", "id_b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas"
-    )
-    df = pairs.to_pandas()
+    pairs = joined.map_batches(score, batch_format="pandas")
+    df = pairs.to_pandas().drop_duplicates(["id_a", "id_b"])
     return df.sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
 
