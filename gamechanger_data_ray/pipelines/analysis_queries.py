@@ -1017,6 +1017,138 @@ FROM (SELECT doc_id, octet_length(CAST(text AS BLOB)) AS n_b FROM documents)
 """
 
 
+def multimodal_pdf_pages(sf_dir: str):
+    """REAL PDF decode (S8, non-stub): each document's text becomes a
+    deterministic FlateDecode PDF (``codecs.build_pdf``); an actor-pool
+    :class:`..stages.multimodal.PdfTextExtractor` parses the binary back
+    to per-page text (``pdf_reader.py:7-14`` + ``pages.py:26-33``
+    parity, pure Python). The output projects md5 of the EXTRACTED text,
+    and the oracle md5s the SOURCE column — a byte-exact check that the
+    extraction itself is real, not just the plumbing."""
+    import hashlib as _hl
+
+    from ..stages import codecs as cdx
+
+    docs = cm.read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def to_pdf(t: pa.Table) -> pa.Table:
+        payloads = [cdx.build_pdf([s]) for s in t["text"].to_pylist()]
+        return mm.to_media_table(t["doc_id"].to_pylist(), payloads, "application/pdf")
+
+    media = docs.map_batches(to_pdf, batch_format="pyarrow", batch_size=64)
+    pages = media.map_batches(
+        mm.PdfTextExtractor,
+        batch_format="pyarrow",
+        concurrency=(1, cm.pool_size()),
+        batch_size=64,
+    )
+
+    def project(t: pa.Table) -> pa.Table:
+        digests = [
+            _hl.md5(s.encode("utf-8")).hexdigest()
+            for s in t["page_text"].to_pylist()
+        ]
+        return pa.table(
+            {
+                "media_id": t["media_id"],
+                "page_idx": t["page_idx"],
+                "text_md5": pa.array(digests, pa.string()),
+            }
+        )
+
+    return pages.map_batches(project, batch_format="pyarrow")
+
+
+ORACLES["multimodal_pdf_pages"] = """
+SELECT doc_id AS media_id, CAST(0 AS INT) AS page_idx, md5(text) AS text_md5
+FROM documents
+"""
+
+
+_PPM_W, _PPM_H = 8, 6
+
+
+class _PpmDecodeThumb:
+    """Fused REAL image stage: Netpbm decode (true pixel features) +
+    nearest-neighbor thumbnail re-encode, one actor pool, payload never
+    re-emitted past the stage."""
+
+    def __init__(self, max_side: int = 4):
+        self.decoder = mm.PpmDecoder()
+        self.thumb = mm.PpmThumbnailer(max_side)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        feats = self.decoder(batch)  # media_id, n_bytes, feature[8]
+        f = (
+            np.asarray(feats["feature"].combine_chunks().values, dtype=np.float64)
+            .reshape(-1, mm.PpmDecoder.feature_dim)
+        )
+        n_px = f[:, 0] * f[:, 1]  # w * h
+        thumbs = self.thumb(batch)
+        return pa.table(
+            {
+                "media_id": feats["media_id"],
+                "w": pa.array(f[:, 0].astype(np.int64)),
+                "h": pa.array(f[:, 1].astype(np.int64)),
+                # per-channel SUM = mean × pixels, rounded back to the exact
+                # integer (float32 mean × 2^24-bounded sum is lossless here)
+                "sum_r": pa.array(np.rint(f[:, 2] * n_px).astype(np.int64)),
+                "sum_g": pa.array(np.rint(f[:, 3] * n_px).astype(np.int64)),
+                "sum_b": pa.array(np.rint(f[:, 4] * n_px).astype(np.int64)),
+                "thumb_bytes": pa.array(
+                    [len(p) for p in thumbs["payload"].to_pylist()], pa.int64()
+                ),
+            }
+        )
+
+
+def multimodal_ppm_stats(sf_dir: str):
+    """REAL image decode + thumbnail (S8/K12, non-stub): a deterministic
+    8×6 PPM per doc (pixel i = (doc_id·7 + i) mod 251, SQL-recomputable),
+    decoded by the real Netpbm codec and thumbnailed by a real
+    nearest-neighbor resample (``gc_thumbnails/utils.py:38-47`` parity).
+    Exact integer oracle: per-channel pixel sums + the thumbnail's
+    re-encoded byte size."""
+    from ..stages import codecs as cdx
+
+    docs = cm.read(sf_dir, "documents", columns=["doc_id"])
+
+    def to_ppm(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        i = np.arange(_PPM_W * _PPM_H * 3, dtype=np.int64)
+        payloads = [
+            cdx.build_ppm(
+                ((d * 7 + i) % 251).astype(np.uint8).reshape(_PPM_H, _PPM_W, 3)
+            )
+            for d in ids
+        ]
+        return mm.to_media_table(ids, payloads, "image/x-portable-pixmap")
+
+    media = docs.map_batches(to_ppm, batch_format="pyarrow", batch_size=64)
+    return media.map_batches(
+        _PpmDecodeThumb,
+        batch_format="pyarrow",
+        concurrency=(1, cm.pool_size()),
+        batch_size=64,
+    )
+
+
+# thumbnail: 8×6 → max_side 4 → 4×3 P6 = len("P6\n4 3\n255\n") + 36 = 47
+ORACLES["multimodal_ppm_stats"] = f"""
+WITH px AS (
+  SELECT d.doc_id, i.i, (d.doc_id * 7 + i.i) % 251 AS v
+  FROM documents d CROSS JOIN (SELECT UNNEST(range({_PPM_W * _PPM_H * 3})) AS i) i
+)
+SELECT doc_id AS media_id,
+       CAST({_PPM_W} AS BIGINT) AS w, CAST({_PPM_H} AS BIGINT) AS h,
+       CAST(SUM(CASE WHEN i % 3 = 0 THEN v END) AS BIGINT) AS sum_r,
+       CAST(SUM(CASE WHEN i % 3 = 1 THEN v END) AS BIGINT) AS sum_g,
+       CAST(SUM(CASE WHEN i % 3 = 2 THEN v END) AS BIGINT) AS sum_b,
+       CAST(47 AS BIGINT) AS thumb_bytes
+FROM px GROUP BY doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # Duplicate-cluster assignment — distributed connected components
 # ---------------------------------------------------------------------------

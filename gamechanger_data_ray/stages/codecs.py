@@ -1,0 +1,333 @@
+"""Real pure-Python media codecs — no external libraries.
+
+These make the multimodal plumbing non-stub for two embeddable formats:
+
+- **PDF text extraction** (reference parity:
+  ``common/document_parser/lib/pdf_reader.py:7-14`` opens the binary doc
+  with PyMuPDF; ``lib/pages.py:26-33`` walks pages extracting text). Here
+  the extractor is a from-scratch parser for PDFs whose content streams
+  are uncompressed or FlateDecode-compressed (zlib is stdlib) — it walks
+  ``obj … stream … endstream`` blocks, inflates, and evaluates the text
+  operators (``Tj``, ``'``, ``"``, ``TJ``) with full literal-string
+  escape and hex-string handling. ``build_pdf`` writes a well-formed
+  single-font PDF (xref table and all) used to synthesize deterministic
+  test corpora — extraction round-trips it byte-exactly.
+
+- **PPM/PGM image decode + resize** (reference parity:
+  ``dataPipelines/gc_thumbnails/utils.py:38-47`` renders page-1 thumbnails
+  via PyMuPDF's pixmap). Netpbm is the classic library-free raster
+  format: ``parse_ppm`` reads P6/P5 binary and P3/P2 ASCII variants
+  (with header comments), ``resize_nearest`` is a real nearest-neighbor
+  resample, ``build_ppm`` re-encodes — a genuine decode → transform →
+  encode thumbnail path with zero dependencies.
+
+All functions are pure (bytes/numpy in, bytes/numpy out) so the Ray
+stages in :mod:`.multimodal` stay thin actor-pool wrappers.
+"""
+
+from __future__ import annotations
+
+import re
+import zlib
+
+import numpy as np
+
+
+# ---------------------------------------------------------------------------
+# PDF — build
+# ---------------------------------------------------------------------------
+
+_PDF_ESCAPES = {"\\": "\\\\", "(": "\\(", ")": "\\)", "\n": "\\n", "\r": "\\r", "\t": "\\t"}
+
+
+def _escape_pdf_string(s: str) -> str:
+    return "".join(_PDF_ESCAPES.get(c, c) for c in s)
+
+
+def build_pdf(pages: list[str], compress: bool = True) -> bytes:
+    """Write a minimal well-formed PDF: one Helvetica ``Tj`` per text line,
+    one content stream per page, correct xref offsets. Text must be
+    latin-1-encodable (the builder is a test-corpus synthesizer, not a
+    full writer)."""
+    objects: list[bytes] = []  # 1-indexed by position+1
+
+    n_pages = len(pages)
+    # object numbering: 1 catalog, 2 pages, 3 font, then per page i:
+    # (4+2i) page dict, (5+2i) content stream
+    page_obj_ids = [4 + 2 * i for i in range(n_pages)]
+    kids = " ".join(f"{oid} 0 R" for oid in page_obj_ids)
+    objects.append(b"<< /Type /Catalog /Pages 2 0 R >>")
+    objects.append(
+        f"<< /Type /Pages /Kids [{kids}] /Count {n_pages} >>".encode("latin-1")
+    )
+    objects.append(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+
+    for i, text in enumerate(pages):
+        content_id = 5 + 2 * i
+        objects.append(
+            (
+                f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+                f"/Contents {content_id} 0 R "
+                f"/Resources << /Font << /F1 3 0 R >> >> >>"
+            ).encode("latin-1")
+        )
+        ops = ["BT", "/F1 12 Tf", "72 720 Td", "14 TL"]
+        for j, line in enumerate(text.split("\n")):
+            if j:
+                ops.append("T*")
+            ops.append(f"({_escape_pdf_string(line)}) Tj")
+        ops.append("ET")
+        stream = "\n".join(ops).encode("latin-1")
+        filt = b""
+        if compress:
+            stream = zlib.compress(stream)
+            filt = b" /Filter /FlateDecode"
+        objects.append(
+            b"<< /Length " + str(len(stream)).encode() + filt + b" >>\n"
+            b"stream\n" + stream + b"\nendstream"
+        )
+
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = [0]  # object 0 is the free head
+    for num, body in enumerate(objects, start=1):
+        offsets.append(len(out))
+        out += f"{num} 0 obj\n".encode() + body + b"\nendobj\n"
+    xref_at = len(out)
+    out += f"xref\n0 {len(objects) + 1}\n".encode()
+    out += b"0000000000 65535 f \n"
+    for off in offsets[1:]:
+        out += f"{off:010d} 00000 n \n".encode()
+    out += (
+        f"trailer\n<< /Size {len(objects) + 1} /Root 1 0 R >>\n"
+        f"startxref\n{xref_at}\n%%EOF\n"
+    ).encode()
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# PDF — extract
+# ---------------------------------------------------------------------------
+
+_STREAM_HEAD_RE = re.compile(
+    rb"<<(?P<dict>(?:[^<>]|<<(?:[^<>]|<<[^<>]*>>)*>>)*)>>\s*stream\r?\n",
+    re.DOTALL,
+)
+_LENGTH_RE = re.compile(rb"/Length\s+(\d+)(?!\s+0\s+R)")
+_ENDSTREAM_RE = re.compile(rb"(?:\r?\n)?endstream")
+
+_OCTAL_RE = re.compile(r"\\([0-7]{1,3})")
+_UNESCAPES = {"n": "\n", "r": "\r", "t": "\t", "b": "\b", "f": "\f",
+              "(": "(", ")": ")", "\\": "\\"}
+
+
+def _unescape_pdf_string(body: str) -> str:
+    out: list[str] = []
+    i, n = 0, len(body)
+    while i < n:
+        c = body[i]
+        if c != "\\":
+            out.append(c)
+            i += 1
+            continue
+        if i + 1 >= n:
+            break
+        nxt = body[i + 1]
+        if nxt in _UNESCAPES:
+            out.append(_UNESCAPES[nxt])
+            i += 2
+        elif nxt.isdigit():
+            m = _OCTAL_RE.match(body, i)
+            out.append(chr(int(m.group(1), 8)))
+            i = m.end()
+        elif nxt == "\n":  # line continuation
+            i += 2
+        else:
+            out.append(nxt)
+            i += 2
+    return "".join(out)
+
+
+def _tokenize_content(data: str):
+    """Yield ('str', text) for string objects and ('op', name) for
+    operators from a decoded content stream."""
+    i, n = 0, len(data)
+    while i < n:
+        c = data[i]
+        if c == "(":
+            depth, j, buf = 1, i + 1, []
+            while j < n and depth:
+                ch = data[j]
+                if ch == "\\" and j + 1 < n:
+                    buf.append(data[j : j + 2])
+                    j += 2
+                    continue
+                if ch == "(":
+                    depth += 1
+                elif ch == ")":
+                    depth -= 1
+                    if not depth:
+                        break
+                buf.append(ch)
+                j += 1
+            yield ("str", _unescape_pdf_string("".join(buf)))
+            i = j + 1
+        elif c == "<" and i + 1 < n and data[i + 1] != "<":
+            j = data.find(">", i)
+            if j < 0:
+                break
+            hx = re.sub(r"\s", "", data[i + 1 : j])
+            if len(hx) % 2:
+                hx += "0"
+            try:
+                yield ("str", bytes.fromhex(hx).decode("latin-1"))
+            except ValueError:
+                pass
+            i = j + 1
+        elif c == "<":  # '<<' dict — skip
+            i += 2
+        elif c.isalpha() or c in "'\"*":
+            j = i
+            while j < n and (data[j].isalpha() or data[j] in "'\"*"):
+                j += 1
+            yield ("op", data[i:j])
+            i = j
+        else:
+            i += 1
+
+
+def _stream_dict_filters(d: bytes) -> list[bytes]:
+    m = re.search(rb"/Filter\s*(\[(?P<arr>[^\]]*)\]|/(?P<one>\w+))", d)
+    if not m:
+        return []
+    if m.group("arr") is not None:
+        return re.findall(rb"/(\w+)", m.group("arr"))
+    return [m.group("one")]
+
+
+def extract_pdf_text(payload: bytes) -> list[str]:
+    """Extract per-content-stream text from an uncompressed or
+    FlateDecode PDF. Returns one string per text-bearing stream (≈ one
+    per page for builder-shaped PDFs); text runs separated by the
+    line-advance operators (``T*``, ``Td``, ``TD``, ``'``, ``\"``) come
+    back newline-joined. Streams with unsupported filters are skipped —
+    never an exception — so a mixed corpus degrades gracefully."""
+    pages: list[str] = []
+    for m in _STREAM_HEAD_RE.finditer(payload):
+        filters = _stream_dict_filters(m.group("dict"))
+        start = m.end()
+        # /Length slices the stream exactly (a trailing 0x0D data byte is
+        # indistinguishable from the EOL before 'endstream' otherwise);
+        # indirect-reference lengths (N 0 R) fall back to the scan
+        lm = _LENGTH_RE.search(m.group("dict"))
+        if lm:
+            data = payload[start : start + int(lm.group(1))]
+        else:
+            em = _ENDSTREAM_RE.search(payload, start)
+            if em is None:
+                continue
+            data = payload[start : em.start()]
+        if filters == [b"FlateDecode"]:
+            try:
+                data = zlib.decompress(data)
+            except zlib.error:
+                continue
+        elif filters:
+            continue  # unsupported filter (DCT, LZW, …): skip, don't fail
+        try:
+            text = data.decode("latin-1")
+        except Exception:  # pragma: no cover - latin-1 decodes all bytes
+            continue
+        if "BT" not in text:
+            continue
+        lines: list[list[str]] = [[]]
+        in_text, pending = False, None
+        for kind, val in _tokenize_content(text):
+            if kind == "str":
+                pending = val if pending is None else pending + val
+                continue
+            op = val
+            if op == "BT":
+                in_text = True
+            elif op == "ET":
+                in_text = False
+            elif in_text and op in ("Tj", "TJ") and pending is not None:
+                lines[-1].append(pending)
+            elif in_text and op in ("T*", "Td", "TD"):
+                if lines[-1]:
+                    lines.append([])
+            elif in_text and op in ("'", '"'):
+                if lines[-1]:
+                    lines.append([])
+                if pending is not None:
+                    lines[-1].append(pending)
+            pending = None
+        page = "\n".join("".join(seg) for seg in lines if seg)
+        if page:
+            pages.append(page)
+    return pages
+
+
+# ---------------------------------------------------------------------------
+# PPM / PGM (Netpbm)
+# ---------------------------------------------------------------------------
+
+def build_ppm(img: np.ndarray) -> bytes:
+    """Encode an (h, w, 3) uint8 array as binary PPM (P6)."""
+    h, w = img.shape[:2]
+    return b"P6\n%d %d\n255\n" % (w, h) + np.ascontiguousarray(
+        img, dtype=np.uint8
+    ).tobytes()
+
+
+def _pnm_header(payload: bytes):
+    """Parse magic + dimensions + maxval, skipping '#' comments. Returns
+    (magic, w, h, maxval, data_offset)."""
+    if payload[:1] != b"P" or payload[1:2] not in b"2356":
+        raise ValueError("not a supported PNM payload")
+    magic = payload[:2].decode()
+    fields: list[int] = []
+    i = 2
+    n = len(payload)
+    while len(fields) < 3 and i < n:
+        c = payload[i : i + 1]
+        if c == b"#":
+            i = payload.find(b"\n", i)
+            if i < 0:
+                raise ValueError("truncated PNM header")
+            i += 1
+        elif c.isspace():
+            i += 1
+        else:
+            j = i
+            while j < n and not payload[j : j + 1].isspace():
+                j += 1
+            fields.append(int(payload[i:j]))
+            i = j
+    if len(fields) < 3:
+        raise ValueError("truncated PNM header")
+    return magic, fields[0], fields[1], fields[2], i + 1  # skip 1 ws byte
+
+
+def parse_ppm(payload: bytes) -> np.ndarray:
+    """Decode P6/P5 (binary) and P3/P2 (ASCII) Netpbm payloads to an
+    (h, w, 3) uint8 array (grayscale replicated to 3 channels)."""
+    magic, w, h, maxval, off = _pnm_header(payload)
+    channels = 3 if magic in ("P3", "P6") else 1
+    count = w * h * channels
+    if magic in ("P5", "P6"):
+        raw = np.frombuffer(payload, dtype=np.uint8, count=count, offset=off)
+    else:
+        raw = np.array(payload[off - 1 :].split()[:count], dtype=np.int64)
+    img = (raw.astype(np.float64) * (255.0 / maxval)).round().astype(np.uint8)
+    img = img.reshape(h, w, channels)
+    if channels == 1:
+        img = np.repeat(img, 3, axis=2)
+    return img
+
+
+def resize_nearest(img: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """Real nearest-neighbor resample (the thumbnail transform)."""
+    h, w = img.shape[:2]
+    rows = np.minimum((np.arange(out_h) * h) // out_h, h - 1)
+    cols = np.minimum((np.arange(out_w) * w) // out_w, w - 1)
+    return img[rows[:, None], cols[None, :]]

@@ -4,12 +4,14 @@ decode / feature-extract / frame-sample as actor-pool stages.
 Reference parity: raw PDF binary handling + thumbnail rendering
 (``dataPipelines/gc_thumbnails/utils.py:31-47`` renders page 1 → PNG in a
 process pool; ``common/document_parser/lib/pdf_reader.py:7-14`` opens the
-binary doc). Here the Ray-side plumbing (schema, batch sizing, actor
-signature, output layout) is real and tested; the actual codec is STUBBED —
-image/audio libraries are not available in this environment. ``FakeDecoder``
-is a clearly-marked deterministic stand-in: a real deployment subclasses
-``Decoder`` and implements ``decode_one`` with PIL/ffmpeg, keeping
-everything else unchanged.
+binary doc). The Ray-side plumbing (schema, batch sizing, actor
+signature, output layout) is real and tested, and two formats now have
+REAL pure-Python codecs (:mod:`.codecs`): PDF text extraction
+(:class:`PdfTextExtractor`, uncompressed + FlateDecode streams) and
+PPM/PGM image decode/resize (:class:`PpmDecoder`,
+:class:`PpmThumbnailer`). ``FakeDecoder`` remains the clearly-marked
+deterministic FALLBACK for formats whose codecs need absent libraries
+(JPEG, MP4, …) — :func:`decoder_for` dispatches by mime.
 
 Design notes for 100 TB: binary rows are wide → small ``batch_size`` (e.g.
 16–64) and a dedicated actor pool with ``num_cpus=1`` per actor so decode
@@ -23,6 +25,8 @@ import hashlib
 
 import numpy as np
 import pyarrow as pa
+
+from . import codecs
 
 
 MEDIA_SCHEMA = pa.schema(
@@ -109,6 +113,71 @@ class FakeDecoder(Decoder):
         )
 
 
+class PpmDecoder(Decoder):
+    """REAL image decode: Netpbm (P6/P5/P3/P2) → 8 genuine image features
+    (dims, per-channel means, luma spread) via :func:`codecs.parse_ppm`."""
+
+    def decode_one(self, payload: bytes, mime: str) -> np.ndarray:
+        img = codecs.parse_ppm(payload)
+        h, w = img.shape[:2]
+        f = img.astype(np.float64)
+        luma = 0.299 * f[:, :, 0] + 0.587 * f[:, :, 1] + 0.114 * f[:, :, 2]
+        return np.array(
+            [
+                float(w),
+                float(h),
+                float(f[:, :, 0].mean()),
+                float(f[:, :, 1].mean()),
+                float(f[:, :, 2].mean()),
+                float(luma.std()),
+                float(luma.min()),
+                float(luma.max()),
+            ],
+            dtype=np.float32,
+        )
+
+
+class PdfTextExtractor:
+    """REAL PDF → per-page text, flat_map-shaped (input row → ≥0 page
+    rows), the reference's ``pages.py:26-33`` walk. Actor-pool stage:
+    regexes/codec state live in the codecs module; payloads never
+    re-emitted. Non-PDF or undecodable payloads yield zero rows (the
+    dead-letter filter upstream handles genuinely bad docs)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, idx, texts = [], [], []
+        for mid, payload in zip(
+            batch["media_id"].to_pylist(), batch["payload"].to_pylist()
+        ):
+            try:
+                pages = codecs.extract_pdf_text(payload)
+            except Exception:
+                pages = []
+            for i, text in enumerate(pages):
+                ids.append(mid)
+                idx.append(i)
+                texts.append(text)
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "page_idx": pa.array(idx, pa.int32()),
+                "page_text": pa.array(texts, pa.string()),
+            }
+        )
+
+
+# mime → Decoder class; FakeDecoder is the explicit fallback for formats
+# whose real codecs need libraries absent here (PIL/ffmpeg)
+DECODERS: dict[str, type] = {
+    "image/x-portable-pixmap": PpmDecoder,
+    "image/x-portable-graymap": PpmDecoder,
+}
+
+
+def decoder_for(mime: str) -> type:
+    return DECODERS.get(mime, FakeDecoder)
+
+
 class FrameSampler:
     """Frame-sampling plumbing: emit one row per sampled 'frame' offset
     (every ``stride`` bytes stands in for every Nth video frame).
@@ -168,3 +237,23 @@ class Resizer:
                 "orig_bytes": batch["n_bytes"],
             }
         )
+
+
+class PpmThumbnailer(Resizer):
+    """REAL thumbnail path for Netpbm images: decode → nearest-neighbor
+    resample to fit ``max_side`` → re-encode P6 (the reference's
+    ``gc_thumbnails/utils.py:38-47`` pixmap-scale-save, without PyMuPDF).
+    Inherits the Resizer plumbing (payload re-emitted, small batches)."""
+
+    def __init__(self, max_side: int = 16):
+        self.max_side = max_side
+
+    def resize_one(self, payload: bytes) -> bytes:
+        img = codecs.parse_ppm(payload)
+        h, w = img.shape[:2]
+        scale = max(h, w) / float(self.max_side)
+        if scale <= 1.0:
+            return codecs.build_ppm(img)
+        out_w = max(1, int(round(w / scale)))
+        out_h = max(1, int(round(h / scale)))
+        return codecs.build_ppm(codecs.resize_nearest(img, out_w, out_h))

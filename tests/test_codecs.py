@@ -1,0 +1,171 @@
+"""Golden-bytes tests for the real pure-Python media codecs (S8/K12
+non-stub path): PDF build → extract round-trips, a hand-written golden
+PDF byte string parses to the exact text, PNM variants decode to the
+same pixels, and nearest-neighbor resize matches hand-computed indices.
+
+Reference parity: ``common/document_parser/lib/pdf_reader.py:7-14`` +
+``lib/pages.py:26-33`` (per-page text), ``dataPipelines/gc_thumbnails/
+utils.py:38-47`` (decode → scale → re-encode).
+"""
+
+import zlib
+
+import numpy as np
+import pytest
+
+from gamechanger_data_ray.stages import codecs, multimodal as mm
+
+
+# ---------------------------------------------------------------------------
+# PDF round-trip
+# ---------------------------------------------------------------------------
+
+def test_pdf_roundtrip_multiline_and_escapes():
+    pages = [
+        "Hello, world!\nSecond line\twith tab",
+        "Parens (nested (deep)) and back\\slash",
+        "",  # empty page yields no text stream output
+        "Trailing page",
+    ]
+    payload = codecs.build_pdf(pages)
+    assert payload.startswith(b"%PDF-1.4") and payload.rstrip().endswith(b"%%EOF")
+    got = codecs.extract_pdf_text(payload)
+    assert got == [p for p in pages if p]
+
+
+def test_pdf_roundtrip_uncompressed():
+    pages = ["plain stream", "no filter here"]
+    got = codecs.extract_pdf_text(codecs.build_pdf(pages, compress=False))
+    assert got == pages
+
+
+def test_pdf_length_slices_exactly_trailing_0x0d():
+    """A compressed stream whose last byte is 0x0D must survive: without
+    honoring /Length, the endstream EOL scan would eat that data byte
+    (the bug the /Length slice fixed)."""
+    for i in range(200):
+        text = f"doc {i} " + "x" * i
+        payload = codecs.build_pdf([text])
+        assert codecs.extract_pdf_text(payload) == [text]
+
+
+def test_pdf_golden_handwritten_bytes():
+    """A PDF NOT produced by build_pdf: hex strings, TJ arrays, octal
+    escapes, and an uncompressed stream with explicit /Length."""
+    content = b"BT /F1 9 Tf (A\\051B) Tj T* [<48656C6C6F> (!)] TJ (\\101) ' ET"
+    stream = (
+        b"<< /Length " + str(len(content)).encode() + b" >>\nstream\n"
+        + content + b"\nendstream"
+    )
+    pdf = b"%PDF-1.4\n1 0 obj\n" + stream + b"\nendobj\n%%EOF\n"
+    # Tj = "A)B"; TJ = "Hello!" after T* newline; ' starts a new line "A"
+    assert codecs.extract_pdf_text(pdf) == ["A)B\nHello!\nA"]
+
+
+def test_pdf_unsupported_filter_skipped_not_fatal():
+    content = zlib.compress(b"BT (gone) Tj ET")
+    bad = (
+        b"%PDF-1.4\n1 0 obj\n<< /Length " + str(len(content)).encode()
+        + b" /Filter /LZWDecode >>\nstream\n" + content + b"\nendstream\nendobj\n"
+    )
+    good = codecs.build_pdf(["kept"])
+    assert codecs.extract_pdf_text(bad + good) == ["kept"]
+
+
+def test_pdf_garbage_payload_yields_no_pages():
+    assert codecs.extract_pdf_text(b"\x00\x01 not a pdf at all") == []
+    assert codecs.extract_pdf_text(b"") == []
+
+
+# ---------------------------------------------------------------------------
+# PNM decode / resize / re-encode
+# ---------------------------------------------------------------------------
+
+def _ramp(h, w):
+    return (np.arange(h * w * 3, dtype=np.int64) % 251).astype(np.uint8).reshape(h, w, 3)
+
+
+def test_ppm_p6_roundtrip_golden_header():
+    img = _ramp(6, 8)
+    payload = codecs.build_ppm(img)
+    assert payload[:11] == b"P6\n8 6\n255\n"
+    assert len(payload) == 11 + 6 * 8 * 3
+    assert np.array_equal(codecs.parse_ppm(payload), img)
+
+
+def test_pnm_variants_decode_identically():
+    img = _ramp(4, 5)
+    p6 = codecs.build_ppm(img)
+    flat = img.reshape(-1)
+    p3 = b"P3\n# comment line\n5 4\n255\n" + " ".join(map(str, flat)).encode()
+    assert np.array_equal(codecs.parse_ppm(p3), img)
+    gray = img[:, :, 0]
+    p5 = b"P5\n5 4\n255\n" + gray.tobytes()
+    out = codecs.parse_ppm(p5)
+    assert out.shape == (4, 5, 3)
+    assert np.array_equal(out[:, :, 0], gray) and np.array_equal(out[:, :, 2], gray)
+    p2 = b"P2\n5 4\n255\n" + " ".join(map(str, gray.reshape(-1))).encode()
+    assert np.array_equal(codecs.parse_ppm(p2), out)
+
+
+def test_pnm_maxval_rescale():
+    # maxval 100: 50 → 127.5 → 127 (numpy half-to-even); 40 → 102 exactly
+    assert codecs.parse_ppm(b"P2\n1 1\n100\n50")[0, 0, 0] == 127
+    assert codecs.parse_ppm(b"P2\n1 1\n100\n40")[0, 0, 0] == 102
+
+
+def test_pnm_rejects_garbage():
+    with pytest.raises(ValueError):
+        codecs.parse_ppm(b"JFIF not pnm")
+
+
+def test_resize_nearest_golden_indices():
+    img = _ramp(4, 4)
+    out = codecs.resize_nearest(img, 2, 2)
+    # rows/cols picked at floor(i*4/2) = 0, 2
+    assert np.array_equal(out, img[np.ix_([0, 2], [0, 2])])
+    up = codecs.resize_nearest(img, 8, 8)
+    assert up.shape == (8, 8, 3)
+    assert np.array_equal(up[::2, ::2], img)  # every source pixel survives
+
+
+# ---------------------------------------------------------------------------
+# Ray-stage wrappers
+# ---------------------------------------------------------------------------
+
+def test_pdf_text_extractor_stage():
+    pdfs = [codecs.build_pdf(["page one", "page two"]), b"not a pdf"]
+    t = mm.to_media_table([7, 8], pdfs, "application/pdf")
+    out = mm.PdfTextExtractor()(t)
+    assert out["media_id"].to_pylist() == [7, 7]
+    assert out["page_idx"].to_pylist() == [0, 1]
+    assert out["page_text"].to_pylist() == ["page one", "page two"]
+
+
+def test_ppm_decoder_real_features():
+    img = np.full((6, 8, 3), 10, np.uint8)
+    img[:, :, 1] = 200
+    t = mm.to_media_table([1], [codecs.build_ppm(img)], "image/x-portable-pixmap")
+    out = mm.PpmDecoder()(t)
+    f = np.asarray(out["feature"].combine_chunks().values, np.float32).reshape(-1, 8)
+    assert f[0, 0] == 8 and f[0, 1] == 6  # w, h
+    assert f[0, 2] == 10 and f[0, 3] == 200 and f[0, 4] == 10  # channel means
+    assert f[0, 5] == pytest.approx(0.0, abs=1e-4)  # constant luma → zero std
+
+
+def test_ppm_thumbnailer_real_resample():
+    img = _ramp(6, 8)
+    t = mm.to_media_table([1], [codecs.build_ppm(img)], "image/x-portable-pixmap")
+    out = mm.PpmThumbnailer(max_side=4)(t)
+    thumb = codecs.parse_ppm(out["payload"].to_pylist()[0])
+    assert thumb.shape == (3, 4, 3)  # 8×6 scaled by 1/2
+    assert np.array_equal(thumb, codecs.resize_nearest(img, 4, 3))
+    # small images pass through unscaled
+    small = mm.PpmThumbnailer(max_side=16)(t)
+    assert np.array_equal(codecs.parse_ppm(small["payload"].to_pylist()[0]), img)
+
+
+def test_decoder_dispatch_by_mime():
+    assert mm.decoder_for("image/x-portable-pixmap") is mm.PpmDecoder
+    assert mm.decoder_for("image/x-portable-graymap") is mm.PpmDecoder
+    assert mm.decoder_for("video/mp4") is mm.FakeDecoder
