@@ -12,10 +12,13 @@ training-data/token pipelines and the extraction operators lead, the
 long-green relational tail follows. Operators whose registered face was
 merged or rotated out (q6, topk_part_types, sliding window, split
 text/multimodal variants, events_date_features, filter_project_rename,
-docs_explode_words, events_running_total, text_heuristics, …) remain
-implemented + pytest-oracled in
-their modules; tests/test_queries.py checks the full module oracle set,
-not just the registered subset.
+docs_explode_words, events_running_total, text_heuristics,
+multimodal_pipeline, q5_local_supplier_volume, user_ingest_dates, …)
+remain implemented + pytest-oracled in their modules;
+tests/test_queries.py checks the full module oracle set, not just the
+registered subset. Round 3 rotated in the REAL-codec faces
+(multimodal_pdf_pages, multimodal_ppm_stats, docs_html_text) so the
+driver gate itself proves the S8/S9/K12 decode paths byte-exact.
 
 Ray is initialised by the driver BEFORE this module is imported: nothing
 here calls ``ray.init()`` / ``ray.shutdown()``.
@@ -100,18 +103,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk_cosine": A.ann_topk_cosine,
         "ann_ivf": A.ann_ivf_q,
         "embedding_dedup_cosine": A.embedding_dedup_cosine,
-        "multimodal_pipeline": A.multimodal_pipeline,
+        "multimodal_pdf_pages": A.multimodal_pdf_pages,
+        "multimodal_ppm_stats": A.multimodal_ppm_stats,
+        "docs_html_text": A.docs_html_text,
         # --- relational / windowed / joins ---
         "q1_pricing_summary": R.q1_pricing_summary,
         "q3_shipping_priority": R.q3_shipping_priority,
-        "q5_local_supplier_volume": R.q5_local_supplier_volume,
         "q17_small_quantity_revenue": R.q17_small_quantity_revenue,
         "q18_large_orders": R.q18_large_orders,
         "customers_without_orders": R.customers_without_orders,
         "events_tumbling_window": R.events_tumbling_window,
         "events_sessionize": R.events_sessionize,
         "latest_event_per_user": R.latest_event_per_user,
-        "user_ingest_dates": R.user_ingest_dates,
         "orders_top100_global_sort": R.orders_top100_global_sort,
         "top2_customers_per_nation": R.top2_customers_per_nation,
         "events_asof_join": R.events_asof_join,

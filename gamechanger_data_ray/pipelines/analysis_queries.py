@@ -1149,6 +1149,55 @@ FROM px GROUP BY doc_id
 """
 
 
+def docs_html_text(sf_dir: str):
+    """HTML → normalized text coercion (S9, non-stub; reference
+    ``html_utils.py:96-150`` sanitize chain). Each document's text is
+    wrapped in a full synthetic page loaded with the exact boilerplate
+    the sanitizer must drop (navbar, skip-link, script/style, comments,
+    nav/footer, empty table rows, entity-escaped payload); the
+    actor-pool :class:`..stages.html.HtmlTextExtractor` parses it back.
+    Byte-exact oracle: md5 of the EXTRACTED text vs md5 of the SOURCE
+    column — a failed strip or a lost/extra byte is a hash mismatch."""
+    import hashlib as _hl
+
+    from ..stages import html as sh
+
+    docs = cm.read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def to_html(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        pages = [sh.build_html(s, d) for d, s in zip(ids, t["text"].to_pylist())]
+        return pa.table(
+            {"doc_id": pa.array(ids, pa.int64()), "html": pa.array(pages, pa.string())}
+        )
+
+    extracted = docs.map_batches(to_html, batch_format="pyarrow").map_batches(
+        sh.HtmlTextExtractor,
+        batch_format="pyarrow",
+        concurrency=(1, cm.pool_size()),
+    )
+
+    def project(t: pa.Table) -> pa.Table:
+        digests = [
+            _hl.md5(s.encode("utf-8")).hexdigest() for s in t["text"].to_pylist()
+        ]
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "text_md5": pa.array(digests, pa.string()),
+                "n_chars": t["n_chars"],
+            }
+        )
+
+    return extracted.map_batches(project, batch_format="pyarrow")
+
+
+ORACLES["docs_html_text"] = """
+SELECT doc_id, md5(text) AS text_md5, CAST(length(text) AS BIGINT) AS n_chars
+FROM documents
+"""
+
+
 # ---------------------------------------------------------------------------
 # Duplicate-cluster assignment — distributed connected components
 # ---------------------------------------------------------------------------
