@@ -299,21 +299,63 @@ FROM events GROUP BY user_id, date_trunc('hour', ts)
 """
 
 
+def _day_bucket(ts: pd.Series) -> pd.Series:
+    """Salt key: integer day index. Bounds any one group to a single
+    user's events in one DAY — the hot-key guard for the per-key windowed
+    operators below (a user with 10^9 lifetime events still yields
+    day-sized groups). Tighten to hours for intra-day hot keys."""
+    return ((ts - pd.Timestamp(0)).dt.total_seconds() // 86400).astype("int64")
+
+
 def events_sessionize(sf_dir: str):
     """Session windows (30-min inactivity gap) per user → session count.
-    Per-key ordered state via groupby(user).map_groups over ts-sorted
-    groups (ray_guide.md streaming-shaped pattern)."""
+
+    HOT-KEY-SAFE two-phase shape (no whole-user group ever forms):
+    phase 1 groups by (user, day) and reduces each day to a 4-number
+    summary (gap count within the day, first/last ts); phase 2 groups the
+    per-day summaries by user (≤ days-spanned rows per group — bounded
+    regardless of event volume) and adds the day-boundary gaps. Exact:
+    consecutive-event gaps either fall inside one day (phase 1) or
+    between the last event of one present day and the first of the next
+    (phase 2)."""
     gap = pd.Timedelta(minutes=30)
     ds = cm.read(sf_dir, "events", columns=["user_id", "ts"])
 
-    def sessions(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("ts")
-        new_sess = (g["ts"].diff() > gap).cumsum()
+    def add_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        b["_bucket"] = _day_bucket(b["ts"])
+        return b
+
+    def per_day(g: pd.DataFrame) -> pd.DataFrame:
+        ts = g["ts"].sort_values()
         return pd.DataFrame(
-            {"user_id": [g["user_id"].iloc[0]], "n_sessions": [int(new_sess.iloc[-1]) + 1]}
+            {
+                "user_id": [g["user_id"].iloc[0]],
+                "_bucket": [g["_bucket"].iloc[0]],
+                "n_gaps": [int((ts.diff() > gap).sum())],
+                "min_ts": [ts.iloc[0]],
+                "max_ts": [ts.iloc[-1]],
+            }
         )
 
-    return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+    days = (
+        ds.map_batches(add_bucket, batch_format="pandas")
+        .groupby(["user_id", "_bucket"])
+        .map_groups(per_day, batch_format="pandas")
+    )
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("_bucket")
+        boundary = int(
+            ((g["min_ts"].iloc[1:].to_numpy() - g["max_ts"].iloc[:-1].to_numpy()) > gap).sum()
+        )
+        return pd.DataFrame(
+            {
+                "user_id": [g["user_id"].iloc[0]],
+                "n_sessions": [1 + int(g["n_gaps"].sum()) + boundary],
+            }
+        )
+
+    return days.groupby("user_id").map_groups(merge, batch_format="pandas")
 
 
 ORACLES["events_sessionize"] = """
@@ -628,16 +670,67 @@ WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-0
 def events_asof_join(sf_dir: str):
     """AS-OF join (the operator the reference lacks — its latest-version
     semi-join J2 is the degenerate case): every 'error' event joined to
-    the latest 'signup' event of the SAME user at-or-before it. Composition:
-    hash-partition both sides by user via ONE ``groupby(user_id)``, then a
-    per-group vectorized ``np.searchsorted`` merge — the documented
-    partitioning assumption is that one user's events fit one group."""
+    the latest 'signup' event of the SAME user at-or-before it.
+
+    HOT-KEY-SAFE composition — groups form per (user, DAY), never per
+    user, so a hot key salts across days:
+
+    1. per-batch combiner: max signup ts per (user, day) — one tiny row
+       per (batch, user, day) enters the first shuffle;
+    2. per-user prefix-max over the day summaries (groups are ≤
+       days-spanned rows) emits one synthetic CARRY signup row per day:
+       the latest signup of any strictly-earlier day;
+    3. carry rows union with the real events and ONE
+       ``groupby(user, day)`` runs the vectorized ``np.searchsorted``
+       as-of within each day — an error earlier than its day's first real
+       signup matches the carry row instead. Exact at any skew."""
     import numpy as np
 
     ds = cm.read(sf_dir, "events", columns=["event_id", "user_id", "ts", "event_type"])
     ds = ds.map_batches(
         lambda t: t.filter(pc.is_in(t["event_type"], value_set=pa.array(["error", "signup"]))),
         batch_format="pyarrow",
+    )
+    COLS = ["event_id", "user_id", "ts", "event_type", "_bucket"]
+
+    def add_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        b["_bucket"] = _day_bucket(b["ts"])
+        return b[COLS]
+
+    ds = ds.map_batches(add_bucket, batch_format="pandas")
+
+    def partial_last_signup(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.assign(_sig_ts=b["ts"].where(b["event_type"] == "signup"))
+        return b.groupby(["user_id", "_bucket"], as_index=False, sort=False).agg(
+            last_signup=("_sig_ts", "max")
+        )
+
+    partials = ds.map_batches(partial_last_signup, batch_format="pandas")
+
+    def carry_rows(g: pd.DataFrame) -> pd.DataFrame:
+        # combine batch partials per day, then prefix-max shifted by one:
+        # the latest signup in any STRICTLY earlier day of this user
+        per_day = (
+            g.groupby("_bucket", sort=True)["last_signup"].max().reset_index()
+        )
+        # cummax leaves NaT rows NaT (it skips, not fills): ffill carries
+        # the running max through signup-free days
+        carry = per_day["last_signup"].cummax().ffill().shift(1)
+        keep = carry.notna()
+        return pd.DataFrame(
+            {
+                "event_id": np.full(int(keep.sum()), -1, dtype="int64"),
+                "user_id": np.full(int(keep.sum()), g["user_id"].iloc[0], dtype="int64"),
+                "ts": carry[keep].to_numpy(),
+                "event_type": "signup",
+                "_bucket": per_day["_bucket"][keep].to_numpy(),
+            }
+        )
+
+    carries = (
+        partials.groupby("user_id")
+        .map_groups(carry_rows, batch_format="pandas")
+        .map_batches(lambda b: b[COLS], batch_format="pandas")
     )
 
     def asof(g: pd.DataFrame) -> pd.DataFrame:
@@ -670,7 +763,11 @@ def events_asof_join(sf_dir: str):
             }
         )
 
-    return ds.groupby("user_id").map_groups(asof, batch_format="pandas")
+    return (
+        ds.union(carries)
+        .groupby(["user_id", "_bucket"])
+        .map_groups(asof, batch_format="pandas")
+    )
 
 
 ORACLES["events_asof_join"] = """
@@ -683,19 +780,38 @@ ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') l
 
 def events_range_join(sf_dir: str):
     """Range join: per 'signup' event, how many events of the same user
-    land in the window [ts, ts + 30 min)? Same one-shuffle composition as
-    the as-of join: ``groupby(user)`` + per-group two-pointer counting via
-    ``np.searchsorted`` over the sorted timestamp array — never the O(n²)
-    cross product a naive range join implies."""
+    land in the window [ts, ts + 30 min)? Per-group counting stays
+    vectorized ``np.searchsorted`` — never the O(n²) cross product a
+    naive range join implies.
+
+    HOT-KEY-SAFE: groups form per (user, DAY). A window opening near the
+    end of a day reaches into the next day, so every event within
+    ``window`` of its day's start is ALSO emitted as a SHADOW row
+    stamped with the previous day — countable in that day's group but
+    never itself a signup emitter there (each real event is counted by
+    exactly one group per window). Requires window ≤ the salt bucket
+    width (asserted)."""
     import numpy as np
 
     window = pd.Timedelta(minutes=30)
+    assert window <= pd.Timedelta(days=1), "shadow replication assumes window <= bucket"
     ds = cm.read(sf_dir, "events", columns=["event_id", "user_id", "ts", "event_type"])
+
+    def add_bucket_and_shadows(b: pd.DataFrame) -> pd.DataFrame:
+        b["_bucket"] = _day_bucket(b["ts"])
+        b["_shadow"] = False
+        near_start = (b["ts"] - b["ts"].dt.floor("D")) < window
+        sh = b[near_start].copy()
+        sh["_bucket"] -= 1
+        sh["_shadow"] = True
+        return pd.concat([b, sh], ignore_index=True)
+
+    ds = ds.map_batches(add_bucket_and_shadows, batch_format="pandas")
 
     def count_in_range(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values("ts")
         all_ts = g["ts"].to_numpy()
-        logins = g[g["event_type"] == "signup"]
+        logins = g[(g["event_type"] == "signup") & ~g["_shadow"]]
         if logins.empty:
             return pd.DataFrame(
                 {"event_id": pd.Series([], dtype="int64"),
@@ -712,7 +828,9 @@ def events_range_join(sf_dir: str):
             }
         )
 
-    return ds.groupby("user_id").map_groups(count_in_range, batch_format="pandas")
+    return ds.groupby(["user_id", "_bucket"]).map_groups(
+        count_in_range, batch_format="pandas"
+    )
 
 
 ORACLES["events_range_join"] = """
