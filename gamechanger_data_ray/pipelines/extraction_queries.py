@@ -344,6 +344,73 @@ SELECT doc_id, sec_num, sec_name FROM (
 """
 
 
+def docs_responsibilities(sf_dir: str):
+    """Responsibility extraction (M13 depth; reference
+    ``responsibility_parse/responsibility_parser.py``): each doc gets a
+    deterministic RESPONSIBILITIES section — 1-3 roles (``2.<r>.``
+    numbering, acronym + "shall:" cue), 1-3 duties each (``a.``/``b.``/
+    ``c.``), with BOTH the role line and the last duty line wrapped
+    across physical lines (the PDF line-wrap the parser must re-merge)
+    and a GLOSSARY break that must stop parsing. The real parser
+    (``stages/responsibilities.py``) runs in the map; the DuckDB oracle
+    regenerates the expected (role, duty) rows arithmetically."""
+    from ..stages.responsibilities import responsibility_rows
+
+    ds = cm.read(sf_dir, "documents", columns=["doc_id"])
+
+    def synth(doc_id: int) -> str:
+        lines = ["SECTION 2: RESPONSIBILITIES"]
+        for r in range(1, 2 + doc_id % 3):
+            # role line wrapped after the office name (continuation merge)
+            lines.append(f"2.{r}. DIRECTOR, OFFICE {r}")
+            lines.append(f"(DO{r}). The Director shall:")
+            n_resp = 1 + (doc_id + r) % 3
+            for k in range(1, n_resp + 1):
+                if k == n_resp:
+                    lines.append(f"{chr(96 + k)}. performs duty {doc_id * 10 + r}")
+                    lines.append(f"item {k}.")
+                else:
+                    lines.append(
+                        f"{chr(96 + k)}. performs duty {doc_id * 10 + r} item {k}."
+                    )
+        lines += ["GLOSSARY", "x. must never appear."]
+        return "\n".join(lines)
+
+    def parse(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for did in df["doc_id"]:
+            rows.extend(responsibility_rows(synth(int(did)), int(did)))
+        out = pd.DataFrame(
+            rows,
+            columns=["doc_id", "role_numbering", "role_text",
+                     "resp_numbering", "resp_text"],
+        )
+        return out.astype({"doc_id": "int64"})
+
+    return ds.map_batches(parse, batch_format="pandas")
+
+
+ORACLES["docs_responsibilities"] = """
+WITH roles AS (
+  SELECT doc_id, CAST(i.i + 1 AS BIGINT) AS r
+  FROM documents CROSS JOIN (SELECT UNNEST(range(3)) AS i) i
+  WHERE i.i < 1 + doc_id % 3
+), resps AS (
+  SELECT doc_id, r, CAST(k.k + 1 AS BIGINT) AS k
+  FROM roles CROSS JOIN (SELECT UNNEST(range(3)) AS k) k
+  WHERE k.k < 1 + (doc_id + r) % 3
+)
+SELECT doc_id,
+       '2.' || r || '.' AS role_numbering,
+       'DIRECTOR, OFFICE ' || r || ' (DO' || r || '). The Director shall:'
+         AS role_text,
+       chr(96 + CAST(k AS INT)) || '.' AS resp_numbering,
+       'performs duty ' || (doc_id * 10 + r) || ' item ' || k || '.'
+         AS resp_text
+FROM resps
+"""
+
+
 # ---------------------------------------------------------------------------
 # Page/paragraph segmentation (M3/M4) — module-level (pytest-oracled)
 # ---------------------------------------------------------------------------

@@ -1,0 +1,164 @@
+"""Responsibility extraction from a RESPONSIBILITIES section — who is
+assigned what (M13 depth; reference:
+``common/document_parser/lib/responsibility_parse/responsibility_parser.py``).
+
+The reference's observable contract (its golden
+``DoDI 5000.94_resp_section_expected.txt``): a newline-delimited
+responsibilities section parses into ROLE BLOCKS — the intro line that
+names the role being assigned duties (``2.1. UNDER SECRETARY ... The
+USD(A&S):``) followed by that role's responsibility lines (``a. ...``),
+with
+
+- un-numbered physical lines merged into the previous line (the
+  reference's ``extract_lookahead_text`` — PDF text wraps mid-sentence);
+- roles recognized by line shape: numbering + (ends with a duty cue +
+  ':' — "shall:", "is responsible for:" … — or carries a defined
+  acronym ``(USD(A&S))`` or a role keyword);
+- a NEW role when a line's numbering matches the first role's numbering
+  PROFILE (same period/parenthesis/digit-letter signature —
+  ``construct_numbering_metadata_dict``) and is ordered after it
+  (``is_larger_numbering``); anything else numbered is a responsibility
+  of the current role;
+- parsing stops at GLOSSARY / REFERENCES / acronym-table break strings.
+
+Pure functions (text → rows); the Ray face is an actor-pool
+``map_batches`` stage in ``pipelines/extraction_queries.py``.
+"""
+
+from __future__ import annotations
+
+import re
+import string
+
+# reference start_line_numbering_regex: a./(a)/(1)/1./1.2. … chains
+_NUMBERING = re.compile(
+    r"^(?:[a-z]{1,2}\.|\([a-z]{1,2}\)|\(\d{1,2}\)|\d{1,2}\.(?:\d{1,2}\.){0,6})$"
+)
+_ACRONYM = re.compile(r"\([A-Z][A-Z\w\s&()]{1,9}\)")
+
+DUTY_CUES = ("shall", "will", "must", "responsible for", "ensure")
+ROLE_KEYWORDS = (
+    "director", "manager", "secretar", "head", "chairman", "chairperson", "commander",
+)
+BREAK_STRINGS = (
+    "GLOSSARY", "Glossary", "ACRONYMS", "REFERENCES", "SUMMARY OF CHANGE",
+    "Summary of Change", "Abbreviations and Acronyms", "............................",
+)
+_PUNCT_TABLE = str.maketrans("", "", string.punctuation)
+
+
+def extract_numbering(line: str) -> tuple[str, str]:
+    """Split a line's leading numbering token from its body
+    (``ResponsibilityParser.extract_numbering``). A token ending with a
+    comma (``(b), …``) is a back-reference, not numbering."""
+    line = line.strip()
+    head, _, rest = line.partition(" ")
+    if _NUMBERING.match(head) and not head.endswith(","):
+        return head, rest.strip()
+    return "", line
+
+
+def numbering_profile(numbering: str) -> dict[str, int]:
+    """Characteristic signature of a numbering token
+    (``construct_numbering_metadata_dict``)."""
+    return {
+        "n_periods": numbering.count("."),
+        "n_parenthesis": numbering.count(")"),
+        "n_numbers": sum(c.isdigit() for c in numbering),
+        "n_letters": sum(c.isalpha() for c in numbering),
+    }
+
+
+def profile_matches(profile: dict[str, int], numbering: str) -> bool:
+    """Does ``numbering`` match the new-role profile? Same period and
+    parenthesis counts, digit count within one (``2.9.`` → ``2.10.``),
+    at least as many letters (``numbering_metadata_dict_matched``)."""
+    p = numbering_profile(numbering)
+    return (
+        profile["n_periods"] == p["n_periods"]
+        and profile["n_parenthesis"] == p["n_parenthesis"]
+        and profile["n_numbers"] in (p["n_numbers"] - 1, p["n_numbers"])
+        and profile["n_letters"] <= p["n_letters"]
+    )
+
+
+def is_larger_numbering(curr: str, new: str) -> bool:
+    """Document-order comparison of two same-profile numbering tokens
+    (``is_larger_numbering``): numeric when both are numeric, else
+    lexicographic, strict."""
+    if curr == new:
+        return False
+    c = curr.translate(_PUNCT_TABLE)
+    n = new.translate(_PUNCT_TABLE)
+    if c.isdigit() and n.isdigit():
+        return int(n) > int(c)
+    return n > c
+
+
+def _is_role_line(line: str) -> bool:
+    low = line.lower().rstrip()
+    if any(low.endswith(cue + ":") for cue in DUTY_CUES):
+        return True
+    return bool(_ACRONYM.search(line)) or any(k in low for k in ROLE_KEYWORDS)
+
+
+def parse_responsibility_section(section_text: str) -> list[list[str]]:
+    """Section text → role blocks (``parse_responsibility_section``):
+    each block is ``[role_intro_line, resp_line, ...]``."""
+    merged: list[str] = []
+    for raw in section_text.split("\n"):
+        line = raw.replace("\t", "").strip()
+        if not line:
+            continue
+        if any(b in line for b in BREAK_STRINGS):
+            break
+        numbering, _ = extract_numbering(line)
+        if numbering or not merged:
+            merged.append(line)
+        else:
+            # continuation of the previous physical line (lookahead merge)
+            merged[-1] = f"{merged[-1]} {line}"
+
+    blocks: list[list[str]] = []
+    profile: dict[str, int] | None = None
+    current_numbering = ""
+    for line in merged:
+        numbering, _ = extract_numbering(line)
+        if not numbering:
+            continue  # un-numbered preamble (e.g. the SECTION heading)
+        if profile is None:
+            if _is_role_line(line):
+                profile = numbering_profile(numbering)
+                current_numbering = numbering
+                blocks.append([line])
+            continue
+        if profile_matches(profile, numbering) and is_larger_numbering(
+            current_numbering, numbering
+        ):
+            current_numbering = numbering
+            blocks.append([line])
+        elif blocks:
+            blocks[-1].append(line)
+    return blocks
+
+
+def responsibility_rows(
+    section_text: str, doc_id: int | None = None
+) -> list[dict]:
+    """Flatten role blocks to the reference's spreadsheet row contract
+    (``format_responsibility_results``): one row per (role,
+    responsibility), or one intro-only row for a role with none."""
+    rows: list[dict] = []
+    for block in parse_responsibility_section(section_text):
+        role_num, role_text = extract_numbering(block[0])
+        base = {
+            "doc_id": doc_id,
+            "role_numbering": role_num,
+            "role_text": role_text,
+        }
+        if len(block) == 1:
+            rows.append({**base, "resp_numbering": "", "resp_text": ""})
+        for line in block[1:]:
+            num, text = extract_numbering(line)
+            rows.append({**base, "resp_numbering": num, "resp_text": text})
+    return rows

@@ -114,6 +114,107 @@ def parse_uscode_sections(text: str) -> list[tuple[int, str, str]]:
     return out
 
 
+# ---------------------------------------------------------------------------
+# DoD multi-pass line parser (the reference's DoDParser._parse pipeline,
+# ``section_parse/parsers/dod_parser.py:113-131``: combine TOC → remove
+# pagebreaks/noise → combine enclosure titles → sentence continuations →
+# combine by section nums → combine enclosures)
+# ---------------------------------------------------------------------------
+
+_DOD_HEADER = re.compile(r"^(DoD[IMD]\s+(?:[A-Z]-)?[1-9][0-9]{3}(?:\.[0-9]{1,2})?)\b")
+_PAGE_NUM = re.compile(r"^\d{1,4}\s*$")
+_TOC_LEADER = re.compile(r"\.{3,}\s*\d+\s*$")
+_TOC_TITLE = re.compile(r"\bTABLE OF CONTENTS\b", re.IGNORECASE)
+_SECTION_HEAD = re.compile(r"^SECTION\s+(\d+):\s*(.+?)\s*$")
+# (?!\d) keeps enclosure SUBSECTION numbering (E2.1.) in the body
+_ENCL_HEAD = re.compile(r"^(?:ENCLOSURE\s+(\d{1,2}):?|E(\d{1,2})\.(?!\d))\s*(.*?)\s*$")
+_GLOSSARY_HEAD = re.compile(r"^GLOSSARY\s*$")
+_ALLCAPS_LINE = re.compile(r"^[A-Z][A-Z &,()\-']*$")
+
+
+def parse_dod_sections(text: str) -> list[tuple[int, str, str]]:
+    """Line-oriented DoD-issuance parser (newline-delimited page text —
+    the shape the PDF extractor emits). Reproduces the reference
+    pipeline's observable behavior compactly:
+
+    - the repeated page header (``DoDI 5000.88, ...``, inferred from the
+      first header-shaped line the way the reference infers it from the
+      filename) and bare page numbers are dropped (``_remove_pagebreaks_
+      and_noise``);
+    - the Table of Contents — from its title line through the last
+      dotted-leader line — becomes ONE section (``_combine_toc``),
+      emitted as (0, "TABLE OF CONTENTS", body);
+    - ``SECTION <n>: NAME`` / ``ENCLOSURE <n>`` / ``E<n>. NAME`` /
+      ``GLOSSARY`` open a new section; a bare ``ENCLOSURE <n>`` heading
+      absorbs an ALL-CAPS title on the following line
+      (``_combine_enclosure_titles``);
+    - every other line — subsection numbering, sentence continuations,
+      alpha list items — accrues to the current section's body joined by
+      spaces (``_combine_sentence_continuations`` + ``_combine_by_
+      section_nums`` collapsed: body lines stay with their heading).
+
+    Glossary sections carry num 0. Preamble before the first heading is
+    ignored, matching the other strategies."""
+    raw_lines = [ln.strip() for ln in text.split("\n")]
+    header: str | None = None
+    m = _DOD_HEADER.match(raw_lines[0]) if raw_lines else None
+    if m:
+        header = m.group(1)
+
+    lines: list[str] = []
+    for i, ln in enumerate(raw_lines):
+        if not ln or _PAGE_NUM.match(ln):
+            continue
+        if header and i > 0 and ln.startswith(header):
+            continue  # repeated page header
+        lines.append(ln)
+
+    # TOC: title line .. last dotted-leader line (one combined section)
+    toc_start = next((i for i, ln in enumerate(lines) if _TOC_TITLE.search(ln)), None)
+    out: list[tuple[int, str, str]] = []
+    if toc_start is not None:
+        toc_end = toc_start
+        for j in range(toc_start + 1, len(lines)):
+            if _TOC_LEADER.search(lines[j]):
+                toc_end = j
+        out.append((0, "TABLE OF CONTENTS", " ".join(lines[toc_start + 1 : toc_end + 1])))
+        lines = lines[:toc_start] + lines[toc_end + 1 :]
+
+    cur: tuple[int, str] | None = None
+    body: list[str] = []
+    i = 0
+
+    def flush():
+        if cur is not None:
+            out.append((cur[0], cur[1], " ".join(body).strip()))
+
+    while i < len(lines):
+        ln = lines[i]
+        sec = _SECTION_HEAD.match(ln)
+        enc = _ENCL_HEAD.match(ln)
+        glo = _GLOSSARY_HEAD.match(ln)
+        if sec:
+            flush()
+            cur, body = (int(sec.group(1)), sec.group(2)), []
+        elif enc:
+            flush()
+            num = int(enc.group(1) or enc.group(2))
+            name = enc.group(3)
+            # bare "ENCLOSURE 2": absorb an ALL-CAPS title line that follows
+            if not name and i + 1 < len(lines) and _ALLCAPS_LINE.match(lines[i + 1]):
+                name = lines[i + 1]
+                i += 1
+            cur, body = (num, name or f"ENCLOSURE {num}"), []
+        elif glo:
+            flush()
+            cur, body = (0, "GLOSSARY"), []
+        elif cur is not None:
+            body.append(ln)
+        i += 1
+    flush()
+    return out
+
+
 # type → strategy registry (ParserFactory.create dispatch,
 # ``parsers/parser_factory.py`` analog); register new layouts here.
 STRATEGIES: dict[str, Callable[[str], list[tuple[int, str, str]]]] = {
@@ -123,6 +224,7 @@ STRATEGIES: dict[str, Callable[[str], list[tuple[int, str, str]]]] = {
     "enclosure": parse_enclosure_sections,
     "eo": parse_eo_sections,
     "uscode": parse_uscode_sections,
+    "dod": parse_dod_sections,
 }
 
 

@@ -1,0 +1,75 @@
+"""Responsibility-extraction stage (M13 depth): golden input/expected
+pairs mirroring the reference's ``responsibility_parse/tests`` layout
+(its ``DoDI 5000.94_resp_section.txt`` shape is the first golden), plus
+unit tests of the numbering/profile machinery."""
+
+import json
+import os
+
+import pytest
+
+from gamechanger_data_ray.stages.responsibilities import (
+    extract_numbering,
+    is_larger_numbering,
+    numbering_profile,
+    parse_responsibility_section,
+    profile_matches,
+    responsibility_rows,
+)
+
+GOLD = os.path.join(os.path.dirname(__file__), "data", "responsibilities")
+
+
+@pytest.mark.parametrize(
+    "name", sorted(os.path.splitext(f)[0] for f in os.listdir(os.path.join(GOLD, "input")))
+)
+def test_responsibilities_golden(name):
+    case = json.load(open(os.path.join(GOLD, "input", f"{name}.json")))
+    expected = json.load(open(os.path.join(GOLD, "expected_output", f"{name}.json")))
+    assert parse_responsibility_section(case["text"]) == expected
+
+
+def test_extract_numbering_shapes():
+    assert extract_numbering("2.1. THE DIRECTOR shall:") == ("2.1.", "THE DIRECTOR shall:")
+    assert extract_numbering("a. Does a thing.") == ("a.", "Does a thing.")
+    assert extract_numbering("(3) nested item") == ("(3)", "nested item")
+    assert extract_numbering("(b) lettered item") == ("(b)", "lettered item")
+    # back-reference "(b)," is NOT numbering (reference edge case)
+    assert extract_numbering("(b), see reference")[0] == ""
+    # uppercase abbreviations are not numbering
+    assert extract_numbering("U.S. policy applies")[0] == ""
+    assert extract_numbering("plain continuation text")[0] == ""
+
+
+def test_profile_matching_and_order():
+    p = numbering_profile("2.1.")
+    assert profile_matches(p, "2.2.")
+    assert profile_matches(p, "2.10.")  # one extra digit allowed (2.9 → 2.10)
+    assert not profile_matches(p, "a.")
+    assert not profile_matches(p, "(1)")
+    assert not profile_matches(p, "2.1.1.")
+    assert is_larger_numbering("2.1.", "2.2.")
+    assert not is_larger_numbering("2.2.", "2.1.")
+    assert not is_larger_numbering("2.1.", "2.1.")
+    assert is_larger_numbering("a.", "b.")
+
+
+def test_rows_contract_intro_only_role():
+    rows = responsibility_rows("2.1. THE DIRECTOR (TD) shall:\n", doc_id=9)
+    assert rows == [
+        {
+            "doc_id": 9,
+            "role_numbering": "2.1.",
+            "role_text": "THE DIRECTOR (TD) shall:",
+            "resp_numbering": "",
+            "resp_text": "",
+        }
+    ]
+
+
+def test_rows_flatten_role_and_duties():
+    rows = responsibility_rows(
+        "2.1. THE DIRECTOR (TD) shall:\na. First duty.\nb. Second duty.", doc_id=1
+    )
+    assert [r["resp_numbering"] for r in rows] == ["a.", "b."]
+    assert all(r["role_numbering"] == "2.1." for r in rows)
