@@ -411,6 +411,63 @@ FROM resps
 """
 
 
+_OCR_SUFFIX = " — café №42"  # non-ASCII payload the corruption mangles
+
+
+def docs_ocr_repair(sf_dir: str):
+    """Batched re-OCR orchestration (M17; ``process.py:189-239`` +
+    ``gc_ocr/utils.py:49-158``): every third doc's text arrives
+    latin-1-mis-decoded (the classic ingest mojibake — a REAL corruption
+    with a REAL inverse), the gate flags exactly those rows by the
+    multi-byte-lead signature, and only they enter the heavy repair path
+    (``stages/ocr.py::ReocrRouter``, dedicated actor pool, small
+    batches). Byte-exact oracle: md5 of the post-repair text equals md5
+    of the uncorrupted source for EVERY row — a missed detection, false
+    repair, or lossy inverse all hash-mismatch."""
+    import hashlib as _hl
+
+    from ..stages.ocr import ReocrRouter
+
+    ds = cm.read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def corrupt(df: pd.DataFrame) -> pd.DataFrame:
+        clean = df["text"] + _OCR_SUFFIX
+        bad = df["doc_id"] % 3 == 0
+        df = df.assign(text=clean)
+        df.loc[bad, "text"] = df.loc[bad, "text"].map(
+            lambda s: s.encode("utf-8").decode("latin-1")
+        )
+        return df
+
+    repaired = ds.map_batches(corrupt, batch_format="pandas").map_batches(
+        ReocrRouter,
+        batch_format="pandas",
+        concurrency=(1, cm.pool_size()),
+        batch_size=128,
+    )
+
+    def project(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].astype("int64"),
+                "was_repaired": df["was_repaired"].astype("int64"),
+                "text_md5": df["text"].map(
+                    lambda s: _hl.md5(s.encode("utf-8")).hexdigest()
+                ),
+            }
+        )
+
+    return repaired.map_batches(project, batch_format="pandas")
+
+
+ORACLES["docs_ocr_repair"] = f"""
+SELECT doc_id,
+       CAST(doc_id % 3 = 0 AS BIGINT) AS was_repaired,
+       md5(text || ' — café №42') AS text_md5
+FROM documents
+"""
+
+
 # ---------------------------------------------------------------------------
 # Page/paragraph segmentation (M3/M4) — module-level (pytest-oracled)
 # ---------------------------------------------------------------------------

@@ -1,0 +1,97 @@
+"""Batched re-OCR orchestration (M17).
+
+Reference shape: ``common/document_parser/process.py:189-239`` checks
+every file's OCR status (collecting ``bad_page_nums``), batches the
+failures, and pushes them through a dedicated heavy pool
+(``gc_ocr/utils.py:49-158``'s PDFOCR with per-file thread counts),
+leaving clean files untouched. Ray-Data-first, that split/heavy-pool/
+rejoin collapses into ONE actor-pool stage that routes WITHIN each
+batch: clean rows pass through zero-copy, flagged rows take the
+expensive path — no second scan of the corpus, no union shuffle, and
+the pool's ``num_cpus``/``batch_size`` make it the dedicated heavy pool.
+(When repair cost per row dwarfs scan cost — real OCR renders pages —
+prefer the two-branch form: persist the gate output, filter the flagged
+slice, re-OCR it alone, and union; the fused router below keeps the
+same Repairer contract either way.)
+
+The OCR binary itself (ocrmypdf/tesseract) is absent in this
+environment, so the heavy path ships with one REAL repairer the gate
+can actually exercise end-to-end — :class:`MojibakeRepairer`, fixing
+UTF-8 text that was mis-decoded as latin-1 (the classic ingest
+corruption: ``café`` → ``cafÃ©``) by re-encoding latin-1 and re-decoding
+UTF-8 — plus the :class:`Repairer` hook a deployment implements with the
+real OCR engine. Detection mirrors the reference's bad-page heuristics
+(``common/utils/file_utils.py:43-80``): U+FFFD ratio (see
+``text.OcrQualityGate``) and the mojibake lead-byte signature here.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+
+# UTF-8 multi-byte lead bytes seen through a latin-1 decode: Â/Ã (2-byte
+# sequences) and à/á/â/ã (3/4-byte leads followed by continuation bytes
+# in 0x80-0xBF, which latin-1 maps to controls/symbols/¡-¿)
+_MOJIBAKE = re.compile("[ÂÃàáâã][\x80-\xbf¡-¿–-™€]")
+
+
+def looks_mojibake(text: str) -> bool:
+    """True when the text carries the latin-1-decoded-UTF-8 signature."""
+    return bool(_MOJIBAKE.search(text))
+
+
+def repair_mojibake(text: str) -> str:
+    """Invert a latin-1 mis-decode of UTF-8 bytes. Text that does not
+    round-trip (it wasn't mojibake after all) comes back unchanged —
+    mirroring the reference's swallow-and-continue per-file OCR errors."""
+    try:
+        return text.encode("latin-1").decode("utf-8")
+    except (UnicodeEncodeError, UnicodeDecodeError):
+        return text
+
+
+class Repairer:
+    """The heavy re-OCR hook: a deployment implements ``repair_one`` with
+    the real engine (ocrmypdf on the flagged pages, ``utils.py:110-131``).
+    Contract: text in, repaired text out, never raise per row."""
+
+    def repair_one(self, text: str) -> str:
+        raise NotImplementedError(
+            "re-OCR engine binding: implement repair_one (e.g. ocrmypdf)"
+        )
+
+
+class MojibakeRepairer(Repairer):
+    """REAL repairer: fixes latin-1-mis-decoded UTF-8."""
+
+    def repair_one(self, text: str) -> str:
+        return repair_mojibake(text)
+
+
+class ReocrRouter:
+    """Fused gate + heavy-path router (the ``process.py:189-239``
+    orchestration as one actor-pool stage): flag rows whose text shows
+    the corruption signature, run ONLY those through the repairer,
+    pass the rest through untouched. Adds ``was_repaired``; run with a
+    dedicated pool: ``map_batches(ReocrRouter, fn_constructor_args=...,
+    concurrency=(1, pool), batch_size=small, num_cpus=1)``."""
+
+    def __init__(self, repairer: Repairer | None = None, text_col: str = "text"):
+        self.repairer = repairer or MojibakeRepairer()
+        self.text_col = text_col
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        flagged = batch[self.text_col].map(looks_mojibake)
+        repaired_any = pd.Series(False, index=batch.index)
+        if flagged.any():
+            # batch the bad pages: only flagged rows enter the heavy path
+            original = batch.loc[flagged, self.text_col]
+            repaired = original.map(self.repairer.repair_one)
+            batch.loc[flagged, self.text_col] = repaired
+            # a row counts as repaired only if the heavy path changed it
+            repaired_any.loc[flagged] = repaired.ne(original)
+        batch["was_repaired"] = repaired_any
+        return batch
