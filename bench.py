@@ -111,6 +111,9 @@ QUERY_NAMES = [
     "docs_mixture_sample",
     "dedup_token_spans",
     "ann_pq",
+    "multimodal_pdf_pages",
+    "docs_html_text",
+    "events_asof_join",
 ]
 
 

@@ -9,6 +9,7 @@ IDENTICAL output column names. Reference analogs cited per function.
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -300,62 +301,79 @@ FROM events GROUP BY user_id, date_trunc('hour', ts)
 
 
 def _day_bucket(ts: pd.Series) -> pd.Series:
-    """Salt key: integer day index. Bounds any one group to a single
-    user's events in one DAY — the hot-key guard for the per-key windowed
-    operators below (a user with 10^9 lifetime events still yields
-    day-sized groups). Tighten to hours for intra-day hot keys."""
+    """Salt key: integer day index. Bounds any one key's co-located rows
+    to a single user's events in one DAY — the hot-key guard for the
+    per-key windowed operators below (a user with 10^9 lifetime events
+    still yields day-sized work units). Tighten to hours for intra-day
+    hot keys."""
     return ((ts - pd.Timestamp(0)).dt.total_seconds() // 86400).astype("int64")
+
+
+_N_ROUTES = 256
+
+
+def _route_of(*cols: pd.Series) -> pd.Series:
+    """Coarse shuffle key over one or more integer key columns: all rows
+    of a (user[, day]) key share a route; each route carries MANY keys.
+    The Ray groupby runs per ROUTE (a few hundred well-sized tasks, like
+    ``common.routed_grouped_agg``) and the per-key logic inside each
+    route is a vectorized pandas groupby — never one Ray task per tiny
+    key group (45k single-user-day groups measured 5-8× slower than 256
+    routed ones at sf0.1)."""
+    acc = np.zeros(len(cols[0]), dtype=np.uint64)
+    for c in cols:
+        acc = (acc ^ c.to_numpy().astype(np.uint64)) * np.uint64(0x9E3779B97F4A7C15)
+    return pd.Series((acc % np.uint64(_N_ROUTES)).astype(np.int64), index=cols[0].index)
 
 
 def events_sessionize(sf_dir: str):
     """Session windows (30-min inactivity gap) per user → session count.
 
     HOT-KEY-SAFE two-phase shape (no whole-user group ever forms):
-    phase 1 groups by (user, day) and reduces each day to a 4-number
-    summary (gap count within the day, first/last ts); phase 2 groups the
-    per-day summaries by user (≤ days-spanned rows per group — bounded
-    regardless of event volume) and adds the day-boundary gaps. Exact:
-    consecutive-event gaps either fall inside one day (phase 1) or
-    between the last event of one present day and the first of the next
-    (phase 2)."""
+    phase 1 reduces each (user, day) to a 4-number summary — gap count
+    within the day, first/last ts — inside route-grouped tasks using
+    vectorized ``groupby.diff``; phase 2 routes the per-day summaries by
+    user (≤ days-spanned rows per user — bounded regardless of volume)
+    and adds the day-boundary gaps. Exact: consecutive-event gaps either
+    fall inside one day (phase 1) or between the last event of one
+    present day and the first of the next (phase 2)."""
     gap = pd.Timedelta(minutes=30)
     ds = cm.read(sf_dir, "events", columns=["user_id", "ts"])
 
-    def add_bucket(b: pd.DataFrame) -> pd.DataFrame:
+    def add_route(b: pd.DataFrame) -> pd.DataFrame:
         b["_bucket"] = _day_bucket(b["ts"])
+        b["_route"] = _route_of(b["user_id"], b["_bucket"])
         return b
 
-    def per_day(g: pd.DataFrame) -> pd.DataFrame:
-        ts = g["ts"].sort_values()
-        return pd.DataFrame(
-            {
-                "user_id": [g["user_id"].iloc[0]],
-                "_bucket": [g["_bucket"].iloc[0]],
-                "n_gaps": [int((ts.diff() > gap).sum())],
-                "min_ts": [ts.iloc[0]],
-                "max_ts": [ts.iloc[-1]],
-            }
-        )
+    def per_day_route(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "_bucket", "ts"])
+        keys = g.groupby(["user_id", "_bucket"], sort=False)
+        gaps = keys["ts"].diff() > gap
+        out = keys.agg(min_ts=("ts", "min"), max_ts=("ts", "max")).reset_index()
+        out["n_gaps"] = gaps.groupby(
+            [g["user_id"], g["_bucket"]], sort=False
+        ).sum().to_numpy()
+        out["_route"] = _route_of(out["user_id"])
+        return out
 
     days = (
-        ds.map_batches(add_bucket, batch_format="pandas")
-        .groupby(["user_id", "_bucket"])
-        .map_groups(per_day, batch_format="pandas")
+        ds.map_batches(add_route, batch_format="pandas")
+        .groupby("_route")
+        .map_groups(per_day_route, batch_format="pandas")
     )
 
-    def merge(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("_bucket")
-        boundary = int(
-            ((g["min_ts"].iloc[1:].to_numpy() - g["max_ts"].iloc[:-1].to_numpy()) > gap).sum()
-        )
-        return pd.DataFrame(
-            {
-                "user_id": [g["user_id"].iloc[0]],
-                "n_sessions": [1 + int(g["n_gaps"].sum()) + boundary],
-            }
-        )
+    def merge_route(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "_bucket"])
+        users = g.groupby("user_id", sort=False)
+        boundary = (g["min_ts"] - users["max_ts"].shift(1)) > gap
+        out = users.agg(n_sessions=("n_gaps", "sum")).reset_index()
+        out["n_sessions"] = (
+            1 + out["n_sessions"]
+            + boundary.groupby(g["user_id"], sort=False).sum().to_numpy()
+        ).astype("int64")
+        return out
 
-    return days.groupby("user_id").map_groups(merge, batch_format="pandas")
+    return days.groupby("_route").map_groups(merge_route, batch_format="pandas")
 
 
 ORACLES["events_sessionize"] = """
@@ -672,69 +690,82 @@ def events_asof_join(sf_dir: str):
     semi-join J2 is the degenerate case): every 'error' event joined to
     the latest 'signup' event of the SAME user at-or-before it.
 
-    HOT-KEY-SAFE composition — groups form per (user, DAY), never per
-    user, so a hot key salts across days:
+    HOT-KEY-SAFE composition — work units form per (user, DAY), never
+    per user, so a hot key salts across days; shuffles are ROUTED (a few
+    hundred groups, vectorized interiors), never per-key:
 
     1. per-batch combiner: max signup ts per (user, day) — one tiny row
        per (batch, user, day) enters the first shuffle;
-    2. per-user prefix-max over the day summaries (groups are ≤
-       days-spanned rows) emits one synthetic CARRY signup row per day:
-       the latest signup of any strictly-earlier day;
-    3. carry rows union with the real events and ONE
-       ``groupby(user, day)`` runs the vectorized ``np.searchsorted``
-       as-of within each day — an error earlier than its day's first real
-       signup matches the carry row instead. Exact at any skew."""
-    import numpy as np
-
+    2. per-user prefix-max over the day summaries (vectorized
+       groupby.cummax/ffill/shift inside user-routed tasks) emits one
+       synthetic CARRY signup row per day: the latest signup of any
+       strictly-earlier day;
+    3. carry rows union with the real events; inside (user, day)-routed
+       tasks a single ``pd.merge_asof(by=[user, day])`` matches every
+       error to the latest same-day signup at-or-before it — an error
+       earlier than its day's first real signup matches the carry row
+       instead. Exact at any skew."""
     ds = cm.read(sf_dir, "events", columns=["event_id", "user_id", "ts", "event_type"])
     ds = ds.map_batches(
         lambda t: t.filter(pc.is_in(t["event_type"], value_set=pa.array(["error", "signup"]))),
         batch_format="pyarrow",
     )
-    COLS = ["event_id", "user_id", "ts", "event_type", "_bucket"]
+    COLS = ["event_id", "user_id", "ts", "event_type", "_bucket", "_route"]
 
     def add_bucket(b: pd.DataFrame) -> pd.DataFrame:
         b["_bucket"] = _day_bucket(b["ts"])
+        b["_route"] = _route_of(b["user_id"], b["_bucket"])
         return b[COLS]
 
     ds = ds.map_batches(add_bucket, batch_format="pandas")
 
     def partial_last_signup(b: pd.DataFrame) -> pd.DataFrame:
         b = b.assign(_sig_ts=b["ts"].where(b["event_type"] == "signup"))
-        return b.groupby(["user_id", "_bucket"], as_index=False, sort=False).agg(
+        out = b.groupby(["user_id", "_bucket"], as_index=False, sort=False).agg(
             last_signup=("_sig_ts", "max")
         )
+        out["_uroute"] = _route_of(out["user_id"])
+        return out
 
     partials = ds.map_batches(partial_last_signup, batch_format="pandas")
 
     def carry_rows(g: pd.DataFrame) -> pd.DataFrame:
-        # combine batch partials per day, then prefix-max shifted by one:
-        # the latest signup in any STRICTLY earlier day of this user
+        # combine batch partials per (user, day), then per-user prefix-max
+        # shifted by one day: the latest signup of any STRICTLY earlier
+        # day (cummax leaves NaT rows NaT — it skips, not fills — so
+        # ffill carries the running max through signup-free days)
         per_day = (
-            g.groupby("_bucket", sort=True)["last_signup"].max().reset_index()
+            g.groupby(["user_id", "_bucket"], as_index=False, sort=True)
+            .agg(last_signup=("last_signup", "max"))
+            .sort_values(["user_id", "_bucket"])
         )
-        # cummax leaves NaT rows NaT (it skips, not fills): ffill carries
-        # the running max through signup-free days
-        carry = per_day["last_signup"].cummax().ffill().shift(1)
+        users = per_day.groupby("user_id", sort=False)["last_signup"]
+        carry = users.cummax().groupby(per_day["user_id"], sort=False).ffill()
+        carry = carry.groupby(per_day["user_id"], sort=False).shift(1)
         keep = carry.notna()
+        n = int(keep.sum())
         return pd.DataFrame(
             {
-                "event_id": np.full(int(keep.sum()), -1, dtype="int64"),
-                "user_id": np.full(int(keep.sum()), g["user_id"].iloc[0], dtype="int64"),
+                "event_id": np.full(n, -1, dtype="int64"),
+                "user_id": per_day["user_id"][keep].to_numpy(),
                 "ts": carry[keep].to_numpy(),
                 "event_type": "signup",
                 "_bucket": per_day["_bucket"][keep].to_numpy(),
             }
         )
 
+    def carry_route(b: pd.DataFrame) -> pd.DataFrame:
+        b["_route"] = _route_of(b["user_id"], b["_bucket"])
+        return b[COLS]
+
     carries = (
-        partials.groupby("user_id")
+        partials.groupby("_uroute")
         .map_groups(carry_rows, batch_format="pandas")
-        .map_batches(lambda b: b[COLS], batch_format="pandas")
+        .map_batches(carry_route, batch_format="pandas")
     )
 
-    def asof(g: pd.DataFrame) -> pd.DataFrame:
-        errors = g[g["event_type"] == "error"].sort_values(["ts", "event_id"])
+    def asof_route(g: pd.DataFrame) -> pd.DataFrame:
+        errors = g[g["event_type"] == "error"].sort_values("ts")
         logins = g[g["event_type"] == "signup"].sort_values("ts")
         if errors.empty:
             return pd.DataFrame(
@@ -743,30 +774,18 @@ def events_asof_join(sf_dir: str):
                  "ts": pd.Series([], dtype="datetime64[us]"),
                  "login_ts": pd.Series([], dtype="datetime64[us]")}
             )
-        if logins.empty:
-            login_ts = np.full(len(errors), np.datetime64("NaT"), dtype="datetime64[us]")
-        else:
-            idx = np.searchsorted(
-                logins["ts"].to_numpy(), errors["ts"].to_numpy(), side="right"
-            ) - 1
-            login_ts = np.where(
-                idx >= 0,
-                logins["ts"].to_numpy()[np.clip(idx, 0, None)],
-                np.datetime64("NaT"),
-            )
-        return pd.DataFrame(
-            {
-                "event_id": errors["event_id"].to_numpy(),
-                "user_id": errors["user_id"].to_numpy(),
-                "ts": errors["ts"].to_numpy(),
-                "login_ts": login_ts,
-            }
+        right = logins[["user_id", "_bucket", "ts"]].assign(login_ts=logins["ts"])
+        out = pd.merge_asof(
+            errors[["event_id", "user_id", "_bucket", "ts"]],
+            right,
+            on="ts",
+            by=["user_id", "_bucket"],
+            direction="backward",
         )
+        return out[["event_id", "user_id", "ts", "login_ts"]]
 
-    return (
-        ds.union(carries)
-        .groupby(["user_id", "_bucket"])
-        .map_groups(asof, batch_format="pandas")
+    return ds.union(carries).groupby("_route").map_groups(
+        asof_route, batch_format="pandas"
     )
 
 
@@ -784,16 +803,21 @@ def events_range_join(sf_dir: str):
     vectorized ``np.searchsorted`` — never the O(n²) cross product a
     naive range join implies.
 
-    HOT-KEY-SAFE: groups form per (user, DAY). A window opening near the
-    end of a day reaches into the next day, so every event within
+    HOT-KEY-SAFE: work units form per (user, DAY). A window opening near
+    the end of a day reaches into the next day, so every event within
     ``window`` of its day's start is ALSO emitted as a SHADOW row
-    stamped with the previous day — countable in that day's group but
-    never itself a signup emitter there (each real event is counted by
-    exactly one group per window). Requires window ≤ the salt bucket
-    width (asserted)."""
-    import numpy as np
+    stamped with the previous day — countable in that day's work unit
+    but never itself a signup emitter there (each real event is counted
+    by exactly one unit per window). Requires window ≤ the salt bucket
+    width (asserted).
 
+    The shuffle is ROUTED (a few hundred groups); inside a route ONE
+    composite-key ``np.searchsorted`` counts every window at once: rows
+    sort by (key, ts) and encode to ``key_rank * SPAN + ts_offset``
+    (SPAN > any in-route ts spread + window, so windows never cross key
+    boundaries in the encoding)."""
     window = pd.Timedelta(minutes=30)
+    window_us = window.value // 1000
     assert window <= pd.Timedelta(days=1), "shadow replication assumes window <= bucket"
     ds = cm.read(sf_dir, "events", columns=["event_id", "user_id", "ts", "event_type"])
 
@@ -804,22 +828,31 @@ def events_range_join(sf_dir: str):
         sh = b[near_start].copy()
         sh["_bucket"] -= 1
         sh["_shadow"] = True
-        return pd.concat([b, sh], ignore_index=True)
+        out = pd.concat([b, sh], ignore_index=True)
+        out["_route"] = _route_of(out["user_id"], out["_bucket"])
+        return out
 
     ds = ds.map_batches(add_bucket_and_shadows, batch_format="pandas")
 
-    def count_in_range(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("ts")
-        all_ts = g["ts"].to_numpy()
-        logins = g[(g["event_type"] == "signup") & ~g["_shadow"]]
-        if logins.empty:
-            return pd.DataFrame(
-                {"event_id": pd.Series([], dtype="int64"),
-                 "user_id": pd.Series([], dtype="int64"),
-                 "n_in_window": pd.Series([], dtype="int64")}
+    def count_route(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "_bucket", "ts"])
+        ts_us = g["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+        off = ts_us - ts_us.min()
+        key_rank = (
+            g.groupby(["user_id", "_bucket"], sort=False).ngroup().to_numpy()
+        )
+        span = off.max() + window_us + 2
+        if int(key_rank.max() + 1) * int(span) >= 2**62:  # pragma: no cover
+            raise OverflowError(
+                "route time-spread × key count exceeds the int64 encoding; "
+                "raise _N_ROUTES or tighten the salt bucket"
             )
-        lo = np.searchsorted(all_ts, logins["ts"].to_numpy(), side="left")
-        hi = np.searchsorted(all_ts, (logins["ts"] + window).to_numpy(), side="left")
+        combined = key_rank * span + off
+        is_login = (g["event_type"] == "signup") & ~g["_shadow"]
+        q = combined[is_login.to_numpy()]
+        lo = np.searchsorted(combined, q, side="left")
+        hi = np.searchsorted(combined, q + window_us, side="left")
+        logins = g[is_login]
         return pd.DataFrame(
             {
                 "event_id": logins["event_id"].to_numpy(),
@@ -828,9 +861,7 @@ def events_range_join(sf_dir: str):
             }
         )
 
-    return ds.groupby(["user_id", "_bucket"]).map_groups(
-        count_in_range, batch_format="pandas"
-    )
+    return ds.groupby("_route").map_groups(count_route, batch_format="pandas")
 
 
 ORACLES["events_range_join"] = """

@@ -33,11 +33,18 @@ class TokenCounter:
     regex pre-tokenizer). Output: + ``n_tokens`` column."""
 
     def __init__(self, text_col: str = "text"):
-        self.pat = re.compile(TOKEN_PATTERN)
         self.text_col = text_col
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        batch["n_tokens"] = batch[self.text_col].map(lambda s: len(self.pat.findall(s)))
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        # vectorized re2 kernel (one C pass over the column) — equivalent
+        # to len(findall(TOKEN_PATTERN)) since matches never overlap
+        counts = pc.count_substring_regex(
+            pa.Array.from_pandas(batch[self.text_col]), TOKEN_PATTERN
+        )
+        batch["n_tokens"] = counts.to_numpy(zero_copy_only=False).astype("int64")
         return batch
 
 
