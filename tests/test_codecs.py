@@ -169,3 +169,40 @@ def test_decoder_dispatch_by_mime():
     assert mm.decoder_for("image/x-portable-pixmap") is mm.PpmDecoder
     assert mm.decoder_for("image/x-portable-graymap") is mm.PpmDecoder
     assert mm.decoder_for("video/mp4") is mm.FakeDecoder
+
+
+# ---------------------------------------------------------------------------
+# Property tests — round-trips hold on arbitrary inputs, not just goldens
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+# latin-1-encodable, no control chars (build_pdf's documented domain)
+_PDF_TEXT = st.text(
+    alphabet=st.characters(min_codepoint=32, max_codepoint=255),
+    min_size=1,
+    max_size=200,
+).filter(lambda s: s.strip())
+
+
+@given(st.lists(_PDF_TEXT, min_size=1, max_size=4), st.booleans())
+@settings(max_examples=150, deadline=None)
+def test_pdf_roundtrip_property(pages, compress):
+    got = codecs.extract_pdf_text(codecs.build_pdf(pages, compress=compress))
+    assert got == pages
+
+
+@given(st.integers(1, 12), st.integers(1, 12), st.integers(0))
+@settings(max_examples=100, deadline=None)
+def test_ppm_roundtrip_and_resize_property(w, h, seed):
+    rng = np.random.default_rng(seed % 2**32)
+    img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    assert np.array_equal(codecs.parse_ppm(codecs.build_ppm(img)), img)
+    out_w, out_h = max(1, w // 2), max(1, h // 2)
+    thumb = codecs.resize_nearest(img, out_w, out_h)
+    assert thumb.shape == (out_h, out_w, 3)
+    # every thumbnail pixel is a real source pixel (nearest-neighbor)
+    rows = np.minimum((np.arange(out_h) * h) // out_h, h - 1)
+    cols = np.minimum((np.arange(out_w) * w) // out_w, w - 1)
+    assert np.array_equal(thumb, img[rows[:, None], cols[None, :]])

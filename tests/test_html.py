@@ -82,3 +82,25 @@ def test_stage_drops_html_column_adds_text_nchars():
     assert out.column_names == ["doc_id", "text", "n_chars"]
     assert out["text"].to_pylist() == ["ab", "hello"]
     assert out["n_chars"].to_pylist() == [2, 5]
+
+
+# ---------------------------------------------------------------------------
+# Property test — the sanitize round-trip holds on arbitrary payload text
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+# any unicode without newlines/controls, not whitespace-only (the
+# documented build_html round-trip domain)
+_PAYLOAD = st.text(
+    alphabet=st.characters(blacklist_categories=("Cc", "Cs")),
+    min_size=1,
+    max_size=300,
+).filter(lambda s: s.strip() and "\n" not in s and "\r" not in s)
+
+
+@given(_PAYLOAD, st.integers(0, 10**9))
+@settings(max_examples=150, deadline=None)
+def test_html_roundtrip_property(text, doc_id):
+    assert html_to_text(build_html(text, doc_id)) == text
