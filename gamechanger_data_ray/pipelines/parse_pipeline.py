@@ -18,7 +18,7 @@ Output schema (the ``output_schema.json`` analog, §1.1):
     version_hash (M19), ref_list (list<str>, M5), dates (list<ts>, §2.9),
     entities (list<str>, M6), top_entities_t (list<str>),
     keyw_5 (list<str>, M8), topics_rs (list<str>, M7),
-    sections (list<str>, M13), ocr_ok (M17)
+    sections (list<str>, M13), responsibilities (list<str>), ocr_ok (M17)
 """
 
 from __future__ import annotations
@@ -27,6 +27,7 @@ import pandas as pd
 
 from ..core.hashing import sha256_hex
 from ..stages.extract import EntityExtractor, collect_refs, extract_dates, make_ref_patterns, top_entities
+from ..stages.responsibilities import parse_responsibility_section
 from ..stages.sections import parse_sections, sections_to_fields
 from ..stages.text import OcrQualityGate, TopicScorer, replacement_char_ratio
 from . import common as cm
@@ -85,6 +86,15 @@ class DocumentParser:
                     # the reference's 14-field named-sections contract
                     # (add_sections.py:12-27) as a struct of string lists
                     "section_fields": sec_fields,
+                    # responsibility extraction over the RESPONSIBILITIES
+                    # section body (responsibility_parser.py contract):
+                    # one role-intro line per role block found
+                    "responsibilities": [
+                        block[0]
+                        for block in parse_responsibility_section(
+                            "\n".join(sec_fields["responsibilities_section"])
+                        )
+                    ],
                     "ocr_ok": replacement_char_ratio(text) <= self.ocr.threshold,
                 }
             )

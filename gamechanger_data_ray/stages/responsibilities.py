@@ -102,22 +102,62 @@ def _is_role_line(line: str) -> bool:
     return bool(_ACRONYM.search(line)) or any(k in low for k in ROLE_KEYWORDS)
 
 
+_NUM_TOKEN = r"(?:[a-z]{1,2}\.|\([a-z]{1,2}\)|\(\d{1,2}\)|\d{1,2}\.(?:\d{1,2}\.){0,6})"
+# "… shall: a. duty" — numbering right after a colon starts a new logical
+# line (``split_text_with_role_midline``)
+_AFTER_COLON = re.compile(rf": (?={_NUM_TOKEN} )")
+# "… RESPONSIBILITIES 2.1. ROLE" — numbering inside the section-intro
+# line starts the first role (the reference's " 1. "/" a. " intro split)
+_AFTER_INTRO = re.compile(rf" (?={_NUM_TOKEN} )")
+
+
+def _explode_midline(line: str) -> list[str]:
+    """Split roles/duties that begin mid-line — needed when the section
+    text arrives flattened (one space-joined body) rather than as
+    physical PDF lines."""
+    out: list[str] = []
+    queue = [line]
+    while queue:
+        ln = queue.pop(0)
+        numbering, _ = extract_numbering(ln)
+        if not numbering and "RESPONSIBILIT" in ln.upper():
+            m = _AFTER_INTRO.search(ln)
+            if m:
+                out.append(ln[: m.start()].strip())
+                queue.insert(0, ln[m.start() :].strip())
+                continue
+        m = _AFTER_COLON.search(ln)
+        if m:
+            out.append(ln[: m.start() + 1].strip())
+            queue.insert(0, ln[m.start() + 1 :].strip())
+            continue
+        out.append(ln)
+    return out
+
+
 def parse_responsibility_section(section_text: str) -> list[list[str]]:
     """Section text → role blocks (``parse_responsibility_section``):
     each block is ``[role_intro_line, resp_line, ...]``."""
     merged: list[str] = []
+    stop = False
     for raw in section_text.split("\n"):
+        if stop:
+            break
         line = raw.replace("\t", "").strip()
         if not line:
             continue
         if any(b in line for b in BREAK_STRINGS):
             break
-        numbering, _ = extract_numbering(line)
-        if numbering or not merged:
-            merged.append(line)
-        else:
-            # continuation of the previous physical line (lookahead merge)
-            merged[-1] = f"{merged[-1]} {line}"
+        for piece in _explode_midline(line):
+            if any(b in piece for b in BREAK_STRINGS):
+                stop = True
+                break
+            numbering, _ = extract_numbering(piece)
+            if numbering or not merged:
+                merged.append(piece)
+            else:
+                # continuation of the previous physical line (lookahead merge)
+                merged[-1] = f"{merged[-1]} {piece}"
 
     blocks: list[list[str]] = []
     profile: dict[str, int] | None = None

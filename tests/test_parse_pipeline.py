@@ -55,3 +55,32 @@ def test_parse_documents_fields(sf_dir):
         assert (out[c] == out2[c]).all()
     for c in ("keyw_5", "topics_rs", "ref_list", "entities", "sections"):
         assert all(list(a) == list(b) for a, b in zip(out[c], out2[c]))
+
+
+def test_parser_responsibilities_field():
+    """The doc_dict gains a responsibilities list: role intro lines from
+    the RESPONSIBILITIES section, empty when the section has none."""
+    import ray
+
+    from gamechanger_data_ray.pipelines import common as cm
+    from gamechanger_data_ray.pipelines.parse_pipeline import DocumentParser
+
+    idf_ref = cm.broadcast(pd.DataFrame({"term": ["x"], "idf": [1.0]}))
+    parser = DocumentParser(idf_ref)
+    df = pd.DataFrame(
+        {
+            # doc_id 2 → "numbered" layout; SECTION heading carries the
+            # RESPONSIBILITIES name so the section classifier routes it
+            "doc_id": [2, 4],
+            "source": ["s", "s"],
+            "text": [
+                "SECTION 2: RESPONSIBILITIES 2.1. THE DIRECTOR (TD) shall: a. keep records.",
+                "SECTION 1: PURPOSE plain doc with no roles",
+            ],
+        }
+    )
+    out = parser(df).set_index("doc_id")
+    assert out.loc[2, "responsibilities"] == [
+        "2.1. THE DIRECTOR (TD) shall: a. keep records."
+    ] or out.loc[2, "responsibilities"][0].startswith("2.1. THE DIRECTOR")
+    assert out.loc[4, "responsibilities"] == []
