@@ -287,12 +287,24 @@ _SEC_NAMES = ("PURPOSE", "RESPONSIBILITIES", "PROCEDURES", "REFERENCES")
 
 def _section_text(doc_id: int, text: str) -> tuple[str, str]:
     """(layout, sectioned text) — the per-type dispatch input, rotated
-    over all five registered strategies by doc_id: numbered (DoD
+    over six registered strategies by doc_id: numbered (DoD
     SECTION-colon), caps (CJCS heading sentences), number_dot (Navy
-    ``1. Purpose.``), enclosure (DoD ``E1.``), eo (``Sec. 1.``)."""
+    ``1. Purpose.``), enclosure (DoD ``E1.``), eo (``Sec. 1.``), and the
+    multi-pass line-oriented ``dod`` parser — whose synthetic doc gets
+    the full treatment it must survive: a repeated page header, a
+    dotted-leader Table of Contents, and bare page numbers."""
     n = 2 + (1 if doc_id % 3 > 0 else 0) + (1 if doc_id % 3 == 2 else 0)
     bodies = [text, "duties", "steps", "list"]
-    layout = ("numbered", "caps", "number_dot", "enclosure", "eo")[doc_id % 5]
+    layout = ("numbered", "caps", "number_dot", "enclosure", "eo", "dod")[doc_id % 6]
+    if layout == "dod":
+        header = "DoDI 5088.10, January 1, 2024"
+        lines = [header, "TABLE OF CONTENTS"]
+        lines += [
+            f"SECTION {i + 1}: {_SEC_NAMES[i]} .......... {i + 3}" for i in range(n)
+        ]
+        for i in range(n):
+            lines += [header, str(i + 3), f"SECTION {i + 1}: {_SEC_NAMES[i]}", bodies[i]]
+        return layout, "\n".join(lines)
     fmt = {
         "numbered": " SECTION {i}: {name} {body}",
         "caps": " {name}. {body}",
@@ -333,7 +345,10 @@ def docs_sections(sf_dir: str):
 
 ORACLES["docs_sections"] = """
 SELECT doc_id, sec_num, sec_name FROM (
-  SELECT doc_id, 1 AS sec_num, 'PURPOSE' AS sec_name FROM documents
+  SELECT doc_id, 0 AS sec_num, 'TABLE OF CONTENTS' AS sec_name
+  FROM documents WHERE doc_id % 6 = 5
+  UNION ALL
+  SELECT doc_id, 1, 'PURPOSE' FROM documents
   UNION ALL
   SELECT doc_id, 2, 'RESPONSIBILITIES' FROM documents
   UNION ALL

@@ -965,7 +965,16 @@ WHERE l_quantity < (SELECT 0.2 * AVG(l_quantity) FROM lineitem
 def events_running_total(sf_dir: str):
     """Running window aggregate: cumulative value per user in event-time
     order (the SUM OVER (PARTITION BY … ORDER BY …) shape) — ONE
-    groupby(user) shuffle, per-group vectorized cumsum."""
+    groupby(user) shuffle, per-group vectorized cumsum.
+
+    Deliberately NOT day-salted like sessionize/as-of/range: a float
+    cumsum is order-SENSITIVE, and the salted two-phase form (per-day
+    sums + per-user carry) re-associates the additions, which can flip
+    the 6-dp rounding against the serial SQL window. Per-user groups are
+    the exactness contract here; for skewed keys at scale, compute
+    running totals over integer measures with the distributed prefix-sum
+    used by the packing pipeline (``tokens.py::_bucket_base_offsets``),
+    where re-association is exact."""
     ds = cm.read(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"])
 
     def running(g: pd.DataFrame) -> pd.DataFrame:
