@@ -265,7 +265,8 @@ def dedup_token_spans(sf_dir: str, window: int = 16):
     ds = ray.data.from_arrow(corpus)
 
     partials = ds.map_batches(
-        lambda t: dd.span_partials(t, window), batch_format="pyarrow"
+        lambda t: dd.span_partials(t, window, carry_window=True),
+        batch_format="pyarrow",
     )
 
     def add_route(df: pd.DataFrame, num_routes: int = 256) -> pd.DataFrame:
@@ -278,11 +279,14 @@ def dedup_token_spans(sf_dir: str, window: int = 16):
         # (span_hash, doc_id) rows are GLOBALLY unique — each doc's tokens
         # live in one corpus row, so one batch's combiner sees all of them
         # — which turns the distinct-doc count into a plain row count
-        # (pandas size beats nunique by ~25% wall on this query)
-        out = g.groupby("span_hash", as_index=False).agg(
+        # (pandas size beats nunique by ~25% wall on this query).
+        # Grouping on (hash, win) is the exact-confirm step: a 64-bit
+        # birthday collision (hash equal, tokens unequal) lands in two
+        # groups and never reports a false duplicate.
+        out = g.groupby(["span_hash", "win"], as_index=False).agg(
             n_docs=("doc_id", "size"), n_occ=("occ", "sum"),
             example_doc=("doc_id", "min"),
-        )
+        ).drop(columns=["win"])
         return out[out["n_docs"] >= 2]
 
     out = (
@@ -327,11 +331,12 @@ def dedup_token_spans_q(sf_dir: str, window: int = 16):
     projected per doc to (n_dup_spans, n_dup_occ) — the count of this
     doc's distinct ``window``-token spans that also appear in ≥1 other
     doc, and their total occurrences. Hash values never leave the
-    pipeline, so the DuckDB oracle recomputes with literal window strings
-    (the 64-bit-collision caveat of ``stages/dedup.py`` applies —
-    collision-free at any testdata scale)."""
+    pipeline, so the DuckDB oracle recomputes with literal window strings;
+    the carried first-window bytes make the match EXACT (hash-equal but
+    token-unequal windows are split — no 64-bit-collision caveat)."""
     partials = _arith_token_corpus(sf_dir).map_batches(
-        lambda t: dd.span_partials(t, window), batch_format="pyarrow"
+        lambda t: dd.span_partials(t, window, carry_window=True),
+        batch_format="pyarrow",
     )
 
     def add_route(df: pd.DataFrame, num_routes: int = 256) -> pd.DataFrame:
@@ -344,7 +349,8 @@ def dedup_token_spans_q(sf_dir: str, window: int = 16):
         # (span_hash, doc_id) rows are globally unique (one corpus row per
         # doc ⇒ one combiner row), so distinct-doc count == row count
         g = g.drop(columns=["_route"])
-        sz = g.groupby("span_hash")["doc_id"].transform("size")
+        # (hash, win) grouping = exact confirm (see stages/dedup.py)
+        sz = g.groupby(["span_hash", "win"])["doc_id"].transform("size")
         g = g[sz >= 2]
         return g.groupby("doc_id", as_index=False).agg(
             n_dup_spans=("span_hash", "size"), n_dup_occ=("occ", "sum"))

@@ -404,9 +404,11 @@ def routed_bucket_pairs_est(
 # Makes Language Models Better" substring-dedup shape, windowed): every
 # W-token window gets a 64-bit polynomial rolling hash; windows whose hash
 # repeats across ≥2 documents are repeated spans. At 10^10-window scale a
-# 64-bit hash admits rare birthday collisions — a production run would
-# confirm token equality within each hash group (the group is already
-# co-located); the tests here verify against a naive oracle.
+# 64-bit hash admits rare birthday collisions — ``carry_window=True``
+# ships each (hash, doc)'s first window tokens so the (co-located) finish
+# confirms token equality by grouping on (hash, window bytes); a crafted
+# collision test proves the confirm rejects hash-equal/token-unequal
+# windows. The tests also verify against a naive oracle.
 # ---------------------------------------------------------------------------
 
 _SPAN_BASE = np.uint64(0x100000001B3)
@@ -431,11 +433,21 @@ def token_window_hashes(tokens: np.ndarray, window: int) -> np.ndarray:
 
 
 def span_partials(
-    t, window: int, id_col: str = "doc_id", tok_col: str = "tokens"
+    t,
+    window: int,
+    id_col: str = "doc_id",
+    tok_col: str = "tokens",
+    carry_window: bool = False,
 ):
     """Per-batch combiner for span dedup: one (span_hash, doc_id, occ)
     row per distinct hash per doc — the doc loop is per-document, the
-    window hashing inside it is vectorized."""
+    window hashing inside it is vectorized.
+
+    ``carry_window=True`` additionally ships the FIRST window's raw
+    tokens (``win``, 4·W bytes) so the finish can group on
+    (hash, actual tokens) — the exact-confirm step that removes the
+    64-bit birthday-collision caveat at 10^10-window scale, for ~5×
+    the (tiny) partial-row bytes."""
     import pandas as pd
     import pyarrow as pa
 
@@ -446,21 +458,33 @@ def span_partials(
     offs = col.offsets.to_numpy(zero_copy_only=False)
     offs = offs - offs[0]
     ids = t[id_col].to_pylist()
-    out_h, out_d, out_c = [], [], []
+    out_h, out_d, out_c, out_w = [], [], [], []
     for i, did in enumerate(ids):
-        h = token_window_hashes(flat[offs[i]:offs[i + 1]], window)
+        toks = flat[offs[i]:offs[i + 1]]
+        h = token_window_hashes(toks, window)
         if len(h) == 0:
             continue
-        uniq, counts = np.unique(h, return_counts=True)
+        uniq, first_idx, counts = np.unique(h, return_index=True, return_counts=True)
         out_h.append(uniq)
         out_d.extend([did] * len(uniq))
         out_c.append(counts)
+        if carry_window:
+            wins = np.lib.stride_tricks.sliding_window_view(
+                toks.astype("<u4"), window
+            )[first_idx]
+            out_w.extend(np.ascontiguousarray(wins)[j].tobytes() for j in range(len(uniq)))
     if not out_h:
-        return pd.DataFrame({"span_hash": pd.Series(dtype="int64"),
-                             "doc_id": pd.Series(dtype="object"),
-                             "occ": pd.Series(dtype="int64")})
-    return pd.DataFrame({
+        cols = {"span_hash": pd.Series(dtype="int64"),
+                "doc_id": pd.Series(dtype="object"),
+                "occ": pd.Series(dtype="int64")}
+        if carry_window:
+            cols["win"] = pd.Series(dtype="object")
+        return pd.DataFrame(cols)
+    cols = {
         "span_hash": np.concatenate(out_h).astype(np.int64),  # u64 bits as i64
         "doc_id": out_d,
         "occ": np.concatenate(out_c).astype(np.int64),
-    })
+    }
+    if carry_window:
+        cols["win"] = out_w
+    return pd.DataFrame(cols)

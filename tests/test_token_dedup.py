@@ -117,3 +117,42 @@ def test_token_window_hashes_properties():
     b = token_window_hashes(np.array([4, 3, 2, 1], dtype=np.int64), 4)
     assert a[0] != b[0]
     assert len(token_window_hashes(np.arange(3), 16)) == 0
+
+
+def test_span_confirm_rejects_crafted_hash_collision():
+    """Two docs with DIFFERENT 2-token windows engineered to share the
+    same 64-bit polynomial hash (h = (a+1)·B + (b+1) mod 2^64, so
+    (a+1, b) and (a, b−B) collide). With carry_window=True the finish
+    groups on (hash, window bytes): the collision must NOT count as a
+    shared span; hash-only grouping would wrongly report it."""
+    import pandas as pd
+    import pyarrow as pa
+
+    from gamechanger_data_ray.stages.dedup import (
+        _SPAN_BASE,
+        span_partials,
+        token_window_hashes,
+    )
+
+    a, b = 100, 200
+    doc1 = np.array([a, b], dtype=np.int64)
+    doc2 = np.array([a + 1, b - int(_SPAN_BASE)], dtype=np.int64)
+    h1 = token_window_hashes(doc1, 2)
+    h2 = token_window_hashes(doc2, 2)
+    assert h1[0] == h2[0] and not np.array_equal(doc1, doc2)  # real collision
+
+    t = pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                  "tokens": pa.array([doc1.tolist(), doc2.tolist()],
+                                     pa.list_(pa.int64()))})
+    p = span_partials(t, 2, carry_window=True)
+    assert len(p) == 2 and p["span_hash"].nunique() == 1
+    # hash-only grouping would see 2 docs; (hash, win) sees two singletons
+    sz = p.groupby(["span_hash", "win"])["doc_id"].transform("size")
+    assert (sz == 1).all()
+    # identical windows across docs DO confirm
+    t2 = pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                   "tokens": pa.array([doc1.tolist(), doc1.tolist()],
+                                      pa.list_(pa.int64()))})
+    p2 = span_partials(t2, 2, carry_window=True)
+    sz2 = p2.groupby(["span_hash", "win"])["doc_id"].transform("size")
+    assert (sz2 == 2).all()
