@@ -290,12 +290,24 @@ def _section_text(doc_id: int, text: str) -> tuple[str, str]:
     over six registered strategies by doc_id: numbered (DoD
     SECTION-colon), caps (CJCS heading sentences), number_dot (Navy
     ``1. Purpose.``), enclosure (DoD ``E1.``), eo (``Sec. 1.``), and the
-    multi-pass line-oriented ``dod`` parser — whose synthetic doc gets
-    the full treatment it must survive: a repeated page header, a
-    dotted-leader Table of Contents, and bare page numbers."""
+    multi-pass line-oriented ``dod`` and ``cjcs`` parsers — whose
+    synthetic docs get the full treatment they must survive: repeated
+    page headers, a dotted-leader Table of Contents (dod), date lines
+    and lettered enclosures (cjcs), and bare page numbers."""
     n = 2 + (1 if doc_id % 3 > 0 else 0) + (1 if doc_id % 3 == 2 else 0)
     bodies = [text, "duties", "steps", "list"]
-    layout = ("numbered", "caps", "number_dot", "enclosure", "eo", "dod")[doc_id % 6]
+    layout = ("numbered", "caps", "number_dot", "enclosure", "eo", "dod", "cjcs")[
+        doc_id % 7
+    ]
+    if layout == "cjcs":
+        header = "CJCSI 3150.25G"
+        lines = [header, "15 January 2024", f"1. {_SEC_NAMES[0]}.", bodies[0]]
+        for i in range(1, n):
+            # RESPONSIBILITIES=B, PROCEDURES=C, REFERENCES=D (letter index
+            # == the section number every other layout assigns)
+            lines += [header, str(i + 2), f"ENCLOSURE {chr(65 + i)}",
+                      _SEC_NAMES[i], bodies[i]]
+        return layout, "\n".join(lines)
     if layout == "dod":
         header = "DoDI 5088.10, January 1, 2024"
         lines = [header, "TABLE OF CONTENTS"]
@@ -346,7 +358,7 @@ def docs_sections(sf_dir: str):
 ORACLES["docs_sections"] = """
 SELECT doc_id, sec_num, sec_name FROM (
   SELECT doc_id, 0 AS sec_num, 'TABLE OF CONTENTS' AS sec_name
-  FROM documents WHERE doc_id % 6 = 5
+  FROM documents WHERE doc_id % 7 = 5
   UNION ALL
   SELECT doc_id, 1, 'PURPOSE' FROM documents
   UNION ALL

@@ -215,6 +215,83 @@ def parse_dod_sections(text: str) -> list[tuple[int, str, str]]:
     return out
 
 
+# ---------------------------------------------------------------------------
+# CJCS line parser (``section_parse/parsers/cjcs_parser.py``: lettered
+# enclosures — "ENCLOSURE A \n RESPONSIBILITIES" — found by
+# CAPITAL_ENCLOSURE spans, numbered front-matter sections
+# "1.  PURPOSE.", filename/date/page pagebreak strip)
+# ---------------------------------------------------------------------------
+
+_CJCS_HEADER = re.compile(r"^(CJCS[IMN]?\s+\d{4}\.\d{2}[A-Z]?)\b")
+_CJCS_DATE = re.compile(
+    r"^\d{1,2}\s+(?:January|February|March|April|May|June|July|August|"
+    r"September|October|November|December)\s+\d{4}\s*$"
+)
+_CJCS_ENCL = re.compile(r"^ENCLOSURE\s+([A-Z])\b:?\s*(.*?)\s*$")
+_CJCS_NUMBERED = re.compile(r"^(\d{1,2})\s?\.\s+([A-Z][A-Z ]*[A-Z]|[A-Z])\b\.?\s*(.*)$")
+
+
+def parse_cjcs_sections(text: str) -> list[tuple[int, str, str]]:
+    """Line-oriented CJCS-issuance parser. Observable contract of the
+    reference's ``CJCSParser``: numbered front-matter sections
+    (``1.  PURPOSE.`` — ``NUMBERED_PURPOSE_START_PATTERN``), LETTERED
+    enclosures whose span runs to the next enclosure title
+    (``ENCLOSURE_RESPONSIBILITIES_START_PATTERN`` /
+    ``_find_enclosure_end``), and pagebreak noise — the repeated
+    ``CJCSI NNNN.NN`` header, ``DD Month YYYY`` date lines, bare page
+    numbers — stripped first (``_remove_pagebreaks_and_noise``).
+    Enclosure letters map to section numbers (A=1, B=2, …); a bare
+    ``ENCLOSURE X`` absorbs an ALL-CAPS title on the next line, like
+    the DoD parser."""
+    raw_lines = [ln.strip() for ln in text.split("\n")]
+    header: str | None = None
+    m = _CJCS_HEADER.match(raw_lines[0]) if raw_lines else None
+    if m:
+        header = m.group(1)
+    lines = []
+    for i, ln in enumerate(raw_lines):
+        if not ln or _PAGE_NUM.match(ln) or _CJCS_DATE.match(ln):
+            continue
+        if header and i > 0 and ln.startswith(header):
+            continue
+        lines.append(ln)
+
+    out: list[tuple[int, str, str]] = []
+    cur: tuple[int, str] | None = None
+    body: list[str] = []
+    i = 0
+
+    def flush():
+        if cur is not None:
+            out.append((cur[0], cur[1], " ".join(body).strip()))
+
+    while i < len(lines):
+        ln = lines[i]
+        enc = _CJCS_ENCL.match(ln)
+        num = _CJCS_NUMBERED.match(ln)
+        glo = _GLOSSARY_HEAD.match(ln)
+        if enc:
+            flush()
+            letter, name = enc.group(1), enc.group(2)
+            if not name and i + 1 < len(lines) and _ALLCAPS_LINE.match(lines[i + 1]):
+                name = lines[i + 1]
+                i += 1
+            cur, body = (ord(letter) - 64, name or f"ENCLOSURE {letter}"), []
+        elif num:
+            flush()
+            cur, body = (int(num.group(1)), num.group(2).strip()), []
+            if num.group(3):
+                body.append(num.group(3))
+        elif glo:
+            flush()
+            cur, body = (0, "GLOSSARY"), []
+        elif cur is not None:
+            body.append(ln)
+        i += 1
+    flush()
+    return out
+
+
 # type → strategy registry (ParserFactory.create dispatch,
 # ``parsers/parser_factory.py`` analog); register new layouts here.
 STRATEGIES: dict[str, Callable[[str], list[tuple[int, str, str]]]] = {
@@ -225,6 +302,7 @@ STRATEGIES: dict[str, Callable[[str], list[tuple[int, str, str]]]] = {
     "eo": parse_eo_sections,
     "uscode": parse_uscode_sections,
     "dod": parse_dod_sections,
+    "cjcs": parse_cjcs_sections,
 }
 
 
