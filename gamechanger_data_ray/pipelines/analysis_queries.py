@@ -1075,35 +1075,42 @@ _PPM_W, _PPM_H = 8, 6
 
 
 class _PpmDecodeThumb:
-    """Fused REAL image stage: Netpbm decode (true pixel features) +
-    nearest-neighbor thumbnail re-encode, one actor pool, payload never
-    re-emitted past the stage."""
+    """Fused REAL image stage: ONE Netpbm decode per payload feeds both
+    the exact per-channel pixel sums and the nearest-neighbor thumbnail
+    re-encode — one actor pool, payload decoded once, never re-emitted
+    past the stage."""
 
     def __init__(self, max_side: int = 4):
-        self.decoder = mm.PpmDecoder()
-        self.thumb = mm.PpmThumbnailer(max_side)
+        self.max_side = max_side
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        feats = self.decoder(batch)  # media_id, n_bytes, feature[8]
-        f = (
-            np.asarray(feats["feature"].combine_chunks().values, dtype=np.float64)
-            .reshape(-1, mm.PpmDecoder.feature_dim)
-        )
-        n_px = f[:, 0] * f[:, 1]  # w * h
-        thumbs = self.thumb(batch)
+        from ..stages import codecs as cdx
+
+        ws, hs, sr, sg, sb, tb = [], [], [], [], [], []
+        for payload in batch["payload"].to_pylist():
+            img = cdx.parse_ppm(payload)
+            h, w = img.shape[:2]
+            sums = img.reshape(-1, 3).sum(axis=0, dtype=np.int64)
+            scale = max(h, w) / float(self.max_side)
+            if scale > 1.0:
+                img = cdx.resize_nearest(
+                    img, max(1, int(round(w / scale))), max(1, int(round(h / scale)))
+                )
+            ws.append(w)
+            hs.append(h)
+            sr.append(int(sums[0]))
+            sg.append(int(sums[1]))
+            sb.append(int(sums[2]))
+            tb.append(len(cdx.build_ppm(img)))
         return pa.table(
             {
-                "media_id": feats["media_id"],
-                "w": pa.array(f[:, 0].astype(np.int64)),
-                "h": pa.array(f[:, 1].astype(np.int64)),
-                # per-channel SUM = mean × pixels, rounded back to the exact
-                # integer (float32 mean × 2^24-bounded sum is lossless here)
-                "sum_r": pa.array(np.rint(f[:, 2] * n_px).astype(np.int64)),
-                "sum_g": pa.array(np.rint(f[:, 3] * n_px).astype(np.int64)),
-                "sum_b": pa.array(np.rint(f[:, 4] * n_px).astype(np.int64)),
-                "thumb_bytes": pa.array(
-                    [len(p) for p in thumbs["payload"].to_pylist()], pa.int64()
-                ),
+                "media_id": batch["media_id"],
+                "w": pa.array(ws, pa.int64()),
+                "h": pa.array(hs, pa.int64()),
+                "sum_r": pa.array(sr, pa.int64()),
+                "sum_g": pa.array(sg, pa.int64()),
+                "sum_b": pa.array(sb, pa.int64()),
+                "thumb_bytes": pa.array(tb, pa.int64()),
             }
         )
 

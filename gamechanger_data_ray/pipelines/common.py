@@ -124,11 +124,25 @@ def partial_groupby_sum(
     return routed_grouped_agg(partials, keys, {c: "sum" for c in out_cols})
 
 
+NUM_ROUTES = 256
+
+
+def route_key(df: pd.DataFrame, keys: list[str], num_routes: int = NUM_ROUTES) -> pd.Series:
+    """THE package route-hash convention: coarse shuffle key over one or
+    more key columns — all rows of a key share a route, each route
+    carries many keys, so a Ray ``groupby`` runs a few hundred
+    vectorized tasks instead of one task per (possibly tiny) key group.
+    Used by ``routed_grouped_agg`` and the day-salted windowed operators
+    (``relational.py``); change route count / hash here, once."""
+    h = pd.util.hash_pandas_object(df[keys], index=False)  # fixed hash key
+    return (h % num_routes).astype("int64")
+
+
 def routed_grouped_agg(
     partials: ray.data.Dataset,
     keys: list[str],
     aggs: dict[str, str],
-    num_routes: int = 256,
+    num_routes: int = NUM_ROUTES,
 ) -> ray.data.Dataset:
     """Distributed finish over partial-aggregate rows (``aggs`` maps
     column → "sum"/"min"/"max" — the mergeable aggregates), grouped by a
@@ -143,8 +157,7 @@ def routed_grouped_agg(
 
     def add_route(df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()
-        h = pd.util.hash_pandas_object(df[keys], index=False)  # fixed hash key
-        df["_route"] = (h % num_routes).astype("int64")
+        df["_route"] = route_key(df, keys, num_routes)
         return df
 
     def finish(g: pd.DataFrame) -> pd.DataFrame:

@@ -309,21 +309,14 @@ def _day_bucket(ts: pd.Series) -> pd.Series:
     return ((ts - pd.Timestamp(0)).dt.total_seconds() // 86400).astype("int64")
 
 
-_N_ROUTES = 256
-
-
 def _route_of(*cols: pd.Series) -> pd.Series:
-    """Coarse shuffle key over one or more integer key columns: all rows
-    of a (user[, day]) key share a route; each route carries MANY keys.
-    The Ray groupby runs per ROUTE (a few hundred well-sized tasks, like
-    ``common.routed_grouped_agg``) and the per-key logic inside each
-    route is a vectorized pandas groupby — never one Ray task per tiny
-    key group (45k single-user-day groups measured 5-8× slower than 256
-    routed ones at sf0.1)."""
-    acc = np.zeros(len(cols[0]), dtype=np.uint64)
-    for c in cols:
-        acc = (acc ^ c.to_numpy().astype(np.uint64)) * np.uint64(0x9E3779B97F4A7C15)
-    return pd.Series((acc % np.uint64(_N_ROUTES)).astype(np.int64), index=cols[0].index)
+    """Coarse shuffle key over the (user[, day]) salt columns — the
+    package route-hash convention (``common.route_key``): the Ray
+    groupby runs per ROUTE (a few hundred well-sized vectorized tasks),
+    never one Ray task per tiny key group (45k single-user-day groups
+    measured 5-8× slower than 256 routed ones at sf0.1)."""
+    df = pd.DataFrame({f"k{i}": c.to_numpy() for i, c in enumerate(cols)})
+    return cm.route_key(df, list(df.columns)).set_axis(cols[0].index)
 
 
 def events_sessionize(sf_dir: str):
@@ -749,7 +742,10 @@ def events_asof_join(sf_dir: str):
                 "event_id": np.full(n, -1, dtype="int64"),
                 "user_id": per_day["user_id"][keep].to_numpy(),
                 "ts": carry[keep].to_numpy(),
-                "event_type": "signup",
+                # a length-n list, not a broadcast scalar: a scalar on a
+                # zero-row frame makes Ray's block-size estimator error
+                # ("cannot call vectorize on size 0 inputs") per group
+                "event_type": ["signup"] * n,
                 "_bucket": per_day["_bucket"][keep].to_numpy(),
             }
         )
@@ -845,7 +841,7 @@ def events_range_join(sf_dir: str):
         if int(key_rank.max() + 1) * int(span) >= 2**62:  # pragma: no cover
             raise OverflowError(
                 "route time-spread × key count exceeds the int64 encoding; "
-                "raise _N_ROUTES or tighten the salt bucket"
+                "raise common.NUM_ROUTES or tighten the salt bucket"
             )
         combined = key_rank * span + off
         is_login = (g["event_type"] == "signup") & ~g["_shadow"]

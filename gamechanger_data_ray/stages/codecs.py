@@ -135,8 +135,7 @@ def _unescape_pdf_string(body: str) -> str:
         if nxt in _UNESCAPES:
             out.append(_UNESCAPES[nxt])
             i += 2
-        elif nxt.isdigit():
-            m = _OCTAL_RE.match(body, i)
+        elif (m := _OCTAL_RE.match(body, i)) is not None:
             out.append(chr(int(m.group(1), 8)))
             i = m.end()
         elif nxt == "\n":  # line continuation
@@ -261,9 +260,10 @@ def extract_pdf_text(payload: bytes) -> list[str]:
                 if pending is not None:
                     lines[-1].append(pending)
             pending = None
-        page = "\n".join("".join(seg) for seg in lines if seg)
-        if page:
-            pages.append(page)
+        # every text-bearing stream (it had a BT block) contributes a
+        # page — including an EMPTY one: dropping blank pages would
+        # silently renumber page_idx for everything after them
+        pages.append("\n".join("".join(seg) for seg in lines if seg))
     return pages
 
 
@@ -310,8 +310,12 @@ def _pnm_header(payload: bytes):
 
 def parse_ppm(payload: bytes) -> np.ndarray:
     """Decode P6/P5 (binary) and P3/P2 (ASCII) Netpbm payloads to an
-    (h, w, 3) uint8 array (grayscale replicated to 3 channels)."""
+    (h, w, 3) uint8 array (grayscale replicated to 3 channels).
+    Two-byte-sample files (maxval > 255) are rejected explicitly — a
+    silent one-byte read would emit garbage pixels without an error."""
     magic, w, h, maxval, off = _pnm_header(payload)
+    if not (0 < maxval <= 255):
+        raise ValueError(f"unsupported PNM maxval {maxval} (1-255 only)")
     channels = 3 if magic in ("P3", "P6") else 1
     count = w * h * channels
     if magic in ("P5", "P6"):

@@ -75,9 +75,17 @@ class _TextExtractor(HTMLParser):
     def __init__(self) -> None:
         super().__init__(convert_charrefs=True)
         self.segments: list[str] = []
-        self._skip_depth = 0  # >0 ⇒ inside a dropped subtree
-        self._skip_stack: list[str] = []
+        # inside a dropped subtree: the tag that opened it + how many
+        # UNCLOSED same-named descendants are open (only the opener's
+        # own close can end the skip — generic depth tracking leaks on
+        # nested children, properly closed or not)
+        self._skip_tag: str | None = None
+        self._skip_same = 0
         self._pending_break = False
+
+    @property
+    def _skip_depth(self) -> int:  # truthiness shim for handle_data
+        return 1 if self._skip_tag is not None else 0
 
     # -- tree walking ------------------------------------------------
     @staticmethod
@@ -91,31 +99,29 @@ class _TextExtractor(HTMLParser):
         return False
 
     def handle_starttag(self, tag, attrs):
-        if self._skip_depth:
-            if tag not in _VOID:
-                self._skip_depth += 1
+        if self._skip_tag is not None:
+            if tag == self._skip_tag and tag not in _VOID:
+                self._skip_same += 1
             return
         if tag in DROP_TAGS or self._is_boilerplate(tag, attrs):
             if tag in _VOID:
                 return  # a void boilerplate tag has no subtree to skip
-            self._skip_depth = 1
-            self._skip_stack.append(tag)
+            self._skip_tag = tag
+            self._skip_same = 1
             return
         if tag in BLOCK_TAGS and self.segments:
             self._pending_break = True
 
     def handle_endtag(self, tag):
-        if self._skip_depth:
-            # the close of the tag that OPENED the skip always ends it,
-            # even if children inside were left unclosed (best-effort
-            # recovery, like bs4's); otherwise balanced depth tracking
-            if self._skip_stack and tag == self._skip_stack[0]:
-                self._skip_depth = 0
-                self._skip_stack.clear()
-            else:
-                self._skip_depth -= 1
-                if self._skip_depth == 0:
-                    self._skip_stack.clear()
+        if self._skip_tag is not None:
+            # only the close matching the OPENER ends the skip — counting
+            # same-named descendants so '<nav><div>…</div>x</nav>' doesn't
+            # leak x, and '<nav><nav>…</nav>…</nav>' stays skipped; closes
+            # of other (possibly unclosed) children are ignored entirely
+            if tag == self._skip_tag:
+                self._skip_same -= 1
+                if self._skip_same <= 0:
+                    self._skip_tag = None
             return
         if tag in BLOCK_TAGS and self.segments:
             self._pending_break = True

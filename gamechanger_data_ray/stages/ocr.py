@@ -31,10 +31,13 @@ import re
 
 import pandas as pd
 
-# UTF-8 multi-byte lead bytes seen through a latin-1 decode: Â/Ã (2-byte
-# sequences) and à/á/â/ã (3/4-byte leads followed by continuation bytes
-# in 0x80-0xBF, which latin-1 maps to controls/symbols/¡-¿)
-_MOJIBAKE = re.compile("[ÂÃàáâã][\x80-\xbf¡-¿–-™€]")
+# A valid UTF-8 multi-byte sequence seen through a latin-1 decode: any
+# lead byte 0xC2-0xF4 (covering 2-byte Latin/Greek/Cyrillic/Hebrew/Arabic
+# leads 0xC2-0xDF, 3-byte CJK/symbol leads 0xE0-0xEF, and 4-byte emoji
+# leads 0xF0-0xF4) followed by a continuation byte 0x80-0xBF — latin-1
+# maps every byte to the same-numbered codepoint, so the signature is
+# exactly those two character ranges
+_MOJIBAKE = re.compile("[\u00c2-\u00f4][\u0080-\u00bf]")
 
 
 def looks_mojibake(text: str) -> bool:

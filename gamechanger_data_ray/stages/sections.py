@@ -169,14 +169,33 @@ def parse_dod_sections(text: str) -> list[tuple[int, str, str]]:
             continue  # repeated page header
         lines.append(ln)
 
-    # TOC: title line .. last dotted-leader line (one combined section)
+    # TOC: title line .. the CONTIGUOUS run of dotted-leader lines that
+    # follows it (one combined section). Stopping at the first non-leader
+    # line matters: body lines elsewhere can also end '.... <n>' (lists
+    # of tables, forms), and scanning to the document's last leader would
+    # swallow whole sections into the TOC.
     toc_start = next((i for i, ln in enumerate(lines) if _TOC_TITLE.search(ln)), None)
     out: list[tuple[int, str, str]] = []
     if toc_start is not None:
         toc_end = toc_start
-        for j in range(toc_start + 1, len(lines)):
-            if _TOC_LEADER.search(lines[j]):
+        j = toc_start + 1
+        while j < len(lines):
+            ln = lines[j]
+            if _TOC_LEADER.search(ln):
                 toc_end = j
+            elif (
+                # tolerate ONE wrapped-title half mid-TOC: a leader line
+                # follows AND this line is not itself a section heading
+                # (a heading here means the body has started)
+                j + 1 < len(lines)
+                and _TOC_LEADER.search(lines[j + 1])
+                and not (_SECTION_HEAD.match(ln) or _ENCL_HEAD.match(ln)
+                         or _GLOSSARY_HEAD.match(ln))
+            ):
+                pass
+            else:
+                break  # TOC is over
+            j += 1
         out.append((0, "TABLE OF CONTENTS", " ".join(lines[toc_start + 1 : toc_end + 1])))
         lines = lines[:toc_start] + lines[toc_end + 1 :]
 

@@ -24,13 +24,13 @@ def test_pdf_roundtrip_multiline_and_escapes():
     pages = [
         "Hello, world!\nSecond line\twith tab",
         "Parens (nested (deep)) and back\\slash",
-        "",  # empty page yields no text stream output
+        "",  # blank page survives IN POSITION (page_idx must not renumber)
         "Trailing page",
     ]
     payload = codecs.build_pdf(pages)
     assert payload.startswith(b"%PDF-1.4") and payload.rstrip().endswith(b"%%EOF")
     got = codecs.extract_pdf_text(payload)
-    assert got == [p for p in pages if p]
+    assert got == pages
 
 
 def test_pdf_roundtrip_uncompressed():
@@ -206,3 +206,20 @@ def test_ppm_roundtrip_and_resize_property(w, h, seed):
     rows = np.minimum((np.arange(out_h) * h) // out_h, h - 1)
     cols = np.minimum((np.arange(out_w) * w) // out_w, w - 1)
     assert np.array_equal(thumb, img[rows[:, None], cols[None, :]])
+
+
+def test_pdf_non_octal_digit_escape_drops_backslash():
+    """Code-review regression: '\\8'/'\\9' are not octal — per spec the
+    backslash drops and the digit stays; must not raise."""
+    pdf = (b"%PDF-1.4\n1 0 obj\n<< /Length 18 >>\nstream\n"
+           b"BT (a\\8b\\9c) Tj ET\nendstream\nendobj\n")
+    assert codecs.extract_pdf_text(pdf) == ["a8b9c"]
+
+
+def test_pdf_blank_page_keeps_position():
+    assert codecs.extract_pdf_text(codecs.build_pdf(["a", "", "c"])) == ["a", "", "c"]
+
+
+def test_ppm_two_byte_samples_rejected():
+    with pytest.raises(ValueError, match="maxval"):
+        codecs.parse_ppm(b"P6\n2 1\n65535\n" + b"\xff\xff\x00\x00\x00\x00" * 2)

@@ -356,3 +356,23 @@ def test_pii_redactor_counts_and_redacts():
     r2 = out.iloc[1]
     assert (r2.n_email, r2.n_ssn, r2.n_phone, r2.n_ipv4, r2.n_residual) == (0, 0, 0, 0, 0)
     assert r2.text == "no pii here"
+
+
+def test_dod_toc_stops_at_body_not_last_leader():
+    """Code-review regression: a body line ending '.... <n>' (lists of
+    tables, forms) must not extend the TOC and swallow sections; a
+    wrapped non-heading TOC entry still combines."""
+    from gamechanger_data_ray.stages.sections import parse_dod_sections
+
+    text = (
+        "DoDI 5000.88, November 18, 2020\nTABLE OF CONTENTS\n"
+        "SECTION 1: PURPOSE .......... 3\n"
+        "1.1. Information Collections and\nReporting Requirements .......... 4\n"
+        "SECTION 1: PURPOSE\nSee the table ............ 12\nreal body line\n"
+        "SECTION 2: FORMS\nforms body"
+    )
+    got = parse_dod_sections(text)
+    assert got[0][1] == "TABLE OF CONTENTS"
+    assert "Reporting Requirements" in got[0][2]
+    assert got[1] == (1, "PURPOSE", "See the table ............ 12 real body line")
+    assert got[2] == (2, "FORMS", "forms body")

@@ -104,3 +104,16 @@ _PAYLOAD = st.text(
 @settings(max_examples=150, deadline=None)
 def test_html_roundtrip_property(text, doc_id):
     assert html_to_text(build_html(text, doc_id)) == text
+
+
+def test_nested_closed_children_inside_boilerplate_do_not_leak():
+    """Code-review regression: a properly-closed same-tag child inside a
+    dropped subtree must not end the skip early (real navbars are nested
+    divs)."""
+    got = html_to_text(
+        '<div class="navbar"><div>Home</div><div>About</div>Contact</div>'
+        "<p>body text</p>"
+    )
+    assert got == "body text"
+    # nested same-named drop tags stay skipped to the outer close
+    assert html_to_text("<nav>a<nav>b</nav>c</nav>ok") == "ok"

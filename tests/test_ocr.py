@@ -70,3 +70,15 @@ def test_base_repairer_is_an_explicit_hook():
     with pytest.raises(NotImplementedError):
         Repairer().repair_one("x")
     assert MojibakeRepairer().repair_one(_corrupt("é")) == "é"
+
+
+@pytest.mark.parametrize(
+    "clean",
+    ["привет мир", "Ćao svima", "日本語テキスト", "emoji 🙂 here", "ελληνικά"],
+)
+def test_mojibake_detection_covers_all_utf8_lead_bytes(clean):
+    """Code-review regression: Cyrillic/Greek/CJK/emoji leads (0xC4-0xF4)
+    must be detected, not just Western-European 0xC2/0xC3."""
+    bad = _corrupt(clean)
+    assert looks_mojibake(bad) and not looks_mojibake(clean)
+    assert repair_mojibake(bad) == clean
