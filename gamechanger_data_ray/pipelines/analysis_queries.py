@@ -758,21 +758,32 @@ def ann_pq(sf_dir: str, n_sub: int = 8, n_cents: int = 64, rerank: int = 50):
     return sim.global_topk(cands.to_pandas(), _TOPK)
 
 
-def embedding_dedup_cosine(sf_dir: str, tau: float = 0.95, n_planes: int = 6):
+def embedding_dedup_cosine(
+    sf_dir: str,
+    tau: float = 0.95,
+    n_planes: int = 6,
+    small_corpus_max: int = 100_000,
+):
     """Embedding near-dup pairs (cosine ≥ tau) with seeded exact copies.
 
-    Scale plan (no whole-corpus broadcast, no O(N²) work, and the
-    payload never rides the fan-out): every vector fans out to its
-    hyperplane-LSH home bucket plus all hamming-1 probe buckets as a
-    16-byte ``(bucket, vec_id, home)`` row — the embedding itself is NOT
-    replicated 1+P times through the shuffle. ONE groupby(bucket) emits
-    candidate id pairs (home × all, id_a < id_b); a keyed dedup collapses
-    pairs found via both endpoints; two bucketed hash joins fetch each
-    endpoint's vector back exactly once; a vectorized row-wise dot scores
-    and filters ≥ tau. High-cosine pairs differ in few sign bits, so
-    hamming-1 multiprobe catches boundary-plane flips; exact copies
-    always share a bucket. Raise ``n_planes`` to shrink buckets as the
-    corpus grows."""
+    SIZE-ADAPTIVE (like ``joins.adaptive_join``), decided from the
+    parquet row count before any pipeline runs:
+
+    - **small corpus** (≤ ``small_corpus_max`` vectors): vectors RIDE the
+      LSH fan-out and each bucket scores its candidates in place — one
+      shuffle total. At this size the 1+P payload replication is cheaper
+      than three fixed-overhead exchange stages (measured: 6 s vs 26 s at
+      sf0.001; BASELINE.md "payload de-duplication" entry).
+    - **at scale**: the payload never rides the fan-out — every vector
+      fans out to its home bucket plus all hamming-1 probe buckets as a
+      16-byte ``(bucket, vec_id, home)`` row; ONE groupby(bucket) emits
+      candidate id pairs (home × all, id_a < id_b); two bucketed hash
+      joins fetch each endpoint's vector back exactly once; a vectorized
+      row-wise dot scores ≥ tau. Shuffle bytes stay O(N), not O(N·P).
+
+    High-cosine pairs differ in few sign bits, so hamming-1 multiprobe
+    catches boundary-plane flips; exact copies always share a bucket.
+    Raise ``n_planes`` to shrink buckets as the corpus grows."""
     from .joins import bucketed_hash_join
 
     ds = cm.read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
@@ -795,15 +806,74 @@ def embedding_dedup_cosine(sf_dir: str, tau: float = 0.95, n_planes: int = 6):
         )
     )
     dim = len(first["embedding"][0])
+    n_vecs = pq.ParquetFile(
+        _os.path.join(sf_dir, "embeddings.parquet")
+    ).metadata.num_rows
     planes = sim.hyperplanes(dim, n_planes)
     planes_ref = cm.broadcast(planes)
+    rows_per = 1 + n_planes
+
+    if n_vecs <= small_corpus_max:
+        # SMALL path: vectors ride the fan-out, buckets score in place
+        def fan_out_with_vec(t: pa.Table) -> pa.Table:
+            pl = ray.get(planes_ref)
+            m = sim.normalize_rows(sim._to_matrix(t["embedding"]))
+            codes = sim.lsh_code(m, pl)
+            ids = t["vec_id"].to_numpy(zero_copy_only=False)
+            buckets = np.concatenate(
+                [codes] + [codes ^ (1 << b) for b in range(n_planes)]
+            )
+            tiled = np.tile(m, (rows_per, 1))
+            offsets = pa.array(
+                np.arange(0, (len(tiled) + 1) * dim, dim, dtype=np.int32)
+            )
+            return pa.table(
+                {
+                    "bucket": pa.array(buckets.astype(np.int64)),
+                    "vec_id": pa.array(np.tile(ids, rows_per)),
+                    "home": pa.array(
+                        np.repeat([True] + [False] * n_planes, len(ids))
+                    ),
+                    "emb": pa.ListArray.from_arrays(
+                        offsets, pa.array(tiled.reshape(-1), pa.float64())
+                    ),
+                }
+            )
+
+        def bucket_score(g: pd.DataFrame) -> pd.DataFrame:
+            g = g.drop_duplicates("vec_id")
+            empty = pd.DataFrame(
+                {"id_a": pd.Series(dtype="int64"),
+                 "id_b": pd.Series(dtype="int64"),
+                 "cosine": pd.Series(dtype="float64")}
+            )
+            if len(g) < 2 or not g["home"].any():
+                return empty
+            ids = g["vec_id"].to_numpy(dtype=np.int64)
+            m = np.vstack([np.asarray(v, dtype=np.float64) for v in g["emb"]])
+            hm = g["home"].to_numpy(dtype=bool)
+            cos = m[hm] @ m.T  # |home| × |bucket|
+            a = np.repeat(ids[hm], len(ids))
+            b = np.tile(ids, int(hm.sum()))
+            keep = (a < b) & (cos.reshape(-1) >= tau)
+            return pd.DataFrame(
+                {"id_a": a[keep], "id_b": b[keep],
+                 "cosine": np.round(cos.reshape(-1)[keep], 5)}
+            )
+
+        pairs = (
+            corpus.map_batches(fan_out_with_vec, batch_format="pyarrow")
+            .groupby("bucket")
+            .map_groups(bucket_score, batch_format="pandas")
+        )
+        df = pairs.to_pandas().drop_duplicates(["id_a", "id_b"])
+        return df.sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
     def fan_out(t: pa.Table) -> pd.DataFrame:
         pl = ray.get(planes_ref)
         m = sim.normalize_rows(sim._to_matrix(t["embedding"]))
         codes = sim.lsh_code(m, pl)
         ids = t["vec_id"].to_numpy(zero_copy_only=False)
-        rows_per = 1 + n_planes
         buckets = np.concatenate(
             [codes] + [codes ^ (1 << b) for b in range(n_planes)]
         )

@@ -178,3 +178,20 @@ def test_pq_encode_roundtrip_properties():
     approx = recon @ q
     # mean absolute error small relative to the cosine range
     assert np.mean(np.abs(true - approx)) < 0.15
+
+
+def test_embedding_dedup_both_adaptive_paths_exact(sf_dir):
+    """embedding_dedup_cosine is size-adaptive; the ALL_ORACLES gate
+    covers the default (small) path, so force the at-scale id-only
+    fan-out + join-back path here and check it against the same SQL."""
+    from gamechanger_data_ray.pipelines.analysis_queries import (
+        ORACLES,
+        embedding_dedup_cosine,
+    )
+    from tests.util_oracle import compare
+
+    compare(
+        lambda sf: embedding_dedup_cosine(sf, small_corpus_max=0),
+        ORACLES["embedding_dedup_cosine"],
+        sf_dir,
+    )
