@@ -280,6 +280,28 @@ def main(argv: list[str] | None = None) -> int:
     jv.add_argument("--on", default="doc_id")
     jv.add_argument("--how", default="inner", choices=["inner", "left_outer"])
 
+    ai = sub.add_parser("ann-view", help="build/refresh the incrementally-"
+                                         "maintained ANN index (LSH-bucket postings view)")
+    ai.add_argument("--table", required=True)
+    ai.add_argument("--view", required=True, help="index state dir")
+    ai.add_argument("--dim", type=int, required=True, help="embedding dimensionality")
+    ai.add_argument("--vec-column", default="embedding")
+    ai.add_argument("--key-column", default="doc_id")
+    ai.add_argument("--planes", type=int, default=8)
+    ai.add_argument("--partitions", type=int, default=8)
+
+    aq = sub.add_parser("ann-search", help="top-k cosine neighbors for query "
+                                           "vectors via the maintained index")
+    aq.add_argument("--table", required=True)
+    aq.add_argument("--view", required=True)
+    aq.add_argument("--query", required=True, action="append",
+                    help="comma-separated floats; repeatable; use "
+                         "--query=-0.1,... when the first value is negative")
+    aq.add_argument("--k", type=int, default=5)
+    aq.add_argument("--vec-column", default="embedding")
+    aq.add_argument("--key-column", default="doc_id")
+    aq.add_argument("--planes", type=int, default=8)
+
     args = p.parse_args(argv)
 
     if args.cmd == "generate":
@@ -603,6 +625,29 @@ def main(argv: list[str] | None = None) -> int:
                  "dirty_partitions":
                      m.epoch_counters.get("dirty_partitions") if m else 0,
                  "rows": m.totals.get("rows") if m else None}))
+        elif args.cmd == "ann-view":
+            from gamechanger_data_ray.engine.ann_index import ann_index_view
+            from gamechanger_data_ray.engine.views import refresh
+
+            m = refresh(
+                ann_index_view(args.dim, vec_column=args.vec_column,
+                               key_column=args.key_column, n_planes=args.planes),
+                args.view, args.table, num_partitions=args.partitions,
+            )
+            print(json.dumps(
+                {"epoch": m.epoch if m else None,
+                 "mode": m.epoch_counters.get("mode") if m else "current",
+                 "postings": m.totals.get("rows") if m else None}))
+        elif args.cmd == "ann-search":
+            import numpy as _np
+
+            from gamechanger_data_ray.engine.ann_index import ann_search
+
+            q = _np.array([[float(x) for x in row.split(",")] for row in args.query])
+            t = ann_search(args.view, args.table, q, k=args.k,
+                           vec_column=args.vec_column, key_column=args.key_column,
+                           n_planes=args.planes)
+            print(json.dumps({"queries": len(q), "results": t.to_pylist()}))
         elif args.cmd == "validate":
             from gamechanger_data_ray.engine.maintenance import validate_table
 

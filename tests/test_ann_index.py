@@ -109,3 +109,31 @@ def test_ann_search_finds_self_and_tracks_updates(tmp_path):
     refresh(view, vd, tb)
     res2 = ann_search(vd, tb, q, k=3, n_planes=PLANES).to_pylist()
     assert all(r["doc_id"] != "d017" for r in res2)
+
+
+def test_ann_cli_verbs(tmp_path):
+    """The ann-view / ann-search CLI verbs drive the index end-to-end
+    from a bootstrap snapshot (in-process main(), like the other CLI
+    tests — Ray is the session fixture's)."""
+    import json
+
+    import pyarrow.parquet as pq
+
+    from gamechanger_data_ray.__main__ import main
+
+    rng = np.random.default_rng(3)
+    emb = rng.standard_normal((20, DIM))
+    snap = str(tmp_path / "snap.parquet")
+    pq.write_table(
+        pa.table({"doc_id": [f"d{i:03d}" for i in range(20)],
+                  "embedding": pa.array(emb.tolist(), pa.list_(pa.float64()))}),
+        snap,
+    )
+    tb, vd = str(tmp_path / "tb"), str(tmp_path / "idx")
+    assert main(["bootstrap", "--from", snap, "--table", tb]) == 0
+    assert main(["ann-view", "--table", tb, "--view", vd,
+                 "--dim", str(DIM), "--planes", str(PLANES)]) == 0
+    q = ",".join(str(x) for x in emb[7])
+    # --query=VALUE form: a leading '-0.1…' would otherwise parse as a flag
+    assert main(["ann-search", "--table", tb, "--view", vd,
+                 "--planes", str(PLANES), "--k", "2", f"--query={q}"]) == 0
