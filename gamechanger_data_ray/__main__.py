@@ -299,7 +299,6 @@ def main(argv: list[str] | None = None) -> int:
                          "--query=-0.1,... when the first value is negative")
     aq.add_argument("--k", type=int, default=5)
     aq.add_argument("--vec-column", default="embedding")
-    aq.add_argument("--key-column", default="doc_id")
     aq.add_argument("--planes", type=int, default=8)
 
     args = p.parse_args(argv)
@@ -645,8 +644,7 @@ def main(argv: list[str] | None = None) -> int:
 
             q = _np.array([[float(x) for x in row.split(",")] for row in args.query])
             t = ann_search(args.view, args.table, q, k=args.k,
-                           vec_column=args.vec_column, key_column=args.key_column,
-                           n_planes=args.planes)
+                           vec_column=args.vec_column, n_planes=args.planes)
             print(json.dumps({"queries": len(q), "results": t.to_pylist()}))
         elif args.cmd == "validate":
             from gamechanger_data_ray.engine.maintenance import validate_table

@@ -772,8 +772,8 @@ def embedding_dedup_cosine(
     - **small corpus** (≤ ``small_corpus_max`` vectors): vectors RIDE the
       LSH fan-out and each bucket scores its candidates in place — one
       shuffle total. At this size the 1+P payload replication is cheaper
-      than three fixed-overhead exchange stages (measured: 6 s vs 26 s at
-      sf0.001; BASELINE.md "payload de-duplication" entry).
+      than three fixed-overhead exchange stages (paired measure: 4.2 s
+      vs 6.0 s at sf0.001; BASELINE.md "size-adaptive fan-out" entry).
     - **at scale**: the payload never rides the fan-out — every vector
       fans out to its home bucket plus all hamming-1 probe buckets as a
       16-byte ``(bucket, vec_id, home)`` row; ONE groupby(bucket) emits
@@ -800,15 +800,10 @@ def embedding_dedup_cosine(
 
     import os as _os
 
-    first = next(
-        pq.ParquetFile(_os.path.join(sf_dir, "embeddings.parquet")).iter_batches(
-            batch_size=1, columns=["embedding"]
-        )
-    )
+    pf = pq.ParquetFile(_os.path.join(sf_dir, "embeddings.parquet"))
+    first = next(pf.iter_batches(batch_size=1, columns=["embedding"]))
     dim = len(first["embedding"][0])
-    n_vecs = pq.ParquetFile(
-        _os.path.join(sf_dir, "embeddings.parquet")
-    ).metadata.num_rows
+    n_vecs = pf.metadata.num_rows
     planes = sim.hyperplanes(dim, n_planes)
     planes_ref = cm.broadcast(planes)
     rows_per = 1 + n_planes

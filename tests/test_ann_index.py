@@ -137,3 +137,46 @@ def test_ann_cli_verbs(tmp_path):
     # --query=VALUE form: a leading '-0.1…' would otherwise parse as a flag
     assert main(["ann-search", "--table", tb, "--view", vd,
                  "--planes", str(PLANES), "--k", "2", f"--query={q}"]) == 0
+
+
+def test_ann_search_guards_and_null_embeddings(tmp_path):
+    """Review regressions: (1) a plane-set mismatch raises instead of
+    silently collapsing recall; (2) a stale view (table committed past
+    the refresh) raises instead of omitting changed docs; (3) a null
+    embedding gets no posting and never corrupts its batch's codes."""
+    import pytest as _pt
+
+    tb, vd = str(tmp_path / "tb"), str(tmp_path / "view")
+    rows = [("I", 1, i, f"d{i:03d}", _vec(i)) for i in range(10)]
+    rows.append(("I", 1, 10, "d-null", None))  # doc with no embedding
+    e1 = _events(rows)
+    apply_events_dataset(ray.data.from_arrow(e1), tb, 1, e1.schema, num_partitions=4)
+    view = ann_index_view(DIM, n_planes=PLANES)
+    refresh(view, vd, tb, num_partitions=4)
+    postings = view_to_arrow(vd)
+    assert "d-null" not in set(postings["doc_id"].to_pylist())
+    assert {
+        (r["bucket"], r["doc_id"]) for r in postings.to_pylist()
+    } == _oracle_postings_excluding_null(tb)
+
+    q = np.array([_vec(3)])
+    # wrong plane count → signature mismatch
+    with _pt.raises(ValueError, match="signature mismatch"):
+        ann_search(vd, tb, q, n_planes=PLANES + 2)
+    # commit another epoch without refreshing → stale
+    e2 = _events([("I", 2, 0, "d999", _vec(999))])
+    apply_events_dataset(ray.data.from_arrow(e2), tb, 2, e2.schema, num_partitions=4)
+    with _pt.raises(ValueError, match="stale"):
+        ann_search(vd, tb, q, n_planes=PLANES)
+    refresh(view, vd, tb)
+    res = ann_search(vd, tb, q, k=1, n_planes=PLANES).to_pylist()
+    assert res and res[0]["doc_id"] == "d003"
+
+
+def _oracle_postings_excluding_null(tb: str) -> set[tuple[int, str]]:
+    t = table_to_arrow(tb)
+    t = t.filter(t["embedding"].combine_chunks().is_valid())
+    planes = sim.hyperplanes(DIM, PLANES, 7)
+    m = sim.normalize_rows(sim._to_matrix(t["embedding"]))
+    codes = sim.lsh_code(m, planes).astype(np.int64)
+    return {(int(c), d) for c, d in zip(codes, t["doc_id"].to_pylist())}
