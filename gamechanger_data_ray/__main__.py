@@ -244,6 +244,19 @@ def main(argv: list[str] | None = None) -> int:
                     "(default: print summary counts only)")
     df.add_argument("--mode", choices=["events", "retractions"], default="events")
 
+    rl = sub.add_parser("relay", help="chained CDC: bring a downstream table up "
+                        "to date with an upstream table's committed epochs "
+                        "(genesis seed, then O(changed-partitions) diffs)")
+    rl.add_argument("--src", required=True, help="upstream table dir")
+    rl.add_argument("--dst", required=True, help="downstream table dir")
+    rl.add_argument("--partitions", type=int, default=None,
+                    help="dst partition count (default: dst's, else src's)")
+    rl.add_argument("--step", choices=["batch", "epoch"], default="batch",
+                    help="epoch = walk every retained source epoch (dst gets "
+                         "the same time-travel ladder); batch = one commit")
+    rl.add_argument("--merge-policy", choices=["rewrite", "delta"],
+                    default="rewrite")
+
     ae = sub.add_parser("apply-envelopes",
                         help="replay Debezium-shaped JSONL change envelopes into the table")
     ae.add_argument("--table", required=True)
@@ -595,6 +608,13 @@ def main(argv: list[str] | None = None) -> int:
                 {"epoch": m.epoch if m else None,
                  "totals": m.totals if m else {},
                  "fenced": m is None}))
+        elif args.cmd == "relay":
+            from gamechanger_data_ray.engine.diff import relay
+
+            print(json.dumps(relay(
+                args.src, args.dst, num_partitions=args.partitions,
+                step=args.step, merge_policy=args.merge_policy,
+            )))
         elif args.cmd == "publish-feed":
             from gamechanger_data_ray.sources.cdc_envelope import publish_envelopes
 

@@ -82,22 +82,31 @@ def _diff_task(table_dir: str, unified_b64: str, mode: str, fs: StorageAdapter):
 
 def diff_table_epochs(
     table_dir: str,
-    from_epoch: int,
+    from_epoch: int | None,
     to_epoch: int | None = None,
     mode: str = "events",
     fs: StorageAdapter | None = None,
 ) -> ray.data.Dataset:
     """Change rows (see ``core/diff.py``) from state@``from_epoch`` to
     state@``to_epoch`` (default: the committed current epoch). One task per
-    partition whose file changed; identical-file partitions are pruned."""
+    partition whose file changed; identical-file partitions are pruned.
+
+    ``from_epoch=None`` diffs from the EMPTY table: every current row
+    surfaces as an insert event — the genesis case of :func:`relay`."""
     fs = default_fs(fs)
-    man_old = load_manifest_fs(table_dir, from_epoch, fs)
     if to_epoch is None:
         man_new = mf.load_current(table_dir, fs)
         if man_new is None:
             raise FileNotFoundError(f"no committed state at {table_dir}")
     else:
         man_new = load_manifest_fs(table_dir, to_epoch, fs)
+    if from_epoch is None:
+        man_old = mf.TableManifest(
+            epoch=-1, schema_b64=man_new.schema_b64,
+            num_partitions=man_new.num_partitions, partitions={},
+        )
+    else:
+        man_old = load_manifest_fs(table_dir, from_epoch, fs)
     if man_old.num_partitions != man_new.num_partitions:
         raise ValueError(
             "diff requires both epochs to share the pinned hash-partition "
@@ -138,3 +147,111 @@ def diff_table_epochs(
         retry_exceptions=True,
         max_retries=4,
     )
+
+
+def _retained_epochs(table_dir: str, fs: StorageAdapter) -> list[int]:
+    mdir = os.path.join(table_dir, mf.MANIFEST_DIR)
+    out = set()
+    for name in fs.listdir(mdir):
+        er = mf.parse_manifest_name(name)
+        if er is not None:
+            out.add(er[0])
+    return sorted(out)
+
+
+def relay(
+    src_table: str,
+    dst_table: str,
+    num_partitions: int | None = None,
+    step: str = "batch",
+    merge_policy: str = "rewrite",
+    exchange: str = "staged",
+    fs: StorageAdapter | None = None,
+) -> dict:
+    """Chained CDC: bring ``dst_table`` up to date with ``src_table`` by
+    replaying the source's committed changes — the lake itself becomes the
+    changelog for downstream tables (the reference's reindex-from-the-lake
+    jobs, ``dataPipelines/gc_ingest/pipelines/core/cli.py:152-237``, as a
+    standing table→table subscription).
+
+    - **genesis**: an uncommitted ``dst_table`` is seeded with a pure-insert
+      diff of the source's full current state (zero shuffle on the diff
+      side — one task per source partition).
+    - **incremental**: afterwards each call diffs source
+      ``state@dst_epoch → state@src_epoch`` and LWW-applies the events at
+      the source's epoch number, so the two tables share a watermark
+      ladder and the closure property makes them byte-identical.
+    - ``step="epoch"`` walks every retained source epoch one commit at a
+      time (dst gets the same time-travel ladder); ``"batch"`` (default)
+      folds the whole gap into ONE shuffle+commit.
+    - Fenced + idempotent like every engine commit: ``dst >= src`` is a
+      no-op; rerunning a relay reconverges.
+
+    Retention contract: the source must still RETAIN the manifest of the
+    destination's committed epoch (``vacuum keep_epochs`` >= relay lag),
+    else this raises with the remedy. At 100 TB the per-call cost is
+    O(changed partitions), never O(table).
+    """
+    if step not in ("batch", "epoch"):
+        raise ValueError(f"unknown relay step: {step!r}")
+    fs = default_fs(fs)
+    from .cdc import apply_events_dataset
+
+    src_cur = mf.load_current(src_table, fs)
+    if src_cur is None:
+        raise FileNotFoundError(f"relay source has no committed state: {src_table}")
+    dst_cur = mf.load_current(dst_table, fs)
+    result = {
+        "src_epoch": src_cur.epoch,
+        "dst_epoch_before": dst_cur.epoch if dst_cur else None,
+        "applied": 0,
+        "mode": "noop",
+    }
+    if dst_cur is not None and dst_cur.epoch >= src_cur.epoch:
+        result["dst_epoch_after"] = dst_cur.epoch
+        return result
+
+    if num_partitions is None:
+        num_partitions = (dst_cur.num_partitions if dst_cur is not None
+                          else src_cur.num_partitions) or 32
+    from_epoch = dst_cur.epoch if dst_cur is not None else None
+    if from_epoch is not None:
+        retained = set(_retained_epochs(src_table, fs))
+        if from_epoch not in retained:
+            raise FileNotFoundError(
+                f"relay gap: source no longer retains epoch {from_epoch} "
+                f"(the destination's watermark); raise the source's vacuum "
+                f"keep_epochs above the relay lag, or relay into a fresh "
+                f"directory for a genesis rebuild"
+            )
+
+    if step == "epoch":
+        ladder = [e for e in _retained_epochs(src_table, fs)
+                  if (from_epoch is None or e > from_epoch) and e <= src_cur.epoch]
+    else:
+        ladder = [src_cur.epoch]
+
+    prev = from_epoch
+    for e in ladder:
+        events = diff_table_epochs(src_table, prev, e, mode="events", fs=fs)
+        man_new = load_manifest_fs(src_table, e, fs)
+        man_old = (mf.TableManifest(epoch=-1, schema_b64=man_new.schema_b64,
+                                    num_partitions=man_new.num_partitions)
+                   if prev is None else load_manifest_fs(src_table, prev, fs))
+        incoming = unify_schemas(man_old.schema, man_new.schema)
+        m = apply_events_dataset(
+            events.drop_columns([CHANGE_COLUMN]),
+            dst_table,
+            epoch=e,
+            incoming_schema=incoming,
+            num_partitions=num_partitions,
+            exchange=exchange,
+            merge_policy=merge_policy,
+            fs=fs,
+        )
+        if m is not None:
+            result["applied"] += 1
+        prev = e
+    result["mode"] = "genesis" if from_epoch is None else "diff"
+    result["dst_epoch_after"] = mf.committed_epoch(dst_table, fs)
+    return result
