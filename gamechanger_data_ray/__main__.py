@@ -314,6 +314,25 @@ def main(argv: list[str] | None = None) -> int:
     aq.add_argument("--vec-column", default="embedding")
     aq.add_argument("--planes", type=int, default=8)
 
+    bi = sub.add_parser("bm25-view", help="build/refresh the incrementally-"
+                                          "maintained BM25 text index (postings"
+                                          " + doc-length + corpus-stats views)")
+    bi.add_argument("--table", required=True)
+    bi.add_argument("--index", required=True, help="index state dir")
+    bi.add_argument("--text-column", default="text")
+    bi.add_argument("--key-column", default="doc_id")
+    bi.add_argument("--partitions", type=int, default=8)
+
+    bq = sub.add_parser("bm25-search", help="exact BM25 top-k for a term query "
+                                            "via the maintained index")
+    bq.add_argument("--table", required=True)
+    bq.add_argument("--index", required=True)
+    bq.add_argument("--query", required=True, help="query string; tokenized "
+                                                   "with the index's tokenizer")
+    bq.add_argument("--k", type=int, default=10)
+    bq.add_argument("--text-column", default="text")
+    bq.add_argument("--key-column", default="doc_id")
+
     args = p.parse_args(argv)
 
     if args.cmd == "generate":
@@ -666,6 +685,21 @@ def main(argv: list[str] | None = None) -> int:
             t = ann_search(args.view, args.table, q, k=args.k,
                            vec_column=args.vec_column, n_planes=args.planes)
             print(json.dumps({"queries": len(q), "results": t.to_pylist()}))
+        elif args.cmd == "bm25-view":
+            from gamechanger_data_ray.engine.search_index import bm25_refresh
+
+            out = bm25_refresh(
+                args.index, args.table, text_column=args.text_column,
+                key_column=args.key_column, num_partitions=args.partitions,
+            )
+            print(json.dumps({"epochs": out}))
+        elif args.cmd == "bm25-search":
+            from gamechanger_data_ray.engine.search_index import bm25_search
+
+            t = bm25_search(args.index, args.table, args.query, k=args.k,
+                            text_column=args.text_column,
+                            key_column=args.key_column)
+            print(json.dumps({"query": args.query, "results": t.to_pylist()}))
         elif args.cmd == "validate":
             from gamechanger_data_ray.engine.maintenance import validate_table
 
