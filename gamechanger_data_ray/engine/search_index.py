@@ -291,8 +291,9 @@ def bm25_search(
 
     keep = np.flatnonzero(total > 0)
     order = sorted(keep.tolist(), key=lambda j: (-total[j], cand[j]))[:k]
+    key_type = postings.schema.field(key_column).type  # native key type
     return pa.table(
-        {"doc_id": pa.array([cand[j] for j in order], pa.string()),
+        {"doc_id": pa.array([cand[j] for j in order], key_type),
          "score": pa.array([float(total[j]) for j in order], pa.float64()),
          "rank": pa.array(list(range(1, len(order) + 1)), pa.int64())}
     )

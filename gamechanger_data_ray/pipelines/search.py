@@ -325,3 +325,81 @@ SELECT d.doc_id, d.source, CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_w
 FROM documents d JOIN thr ON d.source = thr.source
 WHERE substr(sha256(CAST(d.doc_id AS VARCHAR)), 1, 8) < thr.cut
 """
+
+
+# ---------------------------------------------------------------------------
+# Maintained-index BM25 (engine-path face of docs_bm25)
+
+
+def bm25_index_search(sf_dir: str, k: int = _BM25_TOPK):
+    """The SAME fixed term query as ``docs_bm25``, served from the
+    incrementally-maintained BM25 index (``engine/search_index.py``)
+    instead of a corpus scan: stream the documents table into a CDC
+    snapshot (doc_id cast to string — the sink's key convention),
+    bootstrap it as epoch 0, refresh the three index views (postings /
+    doc-length / corpus-stats), then answer via ``bm25_search`` — which
+    reads only the query terms' postings row-groups and the candidates'
+    length rows, never the corpus. The oracle recomputes BM25 in SQL
+    with the index's OWN tokenizer (lowercase ``[a-z0-9]+`` runs), so a
+    green row proves the full maintained path: explode → Z-set fold →
+    manifest commit → pruned lookup → scoring."""
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ..engine.cdc import bootstrap_table
+    from ..engine.search_index import bm25_refresh, bm25_search
+
+    base = tempfile.mkdtemp(prefix="gcdr_bm25idx_", dir="/tmp")
+    snap, tb, idx = f"{base}/snap", f"{base}/tb", f"{base}/idx"
+
+    def to_snapshot(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"doc_id": pc.cast(t["doc_id"], pa.string()), "text": t["text"]}
+        )
+
+    cm.read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        to_snapshot, batch_format="pyarrow"
+    ).write_parquet(snap)
+    bootstrap_table(snap, tb, num_partitions=8)
+    bm25_refresh(idx, tb, num_partitions=8)
+    return bm25_search(idx, tb, " ".join(_BM25_TERMS), k=k)
+
+
+ORACLES["bm25_index_search"] = f"""
+WITH docs AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, lower(COALESCE(text, '')) AS t
+  FROM documents
+),
+words AS (
+  SELECT doc_id, w FROM (
+    SELECT doc_id, unnest(string_split_regex(t, '[^a-z0-9]+')) AS w FROM docs
+  ) WHERE w <> ''
+),
+dl AS (SELECT doc_id, COUNT(*) AS dl FROM words GROUP BY doc_id),
+corpus AS (
+  SELECT (SELECT COUNT(*) FROM docs) AS n,
+         CAST((SELECT COALESCE(SUM(dl), 0) FROM dl) AS DOUBLE)
+           / (SELECT COUNT(*) FROM docs) AS avgdl
+),
+tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM words
+       WHERE w IN ('merge', 'batch', 'table') GROUP BY doc_id, w),
+df AS (SELECT w, COUNT(DISTINCT doc_id) AS df FROM words
+       WHERE w IN ('merge', 'batch', 'table') GROUP BY w),
+scored AS (
+  SELECT tf.doc_id,
+         ROUND(SUM(
+           ln(1 + (corpus.n - df.df + 0.5) / (df.df + 0.5))
+           * tf.tf * ({_BM25_K1} + 1)
+           / (tf.tf + {_BM25_K1} * (1 - {_BM25_B} + {_BM25_B} * dl.dl / corpus.avgdl))
+         ), 6) AS score
+  FROM tf JOIN df ON tf.w = df.w JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN corpus
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, score,
+       CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS "rank"
+FROM scored WHERE score > 0
+ORDER BY score DESC, doc_id LIMIT {_BM25_TOPK}
+"""
