@@ -333,6 +333,27 @@ def main(argv: list[str] | None = None) -> int:
     bq.add_argument("--text-column", default="text")
     bq.add_argument("--key-column", default="doc_id")
 
+    sb = sub.add_parser("subscribe", help="register derived state (view/"
+                                          "index/relay) that replay keeps in "
+                                          "sync with the table's commits")
+    sb.add_argument("--table", required=True)
+    sb.add_argument("--kind", required=True,
+                    choices=["agg", "inverted", "ann", "bm25", "relay"])
+    sb.add_argument("--target", required=True, help="subscriber state dir")
+    sb.add_argument("--params", default="{}", help="kind-specific JSON params")
+
+    su = sub.add_parser("unsubscribe", help="remove a subscriber by target dir")
+    su.add_argument("--table", required=True)
+    su.add_argument("--target", required=True)
+
+    sl = sub.add_parser("subscriptions", help="list a table's subscribers")
+    sl.add_argument("--table", required=True)
+
+    sy = sub.add_parser("sync", help="bring every subscriber to the table's "
+                                     "committed epoch (replay does this "
+                                     "automatically after its commits)")
+    sy.add_argument("--table", required=True)
+
     args = p.parse_args(argv)
 
     if args.cmd == "generate":
@@ -700,6 +721,24 @@ def main(argv: list[str] | None = None) -> int:
                             text_column=args.text_column,
                             key_column=args.key_column)
             print(json.dumps({"query": args.query, "results": t.to_pylist()}))
+        elif args.cmd == "subscribe":
+            from gamechanger_data_ray.engine.subscriptions import subscribe
+
+            subs = subscribe(args.table, args.kind, args.target,
+                             params=json.loads(args.params))
+            print(json.dumps({"subscriptions": subs}))
+        elif args.cmd == "unsubscribe":
+            from gamechanger_data_ray.engine.subscriptions import unsubscribe
+
+            print(json.dumps({"subscriptions": unsubscribe(args.table, args.target)}))
+        elif args.cmd == "subscriptions":
+            from gamechanger_data_ray.engine.subscriptions import list_subscriptions
+
+            print(json.dumps({"subscriptions": list_subscriptions(args.table)}))
+        elif args.cmd == "sync":
+            from gamechanger_data_ray.engine.subscriptions import sync
+
+            print(json.dumps({"synced": sync(args.table)}))
         elif args.cmd == "validate":
             from gamechanger_data_ray.engine.maintenance import validate_table
 

@@ -911,6 +911,12 @@ def replay(
             "epoch": last.epoch if last else mf.committed_epoch(table_dir, fs),
             "totals": (last.totals if last else {}),
         }
+    # declared subscribers (derived views/indexes/relays) follow the
+    # commits — the reference's separate reindex step, made standing
+    from .subscriptions import list_subscriptions, sync as _sync_subs
+
+    if list_subscriptions(table_dir, fs):
+        _sync_subs(table_dir, fs)
     return last if last is not None else mf.load_current(table_dir, fs)
 
 
