@@ -18,7 +18,12 @@ remain implemented + pytest-oracled in their modules;
 tests/test_queries.py checks the full module oracle set, not just the
 registered subset. Round 3 rotated in the REAL-codec faces
 (multimodal_pdf_pages, multimodal_ppm_stats, docs_html_text) so the
-driver gate itself proves the S8/S9/K12 decode paths byte-exact.
+driver gate itself proves the S8/S9/K12 decode paths byte-exact, and
+swapped dedup_tokens_minhash (rows-only; family still registered via
+dedup_minhash_lsh and pytest-oracled in its module) for
+bm25_index_search — the maintained BM25 index served end-to-end
+against a SQL recompute, an engine-path green instead of a fourth
+approximate dedup face.
 
 Ray is initialised by the driver BEFORE this module is imported: nothing
 here calls ``ray.init()`` / ``ray.shutdown()``.
@@ -61,6 +66,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from gamechanger_data_ray.pipelines import extraction_queries as X
     from gamechanger_data_ray.pipelines import incremental as I
     from gamechanger_data_ray.pipelines import relational as R
+    from gamechanger_data_ray.pipelines import search as S
     from gamechanger_data_ray.pipelines import tokens as T
 
     out: dict[str, Callable[[str], Any]] = {
@@ -97,7 +103,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_token_spans": A.dedup_token_spans_q,
         "dedup_exact": A.dedup_exact,
         "dedup_minhash_lsh": A.dedup_minhash_lsh,
-        "dedup_tokens_minhash": A.dedup_tokens_minhash,
         "dedup_simhash": A.dedup_simhash,
         "dedup_ngram_jaccard": A.dedup_ngram_jaccard,
         "ann_topk_cosine": A.ann_topk_cosine,
@@ -106,6 +111,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_pdf_pages": A.multimodal_pdf_pages,
         "multimodal_ppm_stats": A.multimodal_ppm_stats,
         "docs_html_text": A.docs_html_text,
+        "bm25_index_search": S.bm25_index_search,
         # --- relational / windowed / joins ---
         "q1_pricing_summary": R.q1_pricing_summary,
         "q3_shipping_priority": R.q3_shipping_priority,
