@@ -555,6 +555,25 @@ def main(argv: list[str] | None = None) -> int:
             print(json.dumps(out))
         return 0
 
+    # registry-only verbs: plain JSON-file edits, no Ray session needed
+    if args.cmd == "subscribe":
+        from gamechanger_data_ray.engine.subscriptions import subscribe
+
+        subs = subscribe(args.table, args.kind, args.target,
+                         params=json.loads(args.params))
+        print(json.dumps({"subscriptions": subs}))
+        return 0
+    if args.cmd == "unsubscribe":
+        from gamechanger_data_ray.engine.subscriptions import unsubscribe
+
+        print(json.dumps({"subscriptions": unsubscribe(args.table, args.target)}))
+        return 0
+    if args.cmd == "subscriptions":
+        from gamechanger_data_ray.engine.subscriptions import list_subscriptions
+
+        print(json.dumps({"subscriptions": list_subscriptions(args.table)}))
+        return 0
+
     _ray_init(args.num_cpus)
     import ray
 
@@ -721,20 +740,6 @@ def main(argv: list[str] | None = None) -> int:
                             text_column=args.text_column,
                             key_column=args.key_column)
             print(json.dumps({"query": args.query, "results": t.to_pylist()}))
-        elif args.cmd == "subscribe":
-            from gamechanger_data_ray.engine.subscriptions import subscribe
-
-            subs = subscribe(args.table, args.kind, args.target,
-                             params=json.loads(args.params))
-            print(json.dumps({"subscriptions": subs}))
-        elif args.cmd == "unsubscribe":
-            from gamechanger_data_ray.engine.subscriptions import unsubscribe
-
-            print(json.dumps({"subscriptions": unsubscribe(args.table, args.target)}))
-        elif args.cmd == "subscriptions":
-            from gamechanger_data_ray.engine.subscriptions import list_subscriptions
-
-            print(json.dumps({"subscriptions": list_subscriptions(args.table)}))
         elif args.cmd == "sync":
             from gamechanger_data_ray.engine.subscriptions import sync
 

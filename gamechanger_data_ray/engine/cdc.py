@@ -862,7 +862,33 @@ def bootstrap_table(
         update_mode=update_mode)
     if m is None:
         raise RuntimeError(f"bootstrap commit fenced out at {table_dir}")
+    _sync_subscribers(table_dir, fs)
     return m
+
+
+def _sync_subscribers(table_dir: str, fs: StorageAdapter) -> None:
+    """Post-commit hook on every ingest path (replay / replay_union /
+    bootstrap): bring declared subscribers (engine/subscriptions.py) to
+    the committed epoch. A sync failure must NOT mask a successful
+    commit — the ingest already durably succeeded — so it is recorded as
+    a failed ``sync`` job-status row and logged; the next commit (or an
+    explicit ``sync`` CLI call) reconverges the lagging subscriber."""
+    from .subscriptions import list_subscriptions, sync as _sync_subs
+
+    if not list_subscriptions(table_dir, fs):
+        return
+    from .jobs import JobStatus
+
+    try:
+        with JobStatus(table_dir, "sync", fs=fs) as job:
+            job.result_fields = {"synced": _sync_subs(table_dir, fs)}
+    except Exception as e:  # noqa: BLE001 — commit outcome must survive
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "post-commit subscriber sync failed (table commit unaffected; "
+            "recorded in _jobs, rerun `sync` to reconverge): %s", e
+        )
 
 
 def replay(
@@ -911,12 +937,7 @@ def replay(
             "epoch": last.epoch if last else mf.committed_epoch(table_dir, fs),
             "totals": (last.totals if last else {}),
         }
-    # declared subscribers (derived views/indexes/relays) follow the
-    # commits — the reference's separate reindex step, made standing
-    from .subscriptions import list_subscriptions, sync as _sync_subs
-
-    if list_subscriptions(table_dir, fs):
-        _sync_subs(table_dir, fs)
+    _sync_subscribers(table_dir, fs)
     return last if last is not None else mf.load_current(table_dir, fs)
 
 
@@ -1010,11 +1031,13 @@ def replay_union(
     events = parts[0]
     for p in parts[1:]:
         events = events.union(p)
-    return apply_events_dataset(
+    m = apply_events_dataset(
         events, table_dir, max(appliable), unify_all(schemas),
         num_partitions=num_partitions, exchange=exchange,
         merge_policy=merge_policy, fs=fs, update_mode=update_mode,
     )
+    _sync_subscribers(table_dir, fs)
+    return m
 
 
 def tail(
@@ -1078,6 +1101,7 @@ def tail(
                 c = compact(table_dir, min_deltas=auto_compact + 1, fs=fs)
                 if c is not None:
                     last = c
+            _sync_subscribers(table_dir, fs)  # subscribers follow the tail
     return last if last is not None else mf.load_current(table_dir, fs)
 
 

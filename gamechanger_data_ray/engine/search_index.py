@@ -47,16 +47,13 @@ from ..core.diff import SIGN_COLUMN
 from ..state import manifest as mf
 from ..state.fs import StorageAdapter, default_fs
 from .views import (
+    TOKEN_SPLIT,
     ViewDef,
     inverted_index_view,
     lookup_terms,
     refresh,
     view_to_arrow,
 )
-
-# MUST match inverted_index_view's explode (views.py) — the signatures
-# of all three views pin the tokenizer version together.
-TOKEN_SPLIT = r"[^a-z0-9]+"
 
 BM25_K1 = 1.2
 BM25_B = 0.75
@@ -185,9 +182,9 @@ def tokenize_query(query: str) -> list[str]:
     ))
 
 
-def _empty_result() -> pa.Table:
+def _empty_result(key_type: pa.DataType | None = None) -> pa.Table:
     return pa.table(
-        {"doc_id": pa.array([], pa.string()),
+        {"doc_id": pa.array([], key_type or pa.string()),
          "score": pa.array([], pa.float64()),
          "rank": pa.array([], pa.int64())}
     )
@@ -220,8 +217,6 @@ def bm25_search(
         t for q in query for t in tokenize_query(q)
     ]
     terms = list(dict.fromkeys(terms))
-    if not terms:
-        return _empty_result()
 
     views = bm25_views(text_column, key_column)
     manifests: dict[str, mf.TableManifest] = {}
@@ -237,29 +232,38 @@ def bm25_search(
                 "text/key column must match the views the index was built with"
             )
         manifests[sub] = cur
+    key_type = manifests[LEN_SUBDIR].schema.field(key_column).type
     epochs = {sub: m.epoch for sub, m in manifests.items()}
     cur_table = mf.load_current(table_dir, fs)
-    want = cur_table.epoch if cur_table is not None else None
-    if len(set(epochs.values())) != 1 or (
-        want is not None and epochs[INV_SUBDIR] != want
-    ):
+    if cur_table is None:
+        # an index with no table underneath is a caller error (wrong
+        # table_dir), not an empty result — scoring would be for a table
+        # that doesn't exist at the given path
+        raise ValueError(
+            f"BM25 index at {index_dir!r} exists but {table_dir!r} has no "
+            "committed state — table_dir must be the table the index was "
+            "built over"
+        )
+    if len(set(epochs.values())) != 1 or epochs[INV_SUBDIR] != cur_table.epoch:
         raise ValueError(
             f"BM25 index is stale: subview epochs {epochs}, table committed "
-            f"epoch {want} — bm25_refresh first"
+            f"epoch {cur_table.epoch} — bm25_refresh first"
         )
+    if not terms:
+        return _empty_result(key_type)
 
     stats = view_to_arrow(f"{index_dir}/{STATS_SUBDIR}", fs)
     if stats.num_rows == 0:
-        return _empty_result()
+        return _empty_result(key_type)
     n_docs = int(stats["n_rows"][0].as_py())
     sum_dl = int(stats["sum_dl"][0].as_py())
     if n_docs <= 0:
-        return _empty_result()
+        return _empty_result(key_type)
     avgdl = sum_dl / n_docs
 
     postings = lookup_terms(f"{index_dir}/{INV_SUBDIR}", terms, fs)
     if postings.num_rows == 0:
-        return _empty_result()
+        return _empty_result(key_type)
     post_term = postings["term"].to_numpy(zero_copy_only=False)
     post_doc = postings[key_column].to_numpy(zero_copy_only=False)
     post_tf = postings["n_rows"].to_numpy(zero_copy_only=False).astype(np.float64)
@@ -277,8 +281,18 @@ def bm25_search(
         zip(lens[key_column].to_pylist(),
             lens["dl"].to_numpy(zero_copy_only=False).tolist())
     )
+    missing = [d for d in cand if d not in dl_of]
+    if missing:
+        # the views refresh from the same diff and the epochs were
+        # checked above, so a posting without a length row means index
+        # corruption — raise rather than score with a made-up length
+        raise ValueError(
+            f"BM25 index inconsistency: {len(missing)} candidate doc(s) have "
+            f"postings but no length row (first: {missing[0]!r}) — rebuild "
+            "the index into a fresh dir"
+        )
     pos = {d: i for i, d in enumerate(cand)}
-    dl = np.array([float(dl_of.get(d, 0)) for d in cand])
+    dl = np.array([float(dl_of[d]) for d in cand])
     norm = k1 * (1.0 - b + b * dl / max(avgdl, 1e-12))
     total = np.zeros(len(cand), dtype=np.float64)
     rows = np.array([pos[d] for d in post_doc.tolist()], dtype=np.int64)
@@ -291,7 +305,6 @@ def bm25_search(
 
     keep = np.flatnonzero(total > 0)
     order = sorted(keep.tolist(), key=lambda j: (-total[j], cand[j]))[:k]
-    key_type = postings.schema.field(key_column).type  # native key type
     return pa.table(
         {"doc_id": pa.array([cand[j] for j in order], key_type),
          "score": pa.array([float(total[j]) for j in order], pa.float64()),

@@ -54,6 +54,35 @@ def list_subscriptions(
     return json.loads(fs.read_text(p))
 
 
+def _norm(path: str) -> str:
+    """Registry key for a target dir. normpath (NOT abspath): the path
+    must stay meaningful to whatever StorageAdapter later resolves it —
+    prefixing the local process CWD would corrupt subtree/object-store
+    paths, and relative targets are resolved by the adapter at sync time
+    exactly like every other engine path."""
+    return os.path.normpath(path)
+
+
+def _rewrite(
+    table_dir: str, fs: StorageAdapter, edit, tries: int = 8
+) -> list[dict]:
+    """Read-modify-write of the registry with verify-and-converge: the
+    write is an atomic rename, and a concurrent writer's registry is
+    re-read and the edit re-applied until a read-back reflects it — two
+    racing subscribes both survive (each edit is idempotent and keyed by
+    target_dir), instead of last-write-wins dropping one."""
+    for _ in range(tries):
+        subs = edit(list_subscriptions(table_dir, fs))
+        fs.makedirs(table_dir)
+        fs.atomic_write_text(_subs_path(table_dir), json.dumps(subs, indent=1))
+        if list_subscriptions(table_dir, fs) == subs:
+            return subs
+    raise RuntimeError(
+        f"subscription registry for {table_dir!r} kept changing under "
+        f"{tries} rewrite attempts"
+    )
+
+
 def subscribe(
     table_dir: str,
     kind: str,
@@ -72,26 +101,27 @@ def subscribe(
         raise ValueError("agg subscription needs params.group_by")
     if kind == "ann" and not (params or {}).get("dim"):
         raise ValueError("ann subscription needs params.dim")
-    target = os.path.abspath(target_dir)
-    if os.path.abspath(table_dir) == target:
+    target = _norm(target_dir)
+    if _norm(table_dir) == target:
         raise ValueError("a table cannot subscribe to itself")
-    subs = [s for s in list_subscriptions(table_dir, fs)
-            if s["target_dir"] != target]
-    subs.append({"kind": kind, "target_dir": target, "params": params or {}})
-    fs.makedirs(table_dir)
-    fs.atomic_write_text(_subs_path(table_dir), json.dumps(subs, indent=1))
-    return subs
+    entry = {"kind": kind, "target_dir": target, "params": params or {}}
+
+    def edit(subs: list[dict]) -> list[dict]:
+        return [s for s in subs if s["target_dir"] != target] + [entry]
+
+    return _rewrite(table_dir, fs, edit)
 
 
 def unsubscribe(
     table_dir: str, target_dir: str, fs: StorageAdapter | None = None
 ) -> list[dict]:
     fs = default_fs(fs)
-    target = os.path.abspath(target_dir)
-    subs = [s for s in list_subscriptions(table_dir, fs)
-            if s["target_dir"] != target]
-    fs.atomic_write_text(_subs_path(table_dir), json.dumps(subs, indent=1))
-    return subs
+    target = _norm(target_dir)
+
+    def edit(subs: list[dict]) -> list[dict]:
+        return [s for s in subs if s["target_dir"] != target]
+
+    return _rewrite(table_dir, fs, edit)
 
 
 def _sync_one(table_dir: str, sub: dict, fs: StorageAdapter) -> dict:

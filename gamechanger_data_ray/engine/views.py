@@ -56,6 +56,12 @@ from .diff import diff_table_epochs
 
 VIEW_COUNT = "n_rows"
 
+# The index tokenizer: lowercase [a-z0-9]+ runs. Shared by
+# inverted_index_view and ALL of engine/search_index.py's views — the
+# BM25 correctness argument (doc length == Σ term frequencies) rests on
+# every view splitting identically, so there is exactly one definition.
+TOKEN_SPLIT = r"[^a-z0-9]+"
+
 
 class ViewDef:
     """Grouped additive aggregate: ``group_by`` columns → COUNT(*) as
@@ -276,7 +282,7 @@ def inverted_index_view(text_column: str = "text", key_column: str = "doc_id") -
 
     def explode(batch: pa.Table) -> pa.Table:
         text = pc.coalesce(pc.cast(batch[text_column], pa.string()), pa.scalar(""))
-        toks = pc.split_pattern_regex(pc.utf8_lower(text), r"[^a-z0-9]+")
+        toks = pc.split_pattern_regex(pc.utf8_lower(text), TOKEN_SPLIT)
         if isinstance(toks, pa.ChunkedArray):
             toks = toks.combine_chunks()
         lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)

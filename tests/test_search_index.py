@@ -165,8 +165,15 @@ def test_bm25_guards(tmp_path):
     bm25_refresh(idx, tb)
     got = bm25_search(idx, tb, "merge", k=3).to_pylist()
     assert [(r["doc_id"], r["score"]) for r in got] == _oracle_bm25(tb, "merge", 3)
-    # no query terms → empty result, not an error
-    assert bm25_search(idx, tb, "!!!").num_rows == 0
+    # no query terms → empty result, not an error — with the INDEX's key
+    # type, so result schemas never flip between hit and miss queries
+    empty = bm25_search(idx, tb, "!!!")
+    assert empty.num_rows == 0
+    assert empty.schema.field("doc_id").type == pa.string()
+    # pointing the search at a table dir with no committed state is a
+    # caller error (wrong path), not an empty corpus
+    with pytest.raises(ValueError, match="no committed state"):
+        bm25_search(idx, str(tmp_path / "nonexistent_tb"), "merge")
 
 
 def test_bm25_cli_verbs(tmp_path, capsys):

@@ -132,6 +132,26 @@ def test_sync_failure_isolation(tmp_path):
     assert all("error" not in r for r in sync(tb))
 
 
+def test_replay_commit_survives_broken_subscriber(tmp_path):
+    """A failing subscriber must not mask a successful ingest: replay
+    commits, returns the manifest, records a failed `sync` job row, and
+    an explicit sync() still raises for the operator to see."""
+    from gamechanger_data_ray.core.changelog import write_changelog
+    from gamechanger_data_ray.engine.cdc import replay
+    from gamechanger_data_ray.engine.jobs import job_history
+
+    cl, tb = str(tmp_path / "cl"), str(tmp_path / "tb")
+    write_changelog(cl, num_epochs=1, events_per_epoch=100, num_keys=30)
+    subscribe(tb, "agg", str(tmp_path / "bad"), {"group_by": ["no_such_col"]})
+    m = replay(cl, tb, num_partitions=2)
+    assert m is not None and m.epoch == 1  # commit unaffected
+    fails = [j for j in job_history(tb)
+             if j["job_type"] == "sync" and j["status"] == "Failed"]
+    assert fails and "no_such_col" in fails[-1]["error"]
+    with pytest.raises(RuntimeError):
+        sync(tb)
+
+
 def test_subscription_cli_verbs(tmp_path, capsys):
     import json
 
