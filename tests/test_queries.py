@@ -77,11 +77,12 @@ def test_driver_contract_consistency():
         extraction_queries,
         incremental,
         relational,
+        search,
         tokens,
     )
 
     mods = [analysis_queries, cdc_queries, incremental, relational, tokens,
-            extraction_queries]
+            extraction_queries, search]
     seen: dict[str, str] = {}
     for m in mods:
         for name in QUERIES:
