@@ -203,6 +203,14 @@ def main(argv: list[str] | None = None) -> int:
     cp.add_argument("--table", required=True)
     cp.add_argument("--min-deltas", type=int, default=1)
 
+    cl = sub.add_parser("cluster", help="sort-cluster partitions by payload column(s) "
+                                        "so pushed predicates skip row groups "
+                                        "(same-epoch revision commit)")
+    cl.add_argument("--table", required=True)
+    cl.add_argument("--by", required=True,
+                    help="comma-separated payload column(s), e.g. 'source,n_tok'")
+    cl.add_argument("--row-group-rows", type=int, default=4096)
+
     vc = sub.add_parser("vacuum", help="delete unreferenced data files + old manifests")
     vc.add_argument("--table", required=True)
     vc.add_argument("--keep-epochs", type=int, default=2)
@@ -537,6 +545,7 @@ def main(argv: list[str] | None = None) -> int:
                 "epoch": cur.epoch,
                 "rev": cur.rev,
                 "update_mode": cur.epoch_counters.get("update_mode", "replace"),
+                "clustered_by": cur.epoch_counters.get("clustered_by"),
                 "totals": cur.totals,
                 "partitions": len(cur.partitions),
                 "schema": str(cur.schema).replace("\n", "; "),
@@ -612,6 +621,15 @@ def main(argv: list[str] | None = None) -> int:
             m = compact(args.table, min_deltas=args.min_deltas)
             print(json.dumps(
                 {"compacted": m is not None,
+                 "epoch": m.epoch if m else None, "rev": m.rev if m else None}))
+        elif args.cmd == "cluster":
+            from gamechanger_data_ray.engine.maintenance import cluster_table
+
+            m = cluster_table(args.table, by=args.by.split(","),
+                              row_group_rows=args.row_group_rows)
+            print(json.dumps(
+                {"clustered": m is not None,
+                 "by": args.by if m else None,
                  "epoch": m.epoch if m else None, "rev": m.rev if m else None}))
         elif args.cmd == "tail":
             from gamechanger_data_ray.engine.cdc import tail

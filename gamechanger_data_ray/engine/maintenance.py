@@ -175,6 +175,129 @@ def compact(table_dir: str, min_deltas: int = 1, fs=None) -> mf.TableManifest | 
     return manifest
 
 
+def cluster_table(
+    table_dir: str,
+    by: str | list[str],
+    row_group_rows: int = 4096,
+    fs=None,
+) -> mf.TableManifest | None:
+    """Sort-cluster every partition's rows by payload column(s) — the
+    lake-maintenance analog of Delta ``OPTIMIZE ... ZORDER BY`` / Iceberg
+    sort-order rewrite (reference analog: the ES index-settings sort the
+    publisher applies at index build, ``gc_elasticsearch_publisher.py``).
+
+    A physical rewrite of IDENTICAL logical state, committed as a
+    same-epoch revision: each partition's resolved rows (base + any
+    merge-on-read deltas — clustering doubles as compaction) are
+    re-ordered by ``(by..., doc_id)`` and written with ``row_group_rows``
+    rows per parquet row group, so footer min/max statistics on the
+    cluster column(s) become disjoint and a pushed-down predicate
+    (``read_table(bounds=...)``/``predicate=``) skips whole row groups
+    instead of scanning the partition. Partition-level zone maps
+    (``col_stats``) are unchanged in meaning and re-tightened exactly.
+
+    Like Delta's OPTIMIZE, clustering is one-shot maintenance: the next
+    rewrite epoch restores doc_id order for the partitions it touches
+    (merge writes key-sorted) — re-cluster after heavy write epochs. The
+    key zone map stays sound either way (min/max, not first/last), and
+    point lookups keep their Bloom sidecars; they only lose doc_id
+    row-group locality inside clustered files, the inherent clustering
+    trade. ``epoch_counters["clustered_by"]`` records the active order
+    for ``status``. One Ray task per partition; O(P) driver rows."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+
+    from ..core.merge import collapse_deltas
+    from ..core.reconcile import conform
+    from ..state.fs import default_fs
+    from .cdc import _col_stats_json, _write_bloom_sidecar
+
+    by = [by] if isinstance(by, str) else list(by)
+    if not by:
+        raise ValueError("cluster_table needs at least one column")
+    fs = default_fs(fs)
+    current = mf.load_current(table_dir, fs)
+    if current is None or not current.partitions:
+        return None
+    schema = current.schema
+    for c in by:
+        idx = schema.get_field_index(c)
+        if idx < 0:
+            raise ValueError(f"cluster column {c!r} not in table schema "
+                             f"(have {schema.names})")
+        if pa.types.is_nested(schema.field(idx).type):
+            raise ValueError(f"cluster column {c!r} is nested — parquet "
+                             "row-group stats cannot prune on it")
+    b64 = current.schema_b64
+    new_rev = current.rev + 1
+    epoch = current.epoch
+    sort_keys = [(c, "ascending") for c in [*by, "doc_id"]]
+
+    def cluster_one(batch: pa.Table) -> pa.Table:
+        schema_w = mf.schema_from_b64(b64)
+        rows = []
+        for row in batch.to_pylist():
+            files = [os.path.join(table_dir, r) for r in row["files"]]
+            merged = collapse_deltas(
+                [conform(fs.read_parquet(f), schema_w) for f in files])
+            if merged.num_rows:
+                merged = merged.take(pc.sort_indices(merged, sort_keys=sort_keys))
+            out_rel = os.path.join(
+                f"part={int(row['part']):05d}",
+                f"data-e{epoch:06d}r{new_rev:03d}.parquet",
+            )
+            fs.write_parquet_atomic(merged, os.path.join(table_dir, out_rel),
+                                    row_group_size=row_group_rows)
+            _write_bloom_sidecar(merged, os.path.join(table_dir, out_rel), fs)
+            # rows are no longer key-ordered: zone map = true min/max
+            kmin = kmax = ""
+            if merged.num_rows and pa.types.is_string(schema_w.field("doc_id").type):
+                mm = pc.min_max(merged["doc_id"]).as_py()
+                kmin, kmax = str(mm["min"]), str(mm["max"])
+            rows.append({"part": int(row["part"]), "file": out_rel,
+                         "rows": merged.num_rows, "key_min": kmin,
+                         "key_max": kmax, "col_stats": _col_stats_json(merged)})
+        return pa.table({k: [r[k] for r in rows] for k in rows[0]})
+
+    work = [
+        {"part": int(p),
+         "files": ([e["file"]] if e.get("file") else []) + list(e.get("deltas", ()))}
+        for p, e in current.partitions.items()
+        if e.get("file") or e.get("deltas")
+    ]
+    if not work:
+        return None
+    results = ray.data.from_items(work).map_batches(
+        cluster_one, batch_size=1, batch_format="pyarrow",
+        retry_exceptions=True, max_retries=4,
+    ).take_all()  # O(P) rows
+
+    partitions = dict(current.partitions)
+    for r in results:
+        p = str(r["part"])
+        partitions[p] = {
+            "file": r["file"],
+            "rows": int(r["rows"]),
+            "watermark_lsn": int(partitions[p].get("watermark_lsn", 0)),
+            "key_min": r["key_min"],
+            "key_max": r["key_max"],
+            "col_stats": json.loads(r["col_stats"]) if r.get("col_stats") else {},
+        }
+    manifest = mf.TableManifest(
+        epoch=epoch,
+        schema_b64=b64,
+        partitions=partitions,
+        epoch_counters={**current.epoch_counters, "clustered_by": ",".join(by)},
+        totals=current.totals,
+        num_partitions=current.num_partitions,
+        rev=new_rev,
+    )
+    if not mf.commit(table_dir, manifest, fs):
+        return None
+    return manifest
+
+
 def restamp_stats(table_dir: str, fs=None) -> mf.TableManifest | None:
     """Recompute EXACT payload zone maps for every partition from the
     resolved data and commit them as a same-epoch revision — a

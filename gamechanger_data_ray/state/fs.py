@@ -135,16 +135,21 @@ class StorageAdapter:
     def read_parquet_schema(self, path: str) -> pa.Schema:
         return pq.read_schema(path, filesystem=self.fs)
 
-    def write_parquet_atomic(self, table: pa.Table, path: str) -> None:
+    def write_parquet_atomic(
+        self, table: pa.Table, path: str, row_group_size: int | None = None,
+    ) -> None:
         """Publish a parquet file all-or-nothing (same strategy split as
         :meth:`atomic_write_text`). Deterministic content makes concurrent
-        attempts idempotent on both paths."""
+        attempts idempotent on both paths. ``row_group_size`` bounds rows
+        per row group — clustered rewrites use small groups so footer
+        statistics stay selective for pushed-down predicates."""
+        kw = {} if row_group_size is None else {"row_group_size": row_group_size}
         if self.atomic_rename:
             tmp = f"{path}.inprogress-{uuid.uuid4().hex}"
-            pq.write_table(table, tmp, filesystem=self.fs)
+            pq.write_table(table, tmp, filesystem=self.fs, **kw)
             self.fs.move(tmp, path)
         else:
-            pq.write_table(table, path, filesystem=self.fs)
+            pq.write_table(table, path, filesystem=self.fs, **kw)
 
 
 LOCAL = StorageAdapter()
