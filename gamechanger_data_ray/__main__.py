@@ -155,6 +155,9 @@ def main(argv: list[str] | None = None) -> int:
                     help="tokens per training chunk")
     te.add_argument("--at", default=None, metavar="EPOCH_OR_TAG",
                     help="export as of a retained epoch or snapshot tag")
+    te.add_argument("--shuffle-seed", type=int, default=None,
+                    help="deterministic seeded global document shuffle "
+                         "before packing (same seed = byte-identical)")
 
     dr = sub.add_parser("drift", help="distribution drift report between two "
                         "committed epochs (per-column PSI + histograms)")
@@ -464,7 +467,8 @@ def main(argv: list[str] | None = None) -> int:
 
         print(json.dumps(export_training(
             args.table, args.out, cap=args.cap,
-            epoch=_epoch_arg(args.table, args.at))))
+            epoch=_epoch_arg(args.table, args.at),
+            shuffle_seed=args.shuffle_seed)))
         return 0
 
     if args.cmd == "drift":

@@ -50,6 +50,30 @@ EXPORT_MARKER = "_EXPORT.json"
 # skinny pass-1 projection: what LWW resolution needs + the length column
 _SIZE_COLUMNS = ["op", "lsn", "seq", "doc_id", "n_tok"]
 
+# seeded-shuffle bucket count: the groupby keyspace of the packing pass.
+# 256 keeps groups coarse enough to amortize task overhead and fine
+# enough that one bucket (~1/256 of the corpus) fits a worker's heap.
+_SHUFFLE_BUCKETS = 256
+
+
+def _seeded_hash(doc_ids, seed: int):
+    """Deterministic per-document shuffle key: FNV-1a of doc_id mixed
+    with the seed (splitmix-style finalizer). Depends ONLY on
+    (seed, doc_id), so the induced global order is identical across
+    physical layouts and re-runs; a different seed is a fresh
+    permutation — training epochs reshuffle without materializing an
+    index."""
+    import numpy as np
+
+    from ..core.hashing import fnv1a64
+
+    h = fnv1a64(pc.cast(doc_ids, pa.string()))
+    with np.errstate(over="ignore"):
+        h = h ^ np.uint64((seed * 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF)
+        h = h * np.uint64(0xBF58476D1CE4E5B9)
+        h = h ^ (h >> np.uint64(31))
+    return h
+
 
 def _partition_work(table_dir: str, cur: mf.TableManifest) -> list[dict]:
     work = []
@@ -67,6 +91,7 @@ def export_training(
     cap: int = 2048,
     fs: StorageAdapter | None = None,
     epoch: int | str | None = None,
+    shuffle_seed: int | None = None,
 ) -> dict[str, Any]:
     """Export the committed table's token streams as packed ``cap``-length
     training chunks under ``out_dir`` (parquet + ``_EXPORT.json`` marker).
@@ -75,7 +100,17 @@ def export_training(
 
     ``epoch`` (an int or a snapshot tag name) exports AS OF that retained
     manifest — tag a training release once, re-export its byte-identical
-    chunks forever, however far the live table has moved on."""
+    chunks forever, however far the live table has moved on.
+
+    ``shuffle_seed`` replaces the (partition, doc_id) document order with
+    a seeded hash order — the deterministic global shuffle a training run
+    wants before packing (documents that were adjacent in the lake stop
+    being adjacent in the shard). Same seed + same committed (epoch, rev)
+    → byte-identical chunks, across re-runs AND physical layouts; a new
+    seed is a fresh permutation (per-training-epoch reshuffle without a
+    shuffle index or an all-to-all ``random_shuffle`` of the payload —
+    the only extra cost is hashing doc_ids, and the packing groupby
+    exchanges the same bytes it always did)."""
     from ..pipelines.tokens import chunk_sized_tokens
     from .cdc import _resolve_manifest
 
@@ -101,15 +136,30 @@ def export_training(
     b64 = cur.schema_b64
 
     def totals(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
         schema = mf.schema_from_b64(b64)
         buckets, tots = [], []
         for row in batch.to_pylist():
             t = _load_state(table_dir, row["files"], schema, fs,
                             columns=[c for c in _SIZE_COLUMNS
                                      if c in schema.names])
-            buckets.append(row["part"])
-            tots.append(int(pc.sum(t["n_tok"]).as_py() or 0) if t is not None
-                        and t.num_rows else 0)
+            if t is None or t.num_rows == 0:
+                buckets.append(row["part"])
+                tots.append(0)
+            elif shuffle_seed is None:
+                buckets.append(row["part"])
+                tots.append(int(pc.sum(t["n_tok"]).as_py() or 0))
+            else:
+                # per-SHUFFLE-bucket partial sums: O(256) rows per
+                # partition task, summed across partitions on the driver
+                b = (_seeded_hash(t["doc_id"], shuffle_seed)
+                     % np.uint64(_SHUFFLE_BUCKETS)).astype(np.int64)
+                w = pc.cast(t["n_tok"], pa.int64()).to_numpy(zero_copy_only=False)
+                sums = np.bincount(b, weights=w, minlength=_SHUFFLE_BUCKETS)
+                nz = np.flatnonzero(sums)
+                buckets.extend(nz.tolist())
+                tots.extend(sums[nz].astype(np.int64).tolist())
         return pa.table({"bucket": pa.array(buckets, pa.int64()),
                          "total": pa.array(tots, pa.int64())})
 
@@ -117,41 +167,57 @@ def export_training(
         ray.data.from_items(work)
         .map_batches(totals, batch_size=1, batch_format="pyarrow",
                      retry_exceptions=True, max_retries=4)
-        .to_pandas()  # O(P) rows
+        .to_pandas()  # O(P [× 256 shuffled]) rows — count metadata
+        .groupby("bucket", as_index=False)["total"].sum()
     )
     total_tokens = int(per_bucket["total"].sum()) if len(per_bucket) else 0
 
     def sized(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
         schema = mf.schema_from_b64(b64)
         outs = []
         for row in batch.to_pylist():
             t = _load_state(table_dir, row["files"], schema, fs)
             if t is None or t.num_rows == 0:
                 continue
-            outs.append(pa.table({
+            cols = {
                 "doc_id": pc.cast(t["doc_id"], pa.string()),
                 "tokens": t["tokens"],
                 "n_tok": pc.cast(t["n_tok"], pa.int64()),
-                "bucket": pa.array([row["part"]] * t.num_rows, pa.int64()),
-            }))
+            }
+            if shuffle_seed is None:
+                cols["bucket"] = pa.array([row["part"]] * t.num_rows, pa.int64())
+            else:
+                h = _seeded_hash(t["doc_id"], shuffle_seed)
+                cols["bucket"] = pa.array(
+                    (h % np.uint64(_SHUFFLE_BUCKETS)).astype(np.int64))
+                cols["skey"] = pa.array(h)
+            outs.append(pa.table(cols))
         if not outs:
-            return pa.table({"doc_id": pa.array([], pa.string()),
-                             "tokens": pa.array([], pa.list_(pa.int32())),
-                             "n_tok": pa.array([], pa.int64()),
-                             "bucket": pa.array([], pa.int64())})
+            empty = {"doc_id": pa.array([], pa.string()),
+                     "tokens": pa.array([], pa.list_(pa.int32())),
+                     "n_tok": pa.array([], pa.int64()),
+                     "bucket": pa.array([], pa.int64())}
+            if shuffle_seed is not None:
+                empty["skey"] = pa.array([], pa.uint64())
+            return pa.table(empty)
         return pa.concat_tables(outs, promote_options="default")
 
     if work:
         stream = ray.data.from_items(work).map_batches(
             sized, batch_size=1, batch_format="pyarrow",
             retry_exceptions=True, max_retries=4)
-        chunks = chunk_sized_tokens(stream, cap, per_bucket=per_bucket)
+        order = None if shuffle_seed is None else ["skey", "doc_id"]
+        chunks = chunk_sized_tokens(stream, cap, per_bucket=per_bucket,
+                                    order_cols=order)
         chunks.write_parquet(out_dir, filesystem=fs.fs)  # same FS as the marker
     marker = {
         "table": table_dir,
         "epoch": cur.epoch,
         "rev": cur.rev,
         "cap": cap,
+        "shuffle_seed": shuffle_seed,
         "total_tokens": total_tokens,
         "chunks": -(-total_tokens // cap) if total_tokens else 0,
         "docs": sum(int(e.get("rows", 0)) for e in cur.partitions.values()),

@@ -494,11 +494,13 @@ def pack_token_chunks(sf_dir: str, cap: int = PACK_CAP):
 
 
 def chunk_sized_tokens(
-    sized: ray.data.Dataset, cap: int, per_bucket: pd.DataFrame | None = None
+    sized: ray.data.Dataset, cap: int, per_bucket: pd.DataFrame | None = None,
+    order_cols: list[str] | None = None,
 ) -> ray.data.Dataset:
     """The distributed concat-and-chunk plan over a sized tokens Dataset
     ``(doc_id, tokens, n_tok:int64, bucket)`` where bucket order follows
-    doc_id order:
+    ``order_cols`` order (default ``["doc_id"]``; a seeded training
+    shuffle passes a hash column — see ``engine/training_export.py``):
 
     pass 1: per-range-bucket token totals → driver exclusive scan →
             broadcast base offsets (the same prefix-sum as
@@ -535,9 +537,11 @@ def chunk_sized_tokens(
         )
     base_ref = cm.broadcast(_bucket_base_offsets(per_bucket))
 
+    order = list(order_cols) if order_cols else ["doc_id"]
+
     def split_pieces(g: pd.DataFrame) -> pd.DataFrame:
         base = ray.get(base_ref)[int(g["bucket"].iloc[0])]
-        g = g.sort_values("doc_id")
+        g = g.sort_values(order)
         starts = base + g["n_tok"].cumsum().shift(fill_value=0).to_numpy(dtype=np.int64)
         chunk_ids, positions, pieces = [], [], []
         for start, toks in zip(starts, g["tokens"]):

@@ -143,3 +143,57 @@ def test_crashed_export_debris_refused(tmp_path):
         f.write(b"debris")
     with pytest.raises(FileExistsError, match="incomplete"):
         export_training(tb, out, cap=CAP)
+
+
+def _shuffled_oracle(tb: str, seed: int) -> list[list[int]]:
+    """Serial oracle for the seeded shuffle: resolved rows in
+    (hash % buckets, hash, doc_id) order — bucket-major, then shuffle
+    key — concatenated and cut every CAP."""
+    from gamechanger_data_ray.engine.training_export import (
+        _SHUFFLE_BUCKETS,
+        _seeded_hash,
+    )
+
+    t = table_to_arrow(tb)
+    h = _seeded_hash(t["doc_id"], seed)
+    b = (h % np.uint64(_SHUFFLE_BUCKETS)).astype(np.int64)
+    order = sorted(range(t.num_rows),
+                   key=lambda i: (b[i], h[i], t["doc_id"][i].as_py()))
+    flat = [tok for i in order for tok in t["tokens"][i].as_py()]
+    return [flat[i:i + CAP] for i in range(0, len(flat), CAP)]
+
+
+def test_shuffled_export_matches_seeded_oracle(tmp_path):
+    tb = _seed(tmp_path)
+    out = str(tmp_path / "out")
+    marker = export_training(tb, out, cap=CAP, shuffle_seed=7)
+    assert marker["shuffle_seed"] == 7
+    expect = _shuffled_oracle(tb, 7)
+    got = _got_chunks(out)
+    assert got == expect
+    assert marker["total_tokens"] == sum(len(c) for c in expect)
+
+
+def test_shuffle_is_deterministic_across_layouts(tmp_path):
+    """Same seed + same committed state = byte-identical chunks, whether
+    the table is a merge-on-read stack or its compacted rewrite."""
+    tb = _seed(tmp_path, policy="delta")
+    out1 = str(tmp_path / "s1")
+    export_training(tb, out1, cap=CAP, shuffle_seed=42)
+    compact(tb)
+    out2 = str(tmp_path / "s2")
+    export_training(tb, out2, cap=CAP, shuffle_seed=42)
+    assert _got_chunks(out1) == _got_chunks(out2) == _shuffled_oracle(tb, 42)
+
+
+def test_new_seed_is_a_fresh_permutation_of_the_same_corpus(tmp_path):
+    tb = _seed(tmp_path)
+    a = str(tmp_path / "a"); b = str(tmp_path / "b"); c = str(tmp_path / "c")
+    export_training(tb, a, cap=CAP, shuffle_seed=1)
+    export_training(tb, b, cap=CAP, shuffle_seed=2)
+    export_training(tb, c, cap=CAP)  # unshuffled
+    ca, cb, cc = _got_chunks(a), _got_chunks(b), _got_chunks(c)
+    assert ca != cb and ca != cc  # different orders...
+    flat = lambda cs: sorted(t for ch in cs for t in ch)
+    assert flat(ca) == flat(cb) == flat(cc)  # ...same token multiset
+    assert len(ca) == len(cb) == len(cc)  # same chunk count
