@@ -58,14 +58,21 @@ class QualityScorer:
         self.stop = set(STOPWORDS)
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        words = batch[self.text_col].str.split(" ")
-        batch["n_words"] = words.map(len)
-        batch["stopword_ratio"] = words.map(
-            lambda ws: sum(1 for w in ws if w in self.stop) / len(ws) if ws else 0.0
+        text = batch[self.text_col]
+        # split(' ') semantics, vectorized: n_words = spaces + 1 (empty
+        # string splits to [''], one "word"), total word chars =
+        # len(text) - spaces — the same identities the SQL oracle uses
+        n_words = (text.str.count(" ") + 1).astype("int64")
+        stop_hits = (
+            text.str.split(" ").explode().isin(self.stop)
+            .groupby(level=0).sum()          # C-speed isin + segmented sum
+            .reindex(batch.index, fill_value=0)
         )
-        batch["mean_word_len"] = words.map(
-            lambda ws: sum(len(w) for w in ws) / len(ws) if ws else 0.0
-        )
+        batch["n_words"] = n_words
+        batch["stopword_ratio"] = (stop_hits / n_words).astype(float)
+        batch["mean_word_len"] = (
+            (text.str.len() - (n_words - 1)) / n_words
+        ).astype(float)
         return batch
 
 
