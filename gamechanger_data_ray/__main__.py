@@ -629,7 +629,8 @@ def main(argv: list[str] | None = None) -> int:
         elif args.cmd == "cluster":
             from gamechanger_data_ray.engine.maintenance import cluster_table
 
-            m = cluster_table(args.table, by=args.by.split(","),
+            m = cluster_table(args.table,
+                              by=[c.strip() for c in args.by.split(",") if c.strip()],
                               row_group_rows=args.row_group_rows)
             print(json.dumps(
                 {"clustered": m is not None,

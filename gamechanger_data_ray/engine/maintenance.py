@@ -86,67 +86,77 @@ def restore(table_dir: str, epoch: int) -> mf.TableManifest:
     return target
 
 
-def compact(table_dir: str, min_deltas: int = 1, fs=None) -> mf.TableManifest | None:
-    """Fold merge-on-read deltas back into per-partition base files —
-    a physical rewrite of IDENTICAL logical state, committed as a same-epoch
-    revision (``rev+1``; the (epoch, rev) fence keeps stale attempts out).
-    One Ray task per delta-carrying partition; partitions below
-    ``min_deltas`` pending deltas (and all copy-on-write partitions) are
-    untouched. Returns the new manifest, or None if nothing to compact
-    or a racing rewrite already superseded this revision."""
+def _rewrite_partitions(
+    table_dir: str,
+    current: "mf.TableManifest",
+    work: list[dict],
+    fs,
+    *,
+    transform=None,
+    sort_collapsed: bool = True,
+    file_tag: str = "",
+    row_group_rows: int | None = None,
+    extra_counters: dict | None = None,
+) -> mf.TableManifest | None:
+    """Shared skeleton for physical rewrites of IDENTICAL logical state
+    (compact, cluster): per-partition resolve (base + merge-on-read
+    deltas) → optional ``transform`` → atomic write → bloom sidecar →
+    exact zone maps → same-epoch ``rev+1`` manifest under the commit
+    fence. One Ray task per partition; O(P) driver rows.
+
+    ``file_tag`` discriminates the output filename per operation
+    (``data-e{epoch}r{rev}{tag}.parquet``): retries of the SAME
+    operation stay idempotent (same name, same deterministic bytes),
+    while two DIFFERENT rewrites racing from the same rev can never
+    overwrite each other's already-committed files — the fence loser's
+    differently-named files become vacuum-swept orphans."""
     import pyarrow as pa
+    import pyarrow.compute as pc
     import ray.data
 
     from ..core.merge import collapse_deltas
     from ..core.reconcile import conform
-    from ..state.fs import default_fs
+    from .cdc import _col_stats_json, _write_bloom_sidecar
 
-    fs = default_fs(fs)
-    current = mf.load_current(table_dir, fs)
-    if current is None:
-        return None
-    todo = {
-        p: e for p, e in current.partitions.items()
-        if len(e.get("deltas", ())) >= max(1, min_deltas)
-    }
-    if not todo:
-        return None
     b64 = current.schema_b64
     new_rev = current.rev + 1
     epoch = current.epoch
 
-    def compact_one(batch: pa.Table) -> pa.Table:
+    def rewrite_one(batch: pa.Table) -> pa.Table:
         schema = mf.schema_from_b64(b64)
         rows = []
         for row in batch.to_pylist():
             files = [os.path.join(table_dir, r) for r in row["files"]]
-            merged = collapse_deltas([conform(fs.read_parquet(f), schema) for f in files])
+            merged = collapse_deltas(
+                [conform(fs.read_parquet(f), schema) for f in files],
+                sort_by_key=sort_collapsed)
+            if transform is not None and merged.num_rows:
+                merged = transform(merged)
             out_rel = os.path.join(
                 f"part={int(row['part']):05d}",
-                f"data-e{epoch:06d}r{new_rev:03d}.parquet",
+                f"data-e{epoch:06d}r{new_rev:03d}{file_tag}.parquet",
             )
-            fs.write_parquet_atomic(merged, os.path.join(table_dir, out_rel))
-            from .cdc import _write_bloom_sidecar
-
+            fs.write_parquet_atomic(merged, os.path.join(table_dir, out_rel),
+                                    row_group_size=row_group_rows)
             _write_bloom_sidecar(merged, os.path.join(table_dir, out_rel), fs)
-            kmin = str(merged["doc_id"][0].as_py()) if merged.num_rows else ""
-            kmax = str(merged["doc_id"][merged.num_rows - 1].as_py()) if merged.num_rows else ""
-            from .cdc import _col_stats_json
-
+            # key zone map: true min/max, order-independent. "" means "no
+            # map" (read routing never prunes on it) — non-string keys are
+            # NOT stringified, since lexicographic bounds over stringified
+            # numbers would wrongly skip partitions.
+            kmin = kmax = ""
+            if merged.num_rows and pa.types.is_string(schema.field("doc_id").type):
+                mm = pc.min_max(merged["doc_id"]).as_py()
+                kmin, kmax = str(mm["min"]), str(mm["max"])
             rows.append({"part": int(row["part"]), "file": out_rel,
-                         "rows": merged.num_rows, "key_min": kmin, "key_max": kmax,
-                         # exact again: compaction re-tightens the wide
-                         # union bounds accumulated by delta commits
+                         "rows": merged.num_rows, "key_min": kmin,
+                         "key_max": kmax,
+                         # exact again: rewrites re-tighten the wide union
+                         # bounds accumulated by delta commits
                          "col_stats": _col_stats_json(merged)})
         return pa.table({k: [r[k] for r in rows] for k in rows[0]})
 
-    work = [
-        {"part": int(p),
-         "files": ([e["file"]] if e.get("file") else []) + list(e["deltas"])}
-        for p, e in todo.items()
-    ]
     results = ray.data.from_items(work).map_batches(
-        compact_one, batch_size=1, batch_format="pyarrow",
+        rewrite_one, batch_size=1, batch_format="pyarrow",
         retry_exceptions=True, max_retries=4,
     ).take_all()
 
@@ -165,7 +175,7 @@ def compact(table_dir: str, min_deltas: int = 1, fs=None) -> mf.TableManifest | 
         epoch=epoch,
         schema_b64=b64,
         partitions=partitions,
-        epoch_counters=current.epoch_counters,
+        epoch_counters={**current.epoch_counters, **(extra_counters or {})},
         totals=current.totals,
         num_partitions=current.num_partitions,
         rev=new_rev,
@@ -173,6 +183,34 @@ def compact(table_dir: str, min_deltas: int = 1, fs=None) -> mf.TableManifest | 
     if not mf.commit(table_dir, manifest, fs):
         return None
     return manifest
+
+
+def compact(table_dir: str, min_deltas: int = 1, fs=None) -> mf.TableManifest | None:
+    """Fold merge-on-read deltas back into per-partition base files —
+    a physical rewrite of IDENTICAL logical state, committed as a same-epoch
+    revision (``rev+1``; the (epoch, rev) fence keeps stale attempts out).
+    One Ray task per delta-carrying partition; partitions below
+    ``min_deltas`` pending deltas (and all copy-on-write partitions) are
+    untouched. Returns the new manifest, or None if nothing to compact
+    or a racing rewrite already superseded this revision."""
+    from ..state.fs import default_fs
+
+    fs = default_fs(fs)
+    current = mf.load_current(table_dir, fs)
+    if current is None:
+        return None
+    todo = {
+        p: e for p, e in current.partitions.items()
+        if len(e.get("deltas", ())) >= max(1, min_deltas)
+    }
+    if not todo:
+        return None
+    work = [
+        {"part": int(p),
+         "files": ([e["file"]] if e.get("file") else []) + list(e["deltas"])}
+        for p, e in todo.items()
+    ]
+    return _rewrite_partitions(table_dir, current, work, fs)
 
 
 def cluster_table(
@@ -204,14 +242,12 @@ def cluster_table(
     row-group locality inside clustered files, the inherent clustering
     trade. ``epoch_counters["clustered_by"]`` records the active order
     for ``status``. One Ray task per partition; O(P) driver rows."""
+    import hashlib
+
     import pyarrow as pa
     import pyarrow.compute as pc
-    import ray.data
 
-    from ..core.merge import collapse_deltas
-    from ..core.reconcile import conform
     from ..state.fs import default_fs
-    from .cdc import _col_stats_json, _write_bloom_sidecar
 
     by = [by] if isinstance(by, str) else list(by)
     if not by:
@@ -229,36 +265,10 @@ def cluster_table(
         if pa.types.is_nested(schema.field(idx).type):
             raise ValueError(f"cluster column {c!r} is nested — parquet "
                              "row-group stats cannot prune on it")
-    b64 = current.schema_b64
-    new_rev = current.rev + 1
-    epoch = current.epoch
     sort_keys = [(c, "ascending") for c in [*by, "doc_id"]]
 
-    def cluster_one(batch: pa.Table) -> pa.Table:
-        schema_w = mf.schema_from_b64(b64)
-        rows = []
-        for row in batch.to_pylist():
-            files = [os.path.join(table_dir, r) for r in row["files"]]
-            merged = collapse_deltas(
-                [conform(fs.read_parquet(f), schema_w) for f in files])
-            if merged.num_rows:
-                merged = merged.take(pc.sort_indices(merged, sort_keys=sort_keys))
-            out_rel = os.path.join(
-                f"part={int(row['part']):05d}",
-                f"data-e{epoch:06d}r{new_rev:03d}.parquet",
-            )
-            fs.write_parquet_atomic(merged, os.path.join(table_dir, out_rel),
-                                    row_group_size=row_group_rows)
-            _write_bloom_sidecar(merged, os.path.join(table_dir, out_rel), fs)
-            # rows are no longer key-ordered: zone map = true min/max
-            kmin = kmax = ""
-            if merged.num_rows and pa.types.is_string(schema_w.field("doc_id").type):
-                mm = pc.min_max(merged["doc_id"]).as_py()
-                kmin, kmax = str(mm["min"]), str(mm["max"])
-            rows.append({"part": int(row["part"]), "file": out_rel,
-                         "rows": merged.num_rows, "key_min": kmin,
-                         "key_max": kmax, "col_stats": _col_stats_json(merged)})
-        return pa.table({k: [r[k] for r in rows] for k in rows[0]})
+    def order(merged: pa.Table) -> pa.Table:
+        return merged.take(pc.sort_indices(merged, sort_keys=sort_keys))
 
     work = [
         {"part": int(p),
@@ -268,34 +278,18 @@ def cluster_table(
     ]
     if not work:
         return None
-    results = ray.data.from_items(work).map_batches(
-        cluster_one, batch_size=1, batch_format="pyarrow",
-        retry_exceptions=True, max_retries=4,
-    ).take_all()  # O(P) rows
-
-    partitions = dict(current.partitions)
-    for r in results:
-        p = str(r["part"])
-        partitions[p] = {
-            "file": r["file"],
-            "rows": int(r["rows"]),
-            "watermark_lsn": int(partitions[p].get("watermark_lsn", 0)),
-            "key_min": r["key_min"],
-            "key_max": r["key_max"],
-            "col_stats": json.loads(r["col_stats"]) if r.get("col_stats") else {},
-        }
-    manifest = mf.TableManifest(
-        epoch=epoch,
-        schema_b64=b64,
-        partitions=partitions,
-        epoch_counters={**current.epoch_counters, "clustered_by": ",".join(by)},
-        totals=current.totals,
-        num_partitions=current.num_partitions,
-        rev=new_rev,
+    # filename carries the sort order so a cluster rewrite can never
+    # collide with compact (or a different-`by` cluster) racing from the
+    # same rev — see _rewrite_partitions
+    tag = "-c" + hashlib.sha1(",".join(by).encode()).hexdigest()[:8]
+    return _rewrite_partitions(
+        table_dir, current, work, fs,
+        transform=order,
+        sort_collapsed=False,  # order() re-sorts; skip the key sort
+        file_tag=tag,
+        row_group_rows=row_group_rows,
+        extra_counters={"clustered_by": ",".join(by)},
     )
-    if not mf.commit(table_dir, manifest, fs):
-        return None
-    return manifest
 
 
 def restamp_stats(table_dir: str, fs=None) -> mf.TableManifest | None:

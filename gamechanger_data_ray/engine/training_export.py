@@ -157,9 +157,12 @@ def export_training(
                      % np.uint64(_SHUFFLE_BUCKETS)).astype(np.int64)
                 w = pc.cast(t["n_tok"], pa.int64()).to_numpy(zero_copy_only=False)
                 sums = np.bincount(b, weights=w, minlength=_SHUFFLE_BUCKETS)
-                nz = np.flatnonzero(sums)
-                buckets.extend(nz.tolist())
-                tots.extend(sums[nz].astype(np.int64).tolist())
+                # emit every OCCUPIED bucket, not every positive-sum one:
+                # a bucket whose docs all have n_tok=0 still forms a
+                # packing group in pass 2 and needs a base-offset entry
+                occ = np.flatnonzero(np.bincount(b, minlength=_SHUFFLE_BUCKETS))
+                buckets.extend(occ.tolist())
+                tots.extend(sums[occ].astype(np.int64).tolist())
         return pa.table({"bucket": pa.array(buckets, pa.int64()),
                          "total": pa.array(tots, pa.int64())})
 

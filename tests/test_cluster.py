@@ -88,8 +88,11 @@ def test_row_group_stats_prune_on_cluster_column(clustered):
     biggest = max(m.partitions.values(), key=lambda e: e["rows"])
     pf = pq.ParquetFile(os.path.join(td, biggest["file"]))
     assert pf.num_row_groups >= 4, "row_group_rows did not split the file"
-    ci = [pf.metadata.row_group(i).column(
-        pf.schema_arrow.names.index("n_tok")) for i in range(pf.num_row_groups)]
+    # locate the parquet LEAF by path (the Arrow field index only matches
+    # the leaf index while every column is a single-leaf primitive)
+    sch = pf.metadata.schema
+    leaf = [sch.column(j).path for j in range(len(sch))].index("n_tok")
+    ci = [pf.metadata.row_group(i).column(leaf) for i in range(pf.num_row_groups)]
     lo, hi = ci[0].statistics.min, ci[0].statistics.max  # first group's range
     overlapping = sum(
         1 for c in ci

@@ -197,3 +197,33 @@ def test_new_seed_is_a_fresh_permutation_of_the_same_corpus(tmp_path):
     flat = lambda cs: sorted(t for ch in cs for t in ch)
     assert flat(ca) == flat(cb) == flat(cc)  # ...same token multiset
     assert len(ca) == len(cb) == len(cc)  # same chunk count
+
+
+def test_zero_token_docs_export_under_shuffle(tmp_path):
+    """A doc with an EMPTY token list still forms a packing group in its
+    shuffle bucket, so pass 1 must emit a base-offset entry for every
+    OCCUPIED bucket even when its token sum is zero (regression: pass 1
+    dropped zero-sum buckets -> KeyError in split_pieces when such a doc
+    landed alone in a bucket)."""
+    from gamechanger_data_ray.engine.training_export import (
+        _SHUFFLE_BUCKETS,
+        _seeded_hash,
+    )
+    seed = 3
+    others = [f"d{i:03d}" for i in range(8)]
+    taken = {int(h) % _SHUFFLE_BUCKETS
+             for h in _seeded_hash(pa.array(others, pa.string()), seed)}
+    # deterministically pick an empty-token doc that lands ALONE in its bucket
+    empty_doc = next(
+        f"z{i}" for i in range(10_000)
+        if int(_seeded_hash(pa.array([f"z{i}"], pa.string()), seed)[0])
+        % _SHUFFLE_BUCKETS not in taken)
+    rng = np.random.default_rng(5)
+    rows = ([("I", d, rng.integers(0, 50, size=7)) for d in others]
+            + [("I", empty_doc, [])])
+    tb = str(tmp_path / "t")
+    _apply(tb, 1, _events(rows, 1))
+    out = str(tmp_path / "out")
+    marker = export_training(tb, out, cap=CAP, shuffle_seed=seed)
+    assert _got_chunks(out) == _shuffled_oracle(tb, seed)
+    assert marker["total_tokens"] == 8 * 7
