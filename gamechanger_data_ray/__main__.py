@@ -325,6 +325,27 @@ def main(argv: list[str] | None = None) -> int:
     aq.add_argument("--vec-column", default="embedding")
     aq.add_argument("--planes", type=int, default=8)
 
+    ni = sub.add_parser("neardup-view", help="build/refresh the incrementally-"
+                                             "maintained MinHash-LSH near-dup "
+                                             "index (band-bucket postings view)")
+    ni.add_argument("--table", required=True)
+    ni.add_argument("--view", required=True, help="index state dir")
+    ni.add_argument("--tokens-column", default="tokens")
+    ni.add_argument("--key-column", default="doc_id")
+    ni.add_argument("--shingle", type=int, default=5, help="token k-gram width")
+    ni.add_argument("--partitions", type=int, default=8)
+
+    nq = sub.add_parser("neardup-search", help="near-duplicates of committed "
+                                               "docs via the maintained index "
+                                               "(exact Jaccard confirm)")
+    nq.add_argument("--table", required=True)
+    nq.add_argument("--view", required=True)
+    nq.add_argument("--doc-id", required=True, action="append",
+                    help="probe document id; repeatable")
+    nq.add_argument("--threshold", type=float, default=0.5)
+    nq.add_argument("--shingle", type=int, default=5)
+    nq.add_argument("--tokens-column", default="tokens")
+
     bi = sub.add_parser("bm25-view", help="build/refresh the incrementally-"
                                           "maintained BM25 text index (postings"
                                           " + doc-length + corpus-stats views)")
@@ -748,6 +769,26 @@ def main(argv: list[str] | None = None) -> int:
             t = ann_search(args.view, args.table, q, k=args.k,
                            vec_column=args.vec_column, n_planes=args.planes)
             print(json.dumps({"queries": len(q), "results": t.to_pylist()}))
+        elif args.cmd == "neardup-view":
+            from gamechanger_data_ray.engine.neardup_index import neardup_index_view
+            from gamechanger_data_ray.engine.views import refresh
+
+            m = refresh(
+                neardup_index_view(tokens_column=args.tokens_column,
+                                   key_column=args.key_column, k=args.shingle),
+                args.view, args.table, num_partitions=args.partitions,
+            )
+            print(json.dumps(
+                {"epoch": m.epoch if m else None,
+                 "mode": m.epoch_counters.get("mode") if m else "current",
+                 "postings": m.totals.get("rows") if m else None}))
+        elif args.cmd == "neardup-search":
+            from gamechanger_data_ray.engine.neardup_index import neardup_search
+
+            t = neardup_search(args.view, args.table, args.doc_id,
+                               threshold=args.threshold, k=args.shingle,
+                               tokens_column=args.tokens_column)
+            print(json.dumps({"probes": args.doc_id, "results": t.to_pylist()}))
         elif args.cmd == "bm25-view":
             from gamechanger_data_ray.engine.search_index import bm25_refresh
 

@@ -37,7 +37,7 @@ from ..state.fs import StorageAdapter, default_fs
 
 SUBS_FILE = "_subscriptions.json"
 
-_KINDS = ("agg", "inverted", "ann", "bm25", "relay")
+_KINDS = ("agg", "inverted", "ann", "bm25", "relay", "neardup")
 
 
 def _subs_path(table_dir: str) -> str:
@@ -93,7 +93,8 @@ def subscribe(
     """Register (idempotently, keyed by target_dir) a subscriber. Params
     by kind: agg → {group_by: [...], sums: {out: src}}; inverted/bm25 →
     {text_column, key_column}; ann → {dim, vec_column, key_column,
-    n_planes, seed}; relay → {num_partitions?, merge_policy?}."""
+    n_planes, seed}; neardup → {tokens_column, key_column, k, seed};
+    relay → {num_partitions?, merge_policy?}."""
     fs = default_fs(fs)
     if kind not in _KINDS:
         raise ValueError(f"unknown subscription kind {kind!r}; one of {_KINDS}")
@@ -150,6 +151,13 @@ def _sync_one(table_dir: str, sub: dict, fs: StorageAdapter) -> dict:
     elif kind == "inverted":
         view = inverted_index_view(p.get("text_column", "text"),
                                    p.get("key_column", "doc_id"))
+    elif kind == "neardup":
+        from .neardup_index import neardup_index_view
+
+        view = neardup_index_view(tokens_column=p.get("tokens_column", "tokens"),
+                                  key_column=p.get("key_column", "doc_id"),
+                                  k=int(p.get("k", 5)),
+                                  seed=int(p.get("seed", 1234)))
     else:  # ann
         from .ann_index import ann_index_view
 
