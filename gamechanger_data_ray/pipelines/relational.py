@@ -1007,7 +1007,14 @@ def events_rollup(sf_dir: str):
     ds = ds.map_batches(prep, batch_format="pandas")
     fine = cm.partial_groupby_sum(ds, keys=["day", "event_type"], sums={}, counts="n")
     by_day = fine.groupby("day", as_index=False)["n"].sum().assign(event_type=None)
-    total = pd.DataFrame({"day": [pd.NaT], "event_type": [None], "n": [fine["n"].sum()]})
+    # dtypes pinned to the finest grain's so the all-NA subtotal rows don't
+    # trip pandas' concat dtype inference (FutureWarning, behavior change)
+    by_day = by_day.astype({"event_type": fine["event_type"].dtype})
+    total = pd.DataFrame({
+        "day": pd.Series([pd.NaT], dtype=fine["day"].dtype),
+        "event_type": pd.Series([None], dtype=fine["event_type"].dtype),
+        "n": pd.Series([fine["n"].sum()], dtype=fine["n"].dtype),
+    })
     out = pd.concat([fine, by_day, total], ignore_index=True)
     return out[["day", "event_type", "n"]]
 
