@@ -30,6 +30,53 @@ from . import common as cm
 
 ORACLES: dict[str, str] = {}
 
+_BOUND_BINS = 4096
+
+
+def _ts_batch_bounds(sf_dir: str, num_batches: int) -> list[int]:
+    """Micro-batch boundaries as int64 microsecond timestamps,
+    ``[min, e1, ..., max]``, derived fully distributed: one aggregate
+    pass for min/max, one histogram-combiner pass (fixed ``_BOUND_BINS``
+    counts per batch, summed on the driver) for approximate quantile
+    edges. The driver never sees the ts column."""
+    import numpy as np
+    from ray.data.aggregate import Max, Min
+
+    ds = cm.read(sf_dir, "events", columns=["ts"])
+    mm = ds.aggregate(Min("ts"), Max("ts"))
+    lo = int(pd.Timestamp(mm["min(ts)"]).value // 1000)  # ns → us
+    hi = int(pd.Timestamp(mm["max(ts)"]).value // 1000)
+    if num_batches <= 1 or hi <= lo:
+        return [lo] + [hi] * num_batches
+    width = max(1, -(-(hi - lo + 1) // _BOUND_BINS))
+
+    def hist_partial(t: pa.Table) -> pa.Table:
+        v = pc.cast(t["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        counts = np.bincount((v - lo) // width, minlength=_BOUND_BINS)
+        return pa.table({"hist": pa.array([counts.tolist()], pa.list_(pa.int64()))})
+
+    hist = np.zeros(_BOUND_BINS, dtype=np.int64)
+    for b in ds.map_batches(hist_partial, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        for h in b["hist"].to_pylist():
+            hist += np.asarray(h, dtype=np.int64)
+    cum = hist.cumsum()
+    total = int(cum[-1])
+    edges = [lo]
+    for i in range(1, num_batches):
+        rank = -(-total * i // num_batches)  # ceil
+        bin_idx = int(np.searchsorted(cum, rank))
+        # inclusive upper edge of the chosen bin, clamped inside (lo, hi)
+        edges.append(min(hi - 1, lo + (bin_idx + 1) * width - 1))
+    edges.append(hi)
+    # histogram edges are approximate: enforce strict monotonicity so
+    # every (lo, hi] range is non-degenerate
+    for i in range(1, len(edges)):
+        edges[i] = max(edges[i], edges[i - 1] + (0 if i == 0 else 1))
+    edges[-1] = hi
+    return edges
+
 
 def events_checkpoint_incremental(sf_dir: str, num_batches: int = 3):
     """Incremental per-user event counts maintained across checkpointed
@@ -39,10 +86,14 @@ def events_checkpoint_incremental(sf_dir: str, num_batches: int = 3):
         ckpt_path = os.path.join(state_dir, "checkpoint.json")
         state: pd.DataFrame | None = None
 
-        # batch boundaries: fixed quantiles of ts (deterministic)
-        bounds_tbl = cm.read_arrow(sf_dir, "events", columns=["ts"])
-        ts_sorted = bounds_tbl["ts"].to_pandas().sort_values().reset_index(drop=True)
-        qs = [ts_sorted.iloc[int(len(ts_sorted) * i / num_batches) - (1 if i else 0)] for i in range(num_batches + 1)]
+        # batch boundaries: DISTRIBUTED approximate ts quantiles. A
+        # min/max prepass bounds the domain, then per-batch fixed-bin
+        # integer histograms (the ntok_quantiles bincount combiner
+        # generalized to an unbounded domain) are summed on the driver —
+        # O(num_bins) driver rows, never the ts column. Boundary placement
+        # only balances the micro-batches; correctness holds for ANY
+        # edges because the (lo, hi] ranges partition [min, max].
+        qs = _ts_batch_bounds(sf_dir, num_batches)
 
         watermark = None
         for b in range(num_batches):
@@ -53,12 +104,13 @@ def events_checkpoint_incremental(sf_dir: str, num_batches: int = 3):
             ds = cm.read(sf_dir, "events", columns=["user_id", "ts"])
 
             def in_range(t: pa.Table, lo=lo, hi=hi, first=(b == 0)) -> pa.Table:
+                ts_us = pc.cast(t["ts"], pa.int64())
                 lower = (
-                    pc.greater_equal(t["ts"], pa.scalar(lo))
+                    pc.greater_equal(ts_us, pa.scalar(lo))
                     if first
-                    else pc.greater(t["ts"], pa.scalar(lo))
+                    else pc.greater(ts_us, pa.scalar(lo))
                 )
-                return t.filter(pc.and_(lower, pc.less_equal(t["ts"], pa.scalar(hi))))
+                return t.filter(pc.and_(lower, pc.less_equal(ts_us, pa.scalar(hi))))
 
             batch_ds = ds.map_batches(in_range, batch_format="pyarrow")
             delta = cm.partial_groupby_sum(batch_ds, keys=["user_id"], sums={}, counts="n")
@@ -132,69 +184,92 @@ WHERE event_id > m
 """
 
 
-def hash_antijoin_bloom(sf_dir: str):
-    """The same cumulative-hash anti-join, two-phase for 10^10-key scale:
-    a Bloom filter of the seen set is built from per-batch partials
-    (OR-reduced on the driver at fixed size) and broadcast; rows the
-    filter rejects are DEFINITELY new and pass with no further work; only
-    the maybe-seen minority goes through the exact check. Result is
-    exact — identical oracle as :func:`hash_antijoin_incremental` —
-    regardless of the FP rate; at scale the exact phase becomes a shuffle
-    join over the ~FP+true-dup subset instead of a full broadcast set."""
+def hash_antijoin_bloom(sf_dir: str, _stats: dict | None = None):
+    """The same cumulative-hash anti-join, two-phase for 10^10-key scale,
+    with BOTH phases distributed:
+
+    phase 0: per-batch partial Bloom filters of the first-half (already
+             ingested) hashes, OR-reduced on the driver — each partial is
+             a fixed 8 KiB bitset, so driver traffic is O(#batches),
+             never O(keys) — and broadcast;
+    phase 1: second-half rows the filter rejects are DEFINITELY new and
+             pass with no further work (a pure map-side filter);
+    phase 2: ONLY the maybe-seen minority (true dups + Bloom false
+             positives) runs the exact check, as a ``left_anti``
+             :func:`~..pipelines.joins.bucketed_hash_join` against the
+             first-half hash rows — one co-shuffle of the skinny hash
+             column vs. the minority subset. No exact seen-set ever
+             lands on the driver.
+
+    Result is exact — identical oracle as
+    :func:`hash_antijoin_incremental` — regardless of the FP rate; the
+    FP rate only sizes the phase-2 shuffle. ``_stats`` (tests) receives
+    the phase sizes to prove the minority, not the corpus, enters the
+    join. Reference analog: ``rpa/rpa_landing_zone_mover.py:100-129``."""
     from ..core.bloom import BloomFilter
     from ..core.hashing import fnv1a64
+    from .joins import bucketed_hash_join
 
     mid_tbl = cm.read_arrow(sf_dir, "events", columns=["event_id"])
     ids = pd.Series(mid_tbl["event_id"].to_pandas())
     mn, mx = int(ids.min()), int(ids.max())
     mid = mn + (mx - mn) // 4
 
-    first = cm.read(sf_dir, "events", columns=["event_id", "user_id", "event_type"])
-
     def hash_first(t: pa.Table) -> pa.Table:
         t = t.filter(pc.less_equal(t["event_id"], pa.scalar(mid)))
         return pa.table({"h": version_hash_column(t, ["user_id", "event_type"])})
 
-    # phase 0: per-batch partial bloom + the exact hash list (the exact
-    # side would be a keyed store at scale; here it rides along small)
+    first = cm.read(sf_dir, "events", columns=["event_id", "user_id", "event_type"])
     bloom = BloomFilter(n_bits=1 << 16, k=4)
-    seen: set[str] = set()
     for b in first.map_batches(hash_first, batch_format="pyarrow").iter_batches(
         batch_format="pyarrow"
     ):
         hs = b["h"]
         bloom.add_many(fnv1a64(hs.combine_chunks() if isinstance(hs, pa.ChunkedArray) else hs))
-        seen.update(hs.to_pylist())
     bloom_ref = cm.broadcast(bloom)
-    seen_ref = cm.broadcast(sorted(seen))
 
-    second = cm.read(sf_dir, "events", columns=["event_id", "user_id", "event_type"])
+    cols = ["event_id", "user_id", "event_type"]
 
-    def anti(t: pa.Table) -> pa.Table:
-        import numpy as _np
-        import ray as _ray
-
+    def second_half_hashed(t: pa.Table) -> pa.Table:
         t = t.filter(pc.greater(t["event_id"], pa.scalar(mid)))
-        cols = ["event_id", "user_id", "event_type"]
-        if t.num_rows == 0:
-            return t.select(cols)
-        h = version_hash_column(t, ["user_id", "event_type"])
-        maybe = _np.asarray(_ray.get(bloom_ref).contains_many(fnv1a64(h)))
-        # two-phase for real: bloom-negative rows are DEFINITELY new and
-        # pass with no further work; ONLY the maybe-seen minority runs the
-        # exact membership check (at 10^10 keys the exact phase is a
-        # shuffle join over this small subset, not a full-set broadcast)
-        if not maybe.any():
-            return t.select(cols)
-        h_maybe = h.filter(pa.array(maybe)) if isinstance(h, pa.ChunkedArray) else h.filter(pa.array(maybe))
-        exact_seen_sub = pc.is_in(
-            h_maybe, value_set=pa.array(_ray.get(seen_ref))
-        ).to_numpy(zero_copy_only=False)
-        drop = _np.zeros(t.num_rows, dtype=bool)
-        drop[_np.flatnonzero(maybe)] = exact_seen_sub
-        return t.filter(pa.array(~drop)).select(cols)
+        return t.append_column("h", version_hash_column(t, ["user_id", "event_type"]))
 
-    return second.map_batches(anti, batch_format="pyarrow")
+    def split(keep_maybe: bool):
+        def fn(t: pa.Table) -> pa.Table:
+            import numpy as _np
+            import ray as _ray
+
+            if t.num_rows == 0:
+                return t if keep_maybe else t.select(cols)
+            maybe = _np.asarray(_ray.get(bloom_ref).contains_many(fnv1a64(
+                t["h"].combine_chunks() if isinstance(t["h"], pa.ChunkedArray) else t["h"]
+            )))
+            if keep_maybe:
+                return t.filter(pa.array(maybe))
+            return t.filter(pa.array(~maybe)).select(cols)
+
+        return fn
+
+    # the two filtered passes re-read the (pruned, columnar) second half
+    # rather than materializing it — at scale a second scan is cheaper
+    # than pinning the whole stream in the object store
+    hashed = lambda: cm.read(sf_dir, "events", columns=cols).map_batches(  # noqa: E731
+        second_half_hashed, batch_format="pyarrow"
+    )
+    definitely_new = hashed().map_batches(split(False), batch_format="pyarrow")
+    maybe = hashed().map_batches(split(True), batch_format="pyarrow")
+
+    if _stats is not None:
+        _stats["second_half_rows"] = hashed().count()
+        _stats["maybe_rows"] = maybe.count()
+
+    survivors = bucketed_hash_join(
+        maybe,
+        first.map_batches(hash_first, batch_format="pyarrow"),
+        on="h",
+        how="left_anti",
+    ).map_batches(lambda t: t.select(cols), batch_format="pyarrow")
+    return definitely_new.union(survivors)
 
 
 ORACLES["hash_antijoin_bloom"] = ORACLES["hash_antijoin_incremental"]

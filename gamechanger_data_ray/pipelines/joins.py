@@ -95,8 +95,20 @@ def bucketed_hash_join(
     """Portable bucketed hash join (the explicit pattern the native join
     implements): ONE co-shuffle of both tagged sides, bucket-local merges.
     Kept as the fallback and as the skew-controllable variant (raise
-    ``num_buckets`` / pre-salt the key to split hot buckets)."""
+    ``num_buckets`` / pre-salt the key to split hot buckets).
+
+    ``how='left_semi'`` / ``'left_anti'`` keep (drop) left rows whose key
+    exists on the right — the distributed J3/J5 filter when the key set
+    is too large to broadcast (``common.semi_filter``'s scale path): the
+    right side ships only its key column through the same single
+    co-shuffle, and the output carries the left columns unchanged."""
     lschema, rschema = left.schema(), right.schema()
+    semi = how in ("left_semi", "left_anti")
+    if semi:
+        right = right.map_batches(
+            lambda t: t.select([on]), batch_format="pyarrow"
+        )
+        rschema = pa.schema([(on, rschema.types[rschema.names.index(on)])])
     lcols, rcols = list(lschema.names), list(rschema.names)
     overlap = (set(lcols) & set(rcols)) - {on}
     if overlap:
@@ -130,6 +142,10 @@ def bucketed_hash_join(
         [unified.field(unified.get_field_index(c)) for c in lcols]
         + [unified.field(unified.get_field_index(c)) for c in rcols if c != on]
     )
+    if semi:
+        out_schema = pa.schema(
+            [unified.field(unified.get_field_index(c)) for c in lcols]
+        )
     out_b64 = base64.b64encode(out_schema.serialize().to_pybytes()).decode()
 
     def join_bucket(group: pa.Table) -> pa.Table:
@@ -145,8 +161,18 @@ def bucketed_hash_join(
         target = pa.ipc.read_schema(pa.BufferReader(base64.b64decode(out_b64)))
         side = group[_SIDE]
         lg = group.filter(_pc.equal(side, 0)).select(lcols).to_pandas()
-        rg = group.filter(_pc.equal(side, 1)).select(rcols).to_pandas()
-        m = lg.merge(rg, on=on, how=pandas_how)
+        if semi:
+            # membership filter, not a merge: right keys never multiply
+            # left rows, left columns pass through untouched
+            keys = group.filter(_pc.equal(side, 1))[on]
+            mask = _pc.is_in(
+                pa.Array.from_pandas(lg[on]),
+                value_set=keys.combine_chunks() if isinstance(keys, pa.ChunkedArray) else keys,
+            ).to_numpy(zero_copy_only=False)
+            m = lg[mask] if how == "left_semi" else lg[~mask]
+        else:
+            rg = group.filter(_pc.equal(side, 1)).select(rcols).to_pandas()
+            m = lg.merge(rg, on=on, how=pandas_how)
         cols = [pa.array(m[f.name], type=f.type, from_pandas=True) for f in target]
         return pa.Table.from_arrays(cols, schema=target)
 

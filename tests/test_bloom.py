@@ -46,3 +46,18 @@ def test_union_equals_bulk_insert(vals):
     whole = BloomFilter(1 << 10, 3)
     whole.add_many(arr)
     assert (u.bits == whole.bits).all()
+
+
+def test_hash_antijoin_bloom_joins_only_the_maybe_minority(ray_session):
+    """The exact phase is a distributed anti-join over the bloom-maybe
+    subset — the minority (true dups + FPs), never the corpus — and no
+    exact seen-set is ever collected on the driver (the function has no
+    set-accumulation path left; this asserts the phase sizes)."""
+    from gamechanger_data_ray.pipelines.incremental import hash_antijoin_bloom
+
+    stats: dict = {}
+    out = hash_antijoin_bloom("/root/testdata/sf0.001", _stats=stats).to_pandas()
+    assert stats["maybe_rows"] < stats["second_half_rows"]
+    # survivors = second-half rows minus true dups; the maybe set must
+    # cover the dropped rows exactly (bloom has no false negatives)
+    assert stats["second_half_rows"] - len(out) <= stats["maybe_rows"]

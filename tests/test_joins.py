@@ -53,3 +53,23 @@ def test_adaptive_join_broadcast_and_fallback_paths(ray_session):
         _ds(left), _ds(right), on="k", num_buckets=8, broadcast_limit_rows=10
     ).to_pandas()
     pd.testing.assert_frame_equal(_norm(got_s), _norm(expected))
+
+
+def test_semi_and_anti_join_match_pandas(ray_session):
+    left, right, _ = _sides()
+    keys = set(right["k"])
+    exp_semi = left[left["k"].isin(keys)]
+    exp_anti = left[~left["k"].isin(keys)]
+
+    def norm(df):
+        return df.sort_values(["k", "a"]).reset_index(drop=True).astype("int64")
+
+    got_semi = bucketed_hash_join(_ds(left), _ds(right), on="k",
+                                  num_buckets=8, how="left_semi").to_pandas()
+    got_anti = bucketed_hash_join(_ds(left), _ds(right), on="k",
+                                  num_buckets=8, how="left_anti").to_pandas()
+    pd.testing.assert_frame_equal(norm(got_semi), norm(exp_semi))
+    pd.testing.assert_frame_equal(norm(got_anti), norm(exp_anti))
+    # left columns only, unchanged dtypes, right keys never multiply rows
+    assert list(got_semi.columns) == ["k", "a"]
+    assert len(got_semi) + len(got_anti) == len(left)
