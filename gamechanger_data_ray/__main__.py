@@ -345,6 +345,7 @@ def main(argv: list[str] | None = None) -> int:
     nq.add_argument("--threshold", type=float, default=0.5)
     nq.add_argument("--shingle", type=int, default=5)
     nq.add_argument("--tokens-column", default="tokens")
+    nq.add_argument("--key-column", default="doc_id")
 
     bi = sub.add_parser("bm25-view", help="build/refresh the incrementally-"
                                           "maintained BM25 text index (postings"
@@ -787,7 +788,8 @@ def main(argv: list[str] | None = None) -> int:
 
             t = neardup_search(args.view, args.table, args.doc_id,
                                threshold=args.threshold, k=args.shingle,
-                               tokens_column=args.tokens_column)
+                               tokens_column=args.tokens_column,
+                               key_column=args.key_column)
             print(json.dumps({"probes": args.doc_id, "results": t.to_pylist()}))
         elif args.cmd == "bm25-view":
             from gamechanger_data_ray.engine.search_index import bm25_refresh

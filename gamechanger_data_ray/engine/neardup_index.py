@@ -118,7 +118,10 @@ def neardup_index_view(
     return ViewDef(
         group_by=["bucket", key_column],
         transform=fan,
-        transform_id=(f"neardup-minhash-v1-k{k}-s{seed}"
+        # tokens_column is part of the identity: an index built over one
+        # tokens column and searched with another must fail the signature
+        # check, not silently collapse recall (ADVICE r3)
+        transform_id=(f"neardup-minhash-v1-{tokens_column}-k{k}-s{seed}"
                       f"-h{NUM_HASHES}-b{NUM_BANDS}"),
         source_columns=[key_column, tokens_column],
         derived_schema=pa.schema([("bucket", pa.int64())]),
@@ -142,6 +145,7 @@ def neardup_search(
     k: int = 5,
     seed: int = 1234,
     tokens_column: str = "tokens",
+    key_column: str = "doc_id",
     max_candidates: int = 500,
 ) -> pa.Table:
     """Near-duplicates of the given committed documents against the
@@ -158,7 +162,8 @@ def neardup_search(
     cur_view = mf.load_current(view_dir)
     if cur_view is None:
         return _empty_result()
-    expect_sig = neardup_index_view(tokens_column=tokens_column, k=k,
+    expect_sig = neardup_index_view(tokens_column=tokens_column,
+                                    key_column=key_column, k=k,
                                     seed=seed).signature()
     got_sig = cur_view.epoch_counters.get("view_sig")
     if got_sig != expect_sig:
@@ -175,7 +180,7 @@ def neardup_search(
         )
 
     probes = read_keys(table_dir, sorted(set(doc_ids)),
-                       columns=["doc_id", tokens_column])
+                       columns=[key_column, tokens_column])
     if probes.num_rows:
         valid = probes[tokens_column]
         if isinstance(valid, pa.ChunkedArray):
@@ -184,9 +189,9 @@ def neardup_search(
     if probes.num_rows == 0:
         return _empty_result()
 
-    hasher = TokenMinHasher(id_col="doc_id", tokens_col=tokens_column,
+    hasher = TokenMinHasher(id_col=key_column, tokens_col=tokens_column,
                             k=k, seed=seed)
-    probe_ids = probes["doc_id"].to_pylist()
+    probe_ids = probes[key_column].to_pylist()
     probe_tokens = probes[tokens_column].to_pylist()
     buckets = _band_buckets(hasher, probes[tokens_column])  # (Q, NUM_BANDS)
     probe_sets = [set(int(b) for b in row) for row in buckets]
@@ -195,7 +200,7 @@ def neardup_search(
     if postings.num_rows == 0:
         return _empty_result()
     post_bucket = postings["bucket"].to_numpy(zero_copy_only=False)
-    post_key = postings["doc_id"].to_pylist()
+    post_key = postings[key_column].to_pylist()
 
     # candidate ids per probe; the union fetched ONCE via point lookup
     cands: list[list[str]] = []
@@ -208,8 +213,8 @@ def neardup_search(
     union_keys = sorted(set().union(*[set(c) for c in cands]))
     if not union_keys:
         return _empty_result()
-    rows = read_keys(table_dir, union_keys, columns=["doc_id", tokens_column])
-    tok_of = dict(zip(rows["doc_id"].to_pylist(),
+    rows = read_keys(table_dir, union_keys, columns=[key_column, tokens_column])
+    tok_of = dict(zip(rows[key_column].to_pylist(),
                       rows[tokens_column].to_pylist()))
 
     out_p, out_d, out_j, out_t = [], [], [], []

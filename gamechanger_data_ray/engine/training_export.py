@@ -156,7 +156,11 @@ def export_training(
                 b = (_seeded_hash(t["doc_id"], shuffle_seed)
                      % np.uint64(_SHUFFLE_BUCKETS)).astype(np.int64)
                 w = pc.cast(t["n_tok"], pa.int64()).to_numpy(zero_copy_only=False)
-                sums = np.bincount(b, weights=w, minlength=_SHUFFLE_BUCKETS)
+                # int64 accumulation: bincount(weights=) sums in float64,
+                # exact only below 2^53 per bucket — not good enough for
+                # the 10^10-doc base offsets this feeds (ADVICE r3)
+                sums = np.zeros(_SHUFFLE_BUCKETS, dtype=np.int64)
+                np.add.at(sums, b, w)
                 # emit every OCCUPIED bucket, not every positive-sum one:
                 # a bucket whose docs all have n_tok=0 still forms a
                 # packing group in pass 2 and needs a base-offset entry

@@ -58,7 +58,10 @@ class QualityScorer:
         self.stop = set(STOPWORDS)
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        text = batch[self.text_col]
+        # positional index for the explode/groupby: duplicate index
+        # labels (possible when a caller reuses the stage outside Ray's
+        # fresh-RangeIndex batches) would silently merge rows (ADVICE r3)
+        text = batch[self.text_col].reset_index(drop=True)
         # split(' ') semantics, vectorized: n_words = spaces + 1 (empty
         # string splits to [''], one "word"), total word chars =
         # len(text) - spaces — the same identities the SQL oracle uses
@@ -66,13 +69,13 @@ class QualityScorer:
         stop_hits = (
             text.str.split(" ").explode().isin(self.stop)
             .groupby(level=0).sum()          # C-speed isin + segmented sum
-            .reindex(batch.index, fill_value=0)
+            .reindex(text.index, fill_value=0)
         )
-        batch["n_words"] = n_words
-        batch["stopword_ratio"] = (stop_hits / n_words).astype(float)
+        batch["n_words"] = n_words.to_numpy()
+        batch["stopword_ratio"] = (stop_hits / n_words).astype(float).to_numpy()
         batch["mean_word_len"] = (
             (text.str.len() - (n_words - 1)) / n_words
-        ).astype(float)
+        ).astype(float).to_numpy()
         return batch
 
 

@@ -118,6 +118,9 @@ def test_neardup_search_confirms_exact_jaccard_and_tracks_updates(tmp_path):
     # wrong shingle width → signature mismatch, not silent recall loss
     with pytest.raises(ValueError, match="signature mismatch"):
         neardup_search(vd, tb, ["dup-a"], k=K + 2)
+    # wrong tokens column too: part of the baked identity (ADVICE r3)
+    with pytest.raises(ValueError, match="signature mismatch"):
+        neardup_search(vd, tb, ["dup-a"], k=K, tokens_column="other_tokens")
 
 
 def test_neardup_subscription_syncs_with_replay(tmp_path):
