@@ -371,6 +371,30 @@ SELECT doc_id, sec_num, sec_name FROM (
 """
 
 
+def _resp_synth(doc_id: int) -> str:
+    """Deterministic RESPONSIBILITIES section for ``doc_id``: 1-3 roles
+    (``2.<r>.`` numbering, acronym + "shall:" cue), 1-3 duties each, with
+    BOTH the role line and the last duty line wrapped across physical
+    lines and a GLOSSARY break. Shared by ``docs_responsibilities`` and
+    the HAS_AUTHORITY_OVER leg of ``docs_graph_edges``."""
+    lines = ["SECTION 2: RESPONSIBILITIES"]
+    for r in range(1, 2 + doc_id % 3):
+        # role line wrapped after the office name (continuation merge)
+        lines.append(f"2.{r}. DIRECTOR, OFFICE {r}")
+        lines.append(f"(DO{r}). The Director shall:")
+        n_resp = 1 + (doc_id + r) % 3
+        for k in range(1, n_resp + 1):
+            if k == n_resp:
+                lines.append(f"{chr(96 + k)}. performs duty {doc_id * 10 + r}")
+                lines.append(f"item {k}.")
+            else:
+                lines.append(
+                    f"{chr(96 + k)}. performs duty {doc_id * 10 + r} item {k}."
+                )
+    lines += ["GLOSSARY", "x. must never appear."]
+    return "\n".join(lines)
+
+
 def docs_responsibilities(sf_dir: str):
     """Responsibility extraction (M13 depth; reference
     ``responsibility_parse/responsibility_parser.py``): each doc gets a
@@ -385,28 +409,10 @@ def docs_responsibilities(sf_dir: str):
 
     ds = cm.read(sf_dir, "documents", columns=["doc_id"])
 
-    def synth(doc_id: int) -> str:
-        lines = ["SECTION 2: RESPONSIBILITIES"]
-        for r in range(1, 2 + doc_id % 3):
-            # role line wrapped after the office name (continuation merge)
-            lines.append(f"2.{r}. DIRECTOR, OFFICE {r}")
-            lines.append(f"(DO{r}). The Director shall:")
-            n_resp = 1 + (doc_id + r) % 3
-            for k in range(1, n_resp + 1):
-                if k == n_resp:
-                    lines.append(f"{chr(96 + k)}. performs duty {doc_id * 10 + r}")
-                    lines.append(f"item {k}.")
-                else:
-                    lines.append(
-                        f"{chr(96 + k)}. performs duty {doc_id * 10 + r} item {k}."
-                    )
-        lines += ["GLOSSARY", "x. must never appear."]
-        return "\n".join(lines)
-
     def parse(df: pd.DataFrame) -> pd.DataFrame:
         rows = []
         for did in df["doc_id"]:
-            rows.extend(responsibility_rows(synth(int(did)), int(did)))
+            rows.extend(responsibility_rows(_resp_synth(int(did)), int(did)))
         out = pd.DataFrame(
             rows,
             columns=["doc_id", "role_numbering", "role_text",
@@ -754,3 +760,105 @@ SELECT doc_id,
        0::BIGINT AS n_residual
 FROM documents
 """
+
+
+# ---------------------------------------------------------------------------
+# Typed graph edges (K11 depth)
+# ---------------------------------------------------------------------------
+
+def docs_graph_edges(sf_dir: str):
+    """Typed graph-edge union (K11 depth; the reference's
+    ``gc_neo4j_publisher/neo4j_publisher.py:122-172`` +
+    ``utils.py:130-146`` emit MENTIONS, REFERENCES and
+    HAS_AUTHORITY_OVER relations into Neo4j — here the same typed edges
+    land as ONE columnar edge table, the shape a graph bulk-importer or
+    a distributed join consumes):
+
+    - ``doc -[MENTIONS]-> entity`` — the gazetteer mention counts of
+      :func:`docs_entities` (weight = n_mentions);
+    - ``doc -[REFERENCES]-> doc`` — the normalized citations of
+      :func:`docs_ref_counts`, each a document-to-document edge
+      (weight = citation count), the ``ref_list`` → REFERENCES edge
+      build of ``neo4j_publisher.py:151-172``;
+    - ``role -[HAS_AUTHORITY_OVER]-> office`` — the role hierarchy the
+      REAL responsibility parser (``stages/responsibilities.py``)
+      extracts from each doc's RESPONSIBILITIES section: the assigned
+      role has authority over the office it directs (one edge per
+      parsed role block — ``utils.py:130-146``'s Role/Org hierarchy
+      analog).
+
+    Output: (doc_id, src, rel, dst, weight); node ids carry a
+    ``doc:``/``ent:`` type prefix. All three legs run their real
+    extraction stages; the oracle rebuilds the identical edges from the
+    seeding arithmetic (and the entities leg's replace-chain SQL)."""
+    import re as _re
+
+    from ..stages.responsibilities import extract_numbering, parse_responsibility_section
+
+    def ment_edges(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"doc_id": df["doc_id"].astype("int64"),
+             "src": "doc:" + df["doc_id"].astype(str),
+             "rel": "MENTIONS",
+             "dst": "ent:" + df["entity"].astype(str),
+             "weight": df["n_mentions"].astype("int64")}
+        )
+
+    def ref_edges(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"doc_id": df["doc_id"].astype("int64"),
+             "src": "doc:" + df["doc_id"].astype(str),
+             "rel": "REFERENCES",
+             "dst": "doc:" + df["ref"].astype(str),
+             "weight": df["n"].astype("int64")}
+        )
+
+    office_re = _re.compile(r"OFFICE \d+")
+
+    def auth_edges(df: pd.DataFrame) -> pd.DataFrame:
+        ids, srcs, dsts = [], [], []
+        for did in df["doc_id"]:
+            for block in parse_responsibility_section(_resp_synth(int(did))):
+                _num, role_text = extract_numbering(block[0])
+                role = role_text.split(" (")[0]
+                m = office_re.search(role)
+                if m is None:
+                    continue
+                ids.append(int(did))
+                srcs.append(f"ent:{role}")
+                dsts.append(f"ent:{m.group(0)}")
+        return pd.DataFrame(
+            {"doc_id": pd.Series(ids, dtype="int64"),
+             "src": pd.Series(srcs, dtype="object"),
+             "rel": pd.Series(["HAS_AUTHORITY_OVER"] * len(ids), dtype="object"),
+             "dst": pd.Series(dsts, dtype="object"),
+             "weight": pd.Series([1] * len(ids), dtype="int64")}
+        )
+
+    mentions = docs_entities(sf_dir).map_batches(ment_edges, batch_format="pandas")
+    refs = docs_ref_counts(sf_dir).map_batches(ref_edges, batch_format="pandas")
+    auth = cm.read(sf_dir, "documents", columns=["doc_id"]).map_batches(
+        auth_edges, batch_format="pandas"
+    )
+    return mentions.union(refs).union(auth)
+
+
+# the MENTIONS and REFERENCES legs reuse the already-verified oracles of
+# docs_entities / docs_ref_counts as derived tables, so the edge oracle
+# can never drift from the per-leg oracles
+ORACLES["docs_graph_edges"] = """
+SELECT doc_id, src, rel, dst, CAST(weight AS BIGINT) AS weight FROM (
+  SELECT doc_id, 'doc:' || doc_id AS src, 'MENTIONS' AS rel,
+         'ent:' || entity AS dst, n_mentions AS weight
+  FROM ({entities}) ment
+  UNION ALL
+  SELECT doc_id, 'doc:' || doc_id, 'REFERENCES', 'doc:' || ref, n
+  FROM ({refs}) refsub
+  UNION ALL
+  SELECT doc_id, 'ent:DIRECTOR, OFFICE ' || r, 'HAS_AUTHORITY_OVER',
+         'ent:OFFICE ' || r, 1
+  FROM (SELECT doc_id, CAST(i.i + 1 AS BIGINT) AS r
+        FROM documents CROSS JOIN (SELECT UNNEST(range(3)) AS i) i
+        WHERE i.i < 1 + doc_id % 3) roles
+)
+""".format(entities=ORACLES["docs_entities"], refs=ORACLES["docs_ref_counts"])
