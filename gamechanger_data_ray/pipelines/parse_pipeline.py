@@ -57,30 +57,42 @@ class DocumentParser:
         hashes = sha256_hex(
             (df["doc_id"].astype(str) + "|" + df["source"] + "|" + df["text"]).tolist()
         )
-        for (_, row), vh in zip(df.iterrows(), hashes):
-            did, text = row["doc_id"], row["text"]
-            words = text.split(" ")
-            # M8 keyword top-k: count → sort desc → top-k, word tie-break
-            counts: dict[str, int] = {}
-            for w in words:
-                counts[w] = counts.get(w, 0) + 1
-            keyw = [w for _, w in sorted(((-n, w) for w, n in counts.items()))[: self.keywords_k]]
+        # M11 word counts and M8 keyword top-k hoisted OUT of the per-doc
+        # loop, in the same vectorized forms as relational.py's
+        # keywords_top3_per_doc (count → sort n desc, word asc → head k);
+        # the loop below keeps only the inherently row-wise section /
+        # responsibility parsing
+        text = df["text"].reset_index(drop=True)
+        ids = df["doc_id"].reset_index(drop=True)
+        n_words = (text.str.count(" ") + 1).astype("int64")
+        exploded = pd.DataFrame({"doc_id": ids, "word": text.str.split(" ")}).explode("word")
+        counts = (
+            exploded.groupby(["doc_id", "word"], as_index=False, sort=False)
+            .size().rename(columns={"size": "n"})
+            .sort_values(["doc_id", "n", "word"], ascending=[True, False, True])
+        )
+        topk = counts.groupby("doc_id", sort=False).head(self.keywords_k)
+        keyw_by_doc = {k: list(g["word"]) for k, g in topk.groupby("doc_id", sort=False)}
+        for did, src, text_v, vh, nw in zip(
+            df["doc_id"], df["source"], df["text"], hashes, n_words
+        ):
+            text = text_v
             layout = "numbered" if did % 2 == 0 else "caps"
             secs = parse_sections(text, layout)
             sec_fields = sections_to_fields(secs)
             rows.append(
                 {
                     "doc_id": did,
-                    "source": row["source"],
-                    "word_count": len(words),
-                    "page_count": -(-len(words) // _PAGE_WORDS),
-                    "par_count": -(-len(words) // _PAR_WORDS),
+                    "source": src,
+                    "word_count": int(nw),
+                    "page_count": -(-int(nw) // _PAGE_WORDS),
+                    "par_count": -(-int(nw) // _PAR_WORDS),
                     "version_hash": vh,
                     "ref_list": sorted(collect_refs(text, self.ref_patterns)),
                     "dates": extract_dates(text),
                     "entities": sorted(ent_by_doc.get(did, [])),
                     "top_entities_t": top_by_doc.get(did, []),
-                    "keyw_5": keyw,
+                    "keyw_5": keyw_by_doc.get(did, []),
                     "topics_rs": topics_by_doc.get(did, []),
                     "sections": [name for _, name, _ in secs],
                     # the reference's 14-field named-sections contract
