@@ -103,9 +103,10 @@ def _is_role_line(line: str) -> bool:
 
 
 _NUM_TOKEN = r"(?:[a-z]{1,2}\.|\([a-z]{1,2}\)|\(\d{1,2}\)|\d{1,2}\.(?:\d{1,2}\.){0,6})"
-# "… shall: a. duty" — numbering right after a colon starts a new logical
-# line (``split_text_with_role_midline``)
-_AFTER_COLON = re.compile(rf": (?={_NUM_TOKEN} )")
+# "… shall: a. duty" (and the no-space "… DIA:1.1. duty" shape) —
+# numbering right after a colon starts a new logical line
+# (``split_text_with_role_midline``)
+_AFTER_COLON = re.compile(rf":\s?(?={_NUM_TOKEN} )")
 # "… RESPONSIBILITIES 2.1. ROLE" — numbering inside the section-intro
 # line starts the first role (the reference's " 1. "/" a. " intro split)
 _AFTER_INTRO = re.compile(rf" (?={_NUM_TOKEN} )")

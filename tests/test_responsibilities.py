@@ -39,6 +39,14 @@ def test_extract_numbering_shapes():
     # uppercase abbreviations are not numbering
     assert extract_numbering("U.S. policy applies")[0] == ""
     assert extract_numbering("plain continuation text")[0] == ""
+    # the reference suite's remaining token shapes
+    # (test_responsibility_parser.py::test_extract_numbering)
+    assert extract_numbering("1.1.1.1. Here is some text") == ("1.1.1.1.", "Here is some text")
+    assert extract_numbering("zz. Here is some text") == ("zz.", "Here is some text")
+    assert extract_numbering("(11) Here is some text") == ("(11)", "Here is some text")
+    assert extract_numbering("(a). Here is some text")[0] == ""      # paren+period mix
+    assert extract_numbering("321561 Here is some text")[0] == ""    # bare digits
+    assert extract_numbering("(if applicable) Here is some text")[0] == ""
 
 
 def test_profile_matching_and_order():
