@@ -44,16 +44,23 @@ def hash_join(
     project/rename before joining.
     """
     if hasattr(left, "join") and how in _NATIVE_JOIN_TYPES:
+        # cap the hash-shuffle aggregator count at the cluster's CPU
+        # count: each aggregator is an actor that needs a CPU slot, and
+        # asking for more than exist DEADLOCKS the streaming executor
+        # (verified: num_partitions=64 on a 4-cpu local session hangs
+        # forever). On a real cluster num_buckets stays the knob.
+        cpus = int(ray.cluster_resources().get("CPU", 4))
+        parts = max(2, min(num_buckets, cpus))
         # repartition heals Ray's schema-less empty blocks (a filter that
         # empties a block drops its schema, which breaks the join's Acero
         # key resolution); metadata-level consolidation, not a shuffle
-        left = left.repartition(num_buckets)
-        right = right.repartition(num_buckets)
-        return left.join(right, join_type=how, num_partitions=num_buckets, on=(on,))
+        left = left.repartition(parts)
+        right = right.repartition(parts)
+        return left.join(right, join_type=how, num_partitions=parts, on=(on,))
     return bucketed_hash_join(left, right, on, num_buckets, how)
 
 
-BROADCAST_LIMIT_ROWS = 200_000
+BROADCAST_LIMIT_BYTES = 64 << 20  # what one ray.put can sanely pin per node
 
 
 def adaptive_join(
@@ -62,18 +69,20 @@ def adaptive_join(
     on: str,
     num_buckets: int = 64,
     how: str = "inner",
-    broadcast_limit_rows: int = BROADCAST_LIMIT_ROWS,
+    broadcast_limit_bytes: int = BROADCAST_LIMIT_BYTES,
 ) -> ray.data.Dataset:
     """Size-adaptive equi-join (the AQE broadcast-join pattern): execute
-    the (expected-smaller) right side once; if it lands under the row
-    limit, ``ray.put`` it whole and merge inside ``map_batches`` of the
-    left — zero shuffle; otherwise fall back to the partitioned hash
-    join. Use when the right side's post-filter size is data-dependent
-    (a fixed plan would either always shuffle or break at scale)."""
+    the (expected-smaller) right side once; if it lands under the BYTE
+    limit (``size_bytes()`` of the materialized side — a row limit would
+    let a few hundred wide rows blow the object store), ``ray.put`` it
+    whole and merge inside ``map_batches`` of the left — zero shuffle;
+    otherwise fall back to the partitioned hash join. Use when the right
+    side's post-filter size is data-dependent (a fixed plan would either
+    always shuffle or break at scale)."""
     if how not in ("inner", "left"):
         raise ValueError(f"adaptive_join supports inner/left, not {how!r}")
     right = right.materialize()
-    if right.count() <= broadcast_limit_rows:
+    if right.size_bytes() <= broadcast_limit_bytes:
         import ray as _ray
 
         dim_ref = _ray.put(right.to_pandas())
@@ -83,6 +92,34 @@ def adaptive_join(
 
         return left.map_batches(merge, batch_format="pandas")
     return hash_join(left, right, on, num_buckets, how="inner" if how == "inner" else "left_outer")
+
+
+def _arrow_schema(ds: ray.data.Dataset) -> pa.Schema:
+    """The dataset's schema as a real ``pyarrow.Schema``. Arrow-block
+    datasets expose it directly (``base_schema``); pandas-block datasets
+    (``from_pandas`` without an intervening Arrow op) report numpy
+    dtypes, which are mapped through ``pa.from_numpy_dtype`` — with
+    ``object`` columns resolved from a one-row Arrow batch sample (the
+    dtype alone can't distinguish string from list payloads)."""
+    s = ds.schema()
+    base = getattr(s, "base_schema", None)
+    if isinstance(base, pa.Schema):
+        return base
+    fields, need_sample = [], False
+    for n, t in zip(s.names, s.types):
+        if isinstance(t, pa.DataType):
+            fields.append(pa.field(n, t))
+            continue
+        try:
+            fields.append(pa.field(n, pa.from_numpy_dtype(t)))
+        except (pa.ArrowNotImplementedError, TypeError):
+            fields.append(None)
+            need_sample = True
+    if need_sample:
+        sample = next(iter(ds.iter_batches(batch_size=1, batch_format="pyarrow"))).schema
+        fields = [f if f is not None else sample.field(i)
+                  for i, f in enumerate(fields)]
+    return pa.schema(fields)
 
 
 def bucketed_hash_join(
@@ -102,21 +139,18 @@ def bucketed_hash_join(
     is too large to broadcast (``common.semi_filter``'s scale path): the
     right side ships only its key column through the same single
     co-shuffle, and the output carries the left columns unchanged."""
-    lschema, rschema = left.schema(), right.schema()
+    lschema, rschema = _arrow_schema(left), _arrow_schema(right)
     semi = how in ("left_semi", "left_anti")
     if semi:
         right = right.map_batches(
             lambda t: t.select([on]), batch_format="pyarrow"
         )
-        rschema = pa.schema([(on, rschema.types[rschema.names.index(on)])])
+        rschema = pa.schema([rschema.field(on)])
     lcols, rcols = list(lschema.names), list(rschema.names)
     overlap = (set(lcols) & set(rcols)) - {on}
     if overlap:
         raise ValueError(f"rename overlapping non-key columns before join: {overlap}")
-    unified = unify_schemas(
-        pa.schema(list(zip(lschema.names, lschema.types))),
-        pa.schema(list(zip(rschema.names, rschema.types))),
-    )
+    unified = unify_schemas(lschema, rschema)
     import base64
 
     uni_b64 = base64.b64encode(unified.serialize().to_pybytes()).decode()

@@ -48,11 +48,27 @@ def test_adaptive_join_broadcast_and_fallback_paths(ray_session):
     # small side → broadcast path
     got_b = adaptive_join(_ds(left), _ds(right), on="k").to_pandas()
     pd.testing.assert_frame_equal(_norm(got_b), _norm(expected))
-    # force the shuffle fallback with a tiny broadcast limit
+    # force the shuffle fallback with a tiny broadcast byte limit
     got_s = adaptive_join(
-        _ds(left), _ds(right), on="k", num_buckets=8, broadcast_limit_rows=10
+        _ds(left), _ds(right), on="k", num_buckets=8, broadcast_limit_bytes=64
     ).to_pandas()
     pd.testing.assert_frame_equal(_norm(got_s), _norm(expected))
+
+
+def test_adaptive_join_byte_limit_rejects_wide_small_count_side(ray_session):
+    """A right side with FEW rows but WIDE payloads must take the
+    shuffle path: the limit is bytes, not rows (a row threshold would
+    happily ray.put gigabytes of wide rows)."""
+    left = pd.DataFrame({"k": np.arange(50), "a": np.arange(50)})
+    wide = pd.DataFrame({"k": np.arange(10), "blob": ["x" * 200_000] * 10})
+    ds_wide = _ds(wide)
+    assert ds_wide.materialize().size_bytes() > 1_000_000
+    got = adaptive_join(_ds(left), ds_wide, on="k",
+                        broadcast_limit_bytes=1_000_000).to_pandas()
+    exp = left.merge(wide, on="k", how="inner")
+    got = got.sort_values("k").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp.sort_values("k").reset_index(drop=True),
+                                  check_dtype=False)
 
 
 def test_semi_and_anti_join_match_pandas(ray_session):
