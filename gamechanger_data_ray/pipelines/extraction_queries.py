@@ -287,18 +287,25 @@ _SEC_NAMES = ("PURPOSE", "RESPONSIBILITIES", "PROCEDURES", "REFERENCES")
 
 def _section_text(doc_id: int, text: str) -> tuple[str, str]:
     """(layout, sectioned text) — the per-type dispatch input, rotated
-    over six registered strategies by doc_id: numbered (DoD
+    over eight registered strategies by doc_id: numbered (DoD
     SECTION-colon), caps (CJCS heading sentences), number_dot (Navy
     ``1. Purpose.``), enclosure (DoD ``E1.``), eo (``Sec. 1.``), and the
-    multi-pass line-oriented ``dod`` and ``cjcs`` parsers — whose
-    synthetic docs get the full treatment they must survive: repeated
-    page headers, a dotted-leader Table of Contents (dod), date lines
-    and lettered enclosures (cjcs), and bare page numbers."""
+    multi-pass line-oriented ``dod``, ``cjcs`` and ``navy`` parsers —
+    whose synthetic docs get the full treatment they must survive:
+    repeated page headers, a dotted-leader Table of Contents (dod), date
+    lines and lettered enclosures (cjcs), SECNAVINST headers + an
+    Appendix title (navy), and bare page numbers."""
     n = 2 + (1 if doc_id % 3 > 0 else 0) + (1 if doc_id % 3 == 2 else 0)
     bodies = [text, "duties", "steps", "list"]
-    layout = ("numbered", "caps", "number_dot", "enclosure", "eo", "dod", "cjcs")[
-        doc_id % 7
-    ]
+    layout = ("numbered", "caps", "number_dot", "enclosure", "eo", "dod", "cjcs",
+              "navy")[doc_id % 8]
+    if layout == "navy":
+        header = "SECNAVINST 5088.10A"
+        lines = [header, "15 January 2024", f"1. {_SEC_NAMES[0]}.", bodies[0]]
+        for i in range(1, n):
+            lines += [header, str(i + 1), f"{i + 1}. {_SEC_NAMES[i]}.", bodies[i]]
+        lines += ["A-1 APPENDIX A", "appendix body"]
+        return layout, "\n".join(lines)
     if layout == "cjcs":
         header = "CJCSI 3150.25G"
         lines = [header, "15 January 2024", f"1. {_SEC_NAMES[0]}.", bodies[0]]
@@ -358,7 +365,9 @@ def docs_sections(sf_dir: str):
 ORACLES["docs_sections"] = """
 SELECT doc_id, sec_num, sec_name FROM (
   SELECT doc_id, 0 AS sec_num, 'TABLE OF CONTENTS' AS sec_name
-  FROM documents WHERE doc_id % 7 = 5
+  FROM documents WHERE doc_id % 8 = 5
+  UNION ALL
+  SELECT doc_id, 0, 'APPENDIX A' FROM documents WHERE doc_id % 8 = 7
   UNION ALL
   SELECT doc_id, 1, 'PURPOSE' FROM documents
   UNION ALL

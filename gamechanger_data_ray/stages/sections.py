@@ -311,6 +311,100 @@ def parse_cjcs_sections(text: str) -> list[tuple[int, str, str]]:
     return out
 
 
+# ---------------------------------------------------------------------------
+# Navy line parser (``section_parse/parsers/navy_parser.py`` +
+# ``utils/navy_utils.py``: SECNAVINST/OPNAVINST-family pagebreak strip,
+# plain ``3. NAME.`` AND hyphenated ``1-2. NAME.`` numbered headings,
+# Appendix titles ending the numbered body, letter-dot subsections)
+# ---------------------------------------------------------------------------
+
+_NAVY_HEADER = re.compile(
+    r"^((?:SECNAV|OPNAV|BUMED|BUPERS|COMNAVRESFORCOM)(?:INST|NOTE)\s+"
+    r"\d{4,5}(?:\.\d{1,2})?[A-Z]?|MILPERSMAN\s+\d{4}-\d{3}|"
+    r"(?:MCO|NAVMC|ALNAV)\s+\d{3,4}(?:\.\d{1,2})?[A-Z]?)\b"
+)
+_NAVY_HEAD_LINE = re.compile(r"^(\d{1,2})(?:-(\d{1,2}))?\s*\.\s+(.+?)\s*\.?\s*$")
+# "Appendix A" titles, optionally preceded by a page tag like "A-1"
+# (APPENDIX_TITLE_PATTERN's observable shape)
+_NAVY_APPENDIX = re.compile(r"^(?:[A-Z] ?- ?\d{1,2}\s+)?APPENDIX\s+([A-Z])\s*$",
+                            re.IGNORECASE)
+
+
+def parse_navy_sections(text: str) -> list[tuple[int, str, str]]:
+    """Line-oriented Navy-issuance parser (the ``NavyParser`` layout:
+    SECNAVINST/OPNAVINST and friends). Observable contract:
+
+    - pagebreak noise is stripped first (``_remove_pagebreaks``): the
+      repeated issuance header (inferred from the first header-shaped
+      line), ``DD Month YYYY`` date lines, bare page numbers;
+    - ``3. NAME.`` plain and ``1-2. NAME.`` hyphenated numbered headings
+      open sections (``match_number_dot_section`` /
+      ``match_number_hyphenated_section``); the hyphenated form's
+      within-chapter section index is the section number;
+    - an ``APPENDIX X`` title line ends the numbered body and opens its
+      own section, numbered 0 (``match_first_appendix_title`` semantics:
+      the appendix bounds the last numbered section).
+
+    Body lines accrue to the current section joined by spaces; preamble
+    before the first heading is ignored, like the other strategies."""
+    raw_lines = [ln.strip() for ln in text.split("\n")]
+    header: str | None = None
+    m = _NAVY_HEADER.match(raw_lines[0]) if raw_lines else None
+    if m:
+        header = m.group(1)
+    lines: list[str] = []
+    for i, ln in enumerate(raw_lines):
+        if not ln or _PAGE_NUM.match(ln) or _CJCS_DATE.match(ln):
+            continue
+        if header and i > 0 and ln.startswith(header):
+            continue
+        lines.append(ln)
+
+    out: list[tuple[int, str, str]] = []
+    cur: tuple[int, str] | None = None
+    body: list[str] = []
+
+    def flush():
+        if cur is not None:
+            out.append((cur[0], cur[1], " ".join(body).strip()))
+
+    for ln in lines:
+        app = _NAVY_APPENDIX.match(ln)
+        head = _NAVY_HEAD_LINE.match(ln)
+        if app:
+            flush()
+            cur, body = (0, f"APPENDIX {app.group(1).upper()}"), []
+        elif head:
+            flush()
+            num = int(head.group(2) or head.group(1))
+            cur, body = (num, head.group(3)), []
+        elif cur is not None:
+            body.append(ln)
+    flush()
+    return out
+
+
+def get_letter_dot_section(text: str, section_name: str) -> str:
+    """First alphabetical-list subsection named ``section_name`` inside a
+    section body (``navy_utils.py::get_letter_dot_section`` — the MCBUL
+    purpose-within-situation quirk): ``a. Purpose. <body>`` runs to the
+    next letter item, the next numbered item, or a blank line."""
+    start = re.search(rf"(?:^|\n)\s*([a-zA-Z])\.\s*{section_name}", text,
+                      flags=re.IGNORECASE)
+    if not start:
+        return ""
+    letter = start.group(1)
+    nxt = chr(ord(letter) + 1)
+    rest = text[start.end():]
+    end = None
+    for pat in (rf"\n\s*({nxt})\.\s*", r"\n\s*[0-9]+\.\s", r"\n\s*\n", "\n"):
+        end = re.search(pat, rest)
+        if end:
+            break
+    stop = start.end() + end.start() if end else len(text)
+    return text[start.start():stop].strip()
+
+
 # type → strategy registry (ParserFactory.create dispatch,
 # ``parsers/parser_factory.py`` analog); register new layouts here.
 STRATEGIES: dict[str, Callable[[str], list[tuple[int, str, str]]]] = {
@@ -322,6 +416,7 @@ STRATEGIES: dict[str, Callable[[str], list[tuple[int, str, str]]]] = {
     "uscode": parse_uscode_sections,
     "dod": parse_dod_sections,
     "cjcs": parse_cjcs_sections,
+    "navy": parse_navy_sections,
 }
 
 

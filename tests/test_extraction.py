@@ -376,3 +376,16 @@ def test_dod_toc_stops_at_body_not_last_leader():
     assert "Reporting Requirements" in got[0][2]
     assert got[1] == (1, "PURPOSE", "See the table ............ 12 real body line")
     assert got[2] == (2, "FORMS", "forms body")
+
+
+def test_navy_letter_dot_subsection():
+    """MCBUL purpose-within-situation quirk (navy_utils.py::
+    get_letter_dot_section): the lettered subsection runs to the next
+    letter item / numbered item / blank line, first match only."""
+    from gamechanger_data_ray.stages.sections import get_letter_dot_section
+
+    sit = ("Background applies.\na. Purpose. To publish the change.\n"
+           "b. Cancellation. MCBUL 1200.\n")
+    assert get_letter_dot_section(sit, "purpose") == "a. Purpose. To publish the change."
+    assert get_letter_dot_section(sit, "missing") == ""
+    assert get_letter_dot_section("", "purpose") == ""
