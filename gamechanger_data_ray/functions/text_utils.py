@@ -12,14 +12,45 @@ import pyarrow.compute as pc
 
 
 def translate_to_ascii(arr: pa.Array | pa.ChunkedArray) -> pa.Array | pa.ChunkedArray:
-    """Best-effort ASCII transliteration: non-ascii codepoints dropped."""
-    # Arrow lacks a transliterate kernel; encode/decode round-trip per batch
-    # is still C-speed (no Python per row).
+    """Best-effort ASCII transliteration: non-ascii codepoints dropped
+    (``str.encode('ascii', 'ignore')`` semantics), fully vectorized.
+
+    Works directly on the column's flattened UTF-8 buffer: every byte of
+    a multi-byte codepoint has the high bit set, so dropping bytes
+    >= 0x80 removes exactly the non-ascii codepoints; new offsets are the
+    cumulative kept-byte counts at the old row boundaries. One numpy pass
+    over the payload, no Python per row, nulls preserved."""
     import numpy as np
 
-    vals = arr.to_pylist()
-    out = [v.encode("ascii", "ignore").decode("ascii") if v is not None else None for v in vals]
-    return pa.array(out, pa.string())
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    s = arr.cast(pa.large_binary())
+    if s.offset:
+        # rebase a sliced array so the validity bitmap's bit offset is 0
+        # (from_buffers below reuses it verbatim)
+        s = s.take(pa.array(np.arange(len(s), dtype=np.int64)))
+    offs = np.frombuffer(s.buffers()[1], dtype=np.int64)[
+        s.offset : s.offset + len(s) + 1
+    ]
+    data = (
+        np.frombuffer(s.buffers()[2], dtype=np.uint8)
+        if s.buffers()[2] is not None
+        else np.empty(0, np.uint8)
+    )
+    lo, hi = offs[0], offs[-1]
+    window = data[lo:hi]
+    keep = window < 0x80
+    new_data = window[keep]
+    # kept-byte count before each old offset → new offsets, rebased
+    kept_cum = np.concatenate(([0], np.cumsum(keep, dtype=np.int64)))
+    new_offs = kept_cum[offs - lo]
+    null_buf = s.buffers()[0]
+    return pa.Array.from_buffers(
+        pa.large_string(),
+        len(s),
+        [null_buf, pa.py_buffer(new_offs.tobytes()), pa.py_buffer(new_data.tobytes())],
+        null_count=s.null_count,
+    ).cast(pa.string())
 
 
 def fix_utf8(arr):

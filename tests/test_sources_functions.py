@@ -106,3 +106,22 @@ def test_parse_prefixes():
     assert parse_epoch_prefix("cl/epoch=000042/") == 42
     assert parse_epoch_prefix("cl/epoch=7") == 7
     assert parse_epoch_prefix("cl/other/") is None
+
+
+def test_translate_to_ascii_vectorized_edge_shapes():
+    """Buffer-level ascii-ignore must match str.encode('ascii','ignore')
+    on multi-byte codepoints, nulls, slices (nonzero offset) and chunked
+    inputs — the shapes the buffer arithmetic can get wrong."""
+    import pyarrow as pa
+
+    from gamechanger_data_ray.functions import text_utils as tu
+
+    cases = ["café №42", "plain", "", None, "ü", "日本語text", "àb"]
+    exp = [c.encode("ascii", "ignore").decode() if c is not None else None
+           for c in cases]
+    arr = pa.array(cases, pa.string())
+    assert tu.translate_to_ascii(arr).to_pylist() == exp
+    assert tu.translate_to_ascii(arr.slice(2, 4)).to_pylist() == exp[2:6]
+    chunked = pa.chunked_array([arr.slice(0, 3), arr.slice(3)])
+    assert tu.translate_to_ascii(chunked).to_pylist() == exp
+    assert tu.translate_to_ascii(pa.array([], pa.string())).to_pylist() == []
