@@ -23,7 +23,11 @@ swapped dedup_tokens_minhash (rows-only; family still registered via
 dedup_minhash_lsh and pytest-oracled in its module) for
 bm25_index_search — the maintained BM25 index served end-to-end
 against a SQL recompute, an engine-path green instead of a fourth
-approximate dedup face.
+approximate dedup face. Round 4 swapped dedup_simhash (rows-only;
+still module-registered with its pigeonhole/property pytest oracle)
+for docs_graph_edges — the typed MENTIONS/REFERENCES/
+HAS_AUTHORITY_OVER edge union (K11 depth), a third near-dup face
+traded for a fully SQL-oracled graph-writer green.
 
 Ray is initialised by the driver BEFORE this module is imported: nothing
 here calls ``ray.init()`` / ``ray.shutdown()``.
@@ -103,7 +107,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_token_spans": A.dedup_token_spans_q,
         "dedup_exact": A.dedup_exact,
         "dedup_minhash_lsh": A.dedup_minhash_lsh,
-        "dedup_simhash": A.dedup_simhash,
+        "docs_graph_edges": X.docs_graph_edges,
         "dedup_ngram_jaccard": A.dedup_ngram_jaccard,
         "ann_topk_cosine": A.ann_topk_cosine,
         "ann_ivf": A.ann_ivf_q,
