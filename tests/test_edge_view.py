@@ -1,0 +1,101 @@
+"""Incrementally-maintained typed edge view (engine/edge_view.py):
+edge-set exactness vs a serial recompute through insert/update/delete
+epochs, point lookups via the pruned postings read, and the baked
+gazetteer signature refusing a vocabulary mismatch."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+from gamechanger_data_ray.engine.cdc import apply_events_dataset, table_to_arrow
+from gamechanger_data_ray.engine.edge_view import edges_of, typed_edge_view
+from gamechanger_data_ray.engine.views import refresh, view_to_arrow
+from gamechanger_data_ray.state import manifest as mf
+
+GAZ = [7, 11, 42]
+
+
+def _events(rows):
+    op, lsn, seq, doc, toks, src = zip(*rows)
+    return pa.table(
+        {"op": pa.array(op, pa.string()),
+         "lsn": pa.array(lsn, pa.int64()),
+         "seq": pa.array(seq, pa.int64()),
+         "doc_id": pa.array(doc, pa.string()),
+         "tokens": pa.array(
+             [list(t) if t is not None else None for t in toks],
+             pa.list_(pa.int32())),
+         "source": pa.array(src, pa.string())}
+    )
+
+
+def _oracle_edges(tb: str) -> dict[tuple[str, str, str], int]:
+    """Serial recompute of the expected edge multiset from the committed
+    table state."""
+    t = table_to_arrow(tb)
+    out: dict[tuple[str, str, str], int] = {}
+    for row in t.to_pylist():
+        did, toks, src = row["doc_id"], row["tokens"], row.get("source")
+        for tok in toks or []:
+            if tok in GAZ:
+                k = (did, "MENTIONS", f"tok:{tok}")
+                out[k] = out.get(k, 0) + 1
+        if src is not None:
+            out[(did, "FROM_SOURCE", f"src:{src}")] = 1
+    return out
+
+
+def _view_edges(vd: str) -> dict[tuple[str, str, str], int]:
+    t = view_to_arrow(vd)
+    if t.num_rows == 0:
+        return {}
+    return {
+        (r["src"], r["rel"], r["dst"]): r["n_rows"] for r in t.to_pylist()
+    }
+
+
+def test_edge_view_tracks_inserts_updates_deletes(tmp_path):
+    tb, vd = str(tmp_path / "tb"), str(tmp_path / "view")
+    view = typed_edge_view(GAZ)
+
+    e1 = _events([
+        ("I", 1, 0, "d1", [7, 7, 3, 42], "web"),
+        ("I", 1, 1, "d2", [11, 5], "crawl"),
+        ("I", 1, 2, "d3", [1, 2, 3], "web"),      # no gazetteer hits
+        ("I", 1, 3, "d4", None, "feed"),          # null tokens → source only
+    ])
+    apply_events_dataset(ray.data.from_arrow(e1), tb, 1, e1.schema, num_partitions=4)
+    refresh(view, vd, tb, num_partitions=4)
+    assert _view_edges(vd) == _oracle_edges(tb)
+    assert _oracle_edges(tb)[("d1", "MENTIONS", "tok:7")] == 2  # multiplicity
+
+    # update d1 (old edges retract), delete d2 (edges vanish)
+    e2 = _events([
+        ("U", 2, 0, "d1", [42], "web"),
+        ("D", 2, 1, "d2", None, None),
+    ])
+    apply_events_dataset(ray.data.from_arrow(e2), tb, 2, e2.schema, num_partitions=4)
+    m = refresh(view, vd, tb)
+    assert m.epoch_counters.get("mode") == "incremental"
+    got = _view_edges(vd)
+    assert got == _oracle_edges(tb)
+    assert ("d1", "MENTIONS", "tok:7") not in got
+    assert not any(src == "d2" for src, _, _ in got)
+
+    # point lookup is the postings path, pruned by leading src key
+    probe = edges_of(vd, ["d1"])
+    assert {r["rel"] for r in probe.to_pylist()} == {"MENTIONS", "FROM_SOURCE"}
+    assert all(r["src"] == "d1" for r in probe.to_pylist())
+    assert edges_of(vd, ["d2"]).num_rows == 0
+
+
+def test_edge_view_signature_refuses_vocab_mismatch(tmp_path):
+    tb, vd = str(tmp_path / "tb"), str(tmp_path / "view")
+    e1 = _events([("I", 1, 0, "d1", [7], "web")])
+    apply_events_dataset(ray.data.from_arrow(e1), tb, 1, e1.schema, num_partitions=2)
+    refresh(typed_edge_view(GAZ), vd, tb, num_partitions=2)
+    cur = mf.load_current(vd)
+    assert cur.epoch_counters["view_sig"] == typed_edge_view(GAZ).signature()
+    assert cur.epoch_counters["view_sig"] != typed_edge_view([1, 2]).signature()
