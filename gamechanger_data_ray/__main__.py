@@ -371,7 +371,8 @@ def main(argv: list[str] | None = None) -> int:
                                           "sync with the table's commits")
     sb.add_argument("--table", required=True)
     sb.add_argument("--kind", required=True,
-                    choices=["agg", "inverted", "ann", "bm25", "relay"])
+                    choices=["agg", "inverted", "ann", "bm25", "relay",
+                             "neardup", "edges"])
     sb.add_argument("--target", required=True, help="subscriber state dir")
     sb.add_argument("--params", default="{}", help="kind-specific JSON params")
 

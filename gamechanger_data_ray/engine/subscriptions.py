@@ -37,7 +37,7 @@ from ..state.fs import StorageAdapter, default_fs
 
 SUBS_FILE = "_subscriptions.json"
 
-_KINDS = ("agg", "inverted", "ann", "bm25", "relay", "neardup")
+_KINDS = ("agg", "inverted", "ann", "bm25", "relay", "neardup", "edges")
 
 
 def _subs_path(table_dir: str) -> str:
@@ -94,12 +94,15 @@ def subscribe(
     by kind: agg → {group_by: [...], sums: {out: src}}; inverted/bm25 →
     {text_column, key_column}; ann → {dim, vec_column, key_column,
     n_planes, seed}; neardup → {tokens_column, key_column, k, seed};
+    edges → {gazetteer: [token ids], tokens_column, key_column, source_column};
     relay → {num_partitions?, merge_policy?}."""
     fs = default_fs(fs)
     if kind not in _KINDS:
         raise ValueError(f"unknown subscription kind {kind!r}; one of {_KINDS}")
     if kind == "agg" and not (params or {}).get("group_by"):
         raise ValueError("agg subscription needs params.group_by")
+    if kind == "edges" and not (params or {}).get("gazetteer"):
+        raise ValueError("edges subscription needs params.gazetteer (token ids)")
     if kind == "ann" and not (params or {}).get("dim"):
         raise ValueError("ann subscription needs params.dim")
     target = _norm(target_dir)
@@ -158,6 +161,13 @@ def _sync_one(table_dir: str, sub: dict, fs: StorageAdapter) -> dict:
                                   key_column=p.get("key_column", "doc_id"),
                                   k=int(p.get("k", 5)),
                                   seed=int(p.get("seed", 1234)))
+    elif kind == "edges":
+        from .edge_view import typed_edge_view
+
+        view = typed_edge_view([int(g) for g in p["gazetteer"]],
+                               tokens_column=p.get("tokens_column", "tokens"),
+                               key_column=p.get("key_column", "doc_id"),
+                               source_column=p.get("source_column", "source"))
     else:  # ann
         from .ann_index import ann_index_view
 

@@ -99,3 +99,18 @@ def test_edge_view_signature_refuses_vocab_mismatch(tmp_path):
     cur = mf.load_current(vd)
     assert cur.epoch_counters["view_sig"] == typed_edge_view(GAZ).signature()
     assert cur.epoch_counters["view_sig"] != typed_edge_view([1, 2]).signature()
+
+
+def test_edge_view_subscription_syncs_with_commits(tmp_path):
+    """An 'edges' subscription follows the table's commits like the
+    other derived-state kinds."""
+    from gamechanger_data_ray.engine.subscriptions import subscribe, sync
+
+    tb, vd = str(tmp_path / "tb"), str(tmp_path / "edges")
+    e1 = _events([("I", 1, 0, "d1", [7, 42], "web"),
+                  ("I", 1, 1, "d2", [11], "crawl")])
+    apply_events_dataset(ray.data.from_arrow(e1), tb, 1, e1.schema, num_partitions=2)
+    subscribe(tb, "edges", vd, params={"gazetteer": GAZ})
+    rows = sync(tb)
+    assert rows and rows[0].get("epoch") == 1
+    assert _view_edges(vd) == _oracle_edges(tb)
