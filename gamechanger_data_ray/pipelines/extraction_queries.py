@@ -871,3 +871,61 @@ SELECT doc_id, src, rel, dst, CAST(weight AS BIGINT) AS weight FROM (
         WHERE i.i < 1 + doc_id % 3) roles
 )
 """.format(entities=ORACLES["docs_entities"], refs=ORACLES["docs_ref_counts"])
+
+
+# ---------------------------------------------------------------------------
+# Real-OCR orchestration (M17 with an actual image→text engine)
+# ---------------------------------------------------------------------------
+
+def docs_ocr_glyph(sf_dir: str):
+    """Re-OCR with a REAL image→text engine end-to-end (M17;
+    ``process.py:189-239`` + ``gc_ocr/utils.py:49-158``): every doc gets
+    a deterministic two-line page text rendered into a REAL P6 page
+    image (``stages/glyph_ocr.render_page_ppm`` through the repo's PPM
+    codec, with doc_id-seeded scanner noise); every third doc's TEXT
+    column arrives destroyed (replacement-char flood). The
+    ``PageImageReocrRouter`` actor pool flags exactly those rows and
+    recovers their text from the page image by fixed-pitch
+    template-matching OCR — so the oracle's exact text match proves the
+    rasterize→corrupt→flag→recognize→rejoin loop bit-for-bit, noise
+    included. Clean rows never decode their payload."""
+    from ..stages.glyph_ocr import render_page_ppm
+    from ..stages.ocr import PageImageReocrRouter
+
+    ds = cm.read(sf_dir, "documents", columns=["doc_id"])
+
+    def page_text(doc_id: int) -> str:
+        return (f"DOC {doc_id} CODE {doc_id % 97}: STATUS OK.\n"
+                f"TOKENS {doc_id % 53}-{doc_id % 7}.")
+
+    def synth(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].astype(int)
+        true_text = ids.map(page_text)
+        return pd.DataFrame(
+            {"doc_id": ids.astype("int64"),
+             "text": [("�" * 12) if i % 3 == 0 else t
+                      for i, t in zip(ids, true_text)],
+             "page_image": [
+                 render_page_ppm(t, noise_bits=int(i % 3), seed=int(i))
+                 for i, t in zip(ids, true_text)
+             ]}
+        )
+
+    pages = ds.map_batches(synth, batch_format="pandas")
+    out = pages.map_batches(
+        PageImageReocrRouter,
+        batch_format="pandas",
+        batch_size=64,  # wide binary payload rows
+        concurrency=(1, cm.pool_size()),
+    )
+    return out.select_columns(["doc_id", "text", "was_repaired"])
+
+
+ORACLES["docs_ocr_glyph"] = """
+SELECT doc_id,
+       'DOC ' || doc_id || ' CODE ' || (doc_id % 97) || ': STATUS OK.'
+         || chr(10) || 'TOKENS ' || (doc_id % 53) || '-' || (doc_id % 7) || '.'
+         AS text,
+       doc_id % 3 = 0 AS was_repaired
+FROM documents
+"""

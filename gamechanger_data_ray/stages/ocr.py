@@ -98,3 +98,56 @@ class ReocrRouter:
             repaired_any.loc[flagged] = repaired.ne(original)
         batch["was_repaired"] = repaired_any
         return batch
+
+
+class GlyphOcrRepairer(Repairer):
+    """REAL image→text re-OCR (``glyph_ocr.GlyphOcr``): recovers a
+    page's text from its page image by fixed-pitch template matching.
+    Engine state (template matrix) builds once per instance — hold one
+    per actor. ``repair_one`` satisfies the text-only contract by
+    returning the input unchanged (no image, nothing to re-OCR);
+    the image path is ``repair_page``."""
+
+    def __init__(self):
+        from .glyph_ocr import GlyphOcr
+
+        self.engine = GlyphOcr()
+
+    def repair_one(self, text: str) -> str:
+        return text
+
+    def repair_page(self, payload: bytes) -> str:
+        return self.engine.read_page(payload)
+
+
+class PageImageReocrRouter:
+    """The M17 orchestration with a REAL OCR engine behind the heavy
+    path: rows whose text fails the replacement-char gate
+    (``text.OcrQualityGate`` heuristic, ``file_utils.py:43-80``) are
+    re-OCRed FROM THEIR PAGE IMAGE (``image_col`` payload) by the
+    glyph engine; clean rows pass through untouched and their payload
+    is never decoded. Same fused split/heavy-pool/rejoin shape as
+    :class:`ReocrRouter`; run as a dedicated actor pool with a small
+    batch_size (wide binary rows)."""
+
+    def __init__(self, text_col: str = "text", image_col: str = "page_image",
+                 threshold: float = 0.2):
+        self.repairer = GlyphOcrRepairer()
+        self.text_col = text_col
+        self.image_col = image_col
+        self.threshold = threshold
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        from .text import replacement_char_ratio
+
+        batch = batch.copy()
+        flagged = batch[self.text_col].map(replacement_char_ratio) > self.threshold
+        repaired_any = pd.Series(False, index=batch.index)
+        if flagged.any():
+            original = batch.loc[flagged, self.text_col]
+            repaired = batch.loc[flagged, self.image_col].map(
+                self.repairer.repair_page)
+            batch.loc[flagged, self.text_col] = repaired
+            repaired_any.loc[flagged] = repaired.ne(original)
+        batch["was_repaired"] = repaired_any
+        return batch

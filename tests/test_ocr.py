@@ -82,3 +82,55 @@ def test_mojibake_detection_covers_all_utf8_lead_bytes(clean):
     bad = _corrupt(clean)
     assert looks_mojibake(bad) and not looks_mojibake(clean)
     assert repair_mojibake(bad) == clean
+
+
+# ---------------------------------------------------------------------------
+# Real image→text engine (stages/glyph_ocr.py)
+# ---------------------------------------------------------------------------
+
+
+def test_glyph_ocr_roundtrip_exact():
+    from gamechanger_data_ray.stages.glyph_ocr import GlyphOcr, render_page_ppm
+
+    text = "DOC 1234 CODE 56: STATUS OK.\nTOKENS 7-3, END."
+    assert GlyphOcr().read_page(render_page_ppm(text)) == text
+
+
+def test_glyph_ocr_survives_per_cell_noise():
+    """One flipped pixel per cell is strictly under half the minimum
+    inter-template Hamming distance, so classification cannot move."""
+    from gamechanger_data_ray.stages.glyph_ocr import (
+        GlyphOcr, min_template_distance, render_page_ppm)
+
+    assert min_template_distance() >= 3
+    ocr = GlyphOcr()
+    text = "NOISY SCAN 0189: A-Z, OK."
+    for seed in range(5):
+        assert ocr.read_page(render_page_ppm(text, noise_bits=26, seed=seed)) == text
+
+
+def test_glyph_templates_pairwise_distinct():
+    from gamechanger_data_ray.stages.glyph_ocr import _TEMPLATES
+
+    import numpy as np
+
+    d = (_TEMPLATES[:, None, :] != _TEMPLATES[None, :, :]).sum(axis=2)
+    np.fill_diagonal(d, 1)
+    assert d.min() >= 1
+
+
+def test_page_image_router_reocrs_only_flagged_rows():
+    import pandas as pd
+
+    from gamechanger_data_ray.stages.glyph_ocr import render_page_ppm
+    from gamechanger_data_ray.stages.ocr import PageImageReocrRouter
+
+    clean, garbled = "CLEAN PAGE 1.", "TRUE TEXT 2."
+    df = pd.DataFrame(
+        {"text": [clean, "�" * 8],
+         "page_image": [render_page_ppm(clean),
+                        render_page_ppm(garbled, noise_bits=4, seed=2)]}
+    )
+    out = PageImageReocrRouter()(df)
+    assert out["text"].tolist() == [clean, garbled]
+    assert out["was_repaired"].tolist() == [False, True]
