@@ -335,6 +335,24 @@ def main(argv: list[str] | None = None) -> int:
     ni.add_argument("--shingle", type=int, default=5, help="token k-gram width")
     ni.add_argument("--partitions", type=int, default=8)
 
+    ev = sub.add_parser("edges-view", help="build/refresh the incrementally-"
+                                           "maintained typed graph-edge view "
+                                           "(MENTIONS/FROM_SOURCE, signed fold)")
+    ev.add_argument("--table", required=True)
+    ev.add_argument("--view", required=True, help="edge state dir")
+    ev.add_argument("--gazetteer", required=True,
+                    help="comma-separated entity token ids")
+    ev.add_argument("--tokens-column", default="tokens")
+    ev.add_argument("--key-column", default="doc_id")
+    ev.add_argument("--source-column", default="source")
+    ev.add_argument("--partitions", type=int, default=8)
+
+    eq = sub.add_parser("edges-of", help="committed edges of the given docs "
+                                         "via the maintained edge view")
+    eq.add_argument("--view", required=True)
+    eq.add_argument("--doc-id", required=True, action="append",
+                    help="document id; repeatable")
+
     nq = sub.add_parser("neardup-search", help="near-duplicates of committed "
                                                "docs via the maintained index "
                                                "(exact Jaccard confirm)")
@@ -784,6 +802,26 @@ def main(argv: list[str] | None = None) -> int:
                 {"epoch": m.epoch if m else None,
                  "mode": m.epoch_counters.get("mode") if m else "current",
                  "postings": m.totals.get("rows") if m else None}))
+        elif args.cmd == "edges-view":
+            from gamechanger_data_ray.engine.edge_view import typed_edge_view
+            from gamechanger_data_ray.engine.views import refresh
+
+            gaz = [int(g) for g in args.gazetteer.split(",") if g.strip()]
+            m = refresh(
+                typed_edge_view(gaz, tokens_column=args.tokens_column,
+                                key_column=args.key_column,
+                                source_column=args.source_column),
+                args.view, args.table, num_partitions=args.partitions,
+            )
+            print(json.dumps(
+                {"epoch": m.epoch if m else None,
+                 "mode": m.epoch_counters.get("mode") if m else "current",
+                 "edges": m.totals.get("rows") if m else None}))
+        elif args.cmd == "edges-of":
+            from gamechanger_data_ray.engine.edge_view import edges_of
+
+            t = edges_of(args.view, args.doc_id)
+            print(json.dumps({"docs": args.doc_id, "edges": t.to_pylist()}))
         elif args.cmd == "neardup-search":
             from gamechanger_data_ray.engine.neardup_index import neardup_search
 

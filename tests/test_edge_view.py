@@ -114,3 +114,31 @@ def test_edge_view_subscription_syncs_with_commits(tmp_path):
     rows = sync(tb)
     assert rows and rows[0].get("epoch") == 1
     assert _view_edges(vd) == _oracle_edges(tb)
+
+
+def test_edge_view_cli_verbs(tmp_path):
+    """edges-view / edges-of CLI end-to-end from a bootstrap snapshot
+    (in-process main(); Ray is the session fixture's)."""
+    import json
+
+    import pyarrow.parquet as pq
+
+    from gamechanger_data_ray.__main__ import main
+
+    snap = str(tmp_path / "snap.parquet")
+    pq.write_table(
+        pa.table({"doc_id": ["d1", "d2"],
+                  "tokens": pa.array([[7, 42, 7], [1, 2]], pa.list_(pa.int32())),
+                  "source": ["web", "crawl"]}),
+        snap,
+    )
+    tb, vd = str(tmp_path / "tb"), str(tmp_path / "edges")
+    assert main(["bootstrap", "--from", snap, "--table", tb]) == 0
+    assert main(["edges-view", "--table", tb, "--view", vd,
+                 "--gazetteer", "7,11,42"]) == 0
+    assert main(["edges-of", "--view", vd, "--doc-id", "d1"]) == 0
+    got = _view_edges(vd)
+    assert got[("d1", "MENTIONS", "tok:7")] == 2
+    assert got[("d1", "MENTIONS", "tok:42")] == 1
+    assert got[("d2", "FROM_SOURCE", "src:crawl")] == 1
+    assert not any(rel == "MENTIONS" and src == "d2" for src, rel, _ in got)

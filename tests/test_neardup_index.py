@@ -164,3 +164,34 @@ def test_neardup_cli_verbs(tmp_path):
     assert main(["neardup-view", "--table", tb, "--view", vd]) == 0
     assert main(["neardup-search", "--table", tb, "--view", vd,
                  "--doc-id", "dup-a", "--threshold", "0.5"]) == 0
+
+
+def test_neardup_cli_key_column_flag(tmp_path):
+    """ADVICE r3: neardup-search exposes --key-column and threads it into
+    the signature check — a matching value searches fine, a mismatched
+    one refuses loudly instead of silently returning wrong results."""
+    import pyarrow.parquet as pq
+    import pytest as _pytest
+
+    from gamechanger_data_ray.__main__ import main
+
+    base = _tokens(4, n=100)
+    snap = str(tmp_path / "snap.parquet")
+    pq.write_table(
+        pa.table({
+            "doc_id": [f"i{k:02d}" for k in range(8)] + ["dup-a", "dup-b"],
+            "tokens": pa.array(
+                [_tokens(k) for k in range(8)]
+                + [base, _near(base, flips=2, seed=5)],
+                pa.list_(pa.int32())),
+        }),
+        snap,
+    )
+    tb, vd = str(tmp_path / "tb"), str(tmp_path / "idx")
+    assert main(["bootstrap", "--from", snap, "--table", tb]) == 0
+    assert main(["neardup-view", "--table", tb, "--view", vd]) == 0
+    assert main(["neardup-search", "--table", tb, "--view", vd,
+                 "--key-column", "doc_id", "--doc-id", "dup-a"]) == 0
+    with _pytest.raises(ValueError, match="signature mismatch"):
+        main(["neardup-search", "--table", tb, "--view", vd,
+              "--key-column", "item_id", "--doc-id", "dup-a"])
