@@ -189,6 +189,13 @@ def main(argv: list[str] | None = None) -> int:
     va = sub.add_parser("validate", help="distributed schema+invariant validation of the snapshot")
     va.add_argument("--table", required=True)
 
+    rp = sub.add_parser("repair", help="anti-entropy repair: converge diverged "
+                                       "partitions to a healthy replica's content "
+                                       "(digest-diff, per-partition rewrite, fenced)")
+    rp.add_argument("--table", required=True, help="table to repair IN PLACE")
+    rp.add_argument("--from-replica", required=True, dest="from_replica",
+                    help="healthy replica dir (source of truth)")
+
     ck = sub.add_parser("checksum", help="anti-entropy content digest (order- and "
                                          "partitioning-independent; optionally compare two tables)")
     ck.add_argument("--table", required=True)
@@ -859,6 +866,12 @@ def main(argv: list[str] | None = None) -> int:
             print(json.dumps(prune_changelog(
                 args.changelog, up_to_epoch=args.up_to_epoch,
                 applied_tables=args.applied_table or None)))
+        elif args.cmd == "repair":
+            from gamechanger_data_ray.engine.maintenance import repair_from_replica
+
+            print(json.dumps(
+                {"table": args.table, "replica": args.from_replica,
+                 **repair_from_replica(args.table, args.from_replica)}))
         elif args.cmd == "checksum":
             from gamechanger_data_ray.engine.maintenance import table_checksums
 

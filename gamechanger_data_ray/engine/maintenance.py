@@ -97,6 +97,7 @@ def _rewrite_partitions(
     file_tag: str = "",
     row_group_rows: int | None = None,
     extra_counters: dict | None = None,
+    source_dir: str | None = None,
 ) -> mf.TableManifest | None:
     """Shared skeleton for physical rewrites of IDENTICAL logical state
     (compact, cluster): per-partition resolve (base + merge-on-read
@@ -109,7 +110,11 @@ def _rewrite_partitions(
     operation stay idempotent (same name, same deterministic bytes),
     while two DIFFERENT rewrites racing from the same rev can never
     overwrite each other's already-committed files — the fence loser's
-    differently-named files become vacuum-swept orphans."""
+    differently-named files become vacuum-swept orphans.
+
+    ``source_dir`` reads each work item's files from ANOTHER table's
+    directory (anti-entropy repair pulls healthy partitions from a
+    replica) while the rewrite still commits into ``table_dir``."""
     import pyarrow as pa
     import pyarrow.compute as pc
     import ray.data
@@ -121,12 +126,13 @@ def _rewrite_partitions(
     b64 = current.schema_b64
     new_rev = current.rev + 1
     epoch = current.epoch
+    read_dir = source_dir or table_dir
 
     def rewrite_one(batch: pa.Table) -> pa.Table:
         schema = mf.schema_from_b64(b64)
         rows = []
         for row in batch.to_pylist():
-            files = [os.path.join(table_dir, r) for r in row["files"]]
+            files = [os.path.join(read_dir, r) for r in row["files"]]
             merged = collapse_deltas(
                 [conform(fs.read_parquet(f), schema) for f in files],
                 sort_by_key=sort_collapsed)
@@ -880,3 +886,75 @@ def table_checksums(table_dir: str, fs=None, epoch=None) -> dict:
             for p, r in by_part.iterrows()
         },
     }
+
+
+def repair_from_replica(table_dir: str, replica_dir: str, fs=None) -> dict:
+    """Anti-entropy repair: pull diverged partitions from a healthy
+    replica (the Dynamo/Cassandra repair loop over this engine's
+    content digests; reference analog: the backup/restore pairing of
+    ``gc_ingest`` snapshots, upgraded from whole-table restore to
+    per-partition convergence).
+
+    Both tables must sit at the same committed (epoch, num_partitions)
+    — repair converges REPLICAS, it does not time-travel. Partition
+    digests (``table_checksums``; merge-on-read resolved, layout-
+    independent) pick out the diverged partitions; each one is rebuilt
+    in ``table_dir`` from the replica's resolved rows via the standard
+    same-epoch ``rev+1`` rewrite (atomic files, bloom sidecars, exact
+    zone maps, commit fence — a racing writer loses cleanly). Returns
+    a summary with the post-repair digest comparison; a no-op when
+    already converged.
+
+    Direction is explicit: ``replica_dir`` is the source of truth. Run
+    twice with swapped arguments for mutual convergence only when an
+    external quorum says both sides hold good partitions."""
+    from ..state.fs import default_fs
+
+    fs = default_fs(fs)
+    mine_m = mf.load_current(table_dir, fs)
+    theirs_m = mf.load_current(replica_dir, fs)
+    if mine_m is None or theirs_m is None:
+        raise ValueError("repair needs committed state on both sides")
+    if mine_m.epoch != theirs_m.epoch:
+        raise ValueError(
+            f"epoch mismatch: {table_dir} at {mine_m.epoch}, "
+            f"{replica_dir} at {theirs_m.epoch} — replay/restore first, "
+            "then repair")
+    if mine_m.num_partitions != theirs_m.num_partitions:
+        raise ValueError(
+            "partition-count mismatch — repartition first, then repair")
+
+    mine = table_checksums(table_dir, fs=fs)
+    theirs = table_checksums(replica_dir, fs=fs)
+    if mine["digest"] == theirs["digest"]:
+        return {"diverged": [], "repaired": 0, "equal_after": True,
+                "digest": mine["digest"]}
+
+    diverged = sorted(
+        int(p) for p, d in theirs["by_partition"].items()
+        if mine["by_partition"].get(p, {}).get("digest") != d["digest"]
+    )
+    extra = set(mine["by_partition"]) - set(theirs["by_partition"])
+    if extra:
+        raise ValueError(
+            f"table holds partitions absent from the replica: {sorted(extra)} "
+            "— same-epoch replicas cannot disagree on the partition set")
+
+    work = [
+        {"part": p,
+         "files": ([e["file"]] if e.get("file") else []) + list(e.get("deltas", ()))}
+        for p in diverged
+        for e in [theirs_m.partitions[str(p)]]
+    ]
+    m = _rewrite_partitions(
+        table_dir, mine_m, work, fs,
+        file_tag="-repair", source_dir=replica_dir,
+        extra_counters={"repaired_partitions": len(work),
+                        "repaired_from": replica_dir},
+    )
+    if m is None:
+        raise RuntimeError("repair commit fenced out (racing rewrite) — rerun")
+    after = table_checksums(table_dir, fs=fs)
+    return {"diverged": diverged, "repaired": len(work),
+            "equal_after": after["digest"] == theirs["digest"],
+            "digest": after["digest"]}
