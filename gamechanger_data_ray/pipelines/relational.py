@@ -994,6 +994,88 @@ FROM events
 """
 
 
+def events_running_total_int(sf_dir: str):
+    """The SKEW-SAFE running total for INTEGER measures — the
+    distributed prefix-sum alternative :func:`events_running_total`'s
+    docstring names (integer addition re-associates exactly, so the
+    salted two-phase form is available). No whole-user group ever
+    forms:
+
+    1. route-grouped per-(user, day) partial sums of the measure
+       (``m = event_id % 97 + 1``), one row per user-day;
+    2. per-user EXCLUSIVE prefix over its day rows (≤ days-spanned rows
+       per user — bounded regardless of volume) → the day carry;
+    3. carries co-shuffled back to the events on the (user, day) key
+       through ``bucketed_hash_join`` (one exchange);
+    4. route-grouped within-day cumsum + carry → the exact per-event
+       running value.
+
+    Four bounded exchanges instead of the float version's single
+    whole-user groupby — the trade the 10^10-events-one-user case
+    demands, exercised by the skew gate in tests/test_cluster.py's
+    family."""
+    from .joins import bucketed_hash_join
+
+    ds = cm.read(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["m"] = (b["event_id"] % 97 + 1).astype("int64")
+        b["_bucket"] = _day_bucket(b["ts"])
+        b["_route"] = _route_of(b["user_id"], b["_bucket"])
+        return b
+
+    events = ds.map_batches(prep, batch_format="pandas")
+
+    def day_partial(g: pd.DataFrame) -> pd.DataFrame:
+        out = (g.groupby(["user_id", "_bucket"], as_index=False, sort=False)
+               .agg(day_m=("m", "sum")))
+        out["_route"] = _route_of(out["user_id"])
+        return out
+
+    days = events.groupby("_route").map_groups(day_partial, batch_format="pandas")
+
+    def carry_route(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "_bucket"])
+        run = g.groupby("user_id", sort=False)["day_m"].cumsum()
+        return pd.DataFrame(
+            {"_k": g["user_id"].astype(str) + "|" + g["_bucket"].astype(str),
+             "carry": (run - g["day_m"]).astype("int64")}
+        )
+
+    carries = days.groupby("_route").map_groups(carry_route, batch_format="pandas")
+
+    def keyed(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["_k"] = b["user_id"].astype(str) + "|" + b["_bucket"].astype(str)
+        return b[["event_id", "user_id", "ts", "m", "_k", "_route"]]
+
+    joined = bucketed_hash_join(
+        events.map_batches(keyed, batch_format="pandas"), carries,
+        on="_k", num_buckets=32,
+    )
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["_k", "ts", "event_id"])
+        running = g.groupby("_k", sort=False)["m"].cumsum()
+        return pd.DataFrame(
+            {"event_id": g["event_id"],
+             "user_id": g["user_id"],
+             "running_m": (running + g["carry"]).astype("int64")}
+        )
+
+    return joined.groupby("_route").map_groups(finish, batch_format="pandas")
+
+
+ORACLES["events_running_total_int"] = """
+SELECT event_id, user_id,
+       CAST(SUM(event_id % 97 + 1) OVER (PARTITION BY user_id
+            ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         AS running_m
+FROM events
+"""
+
+
 def events_rollup(sf_dir: str):
     """ROLLUP / grouping-sets shape: per-(day, event_type) counts plus
     per-day subtotals plus the grand total — one pass of per-batch

@@ -14,6 +14,7 @@ from gamechanger_data_ray.pipelines.relational import (
     ORACLES,
     events_asof_join,
     events_range_join,
+    events_running_total_int,
     events_sessionize,
 )
 from tests.util_oracle import compare
@@ -71,3 +72,10 @@ def test_asof_join_hot_key_exact(skew_dir):
 
 def test_range_join_hot_key_exact(skew_dir):
     compare(events_range_join, ORACLES["events_range_join"], skew_dir)
+
+
+def test_running_total_int_hot_key_exact(skew_dir):
+    """The integer running total's distributed prefix-sum path must
+    survive the one-user-owns-the-table case with exact results — the
+    whole point of the salted alternative to events_running_total."""
+    compare(events_running_total_int, ORACLES["events_running_total_int"], skew_dir)
