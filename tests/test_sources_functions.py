@@ -125,3 +125,21 @@ def test_translate_to_ascii_vectorized_edge_shapes():
     chunked = pa.chunked_array([arr.slice(0, 3), arr.slice(3)])
     assert tu.translate_to_ascii(chunked).to_pylist() == exp
     assert tu.translate_to_ascii(pa.array([], pa.string())).to_pylist() == []
+
+
+def test_translate_to_ascii_property_matches_python():
+    import pyarrow as pa
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from gamechanger_data_ray.functions import text_utils as tu
+
+    @given(st.lists(st.one_of(st.none(), st.text(max_size=40)), max_size=30))
+    @settings(max_examples=200, deadline=None)
+    def check(vals):
+        got = tu.translate_to_ascii(pa.array(vals, pa.string())).to_pylist()
+        exp = [v.encode("ascii", "ignore").decode() if v is not None else None
+               for v in vals]
+        assert got == exp
+
+    check()
