@@ -293,9 +293,47 @@ def collect_refs(text: str, patterns: dict[str, re.Pattern]) -> dict[str, int]:
     return out
 
 
+def collect_refs_batched(
+    texts: list[str], patterns: dict[str, re.Pattern]
+) -> list[dict[str, int]]:
+    """:func:`collect_refs` over a whole batch with ONE ``finditer`` per
+    pattern: texts are joined on ``\\x00`` (no citation pattern can match
+    or cross it — every pattern consumes word/digit/space/dash
+    characters only, and ``\\b`` behaves identically against NUL and
+    string edges since both are non-word) and matches map back to their
+    document by a ``searchsorted`` over the join offsets. Identical
+    results to the per-doc loop (property-tested); what changes is the
+    Python-call count — P patterns × D docs calls become P calls per
+    batch, which is where the per-batch wall time of a 125-pattern
+    library actually goes."""
+    pre = [preprocess_text(t) for t in texts]
+    joined = "\x00".join(pre)
+    bounds = np.cumsum([len(p) + 1 for p in pre])  # exclusive doc ends
+    out: list[dict[str, int]] = [{} for _ in texts]
+    for ref_type, pattern in patterns.items():
+        guard = _RANGE_GUARDS.get(ref_type)
+        for m in pattern.finditer(joined):
+            vals = [g for g in m.groups() if g] if m.groups() else []
+            if len(vals) != 1:
+                continue
+            match = vals[0]
+            if guard:
+                try:
+                    n = int(match.strip())
+                except ValueError:
+                    continue
+                if not (guard[0] <= n <= guard[1]):
+                    continue
+            doc = int(np.searchsorted(bounds, m.start(), side="right"))
+            ref = f"{ref_type} {match.strip()}"
+            out[doc][ref] = out[doc].get(ref, 0) + 1
+    return out
+
+
 class RefExtractor:
     """Actor-pool stage: (doc_id, text) batches → (doc_id, ref, n) rows.
-    Patterns compile once per actor."""
+    Patterns compile once per actor; the whole batch is scanned with one
+    ``finditer`` per pattern (``collect_refs_batched``)."""
 
     def __init__(self, id_col: str = "doc_id", text_col: str = "text"):
         self.patterns = make_ref_patterns()
@@ -304,8 +342,9 @@ class RefExtractor:
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
         ids, refs, counts = [], [], []
-        for did, text in zip(df[self.id_col], df[self.text_col]):
-            for ref, n in collect_refs(text, self.patterns).items():
+        per_doc = collect_refs_batched(list(df[self.text_col]), self.patterns)
+        for did, found in zip(df[self.id_col], per_doc):
+            for ref, n in found.items():
                 ids.append(did)
                 refs.append(ref)
                 counts.append(n)
