@@ -114,6 +114,10 @@ QUERY_NAMES = [
     "multimodal_pdf_pages",
     "docs_html_text",
     "events_asof_join",
+    # round-4 additions
+    "docs_graph_edges",
+    "events_running_total_int",
+    "docs_ocr_glyph",
 ]
 
 
@@ -122,9 +126,14 @@ def resolve_query(queries: dict, name: str):
     50-slot driver contract) resolve to their module function."""
     if name in queries:
         return queries[name]
-    from gamechanger_data_ray.pipelines import analysis_queries, search
+    from gamechanger_data_ray.pipelines import (
+        analysis_queries,
+        extraction_queries,
+        relational,
+        search,
+    )
 
-    for mod in (search, analysis_queries):
+    for mod in (search, analysis_queries, relational, extraction_queries):
         fn = getattr(mod, name, None)
         if fn is not None:
             return fn
