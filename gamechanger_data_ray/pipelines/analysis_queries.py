@@ -8,6 +8,8 @@ rows-only checked by the driver and verified against pure-python oracles in
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -632,7 +634,7 @@ def ann_ivf(sf_dir: str, nprobe: int = 3, n_clusters: int = 16):
     buckets. Approximate (rows-only); recall vs brute force asserted in
     tests."""
     ds0 = cm.read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    n = ds0.count()  # parquet metadata count — no scan
+    n = cm.table_num_rows(sf_dir, "embeddings")  # footer stat, no execution
     step = max(1, n // _KMEANS_SAMPLE)
 
     def every_step(t: pa.Table) -> pa.Table:
@@ -725,8 +727,10 @@ def ann_pq(sf_dir: str, n_sub: int = 8, n_cents: int = 64, rerank: int = 50):
     shortlist (a bounded Q×rerank id-filtered second read, not a corpus
     scan). Approximate (rows-only); recall vs brute force asserted in
     tests."""
+    import pyarrow.dataset as pads
+
     ds0 = cm.read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    n = ds0.count()  # parquet metadata count — no scan
+    n = cm.table_num_rows(sf_dir, "embeddings")  # footer stat, no execution
     step = max(1, n // _KMEANS_SAMPLE)
 
     def every_step(t: pa.Table) -> pa.Table:
@@ -747,14 +751,17 @@ def ann_pq(sf_dir: str, n_sub: int = 8, n_cents: int = 64, rerank: int = 50):
         batch_format="pyarrow", concurrency=(1, cm.pool_size()),
     )
     cand_ids = sorted(set(sim.global_topk(shortlist.to_pandas(), rerank)["vec_id"]))
-    narrowed = cm.read(sf_dir, "embeddings", columns=["vec_id", "embedding"]).map_batches(
-        lambda t: t.filter(pc.is_in(t["vec_id"], value_set=pa.array(cand_ids))),
-        batch_format="pyarrow",
-    )
-    cands = narrowed.map_batches(
-        sim.BruteForceTopK, fn_constructor_args=(q_ref, _TOPK),
-        batch_format="pyarrow", concurrency=(1, cm.pool_size()),
-    )
+    # exact re-rank of the shortlist ONLY: ≤ Q×rerank ids by construction,
+    # fetched via one id-pushdown parquet read (row-group pruned — the
+    # read_keys point-lookup shape, never a corpus scan) and re-ranked in
+    # one driver matmul. Bounded driver memory at any corpus size; spares
+    # a whole Dataset execution vs a distributed filter pass over a
+    # shortlist-sized input.
+    narrowed = pads.dataset(
+        os.path.join(sf_dir, "embeddings.parquet")
+    ).to_table(columns=["vec_id", "embedding"],
+               filter=pads.field("vec_id").isin(cand_ids))
+    cands = sim.BruteForceTopK(q_ref, _TOPK)(narrowed)
     return sim.global_topk(cands.to_pandas(), _TOPK)
 
 

@@ -37,6 +37,16 @@ def read(sf_dir: str, table: str, columns: list[str] | None = None) -> ray.data.
     )
 
 
+def table_num_rows(sf_dir: str, table: str) -> int:
+    """Exact row count from the parquet FOOTER metadata — a driver-side
+    stat read, no Ray execution and no data bytes (a ``Dataset.count()``
+    on a tiny table still pays ~1s of per-execution scheduling overhead,
+    and at 100 TB the footer read is O(#files), not O(rows))."""
+    import pyarrow.parquet as pq
+
+    return pq.ParquetFile(os.path.join(sf_dir, f"{table}.parquet")).metadata.num_rows
+
+
 def read_arrow(sf_dir: str, table: str, columns: list[str] | None = None) -> pa.Table:
     """Driver-side Arrow read — ONLY for small dimension tables that will be
     broadcast (region/nation/supplier-sized), never the fact tables."""
