@@ -118,6 +118,7 @@ QUERY_NAMES = [
     "docs_graph_edges",
     "events_running_total_int",
     "docs_ocr_glyph",
+    "docs_bpe_tokens",
 ]
 
 
@@ -131,9 +132,10 @@ def resolve_query(queries: dict, name: str):
         extraction_queries,
         relational,
         search,
+        tokens,
     )
 
-    for mod in (search, analysis_queries, relational, extraction_queries):
+    for mod in (search, analysis_queries, relational, extraction_queries, tokens):
         fn = getattr(mod, name, None)
         if fn is not None:
             return fn

@@ -981,3 +981,94 @@ FROM documents d JOIN bench b
   ON contains(' ' || d.text || ' ', ' ' || b.probe || ' ')
 GROUP BY d.doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer training (the train-the-tokenizer step; stages/bpe.py)
+# ---------------------------------------------------------------------------
+
+def bpe_word_frequencies(
+    sf_dir: str, min_freq: int = 1, max_words: int | None = None
+) -> pd.DataFrame:
+    """Distributed corpus pass of BPE training: pre-tokenize + word
+    frequency. Per-batch regex findall → value_counts (combiner), routed
+    distributed sum finish, min_freq filter applied DISTRIBUTED before
+    the driver collect. The returned word table is the trainer's bounded
+    working set (see stages/bpe.py module docstring for the 100 TB
+    split-of-labor argument); ``max_words`` caps it explicitly (top by
+    (freq desc, word asc) — the standard trainer cap, documented as an
+    approximation of whole-corpus BPE when it bites)."""
+    from ..stages import bpe
+
+    ds = cm.read(sf_dir, "documents", columns=["text"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        words = df["text"].str.findall(bpe.PRETOKEN_RE).explode().dropna()
+        return words.value_counts().rename_axis("word").reset_index(name="n")
+
+    counts = cm.routed_grouped_agg(
+        ds.map_batches(partial, batch_format="pandas"), ["word"], {"n": "sum"}
+    )
+    if min_freq > 1:
+        counts = counts.filter(expr=f"n >= {min_freq}")
+    df = counts.to_pandas()
+    df["n"] = df["n"].astype("int64")
+    df = df.sort_values(["n", "word"], ascending=[False, True],
+                        kind="mergesort").reset_index(drop=True)
+    if max_words is not None:
+        df = df.head(max_words).reset_index(drop=True)
+    return df
+
+
+def bpe_train_documents(
+    sf_dir: str, num_merges: int = 128, min_freq: int = 1,
+    max_words: int | None = None,
+) -> pd.DataFrame:
+    """Train a BPE tokenizer over the documents table: distributed word
+    frequencies, then the deterministic merge loop over the bounded word
+    table. Returns (rank, left, right, token) — the ordered merge list.
+    Not SQL-expressible (an iterative algorithm); equality with a
+    from-scratch serial recount oracle + encode/decode properties are
+    pytest-verified (tests/test_bpe.py)."""
+    from ..stages import bpe
+
+    wf = bpe_word_frequencies(sf_dir, min_freq=min_freq, max_words=max_words)
+    merges = bpe.learn_merges(dict(zip(wf["word"], wf["n"])), num_merges)
+    return pd.DataFrame({
+        "rank": pd.Series(range(len(merges)), dtype="int64"),
+        "left": [a for a, _ in merges],
+        "right": [b for _, b in merges],
+        "token": [a + b for a, b in merges],
+    })
+
+
+def docs_bpe_tokens(sf_dir: str, num_merges: int = 128) -> ray.data.Dataset:
+    """End-to-end BPE pipeline face: train on the corpus (one distributed
+    word-frequency pass + bounded merge loop), broadcast the model ONCE,
+    encode every document in an actor-pool stage (per-word memo makes the
+    heavy head of the word distribution a dict lookup). Output
+    (doc_id, n_bpe, checksum) where checksum is the positional id sum —
+    the same order-sensitive int64 projection as ``tokenize_documents_q``.
+    Verified against a serial naive BPE in tests/test_bpe.py."""
+    from ..stages import bpe
+
+    wf = bpe_word_frequencies(sf_dir)
+    merges = bpe.learn_merges(dict(zip(wf["word"], wf["n"])), num_merges)
+    model_ref = cm.broadcast({
+        "merges": merges,
+        "vocab": bpe.vocab_from_merges(wf["word"], merges),
+    })
+    ds = cm.read(sf_dir, "documents", columns=["doc_id", "text"])
+    encoded = ds.map_batches(
+        bpe.BpeEncoder,
+        fn_constructor_args=(model_ref,),
+        batch_format="pandas",
+        concurrency=(1, cm.pool_size()),
+    )
+
+    def project(df: pd.DataFrame) -> pd.DataFrame:
+        out = _checksum_frame(df["doc_id"], "doc_id", df["bpe_ids"])
+        out.insert(1, "n_bpe", df["n_bpe"].astype("int64").to_numpy())
+        return out
+
+    return encoded.map_batches(project, batch_format="pandas")
