@@ -360,6 +360,20 @@ def main(argv: list[str] | None = None) -> int:
     eq.add_argument("--doc-id", required=True, action="append",
                     help="document id; repeatable")
 
+    rg = sub.add_parser("replay-gated", help="tail-and-apply with ingest-time "
+                                             "near-dup suppression: screen each "
+                                             "epoch against the maintained index,"
+                                             " quarantine matches, apply the rest")
+    rg.add_argument("--changelog", required=True)
+    rg.add_argument("--table", required=True)
+    rg.add_argument("--view", required=True, help="near-dup index state dir")
+    rg.add_argument("--partitions", type=int, default=32)
+    rg.add_argument("--threshold", type=float, default=0.5)
+    rg.add_argument("--shingle", type=int, default=5)
+    rg.add_argument("--tokens-column", default="tokens")
+    rg.add_argument("--key-column", default="doc_id")
+    rg.add_argument("--max-candidates", type=int, default=500)
+
     nq = sub.add_parser("neardup-search", help="near-duplicates of committed "
                                                "docs via the maintained index "
                                                "(exact Jaccard confirm)")
@@ -829,6 +843,16 @@ def main(argv: list[str] | None = None) -> int:
 
             t = edges_of(args.view, args.doc_id)
             print(json.dumps({"docs": args.doc_id, "edges": t.to_pylist()}))
+        elif args.cmd == "replay-gated":
+            from gamechanger_data_ray.engine.ingest_gate import replay_gated
+
+            out = replay_gated(
+                args.changelog, args.table, args.view,
+                num_partitions=args.partitions, threshold=args.threshold,
+                k=args.shingle, tokens_column=args.tokens_column,
+                key_column=args.key_column, max_candidates=args.max_candidates,
+            )
+            print(json.dumps(out))
         elif args.cmd == "neardup-search":
             from gamechanger_data_ray.engine.neardup_index import neardup_search
 

@@ -1,0 +1,358 @@
+"""Ingest-time near-duplicate suppression — screen incoming change
+events against the committed corpus BEFORE they commit.
+
+Batch near-dup sweeps (``dedup_minhash_lsh``) clean a corpus after the
+fact; a live lake wants the cheaper invariant "a near-duplicate of an
+already-committed document never enters the table". This module
+composes two existing pieces into that gate:
+
+- the incrementally-maintained MinHash-LSH index
+  (``engine/neardup_index.py``) supplies O(1)-per-probe candidate
+  lookup against the committed state — band-bucket postings reads are
+  row-group-pruned, candidate tokens come back via hash-routed
+  ``read_keys`` point lookups, and the final test is EXACT
+  token-shingle Jaccard (LSH only proposes; it never decides);
+- the standard ``apply_events_dataset`` commit path applies whatever
+  survives, then the index is refreshed so the NEXT epoch screens
+  against these documents too.
+
+Scale shape: screening is an actor-pool ``map_batches`` stage over the
+*incoming epoch only* (never the corpus); each task's reads are bounded
+by its batch's bucket count × postings cap. Suppressed events stream to
+a per-epoch quarantine directory (committed by atomic rename, so a
+retried epoch neither duplicates nor half-writes the audit trail) —
+they are data the operator may want back, not silent drops.
+
+Semantics (documented, tested):
+- events are screened against the state committed as of the PREVIOUS
+  epoch (the index's epoch); near-dup pairs *within* one incoming epoch
+  are the batch sweeps' job, not the gate's;
+- a row whose best committed match is ITSELF (same key — an update)
+  is never suppressed; deletes and token-less rows pass untouched;
+- candidates per probe are capped (``max_candidates``): a boilerplate
+  flood degrades to "screened against the cap's worth of candidates",
+  never a quadratic verify.
+
+Reference parity: the reference dedups at ingest by exact content
+checksum only (``common/utils/text_utils.py`` checksum paths;
+``dataPipelines/rpa/rpa_landing_zone_mover.py:100-129`` skip-if-seen);
+near-dup-at-ingest is part of this repo's LLM-training-data extension
+surface.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+from ..stages.dedup import TokenMinHasher, token_shingle_jaccard
+from ..state import manifest as mf
+from ..state.fs import StorageAdapter, default_fs
+from .cdc import apply_events_dataset, read_keys
+from .neardup_index import _band_buckets, neardup_index_view
+from .views import lookup_terms, refresh
+
+QUARANTINE_DIR = "_quarantine"
+MATCH_COLUMN = "neardup_of"
+JACCARD_COLUMN = "neardup_jaccard"
+
+
+def _check_view(view_dir: str, table_dir: str, *, k: int, seed: int,
+                tokens_column: str, key_column: str,
+                fs: StorageAdapter) -> mf.TableManifest | None:
+    """The same signature + staleness guards as ``neardup_search``:
+    a k/seed/column mismatch or a lagging index must refuse loudly, not
+    silently collapse recall. Returns the view manifest, or None when
+    there is nothing to screen against (fresh table / empty view)."""
+    cur_view = mf.load_current(view_dir, fs)
+    if cur_view is None:
+        return None
+    expect_sig = neardup_index_view(
+        tokens_column=tokens_column, key_column=key_column, k=k, seed=seed
+    ).signature()
+    got_sig = cur_view.epoch_counters.get("view_sig")
+    if got_sig != expect_sig:
+        raise ValueError(
+            f"near-dup index signature mismatch: view carries {got_sig!r}, "
+            f"gate params expect {expect_sig!r}"
+        )
+    cur_table = mf.load_current(table_dir, fs)
+    if cur_table is not None and cur_table.epoch != cur_view.epoch:
+        raise ValueError(
+            f"near-dup index is stale: view reflects epoch {cur_view.epoch}, "
+            f"table committed epoch {cur_table.epoch} — refresh before gating"
+        )
+    return cur_view
+
+
+class NearDupScreen:
+    """Actor-pool stage: annotate each incoming event with its best
+    committed near-duplicate (``neardup_of`` / ``neardup_jaccard``,
+    null = clean). Hasher built once per actor; every read the stage
+    performs (postings lookup, candidate point-fetch) is pure-pyarrow
+    and bounded by the batch, so the stage runs anywhere a Ray worker
+    runs."""
+
+    def __init__(self, view_dir: str, table_dir: str, *, threshold: float,
+                 k: int, seed: int, tokens_column: str, key_column: str,
+                 max_candidates: int):
+        self.view_dir = view_dir
+        self.table_dir = table_dir
+        self.threshold = threshold
+        self.k = k
+        self.max_candidates = max_candidates
+        self.tokens_column = tokens_column
+        self.key_column = key_column
+        self.hasher = TokenMinHasher(id_col=key_column, tokens_col=tokens_column,
+                                     k=k, seed=seed)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        match = np.full(n, None, dtype=object)
+        jac = np.full(n, np.nan, dtype=np.float64)
+
+        toks = batch[self.tokens_column]
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        screen_mask = pc.and_(
+            toks.is_valid(), pc.not_equal(batch["op"], "D")
+        ).to_numpy(zero_copy_only=False)
+        idx = np.flatnonzero(screen_mask)
+        if idx.size:
+            sub = batch.take(pa.array(idx))
+            keys = sub[self.key_column].to_pylist()
+            token_lists = sub[self.tokens_column].to_pylist()
+            buckets = _band_buckets(self.hasher, sub[self.tokens_column])
+            probe_sets = [set(int(b) for b in row) for row in buckets]
+            all_buckets = sorted(set().union(*probe_sets))
+            postings = lookup_terms(self.view_dir, all_buckets)
+            if postings.num_rows:
+                post_b = postings["bucket"].to_numpy(zero_copy_only=False)
+                post_k = postings[self.key_column].to_pylist()
+                by_bucket: dict[int, list[str]] = {}
+                for b, key in zip(post_b, post_k):
+                    by_bucket.setdefault(int(b), []).append(key)
+                cands: list[list[str]] = []
+                for qi, key in enumerate(keys):
+                    c = sorted({d for b in probe_sets[qi]
+                                for d in by_bucket.get(b, ()) if d != key})
+                    cands.append(c[: self.max_candidates])
+                union = sorted(set().union(*[set(c) for c in cands]))
+                if union:
+                    rows = read_keys(self.table_dir, union,
+                                     columns=[self.key_column, self.tokens_column])
+                    tok_of = dict(zip(rows[self.key_column].to_pylist(),
+                                      rows[self.tokens_column].to_pylist()))
+                    for qi, row_i in enumerate(idx):
+                        best = None
+                        for c in cands[qi]:
+                            ct = tok_of.get(c)
+                            if ct is None:
+                                continue
+                            j = token_shingle_jaccard(token_lists[qi], ct, k=self.k)
+                            if j >= self.threshold and (
+                                best is None or (-j, c) < (-best[0], best[1])
+                            ):
+                                best = (float(j), c)
+                        if best is not None:
+                            match[row_i] = best[1]
+                            jac[row_i] = round(best[0], 5)
+
+        out = batch.append_column(MATCH_COLUMN, pa.array(match.tolist(), pa.string()))
+        return out.append_column(
+            JACCARD_COLUMN,
+            pa.array([None if np.isnan(v) else float(v) for v in jac],
+                     pa.float64()),
+        )
+
+
+def screen_events(
+    events_ds: ray.data.Dataset,
+    table_dir: str,
+    view_dir: str,
+    *,
+    threshold: float = 0.5,
+    k: int = 5,
+    seed: int = 1234,
+    tokens_column: str = "tokens",
+    key_column: str = "doc_id",
+    max_candidates: int = 500,
+    concurrency=(1, 8),
+    fs: StorageAdapter | None = None,
+) -> ray.data.Dataset:
+    """Annotate an incoming change-event Dataset with committed near-dup
+    matches (see :class:`NearDupScreen`). Pass-through (null columns)
+    when there is no committed index state yet."""
+    fs = default_fs(fs)
+    cur_view = _check_view(view_dir, table_dir, k=k, seed=seed,
+                           tokens_column=tokens_column,
+                           key_column=key_column, fs=fs)
+    if cur_view is None or not cur_view.partitions:
+        def passthrough(batch: pa.Table) -> pa.Table:
+            n = batch.num_rows
+            out = batch.append_column(MATCH_COLUMN, pa.nulls(n, pa.string()))
+            return out.append_column(JACCARD_COLUMN, pa.nulls(n, pa.float64()))
+        return events_ds.map_batches(passthrough, batch_format="pyarrow")
+    return events_ds.map_batches(
+        NearDupScreen,
+        fn_constructor_kwargs=dict(
+            view_dir=view_dir, table_dir=table_dir, threshold=threshold,
+            k=k, seed=seed, tokens_column=tokens_column,
+            key_column=key_column, max_candidates=max_candidates,
+        ),
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )
+
+
+def _write_quarantine(quarantined: ray.data.Dataset, table_dir: str,
+                      epoch: int) -> str | None:
+    """Stream suppressed events to ``_quarantine/epoch-EEEEEE/`` with an
+    atomic directory rename: a retried epoch finds the directory and
+    skips (idempotent), a crashed attempt leaves only a temp dir that
+    the next attempt replaces."""
+    final = os.path.join(table_dir, QUARANTINE_DIR, f"epoch-{epoch:06d}")
+    if os.path.isdir(final):
+        return final  # fenced retry: audit trail already committed
+    os.makedirs(os.path.dirname(final), exist_ok=True)
+    tmp = f"{final}.tmp-{uuid.uuid4().hex}"
+    quarantined.write_parquet(tmp)
+    try:
+        os.rename(tmp, final)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)  # lost the race to a peer
+        if not os.path.isdir(final):
+            raise
+    return final
+
+
+def apply_with_neardup_gate(
+    events_ds: ray.data.Dataset,
+    table_dir: str,
+    view_dir: str,
+    epoch: int,
+    incoming_schema: pa.Schema,
+    *,
+    num_partitions: int = 32,
+    threshold: float = 0.5,
+    k: int = 5,
+    seed: int = 1234,
+    tokens_column: str = "tokens",
+    key_column: str = "doc_id",
+    max_candidates: int = 500,
+    merge_policy: str = "rewrite",
+    exchange: str = "staged",
+    fs: StorageAdapter | None = None,
+) -> dict:
+    """Screen → quarantine → apply → refresh, as one ingest step:
+
+    1. screen ``events_ds`` against the committed near-dup index;
+    2. stream suppressed events (match id + jaccard attached, token
+       payload dropped — the surviving committed twin already holds the
+       content) to the per-epoch quarantine directory;
+    3. apply the surviving events through the standard fenced commit;
+    4. refresh the index to the new epoch so the next call screens
+       against these documents too.
+
+    The screened dataset is materialized once (it is epoch-sized — the
+    incoming slice, never the corpus) so the kept/suppressed split does
+    not re-run the screen. Returns
+    ``{epoch, suppressed, applied, quarantine_dir}``."""
+    fs = default_fs(fs)
+    annotated = screen_events(
+        events_ds, table_dir, view_dir, threshold=threshold, k=k, seed=seed,
+        tokens_column=tokens_column, key_column=key_column,
+        max_candidates=max_candidates, fs=fs,
+    ).materialize()
+
+    def keep_clean(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_null(t[MATCH_COLUMN])).drop_columns(
+            [MATCH_COLUMN, JACCARD_COLUMN])
+
+    def only_flagged(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_valid(t[MATCH_COLUMN]))
+
+    kept = annotated.map_batches(keep_clean, batch_format="pyarrow")
+    suppressed = annotated.map_batches(only_flagged, batch_format="pyarrow")
+    n_sup = suppressed.count()
+    qdir = None
+    if n_sup:
+        audit_cols = [c for c in suppressed.schema().names if c != tokens_column]
+        qdir = _write_quarantine(suppressed.select_columns(audit_cols),
+                                 table_dir, epoch)
+
+    m = apply_events_dataset(
+        kept, table_dir, epoch, incoming_schema,
+        num_partitions=num_partitions, merge_policy=merge_policy,
+        exchange=exchange, fs=fs,
+    )
+    view = neardup_index_view(tokens_column=tokens_column,
+                              key_column=key_column, k=k, seed=seed)
+    refresh(view, view_dir, table_dir, num_partitions=num_partitions, fs=fs)
+    applied = int(m.epoch_counters.get("events_in", 0)) if m is not None else 0
+    return {"epoch": epoch, "suppressed": int(n_sup), "applied": applied,
+            "quarantine_dir": qdir}
+
+
+def replay_gated(
+    changelog_dir: str,
+    table_dir: str,
+    view_dir: str,
+    num_partitions: int = 32,
+    *,
+    threshold: float = 0.5,
+    k: int = 5,
+    seed: int = 1234,
+    tokens_column: str = "tokens",
+    key_column: str = "doc_id",
+    max_candidates: int = 500,
+    merge_policy: str = "rewrite",
+    fs: StorageAdapter | None = None,
+) -> dict:
+    """Tail-and-apply with the near-dup gate: every ready epoch past the
+    committed checkpoint is screened, quarantined, applied and indexed —
+    strictly one epoch per commit, because each epoch must screen against
+    the state the previous one committed (unlike plain ``replay``, gated
+    epochs cannot batch into one shuffle). Resumable/idempotent like
+    ``replay``: a rerun re-screens against the same prior state and
+    re-derives the identical quarantine + commit."""
+    from ..core import changelog as cl
+    from ..core.reconcile import unify_all
+    from .cdc import _epoch_files
+
+    fs = default_fs(fs)
+    fs.makedirs(table_dir)
+    pending = cl.ready_epochs(
+        changelog_dir, after=mf.committed_epoch(table_dir, fs), fs=fs)
+    total_sup = total_applied = 0
+    for e in pending:
+        files = _epoch_files(changelog_dir, e, fs)
+        incoming = unify_all([fs.read_parquet_schema(f) for f in files])
+        events = ray.data.read_parquet(files, filesystem=fs.fs)
+        r = apply_with_neardup_gate(
+            events, table_dir, view_dir, e, incoming,
+            num_partitions=num_partitions, threshold=threshold, k=k,
+            seed=seed, tokens_column=tokens_column, key_column=key_column,
+            max_candidates=max_candidates, merge_policy=merge_policy, fs=fs,
+        )
+        total_sup += r["suppressed"]
+        total_applied += r["applied"]
+    return {"applied_epochs": pending, "suppressed": total_sup,
+            "applied_events": total_applied,
+            "epoch": mf.committed_epoch(table_dir, fs)}
+
+
+def read_quarantine(table_dir: str, epoch: int) -> pa.Table:
+    """The audit trail for one gated epoch (empty table if none)."""
+    import pyarrow.dataset as pads
+
+    d = os.path.join(table_dir, QUARANTINE_DIR, f"epoch-{epoch:06d}")
+    if not os.path.isdir(d):
+        return pa.table({})
+    return pads.dataset(d).to_table()

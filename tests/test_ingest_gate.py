@@ -1,0 +1,208 @@
+"""Ingest-time near-dup suppression (engine/ingest_gate.py): screening
+semantics (suppress near-dups of committed docs, keep novel docs and
+self-updates, pass deletes), quarantine audit trail idempotence, guard
+behavior, and the gate keeping the index current across epochs."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data
+
+from gamechanger_data_ray.engine.cdc import apply_events_dataset, table_to_arrow
+from gamechanger_data_ray.engine.ingest_gate import (
+    JACCARD_COLUMN,
+    MATCH_COLUMN,
+    apply_with_neardup_gate,
+    read_quarantine,
+    screen_events,
+)
+from gamechanger_data_ray.engine.neardup_index import neardup_index_view
+from gamechanger_data_ray.engine.views import refresh
+from gamechanger_data_ray.stages.dedup import token_shingle_jaccard
+
+K = 5
+
+
+def _tokens(seed: int, n: int = 60) -> list[int]:
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 50, size=n).astype(int).tolist()
+
+
+def _near(base: list[int], flips: int, seed: int) -> list[int]:
+    rng = np.random.default_rng(seed)
+    out = list(base)
+    for i in rng.choice(len(out), size=flips, replace=False):
+        out[int(i)] = int(out[int(i)]) + 1000
+    return out
+
+
+def _events(rows):
+    op, lsn, seq, doc, toks = zip(*rows)
+    return pa.table({
+        "op": pa.array(op, pa.string()),
+        "lsn": pa.array(lsn, pa.int64()),
+        "seq": pa.array(seq, pa.int64()),
+        "doc_id": pa.array(doc, pa.string()),
+        "tokens": pa.array(
+            [list(t) if t is not None else None for t in toks],
+            pa.list_(pa.int32())),
+    })
+
+
+@pytest.fixture()
+def gated_table(tmp_path):
+    """Epoch-1 corpus committed + index refreshed."""
+    tb, vd = str(tmp_path / "tb"), str(tmp_path / "idx")
+    e1 = _events([("I", 1, i, f"d{i:03d}", _tokens(i, n=120)) for i in range(20)])
+    apply_events_dataset(ray.data.from_arrow(e1), tb, 1, e1.schema, num_partitions=4)
+    refresh(neardup_index_view(k=K), vd, tb, num_partitions=4)
+    return tb, vd
+
+
+def test_gate_suppresses_near_dups_keeps_novel_and_self(gated_table):
+    tb, vd = gated_table
+    base = _tokens(3, n=120)          # committed as d003
+    nearby = _near(base, flips=4, seed=7)
+    e2 = _events([
+        ("I", 2, 0, "spam-exact", list(base)),      # exact dup of d003
+        ("I", 2, 1, "spam-near", nearby),           # near dup of d003
+        ("I", 2, 2, "novel", _tokens(999, n=120)),  # unrelated
+        ("U", 2, 3, "d003", _near(base, flips=1, seed=8)),  # self-update
+        ("D", 2, 4, "d000", None),                  # delete passes
+    ])
+    res = apply_with_neardup_gate(
+        ray.data.from_arrow(e2), tb, vd, 2, e2.schema,
+        num_partitions=4, threshold=0.5, k=K)
+    assert res["suppressed"] == 2
+    final = table_to_arrow(tb)
+    ids = set(final["doc_id"].to_pylist())
+    assert "spam-exact" not in ids and "spam-near" not in ids
+    assert "novel" in ids and "d003" in ids and "d000" not in ids
+
+    q = read_quarantine(tb, 2)
+    got = dict(zip(q["doc_id"].to_pylist(), q[MATCH_COLUMN].to_pylist()))
+    assert got == {"spam-exact": "d003", "spam-near": "d003"}
+    jmap = dict(zip(q["doc_id"].to_pylist(), q[JACCARD_COLUMN].to_pylist()))
+    assert jmap["spam-exact"] == pytest.approx(1.0)
+    assert jmap["spam-near"] == pytest.approx(
+        token_shingle_jaccard(nearby, base, k=K), abs=1e-4)
+    assert "tokens" not in q.schema.names  # payload never duplicated
+
+
+def test_gate_keeps_index_current_across_epochs(gated_table):
+    """A doc admitted at epoch 2 must screen epoch 3's near-dup of IT."""
+    tb, vd = gated_table
+    novel = _tokens(555, n=120)
+    e2 = _events([("I", 2, 0, "fresh", list(novel))])
+    apply_with_neardup_gate(ray.data.from_arrow(e2), tb, vd, 2, e2.schema,
+                            num_partitions=4, k=K)
+    e3 = _events([("I", 3, 0, "fresh-copy", _near(novel, flips=2, seed=1))])
+    res = apply_with_neardup_gate(ray.data.from_arrow(e3), tb, vd, 3, e3.schema,
+                                  num_partitions=4, k=K)
+    assert res["suppressed"] == 1
+    q = read_quarantine(tb, 3)
+    assert q[MATCH_COLUMN].to_pylist() == ["fresh"]
+
+
+def test_gate_retry_is_fenced_and_quarantine_idempotent(gated_table):
+    tb, vd = gated_table
+    base = _tokens(5, n=120)
+    e2 = _events([("I", 2, 0, "dup", list(base)),
+                  ("I", 2, 1, "new", _tokens(321, n=120))])
+    first = apply_with_neardup_gate(ray.data.from_arrow(e2), tb, vd, 2,
+                                    e2.schema, num_partitions=4, k=K)
+    again = apply_with_neardup_gate(ray.data.from_arrow(e2), tb, vd, 2,
+                                    e2.schema, num_partitions=4, k=K)
+    assert first["suppressed"] == again["suppressed"] == 1
+    assert read_quarantine(tb, 2).num_rows == 1  # not doubled
+    assert table_to_arrow(tb).num_rows == 21
+
+
+def test_screen_passthrough_on_fresh_table(tmp_path):
+    tb, vd = str(tmp_path / "tb"), str(tmp_path / "idx")
+    e1 = _events([("I", 1, 0, "a", _tokens(1)), ("I", 1, 1, "b", _tokens(2))])
+    out = screen_events(ray.data.from_arrow(e1), tb, vd).to_pandas()
+    assert out[MATCH_COLUMN].isna().all() and out[JACCARD_COLUMN].isna().all()
+    res = apply_with_neardup_gate(ray.data.from_arrow(e1), tb, vd, 1,
+                                  e1.schema, num_partitions=4, k=K)
+    assert res["suppressed"] == 0 and res["quarantine_dir"] is None
+    assert table_to_arrow(tb).num_rows == 2
+
+
+def test_gate_guards_signature_and_staleness(gated_table):
+    tb, vd = gated_table
+    e2 = _events([("I", 2, 0, "x", _tokens(9))])
+    with pytest.raises(ValueError, match="signature mismatch"):
+        screen_events(ray.data.from_arrow(e2), tb, vd, k=K + 2)
+    # commit an epoch WITHOUT refreshing → stale index refuses
+    apply_events_dataset(ray.data.from_arrow(e2), tb, 2, e2.schema,
+                         num_partitions=4)
+    with pytest.raises(ValueError, match="stale"):
+        screen_events(ray.data.from_arrow(e2), tb, vd, k=K)
+
+
+def test_gate_candidate_cap_bounds_verify(gated_table):
+    """max_candidates=1 still finds A near-dup (results become a lower
+    bound, never quadratic work)."""
+    tb, vd = gated_table
+    base = _tokens(3, n=120)
+    e2 = _events([("I", 2, 0, "flood", list(base))])
+    res = apply_with_neardup_gate(ray.data.from_arrow(e2), tb, vd, 2,
+                                  e2.schema, num_partitions=4, k=K,
+                                  max_candidates=1)
+    assert res["suppressed"] == 1
+
+
+def _write_epoch(cl_dir, epoch, table):
+    """Craft one ready changelog epoch in the standard layout."""
+    import json
+    import os
+
+    import pyarrow.parquet as pq
+
+    from gamechanger_data_ray.core.changelog import READY_MARKER, epoch_dir
+
+    d = epoch_dir(cl_dir, epoch)
+    os.makedirs(d, exist_ok=True)
+    pq.write_table(table, os.path.join(d, "part-00000.parquet"))
+    with open(os.path.join(d, READY_MARKER), "w") as f:
+        json.dump({"epoch": epoch, "files": ["part-00000.parquet"],
+                   "events": table.num_rows}, f)
+
+
+def test_replay_gated_walks_epochs_and_cli(tmp_path):
+    """replay_gated: epoch 1 bootstraps (passthrough), epoch 2's dup of an
+    epoch-1 doc is suppressed — the per-epoch index refresh is what makes
+    that possible; CLI verb prints the same result and is resumable."""
+    import json
+
+    from gamechanger_data_ray.__main__ import main
+    from gamechanger_data_ray.engine.ingest_gate import replay_gated
+
+    cl_dir, tb, vd = (str(tmp_path / "cl"), str(tmp_path / "tb"),
+                      str(tmp_path / "idx"))
+    base = _tokens(11, n=120)
+    _write_epoch(cl_dir, 1, _events(
+        [("I", 1, i, f"d{i:03d}", _tokens(i, n=120)) for i in range(10)]
+        + [("I", 1, 10, "orig", list(base))]))
+    _write_epoch(cl_dir, 2, _events(
+        [("I", 2, 0, "copycat", _near(base, flips=3, seed=2)),
+         ("I", 2, 1, "novel", _tokens(777, n=120))]))
+
+    out = replay_gated(cl_dir, tb, vd, num_partitions=4, k=K)
+    assert out["applied_epochs"] == [1, 2] and out["epoch"] == 2
+    assert out["suppressed"] == 1
+    ids = set(table_to_arrow(tb)["doc_id"].to_pylist())
+    assert "orig" in ids and "novel" in ids and "copycat" not in ids
+    assert read_quarantine(tb, 2)[MATCH_COLUMN].to_pylist() == ["orig"]
+
+    # rerun = fenced no-op; a new epoch resumes from the checkpoint
+    assert replay_gated(cl_dir, tb, vd, num_partitions=4, k=K)[
+        "applied_epochs"] == []
+    _write_epoch(cl_dir, 3, _events(
+        [("I", 3, 0, "copycat2", _near(base, flips=2, seed=3))]))
+    assert main(["replay-gated", "--changelog", cl_dir, "--table", tb,
+                 "--view", vd, "--partitions", "4"]) == 0
+    assert read_quarantine(tb, 3)[MATCH_COLUMN].to_pylist() == ["orig"]
