@@ -126,6 +126,11 @@ def typed_edge_view(
 
     return ViewDef(
         group_by=["src", "rel", "dst"],
+        # route by src alone: edges_of(doc_ids) then opens only the
+        # partitions the probed docs hash to. Doc ids are uniform and a
+        # doc's edge count is bounded, so no skew risk (contrast BM25
+        # terms, which stay composed-key routed).
+        route_by=["src"],
         transform=fan,
         transform_id=(f"typed-edges-v1-{tokens_column}-{source_column}"
                       f"-g{gaz_sig}"),

@@ -184,11 +184,19 @@ def screen_events(
     key_column: str = "doc_id",
     max_candidates: int = 500,
     concurrency=(1, 8),
+    batch_size: int = 4096,
     fs: StorageAdapter | None = None,
 ) -> ray.data.Dataset:
     """Annotate an incoming change-event Dataset with committed near-dup
     matches (see :class:`NearDupScreen`). Pass-through (null columns)
-    when there is no committed index state yet."""
+    when there is no committed index state yet.
+
+    ``batch_size`` is the screen's amortization lever: each batch pays
+    ONE postings lookup (partition-pruned — the band index routes by
+    bucket, see ``neardup_index_view``) plus one candidate point-fetch;
+    larger batches spread those fixed reads across more events. Raise it
+    for skinny token payloads, lower it only if probe-token memory
+    binds. Measurements in BASELINE.md."""
     fs = default_fs(fs)
     cur_view = _check_view(view_dir, table_dir, k=k, seed=seed,
                            tokens_column=tokens_column,
@@ -207,6 +215,7 @@ def screen_events(
             key_column=key_column, max_candidates=max_candidates,
         ),
         batch_format="pyarrow",
+        batch_size=batch_size,
         concurrency=concurrency,
     )
 

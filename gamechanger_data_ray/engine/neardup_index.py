@@ -117,6 +117,13 @@ def neardup_index_view(
 
     return ViewDef(
         group_by=["bucket", key_column],
+        # route by bucket alone: minhash band buckets are mixed 64-bit
+        # hashes (uniform — no skew risk, unlike Zipf BM25 terms or
+        # clustered sign-LSH codes), so probe lookups open only the
+        # partitions the probed buckets hash to instead of every
+        # partition. Signature-bearing: an index built composed-key
+        # refuses rather than silently missing postings.
+        route_by=["bucket"],
         transform=fan,
         # tokens_column is part of the identity: an index built over one
         # tokens column and searched with another must fail the signature

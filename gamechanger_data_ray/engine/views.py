@@ -103,10 +103,24 @@ class ViewDef:
         transform_id: str | None = None,
         source_columns: list[str] | None = None,
         derived_schema: pa.Schema | None = None,
+        route_by: list[str] | None = None,
     ):
         if not group_by:
             raise ValueError("view needs at least one group-by column")
         self.group_by = tuple(group_by)
+        # route_by: hash-partition the stored rows by a SUBSET of the
+        # group key instead of the composed key. A lookup keyed on those
+        # columns then prunes to the partitions its keys hash to
+        # (lookup_terms) instead of scanning every partition — the right
+        # trade when the leading column is high-cardinality and uniform
+        # (LSH band buckets). Leave unset when the leading column is
+        # skewed (BM25 terms are Zipf: routing by term would pile the
+        # stop-word postings onto single partitions). Part of the view
+        # signature: placement is an on-disk contract.
+        self.route_by = tuple(route_by) if route_by else None
+        if self.route_by and not set(self.route_by) <= set(self.group_by):
+            raise ValueError(
+                f"route_by {route_by} must be a subset of group_by {group_by}")
         self.sums = dict(sums or {})
         clash = (set(self.sums) | {VIEW_COUNT}) & set(self.group_by)
         if clash or VIEW_COUNT in self.sums:
@@ -121,8 +135,11 @@ class ViewDef:
         self.derived_schema = derived_schema
 
     def signature(self) -> str:
+        # route_by joins the spec only when set, so every pre-existing
+        # composed-key view keeps its exact signature string
         spec = json.dumps(
             [list(self.group_by), sorted(self.sums.items()), self.transform_id]
+            + ([list(self.route_by)] if self.route_by else [])
         )
         return hashlib.sha256(spec.encode()).hexdigest()[:16]
 
@@ -214,7 +231,10 @@ def _make_fold(view: ViewDef, schema_b64: str, num_partitions: int):
             schema=schema,
         )
         return agg.append_column(
-            PART_COLUMN, partition_ids(_group_key(agg, view.group_by), num_partitions)
+            PART_COLUMN,
+            partition_ids(
+                _group_key(agg, view.route_by or view.group_by), num_partitions
+            ),
         )
 
     return fold
@@ -385,6 +405,7 @@ def refresh(
         epoch_counters={
             "view_sig": view.signature(),
             "group_by": list(view.group_by),
+            "route_by": list(view.route_by) if view.route_by else None,
             "mode": mode,
             "dirty_partitions": len(counters),
         },
@@ -426,10 +447,13 @@ def lookup_terms(
         return pa.table({})
     npart = cur.num_partitions or len(cur.partitions)
     # the fold routed each group row by the COMPOSED group key (e.g.
-    # "term\x00doc_id"), so terms alone pin a partition only for
-    # single-column views; multi-column indexes fall back to an all-
-    # partition scan that the per-file row-group predicate still prunes
+    # "term\x00doc_id") unless the view declared route_by, so terms alone
+    # pin a partition for single-column views AND for views routed by the
+    # leading column (route_by=[first_group], e.g. the LSH band indexes);
+    # other multi-column indexes fall back to an all-partition scan that
+    # the per-file row-group predicate still prunes
     group_by = cur.epoch_counters.get("group_by") or []
+    route_by = cur.epoch_counters.get("route_by") or None
     first_group = (group_by[0] if group_by else cur.schema.names[0])
     # coerce the probe terms to the group column's type (so the row-group
     # predicate compares in-type), then route through the SAME string
@@ -438,7 +462,7 @@ def lookup_terms(
     # the wrong partition and silently return missing rows
     term_arr = pa.array(terms).cast(cur.schema.field(first_group).type)
     terms = term_arr.to_pylist()
-    if len(group_by) == 1:
+    if len(group_by) == 1 or route_by == [first_group]:
         key_arr = _group_key(pa.table({first_group: term_arr}), (first_group,))
         pids = set(partition_ids(key_arr, npart).to_pylist())
         files = [

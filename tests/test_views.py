@@ -173,3 +173,61 @@ def test_null_group_and_null_sum_semantics(tmp_path):
     assert int(null_grp["n_rows"]) == 2 and int(null_grp["sum_tok"]) == 7
     z = got[got["source"] == "z"].iloc[0]
     assert int(z["n_rows"]) == 1 and int(z["sum_tok"]) == 0
+
+
+def test_route_by_placement_lookup_and_guards(tmp_path):
+    """route_by views: (a) every group sharing the leading key lands in
+    ONE partition (the placement contract lookup pruning relies on),
+    (b) lookup_terms over a routed view == over the composed-key view,
+    (c) route_by must be a subset of group_by, (d) the signature differs
+    so a composed-key view_dir refuses a routed definition."""
+    import os
+
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from gamechanger_data_ray.engine.views import lookup_terms
+    from gamechanger_data_ray.state import manifest as mf
+
+    tb = str(tmp_path / "tb")
+    rows = [("I", 1, i, f"d{i:02d}", f"s{i % 5}", i) for i in range(40)]
+    op, lsn, seq, doc, src, tok = zip(*rows)
+    e1 = pa.table({
+        "op": pa.array(op), "lsn": pa.array(lsn, pa.int64()),
+        "seq": pa.array(seq, pa.int64()), "doc_id": pa.array(doc),
+        "source": pa.array(src), "n_tok": pa.array(tok, pa.int64()),
+    })
+    apply_events_dataset(ray.data.from_arrow(e1), tb, 1, e1.schema,
+                         num_partitions=4)
+
+    composed = ViewDef(["source", "doc_id"], {"sum_tok": "n_tok"})
+    routed = ViewDef(["source", "doc_id"], {"sum_tok": "n_tok"},
+                     route_by=["source"])
+    assert composed.signature() != routed.signature()
+
+    vc, vr = str(tmp_path / "vc"), str(tmp_path / "vr")
+    refresh(composed, vc, tb, num_partitions=4)
+    refresh(routed, vr, tb, num_partitions=4)
+
+    # (a) placement: each source value appears in exactly one partition
+    cur = mf.load_current(vr)
+    seen: dict[str, set[int]] = {}
+    for p, ent in cur.partitions.items():
+        t = pq.read_table(os.path.join(vr, ent["file"]), columns=["source"])
+        for s in set(t["source"].to_pylist()):
+            seen.setdefault(s, set()).add(int(p))
+    assert all(len(parts) == 1 for parts in seen.values())
+    assert len(seen) == 5
+
+    # (b) identical lookup results either way
+    got_r = lookup_terms(vr, ["s1", "s3"]).to_pydict()
+    got_c = lookup_terms(vc, ["s1", "s3"]).to_pydict()
+    assert got_r == got_c and len(got_r["source"]) == 16
+
+    # (c) route_by outside group_by refuses
+    with pytest.raises(ValueError, match="subset"):
+        ViewDef(["source"], {"sum_tok": "n_tok"}, route_by=["doc_id"])
+
+    # (d) a composed-key view_dir refuses the routed definition
+    with pytest.raises(ValueError, match="definition changed"):
+        refresh(routed, vc, tb)
