@@ -647,6 +647,27 @@ class LookupEntityExtractor:
         return out.sort_values(["doc_id", "entity"]).reset_index(drop=True)
 
 
+_DEFAULT_LOOKUP = make_entities_lookup_dict()
+_DEFAULT_KEYS = lookup_order(_DEFAULT_LOOKUP)
+
+
+def parse_entities(text: str) -> list[str]:
+    """Sorted unique STANDARDIZED entity names mentioned in one text —
+    the scalar face of :class:`LookupEntityExtractor` (reference
+    contract: ``responsibility_parse/responsibility_parser.py:90-109``
+    normalize → gazetteer match → overlap removal → sorted unique).
+    Used to attach entities to responsibility rows; returns names from
+    the standardized-name column (aliases like "DIA" resolve to
+    "Defense Intelligence Agency")."""
+    t = replace_nonalpha_chars(text)
+    found: set[str] = set()
+    for key in _DEFAULT_KEYS:
+        if key in t:
+            found.add(_DEFAULT_LOOKUP[key]["raw_ent"])
+            t = t.replace(key, _SENTINEL * len(key))
+    return sorted(found)
+
+
 def top_entities(edges: pd.DataFrame, k: int = 5) -> pd.DataFrame:
     """Per-doc top-k entities by mention count (``entities.py:113-117``
     ``Counter(...).most_common(5)`` analog), deterministic tie-break."""

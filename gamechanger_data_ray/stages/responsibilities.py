@@ -184,11 +184,18 @@ def parse_responsibility_section(section_text: str) -> list[list[str]]:
 
 
 def responsibility_rows(
-    section_text: str, doc_id: int | None = None
+    section_text: str, doc_id: int | None = None, with_entities: bool = False
 ) -> list[dict]:
     """Flatten role blocks to the reference's spreadsheet row contract
     (``format_responsibility_results``): one row per (role,
-    responsibility), or one intro-only row for a role with none."""
+    responsibility), or one intro-only row for a role with none.
+
+    ``with_entities=True`` additionally attaches the gazetteer entities
+    mentioned in the role / responsibility text (semicolon-joined sorted
+    standardized names — the reference's
+    ``organizationPersonnelEntities`` / ``responsibilityEntities``
+    columns, via ``stages/extract.py::parse_entities``). Opt-in so the
+    base row schema the composed parser ships stays stable."""
     rows: list[dict] = []
     for block in parse_responsibility_section(section_text):
         role_num, role_text = extract_numbering(block[0])
@@ -197,9 +204,21 @@ def responsibility_rows(
             "role_numbering": role_num,
             "role_text": role_text,
         }
+        if with_entities:
+            from .extract import parse_entities
+
+            base["role_entities"] = ";".join(parse_entities(role_text))
         if len(block) == 1:
-            rows.append({**base, "resp_numbering": "", "resp_text": ""})
+            row = {**base, "resp_numbering": "", "resp_text": ""}
+            if with_entities:
+                row["resp_entities"] = ""
+            rows.append(row)
         for line in block[1:]:
             num, text = extract_numbering(line)
-            rows.append({**base, "resp_numbering": num, "resp_text": text})
+            row = {**base, "resp_numbering": num, "resp_text": text}
+            if with_entities:
+                from .extract import parse_entities
+
+                row["resp_entities"] = ";".join(parse_entities(text))
+            rows.append(row)
     return rows

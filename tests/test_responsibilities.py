@@ -81,3 +81,36 @@ def test_rows_flatten_role_and_duties():
     )
     assert [r["resp_numbering"] for r in rows] == ["a.", "b."]
     assert all(r["role_numbering"] == "2.1." for r in rows)
+
+
+def test_parse_entities_contract():
+    """The scalar gazetteer face (reference
+    responsibility_parser.py::parse_entities + its unit test shapes):
+    no-entity text → [], aliases resolve to standardized names, repeats
+    dedupe, "USD(P)" normalizes to the USDP alias."""
+    from gamechanger_data_ray.stages.extract import parse_entities
+
+    assert parse_entities("Here is a sentence with no entities") == []
+    assert parse_entities("Coordinate with DIA on tasking") == [
+        "Defense Intelligence Agency"]
+    assert parse_entities("with USD(P), and DoD entities") == [
+        "Department of Defense", "Under Secretary of Defense for Policy"]
+    assert parse_entities("DoD and more DoD and DoD again") == [
+        "Department of Defense"]
+
+
+def test_rows_with_entities_columns():
+    """with_entities=True mirrors the reference's
+    organizationPersonnelEntities / responsibilityEntities columns
+    (format_responsibility_results Test 2 shape); default rows stay
+    entity-free so the composed parser schema is unchanged."""
+    text = ("1. The Director, DIA shall:\n"
+            "1.1. Perform X responsibility\n"
+            "1.2. Perform Y responsibility with the DLA.")
+    plain = responsibility_rows(text, doc_id=1)
+    assert all("role_entities" not in r for r in plain)
+    rows = responsibility_rows(text, doc_id=1, with_entities=True)
+    assert [r["role_entities"] for r in rows] == [
+        "Defense Intelligence Agency"] * 2
+    assert rows[0]["resp_entities"] == ""
+    assert rows[1]["resp_entities"] == "Defense Logistics Agency"
