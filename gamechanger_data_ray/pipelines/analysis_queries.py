@@ -1234,6 +1234,88 @@ FROM px GROUP BY doc_id
 """
 
 
+_WAV_RATE = 8000
+_WAV_BASE, _WAV_VAR = 256, 128  # samples per doc: base + doc_id % var
+
+
+class _WavDecodeStats:
+    """Actor-pool stage: REAL RIFF/WAVE PCM decode → exact integer
+    sample statistics. Decoded floats re-quantize to the original int16
+    raws losslessly (round(s·32767) inverts the encoder exactly), so the
+    emitted sums are integers a SQL oracle recomputes bit-for-bit."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..stages import codecs as cdx
+
+        ids, rates, ns, chs, sums, sumsqs = [], [], [], [], [], []
+        for mid, payload in zip(batch["media_id"].to_pylist(),
+                                batch["payload"].to_pylist()):
+            rate, s = cdx.parse_wav(payload)
+            raw = np.round(s[:, 0] * 32767.0).astype(np.int64)
+            ids.append(mid)
+            rates.append(rate)
+            ns.append(len(raw))
+            chs.append(s.shape[1])
+            sums.append(int(raw.sum()))
+            sumsqs.append(int((raw * raw).sum()))
+        return pa.table(
+            {"media_id": pa.array(ids, pa.int64()),
+             "rate": pa.array(rates, pa.int64()),
+             "n_samples": pa.array(ns, pa.int64()),
+             "channels": pa.array(chs, pa.int64()),
+             "sum_raw": pa.array(sums, pa.int64()),
+             "sumsq_raw": pa.array(sumsqs, pa.int64())}
+        )
+
+
+def multimodal_wav_stats(sf_dir: str):
+    """REAL audio decode (the WAV analog of :func:`multimodal_ppm_stats`):
+    a deterministic PCM signal per doc — sample i's int16 raw value is
+    ``(doc_id·13 + i·97) mod 65535 − 32767``, doc length ``256 +
+    doc_id mod 128`` samples — encoded with the real RIFF/WAVE writer,
+    decoded by the real parser inside an actor pool, reduced to exact
+    integer statistics the SQL oracle recomputes bit-for-bit. Small
+    batches: audio rows are wide binary payloads (brief: multimodal
+    stages need small batch_size)."""
+    from ..stages import codecs as cdx
+
+    docs = cm.read(sf_dir, "documents", columns=["doc_id"])
+
+    def to_wav(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        payloads = []
+        for d in ids:
+            n = _WAV_BASE + d % _WAV_VAR
+            i = np.arange(n, dtype=np.int64)
+            raw = (d * 13 + i * 97) % 65535 - 32767
+            payloads.append(cdx.build_wav(raw / 32767.0, _WAV_RATE))
+        return mm.to_media_table(ids, payloads, "audio/wav")
+
+    media = docs.map_batches(to_wav, batch_format="pyarrow", batch_size=64)
+    return media.map_batches(
+        _WavDecodeStats,
+        batch_format="pyarrow",
+        concurrency=(1, cm.pool_size()),
+        batch_size=64,
+    )
+
+
+ORACLES["multimodal_wav_stats"] = f"""
+WITH s AS (
+  SELECT d.doc_id, i.i,
+         (d.doc_id * 13 + i.i * 97) % 65535 - 32767 AS v
+  FROM documents d
+  CROSS JOIN (SELECT UNNEST(range({_WAV_BASE + _WAV_VAR})) AS i) i
+  WHERE i.i < {_WAV_BASE} + d.doc_id % {_WAV_VAR}
+)
+SELECT doc_id AS media_id, CAST({_WAV_RATE} AS BIGINT) AS rate,
+       CAST(COUNT(*) AS BIGINT) AS n_samples, CAST(1 AS BIGINT) AS channels,
+       CAST(SUM(v) AS BIGINT) AS sum_raw,
+       CAST(SUM(v * v) AS BIGINT) AS sumsq_raw
+FROM s GROUP BY doc_id
+"""
+
+
 def docs_html_text(sf_dir: str):
     """HTML → normalized text coercion (S9, non-stub; reference
     ``html_utils.py:96-150`` sanitize chain). Each document's text is

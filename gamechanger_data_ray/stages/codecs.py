@@ -335,3 +335,75 @@ def resize_nearest(img: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
     rows = np.minimum((np.arange(out_h) * h) // out_h, h - 1)
     cols = np.minimum((np.arange(out_w) * w) // out_w, w - 1)
     return img[rows[:, None], cols[None, :]]
+
+
+# ---------------------------------------------------------------------------
+# WAV — RIFF/WAVE PCM encode + decode (the audio analog of the PPM path)
+# ---------------------------------------------------------------------------
+
+def build_wav(samples: np.ndarray, sample_rate: int = 16000,
+              bits: int = 16) -> bytes:
+    """Encode float samples in [-1, 1] (shape (n,) mono or (n, ch)) as a
+    canonical RIFF/WAVE PCM file (format tag 1, 8- or 16-bit). Public
+    spec; used to synthesize deterministic audio test corpora the way
+    ``build_pdf``/``build_ppm`` do for documents and images."""
+    import struct
+
+    s = np.asarray(samples, dtype=np.float64)
+    if s.ndim == 1:
+        s = s[:, None]
+    n, ch = s.shape
+    s = np.clip(s, -1.0, 1.0)
+    if bits == 16:
+        raw = np.round(s * 32767.0).astype("<i2").tobytes()
+    elif bits == 8:
+        raw = (np.round(s * 127.0) + 128).astype(np.uint8).tobytes()
+    else:
+        raise ValueError(f"unsupported bit depth {bits} (8/16 only)")
+    block = ch * bits // 8
+    fmt = struct.pack("<HHIIHH", 1, ch, sample_rate,
+                      sample_rate * block, block, bits)
+    data_len = len(raw)
+    return (b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + data_len)
+            + b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", data_len) + raw)
+
+
+def parse_wav(payload: bytes) -> tuple[int, np.ndarray]:
+    """Decode a RIFF/WAVE PCM payload → (sample_rate, float64 samples in
+    [-1, 1], shape (n, channels)). Walks the chunk list (tolerating extra
+    chunks like LIST/fact before data), PCM 8/16-bit only — anything else
+    raises rather than guessing."""
+    import struct
+
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    off = 12
+    fmt = None
+    data = None
+    while off + 8 <= len(payload):
+        cid = payload[off:off + 4]
+        (clen,) = struct.unpack("<I", payload[off + 4:off + 8])
+        body = payload[off + 8:off + 8 + clen]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        off += 8 + clen + (clen & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    tag, ch, rate, _byte_rate, _block, bits = struct.unpack("<HHIIHH", fmt[:16])
+    if tag != 1:
+        raise ValueError(f"unsupported WAVE format tag {tag} (PCM only)")
+    if bits == 16:
+        raw = np.frombuffer(data, dtype="<i2", count=len(data) // 2)
+        s = raw.astype(np.float64) / 32767.0
+    elif bits == 8:
+        raw = np.frombuffer(data, dtype=np.uint8)
+        s = (raw.astype(np.float64) - 128.0) / 127.0
+    else:
+        raise ValueError(f"unsupported PCM bit depth {bits} (8/16 only)")
+    if ch < 1:
+        raise ValueError("zero channels")
+    n = len(s) // ch
+    return int(rate), s[: n * ch].reshape(n, ch)

@@ -166,11 +166,42 @@ class PdfTextExtractor:
         )
 
 
+class WavDecoder(Decoder):
+    """REAL audio decode: RIFF/WAVE PCM → 8 genuine signal features
+    (duration, rate, channels, RMS, peak, zero-crossing rate, DC mean,
+    std) via :func:`codecs.parse_wav` — the audio analog of
+    :class:`PpmDecoder`, all vectorized numpy over the sample array."""
+
+    def decode_one(self, payload: bytes, mime: str) -> np.ndarray:
+        rate, s = codecs.parse_wav(payload)
+        mono = s.mean(axis=1)
+        n = len(mono)
+        zcr = (
+            float(np.count_nonzero(np.signbit(mono[1:]) != np.signbit(mono[:-1])))
+            / (n - 1)
+        ) if n > 1 else 0.0
+        return np.array(
+            [
+                float(n) / rate,                       # duration seconds
+                float(rate),
+                float(s.shape[1]),                     # channels
+                float(np.sqrt(np.mean(mono**2))) if n else 0.0,  # RMS
+                float(np.abs(mono).max()) if n else 0.0,          # peak
+                zcr,
+                float(mono.mean()) if n else 0.0,      # DC offset
+                float(mono.std()) if n else 0.0,
+            ],
+            dtype=np.float32,
+        )
+
+
 # mime → Decoder class; FakeDecoder is the explicit fallback for formats
 # whose real codecs need libraries absent here (PIL/ffmpeg)
 DECODERS: dict[str, type] = {
     "image/x-portable-pixmap": PpmDecoder,
     "image/x-portable-graymap": PpmDecoder,
+    "audio/wav": WavDecoder,
+    "audio/x-wav": WavDecoder,
 }
 
 

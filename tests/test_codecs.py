@@ -223,3 +223,73 @@ def test_pdf_blank_page_keeps_position():
 def test_ppm_two_byte_samples_rejected():
     with pytest.raises(ValueError, match="maxval"):
         codecs.parse_ppm(b"P6\n2 1\n65535\n" + b"\xff\xff\x00\x00\x00\x00" * 2)
+
+
+# --- WAV (RIFF/WAVE PCM) ----------------------------------------------------
+
+def test_wav_roundtrip_16bit_exact_quantization():
+    import numpy as np
+
+    from gamechanger_data_ray.stages import codecs as c
+
+    t = np.sin(2 * np.pi * 440 * np.arange(8000) / 16000)
+    rate, s = c.parse_wav(c.build_wav(t, 16000, bits=16))
+    assert rate == 16000 and s.shape == (8000, 1)
+    assert np.abs(s[:, 0] - t).max() < 1.0 / 32767 + 1e-9  # quantization only
+    # byte-deterministic encode
+    assert c.build_wav(t, 16000) == c.build_wav(t.copy(), 16000)
+
+
+def test_wav_8bit_stereo_and_extra_chunks():
+    import struct
+
+    import numpy as np
+
+    from gamechanger_data_ray.stages import codecs as c
+
+    st = np.stack([np.linspace(-1, 1, 100), np.zeros(100)], axis=1)
+    payload = c.build_wav(st, 8000, bits=8)
+    rate, s = c.parse_wav(payload)
+    assert rate == 8000 and s.shape == (100, 2)
+    assert np.abs(s[:, 0] - st[:, 0]).max() < 1.0 / 127 + 1e-9
+    assert np.abs(s[:, 1]).max() < 1.0 / 127 + 1e-9
+    # tolerate a LIST chunk between fmt and data (spec-legal layout)
+    fmt_at = payload.index(b"fmt ")
+    data_at = payload.index(b"data")
+    extra = b"LIST" + struct.pack("<I", 4) + b"INFO"
+    spliced = payload[:data_at] + extra + payload[data_at:]
+    rate2, s2 = c.parse_wav(spliced)
+    assert rate2 == 8000 and np.array_equal(s2, s) and fmt_at < data_at
+
+
+def test_wav_refuses_non_pcm_and_garbage():
+    import pytest
+
+    from gamechanger_data_ray.stages import codecs as c
+
+    with pytest.raises(ValueError, match="RIFF/WAVE"):
+        c.parse_wav(b"\x00" * 40)
+    import numpy as np
+    good = c.build_wav(np.zeros(10), 8000)
+    bad = good.replace(b"fmt \x10\x00\x00\x00\x01\x00",
+                       b"fmt \x10\x00\x00\x00\x03\x00")  # tag 3 = float
+    with pytest.raises(ValueError, match="format tag"):
+        c.parse_wav(bad)
+
+
+def test_wav_decoder_features_match_signal_math():
+    import numpy as np
+
+    from gamechanger_data_ray.stages import codecs as c
+    from gamechanger_data_ray.stages.multimodal import WavDecoder, decoder_for
+
+    assert decoder_for("audio/wav") is WavDecoder
+    rate, freq, secs, amp = 16000, 200, 2.0, 0.5
+    t = amp * np.sin(2 * np.pi * freq * np.arange(int(rate * secs)) / rate)
+    f = WavDecoder().decode_one(c.build_wav(t, rate), "audio/wav")
+    assert f[0] == pytest.approx(secs)                       # duration
+    assert f[1] == rate and f[2] == 1.0                      # rate, channels
+    assert f[3] == pytest.approx(amp / np.sqrt(2), rel=1e-3)  # sine RMS
+    assert f[4] == pytest.approx(amp, rel=1e-3)              # peak
+    assert f[5] == pytest.approx(2 * freq / rate, rel=0.02)  # ZCR of a sine
+    assert abs(f[6]) < 1e-3                                  # no DC offset
