@@ -1316,6 +1316,65 @@ FROM s GROUP BY doc_id
 """
 
 
+_GIF_W, _GIF_H = 8, 6
+_GIF_BASE, _GIF_VAR, _GIF_EVERY = 4, 3, 2
+
+
+def multimodal_gif_frames(sf_dir: str):
+    """REAL video-analog pipeline (decode → frame-sample → resize on a
+    genuine compressed container): a deterministic animated GIF per doc
+    — ``4 + doc_id mod 3`` grayscale 8×6 frames, frame f's pixel i =
+    ``(doc_id·7 + f·31 + i·3) mod 251`` — LZW-encoded by the real GIF
+    writer, decoded + every-2nd-frame sampled + nearest-resized by
+    :class:`..stages.multimodal.GifFrameSampler` in an actor pool.
+    Exact integer oracle per SAMPLED frame. Small batches (wide binary
+    rows)."""
+    from ..stages import codecs as cdx
+
+    docs = cm.read(sf_dir, "documents", columns=["doc_id"])
+
+    def to_gif(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        i = np.arange(_GIF_W * _GIF_H, dtype=np.int64)
+        payloads = []
+        for d in ids:
+            frames = []
+            for f in range(_GIF_BASE + d % _GIF_VAR):
+                v = ((d * 7 + f * 31 + i * 3) % 251).astype(np.uint8)
+                gray = v.reshape(_GIF_H, _GIF_W)
+                frames.append(np.stack([gray, gray, gray], axis=2))
+            payloads.append(cdx.build_gif(frames))
+        return mm.to_media_table(ids, payloads, "image/gif")
+
+    media = docs.map_batches(to_gif, batch_format="pyarrow", batch_size=64)
+    return media.map_batches(
+        mm.GifFrameSampler,
+        fn_constructor_args=(_GIF_EVERY,),
+        batch_format="pyarrow",
+        concurrency=(1, cm.pool_size()),
+        batch_size=64,
+    )
+
+
+# thumbnail: 8×6 → 4×3 P6 = len("P6\n4 3\n255\n") + 36 = 47 bytes
+ORACLES["multimodal_gif_frames"] = f"""
+WITH fr AS (
+  SELECT d.doc_id, f.f, {_GIF_BASE} + d.doc_id % {_GIF_VAR} AS nf
+  FROM documents d
+  CROSS JOIN (SELECT UNNEST(range({_GIF_BASE + _GIF_VAR})) AS f) f
+  WHERE f.f < {_GIF_BASE} + d.doc_id % {_GIF_VAR} AND f.f % {_GIF_EVERY} = 0
+), px AS (
+  SELECT fr.doc_id, fr.f, fr.nf,
+         (fr.doc_id * 7 + fr.f * 31 + i.i * 3) % 251 AS v
+  FROM fr CROSS JOIN (SELECT UNNEST(range({_GIF_W * _GIF_H})) AS i) i
+)
+SELECT doc_id AS media_id, CAST(f AS BIGINT) AS frame_idx,
+       CAST(nf AS BIGINT) AS n_frames, CAST(SUM(v) AS BIGINT) AS sum_v,
+       CAST(47 AS BIGINT) AS thumb_bytes
+FROM px GROUP BY doc_id, f, nf
+"""
+
+
 def docs_html_text(sf_dir: str):
     """HTML → normalized text coercion (S9, non-stub; reference
     ``html_utils.py:96-150`` sanitize chain). Each document's text is

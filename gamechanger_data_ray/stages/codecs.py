@@ -407,3 +407,208 @@ def parse_wav(payload: bytes) -> tuple[int, np.ndarray]:
         raise ValueError("zero channels")
     n = len(s) // ch
     return int(rate), s[: n * ch].reshape(n, ch)
+
+
+# ---------------------------------------------------------------------------
+# GIF — animated GIF87a/89a encode + decode (the video-analog container:
+# a REAL compressed multi-frame format, so the decode → frame-sample →
+# resize pipeline runs on genuine LZW decompression, not a stub)
+# ---------------------------------------------------------------------------
+#
+# Subset (documented): global grayscale-capable color table, full frames
+# at (0,0) with no local color tables, no transparency/disposal
+# composition, non-interlaced encode (the parser handles interlaced
+# frames too). LZW is the standard GIF variant: LSB-first bit packing,
+# variable code width 3..12 bits, CLEAR/EOI codes, table reset at 4096.
+
+
+def _lzw_encode(indices: np.ndarray, min_code: int) -> bytes:
+    clear, eoi = 1 << min_code, (1 << min_code) + 1
+    out_bits: list[tuple[int, int]] = []  # (code, width)
+    code_size = min_code + 1
+    table: dict[tuple[int, int], int] = {}
+    next_code = eoi + 1
+    out_bits.append((clear, code_size))
+    it = iter(int(v) for v in indices)
+    cur = next(it)
+    for k in it:
+        if (cur, k) in table:
+            cur = table[(cur, k)]
+            continue
+        out_bits.append((cur, code_size))
+        table[(cur, k)] = next_code
+        next_code += 1
+        if next_code - 1 == (1 << code_size) - 1 and code_size < 12:
+            code_size += 1
+        elif next_code > 4095:
+            out_bits.append((clear, code_size))
+            table.clear()
+            code_size = min_code + 1
+            next_code = eoi + 1
+        cur = k
+    out_bits.append((cur, code_size))
+    out_bits.append((eoi, code_size))
+    # LSB-first bit pack
+    acc = n = 0
+    by = bytearray()
+    for code, width in out_bits:
+        acc |= code << n
+        n += width
+        while n >= 8:
+            by.append(acc & 0xFF)
+            acc >>= 8
+            n -= 8
+    if n:
+        by.append(acc & 0xFF)
+    return bytes(by)
+
+
+def _lzw_decode(data: bytes, min_code: int) -> np.ndarray:
+    clear, eoi = 1 << min_code, (1 << min_code) + 1
+    pos = 0  # bit cursor
+    total = len(data) * 8
+
+    def read(width: int) -> int:
+        nonlocal pos
+        if pos + width > total:
+            raise ValueError("LZW stream truncated")
+        byte0 = pos // 8
+        acc = int.from_bytes(data[byte0:byte0 + (pos % 8 + width + 7) // 8 + 1],
+                             "little")
+        v = (acc >> (pos % 8)) & ((1 << width) - 1)
+        pos += width
+        return v
+
+    literals = [bytes([c]) for c in range(1 << min_code)]
+    table: list[bytes] = []
+    code_size = min_code + 1
+    prev: bytes | None = None
+    out = bytearray()
+    while True:
+        code = read(code_size)
+        if code == clear:
+            table = list(literals) + [b"", b""]  # clear/eoi placeholders
+            code_size = min_code + 1
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if prev is None:
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+        elif code == len(table):
+            entry = prev + prev[:1]  # the KwKwK case
+        else:
+            raise ValueError(f"LZW code {code} out of range")
+        out += entry
+        if prev is not None:
+            table.append(prev + entry[:1])
+            if len(table) == (1 << code_size) - 1 and code_size < 12:
+                code_size += 1
+        prev = entry
+    return np.frombuffer(bytes(out), dtype=np.uint8)
+
+
+_GIF_INTERLACE = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def build_gif(frames: list[np.ndarray]) -> bytes:
+    """Encode full-frame RGB arrays (identical shapes, ≤256 distinct
+    colors across ALL frames) as an animated GIF89a. Deterministic:
+    palette is the sorted distinct colors; used to synthesize test/bench
+    corpora like ``build_pdf``/``build_ppm``/``build_wav``."""
+    import struct
+
+    if not frames:
+        raise ValueError("need at least one frame")
+    h, w = frames[0].shape[:2]
+    stack = np.stack([np.asarray(f, dtype=np.uint8) for f in frames])
+    flat = stack.reshape(-1, 3)
+    palette, inverse = np.unique(flat, axis=0, return_inverse=True)
+    if len(palette) > 256:
+        raise ValueError(f"{len(palette)} distinct colors (>256)")
+    bits = max(1, int(np.ceil(np.log2(max(2, len(palette))))))
+    gct = np.zeros((1 << bits, 3), dtype=np.uint8)
+    gct[: len(palette)] = palette
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", w, h)
+    out += bytes([0x80 | 0x70 | (bits - 1), 0, 0])
+    out += gct.tobytes()
+    min_code = max(2, bits)
+    idx_frames = inverse.reshape(len(frames), h * w)
+    for fi in range(len(frames)):
+        out += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + b"\x00"
+        out += bytes([min_code])
+        stream = _lzw_encode(idx_frames[fi], min_code)
+        for i in range(0, len(stream), 255):
+            chunk = stream[i:i + 255]
+            out += bytes([len(chunk)]) + chunk
+        out += b"\x00"
+    out += b"\x3b"
+    return bytes(out)
+
+
+def parse_gif(payload: bytes) -> list[np.ndarray]:
+    """Decode an animated GIF → list of full-frame RGB uint8 arrays.
+    Handles 87a/89a headers, extensions (skipped), local color tables,
+    interlaced frames; refuses partial-canvas frames (no composition in
+    this subset — the encoder above never writes them)."""
+    import struct
+
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    w, h = struct.unpack("<HH", payload[6:10])
+    packed, _bg, _aspect = payload[10], payload[11], payload[12]
+    off = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = np.frombuffer(payload, np.uint8, n * 3, off).reshape(n, 3)
+        off += n * 3
+    frames: list[np.ndarray] = []
+    while off < len(payload):
+        block = payload[off]
+        off += 1
+        if block == 0x3B:  # trailer
+            break
+        if block == 0x21:  # extension: label + sub-blocks
+            off += 1
+            while payload[off]:
+                off += 1 + payload[off]
+            off += 1
+            continue
+        if block != 0x2C:
+            raise ValueError(f"unexpected GIF block 0x{block:02x}")
+        left, top, fw, fh = struct.unpack("<HHHH", payload[off:off + 8])
+        fpacked = payload[off + 8]
+        off += 9
+        if (left, top, fw, fh) != (0, 0, w, h):
+            raise ValueError("partial-canvas frames unsupported (subset)")
+        ct = gct
+        if fpacked & 0x80:
+            n = 2 << (fpacked & 0x07)
+            ct = np.frombuffer(payload, np.uint8, n * 3, off).reshape(n, 3)
+            off += n * 3
+        if ct is None:
+            raise ValueError("frame has no color table")
+        min_code = payload[off]
+        off += 1
+        stream = bytearray()
+        while payload[off]:
+            ln = payload[off]
+            stream += payload[off + 1:off + 1 + ln]
+            off += 1 + ln
+        off += 1
+        idx = _lzw_decode(bytes(stream), min_code)
+        if len(idx) < fw * fh:
+            raise ValueError("LZW stream shorter than frame")
+        idx = idx[: fw * fh]
+        if fpacked & 0x40:  # interlaced: reorder rows per the 4-pass scheme
+            rows = np.empty(fh, dtype=np.int64)
+            srcs = np.concatenate(
+                [np.arange(start, fh, step) for start, step in _GIF_INTERLACE])
+            rows[srcs] = np.arange(fh)
+            idx = idx.reshape(fh, fw)[rows].reshape(-1)
+        frames.append(ct[idx].reshape(fh, fw, 3))
+    return frames

@@ -166,6 +166,42 @@ class PdfTextExtractor:
         )
 
 
+class GifFrameSampler:
+    """REAL video-analog stage: decode an animated GIF (true LZW
+    decompression, :func:`codecs.parse_gif`), keep every ``every_k``-th
+    frame, nearest-resize each kept frame to a thumbnail — the
+    decode → frame-sample → resize chain of a video pipeline, flat_map
+    shaped (one input row → one row per SAMPLED frame) with exact
+    integer pixel sums a SQL oracle can recompute. Payloads are decoded
+    once and never re-emitted."""
+
+    def __init__(self, every_k: int = 2, thumb_w: int = 4, thumb_h: int = 3):
+        self.every_k = every_k
+        self.thumb_w = thumb_w
+        self.thumb_h = thumb_h
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, fidx, nfs, sums, tbytes = [], [], [], [], []
+        for mid, payload in zip(batch["media_id"].to_pylist(),
+                                batch["payload"].to_pylist()):
+            frames = codecs.parse_gif(payload)
+            for f in range(0, len(frames), self.every_k):
+                thumb = codecs.resize_nearest(
+                    frames[f], self.thumb_w, self.thumb_h)
+                ids.append(mid)
+                fidx.append(f)
+                nfs.append(len(frames))
+                sums.append(int(frames[f][:, :, 0].astype(np.int64).sum()))
+                tbytes.append(len(codecs.build_ppm(thumb)))
+        return pa.table(
+            {"media_id": pa.array(ids, pa.int64()),
+             "frame_idx": pa.array(fidx, pa.int64()),
+             "n_frames": pa.array(nfs, pa.int64()),
+             "sum_v": pa.array(sums, pa.int64()),
+             "thumb_bytes": pa.array(tbytes, pa.int64())}
+        )
+
+
 class WavDecoder(Decoder):
     """REAL audio decode: RIFF/WAVE PCM → 8 genuine signal features
     (duration, rate, channels, RMS, peak, zero-crossing rate, DC mean,

@@ -293,3 +293,102 @@ def test_wav_decoder_features_match_signal_math():
     assert f[4] == pytest.approx(amp, rel=1e-3)              # peak
     assert f[5] == pytest.approx(2 * freq / rate, rel=0.02)  # ZCR of a sine
     assert abs(f[6]) < 1e-3                                  # no DC offset
+
+
+# --- GIF (animated, LZW) ------------------------------------------------------
+
+def _gray_frames(idx_frames, npal):
+    import numpy as np
+
+    out = []
+    for idx in idx_frames:
+        gray = (idx * (255 // max(1, npal - 1))).astype(np.uint8)
+        out.append(np.stack([gray, gray, gray], axis=2))
+    return out
+
+
+def test_gif_roundtrip_battery():
+    """Random / constant-run (KwKwK) / alternating index streams across
+    palette sizes, multi-frame, exact equality — including an 80x80
+    256-color frame that forces 12-bit code growth and a table reset."""
+    import numpy as np
+
+    from gamechanger_data_ray.stages import codecs as c
+
+    rng = np.random.default_rng(42)
+    cases = []
+    for npal in (2, 4, 16, 251, 256):
+        cases.append(_gray_frames([rng.integers(0, npal, (13, 17))
+                                   for _ in range(4)], npal))
+        cases.append(_gray_frames([np.full((9, 5), npal - 1)], npal))
+        cases.append(_gray_frames(
+            [np.indices((11, 7)).sum(axis=0) % npal], npal))
+    cases.append(_gray_frames([rng.integers(0, 256, (80, 80))], 256))
+    for frames in cases:
+        got = c.parse_gif(c.build_gif(frames))
+        assert len(got) == len(frames)
+        for a, b in zip(frames, got):
+            assert np.array_equal(a, b)
+
+
+def test_gif_parser_handles_interlace_and_extensions():
+    """A hand-spliced graphic-control extension is skipped; an
+    interlaced frame (encoder rows re-ordered per the 4-pass scheme +
+    interlace flag set) decodes back to the original."""
+    import numpy as np
+
+    from gamechanger_data_ray.stages import codecs as c
+
+    rng = np.random.default_rng(7)
+    frame = _gray_frames([rng.integers(0, 16, (16, 9))], 16)[0]
+    payload = c.build_gif([frame])
+    at = payload.index(b"\x2c")
+    gce = b"\x21\xf9\x04\x00\x00\x00\x00\x00"
+    with_ext = payload[:at] + gce + payload[at:]
+    assert np.array_equal(c.parse_gif(with_ext)[0], frame)
+
+    # interlaced variant: permute rows into pass order, set the flag
+    h = frame.shape[0]
+    order = np.concatenate(
+        [np.arange(s, h, st) for s, st in ((0, 8), (4, 8), (2, 4), (1, 2))])
+    inter = c.build_gif([frame[order]])
+    at = inter.index(b"\x2c")
+    inter = inter[:at + 9] + bytes([inter[at + 9] | 0x40]) + inter[at + 10:]
+    assert np.array_equal(c.parse_gif(inter)[0], frame)
+
+
+def test_gif_refuses_garbage_and_too_many_colors():
+    import numpy as np
+    import pytest
+
+    from gamechanger_data_ray.stages import codecs as c
+
+    with pytest.raises(ValueError, match="not a GIF"):
+        c.parse_gif(b"\x00" * 30)
+    i = np.arange(300, dtype=np.int64)  # 300 distinct (r, g, 0) triples
+    rgb = np.stack([i // 256, i % 256, np.zeros(300, dtype=np.int64)],
+                   axis=1).astype(np.uint8).reshape(10, 30, 3)
+    with pytest.raises(ValueError, match=">256"):
+        c.build_gif([rgb])
+
+
+def test_gif_frame_sampler_stage():
+    import numpy as np
+    import pyarrow as pa
+
+    from gamechanger_data_ray.stages import codecs as c
+    from gamechanger_data_ray.stages.multimodal import (
+        GifFrameSampler,
+        to_media_table,
+    )
+
+    rng = np.random.default_rng(3)
+    frames = _gray_frames([rng.integers(0, 64, (6, 8)) for _ in range(5)], 64)
+    batch = to_media_table([11], [c.build_gif(frames)], "image/gif")
+    out = GifFrameSampler(every_k=2, thumb_w=4, thumb_h=3)(batch).to_pylist()
+    assert [r["frame_idx"] for r in out] == [0, 2, 4]
+    assert all(r["n_frames"] == 5 for r in out)
+    for r in out:
+        f = frames[r["frame_idx"]]
+        assert r["sum_v"] == int(f[:, :, 0].astype(np.int64).sum())
+        assert r["thumb_bytes"] == len(c.build_ppm(c.resize_nearest(f, 4, 3)))
