@@ -27,7 +27,11 @@ approximate dedup face. Round 4 swapped dedup_simhash (rows-only;
 still module-registered with its pigeonhole/property pytest oracle)
 for docs_graph_edges — the typed MENTIONS/REFERENCES/
 HAS_AUTHORITY_OVER edge union (K11 depth), a third near-dup face
-traded for a fully SQL-oracled graph-writer green.
+traded for a fully SQL-oracled graph-writer green — and later swapped
+distinct_users_hll (rows-only; the ±bound property stays pytest-checked
+in its module) for multimodal_gif_frames, the REAL animated-GIF
+decode → frame-sample → resize video-analog with an exact integer
+DuckDB oracle, leaving dedup_minhash_lsh as the single rows-only face.
 
 Ray is initialised by the driver BEFORE this module is imported: nothing
 here calls ``ray.init()`` / ``ray.shutdown()``.
@@ -100,7 +104,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- incremental / sketches ---
         "events_checkpoint_incremental": I.events_checkpoint_incremental,
         "hash_antijoin_bloom": I.hash_antijoin_bloom,
-        "distinct_users_hll": I.distinct_users_hll,
         "hot_keys_countmin": I.hot_keys_countmin,
         # --- text analysis / dedup / similarity / multimodal ---
         "text_metrics": A.text_metrics,
@@ -114,6 +117,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_dedup_cosine": A.embedding_dedup_cosine,
         "multimodal_pdf_pages": A.multimodal_pdf_pages,
         "multimodal_ppm_stats": A.multimodal_ppm_stats,
+        "multimodal_gif_frames": A.multimodal_gif_frames,
         "docs_html_text": A.docs_html_text,
         "bm25_index_search": S.bm25_index_search,
         # --- relational / windowed / joins ---
@@ -155,8 +159,8 @@ def all_module_oracles() -> dict[str, str]:
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent SQL per REGISTERED query. Omitted only for
-    genuinely approximate ops — HLL distinct and the MinHash/SimHash
-    candidate-pair sets — which the driver records as rows-only checks;
+    genuinely approximate ops — currently just the MinHash-LSH
+    candidate-pair set — which the driver records as rows-only checks;
     those are verified against pure-python oracles in tests/. Exact ops
     that merely USE a sketch or an index (hot_keys_countmin's CMS-prune +
     exact-verify, ann_ivf's probe-all face, dedup_ngram_jaccard's

@@ -119,6 +119,7 @@ QUERY_NAMES = [
     "events_running_total_int",
     "docs_ocr_glyph",
     "docs_bpe_tokens",
+    "multimodal_gif_frames",
 ]
 
 
