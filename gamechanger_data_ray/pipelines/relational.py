@@ -1001,70 +1001,92 @@ def events_running_total_int(sf_dir: str):
     salted two-phase form is available). No whole-user group ever
     forms:
 
-    1. route-grouped per-(user, day) partial sums of the measure
-       (``m = event_id % 97 + 1``), one row per user-day;
-    2. per-user EXCLUSIVE prefix over its day rows (≤ days-spanned rows
-       per user — bounded regardless of volume) → the day carry;
-    3. carries co-shuffled back to the events on the (user, day) key
-       through ``bucketed_hash_join`` (one exchange);
-    4. route-grouped within-day cumsum + carry → the exact per-event
-       running value.
+    1. MAP-SIDE per-batch (user, day) partial sums of the measure
+       (``m = event_id % 97 + 1``) — a combiner, not a shuffle: each
+       batch emits at most its distinct user-days;
+    2. ONE small groupby over the partials (route-of-user) finishes the
+       day sums and takes each user's EXCLUSIVE prefix (≤ days-spanned
+       rows per user, bounded regardless of volume) → one carry row per
+       (user, day), stamped with that day's event route;
+    3. the carry rows are UNIONed with the events and ONE routed
+       groupby (route of (user, day)) delivers each carry to its day's
+       rows — within-day cumsum + carry is the exact running value.
 
-    Four bounded exchanges instead of the float version's single
-    whole-user groupby — the trade the 10^10-events-one-user case
-    demands, exercised by the skew gate in tests/test_cluster.py's
-    family."""
-    from .joins import bucketed_hash_join
-
+    One full-data exchange total (the float version's count) while
+    still never forming a whole-user group — the 10^10-events-one-user
+    case costs one day-bucket, exercised by the skew gate in
+    tests/test_cluster.py's family. Carries ride the SAME exchange as
+    the events (schema-aligned union) instead of a separate hash join:
+    at any scale the carry side is |user-days|, noise next to the
+    event volume it would otherwise co-shuffle."""
     ds = cm.read(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+    _cols = ["event_id", "user_id", "ts", "m", "_bucket", "_route",
+             "carry", "is_carry"]
 
     def prep(b: pd.DataFrame) -> pd.DataFrame:
         b = b.copy()
         b["m"] = (b["event_id"] % 97 + 1).astype("int64")
         b["_bucket"] = _day_bucket(b["ts"])
         b["_route"] = _route_of(b["user_id"], b["_bucket"])
-        return b
+        b["carry"] = np.int64(0)
+        b["is_carry"] = False
+        return b[_cols]
 
     events = ds.map_batches(prep, batch_format="pandas")
 
-    def day_partial(g: pd.DataFrame) -> pd.DataFrame:
-        out = (g.groupby(["user_id", "_bucket"], as_index=False, sort=False)
+    def day_partial(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["m"] = (b["event_id"] % 97 + 1).astype("int64")
+        b["_bucket"] = _day_bucket(b["ts"])
+        out = (b.groupby(["user_id", "_bucket"], as_index=False, sort=False)
                .agg(day_m=("m", "sum")))
-        out["_route"] = _route_of(out["user_id"])
+        out["_uroute"] = _route_of(out["user_id"])
         return out
 
-    days = events.groupby("_route").map_groups(day_partial, batch_format="pandas")
+    partials = ds.map_batches(day_partial, batch_format="pandas")
 
     def carry_route(g: pd.DataFrame) -> pd.DataFrame:
+        g = (g.groupby(["user_id", "_bucket"], as_index=False, sort=False)
+             .agg(day_m=("day_m", "sum")))
         g = g.sort_values(["user_id", "_bucket"])
         run = g.groupby("user_id", sort=False)["day_m"].cumsum()
-        return pd.DataFrame(
-            {"_k": g["user_id"].astype(str) + "|" + g["_bucket"].astype(str),
-             "carry": (run - g["day_m"]).astype("int64")}
+        out = pd.DataFrame(
+            {"event_id": np.int64(-1),
+             "user_id": g["user_id"].astype("int64"),
+             "ts": pd.Timestamp(0),
+             "m": np.int64(0),
+             "_bucket": g["_bucket"].astype("int64"),
+             "_route": _route_of(g["user_id"], g["_bucket"]),
+             "carry": (run - g["day_m"]).astype("int64").to_numpy(),
+             "is_carry": True}
         )
+        return out[_cols]
 
-    carries = days.groupby("_route").map_groups(carry_route, batch_format="pandas")
-
-    def keyed(b: pd.DataFrame) -> pd.DataFrame:
-        b = b.copy()
-        b["_k"] = b["user_id"].astype(str) + "|" + b["_bucket"].astype(str)
-        return b[["event_id", "user_id", "ts", "m", "_k", "_route"]]
-
-    joined = bucketed_hash_join(
-        events.map_batches(keyed, batch_format="pandas"), carries,
-        on="_k", num_buckets=32,
-    )
+    carries = partials.groupby("_uroute").map_groups(
+        carry_route, batch_format="pandas")
 
     def finish(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["_k", "ts", "event_id"])
-        running = g.groupby("_k", sort=False)["m"].cumsum()
+        c = g[g["is_carry"]]
+        e = g[~g["is_carry"]]
+        if e.empty:
+            return pd.DataFrame(
+                {"event_id": pd.Series(dtype="int64"),
+                 "user_id": pd.Series(dtype="int64"),
+                 "running_m": pd.Series(dtype="int64")})
+        e = e.sort_values(["user_id", "_bucket", "ts", "event_id"])
+        run = e.groupby(["user_id", "_bucket"], sort=False)["m"].cumsum()
+        cmap = c.set_index(["user_id", "_bucket"])["carry"]
+        carry = cmap.reindex(
+            pd.MultiIndex.from_arrays([e["user_id"], e["_bucket"]])
+        ).fillna(0).to_numpy()
         return pd.DataFrame(
-            {"event_id": g["event_id"],
-             "user_id": g["user_id"],
-             "running_m": (running + g["carry"]).astype("int64")}
+            {"event_id": e["event_id"].to_numpy(),
+             "user_id": e["user_id"].to_numpy(),
+             "running_m": (run.to_numpy() + carry).astype("int64")}
         )
 
-    return joined.groupby("_route").map_groups(finish, batch_format="pandas")
+    return events.union(carries).groupby("_route").map_groups(
+        finish, batch_format="pandas")
 
 
 ORACLES["events_running_total_int"] = """
