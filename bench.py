@@ -120,6 +120,7 @@ QUERY_NAMES = [
     "docs_ocr_glyph",
     "docs_bpe_tokens",
     "multimodal_gif_frames",
+    "corpus_clean_pipeline",
 ]
 
 

@@ -181,6 +181,172 @@ FROM corpus GROUP BY sha256(text)
 """
 
 
+# ---------------------------------------------------------------------------
+# Composed corpus-cleaning preset — the end-to-end pre-tokenization chain
+# ---------------------------------------------------------------------------
+
+# the text_normalize chain as a DuckDB expression (tokens.py ORACLE), kept
+# as a template so the composed oracle below normalizes identically
+_NORM_SQL = (
+    r"regexp_replace(regexp_replace(replace(trim(regexp_replace({c}, "
+    r"'\s+', ' ', 'g')), " + "'\"', '''')" + r", '[^\w\- .()]', '_', 'g'), "
+    r"'_+', '_', 'g')"
+)
+
+
+def corpus_clean_pipeline(
+    sf_dir: str,
+    min_words: int = 30,
+    max_stopword_ratio: float = 0.25,
+    probe_words: int = 8,
+):
+    """The composed pre-tokenization cleaning pipeline a training-data
+    user runs end-to-end before tokenize/pack (the reference runs these
+    as separate sequential jobs: normalization ``common/utils/
+    text_utils.py``, quality gating, dedup ``rpa/rpa_landing_zone_mover
+    .py:100-129``): normalize → quality filter → benchmark
+    decontamination → exact dedup keeping the lowest doc_id, over the
+    dup-seeded corpus.
+
+    Scale shape: ONE full-data exchange total (the dedup finish).
+    Normalize / quality / decontaminate / hash run as a single fused
+    actor-pool map over Arrow batches — probe set broadcast once per
+    actor, stopword set built in ``__init__`` — and the per-batch
+    min-per-hash combiner runs map-side, so low-quality and contaminated
+    rows are dropped BEFORE the shuffle and at most one candidate row
+    per (hash, batch) enters it. Cleaning cost is O(corpus) map work +
+    O(survivors) shuffle bytes."""
+    from ..core.hashing import sha256_hex
+    from ..functions import text_utils as tx
+
+    _norm_chain = (
+        tx.squash_whitespace,
+        tx.double_to_single_quotes,
+        tx.bad_chars_to_underscores,
+        tx.squash_underscores,
+    )
+
+    docs = cm.read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def to_probes(t: pa.Table) -> pa.Table:
+        did = t["doc_id"].to_numpy(zero_copy_only=False)
+        sub = t.filter(pa.array(did % 97 == 0))
+        norm = tx.chain_apply(sub["text"], *_norm_chain)
+        words = pc.split_pattern(norm, " ")
+        probe = pc.binary_join(pc.list_slice(words, 0, probe_words), " ")
+        return pa.table({"probe": probe})
+
+    # the eval benchmark is SMALL by construction → driver-collected once,
+    # broadcast via ray.put (the docs_decontaminate pattern)
+    probes = sorted(
+        set(docs.map_batches(to_probes, batch_format="pyarrow").to_pandas()["probe"])
+    )
+    probes_ref = cm.broadcast(probes)
+
+    _empty = pd.DataFrame(
+        {
+            "content_hash": pd.Series(dtype="object"),
+            "doc_id": pd.Series(dtype="int64"),
+            "n_words": pd.Series(dtype="int64"),
+        }
+    )
+
+    class Cleaner:
+        """Fused normalize + quality + decontaminate + hash + combiner."""
+
+        def __init__(self):
+            self.by_len: dict[int, set[str]] = {}
+            for p in ray.get(probes_ref):
+                self.by_len.setdefault(len(p.split(" ")), set()).add(p)
+            self.stops = frozenset(STOPWORDS)
+
+        def __call__(self, t: pa.Table) -> pd.DataFrame:
+            norm = tx.chain_apply(t["text"], *_norm_chain)
+            norm = norm.combine_chunks() if isinstance(norm, pa.ChunkedArray) else norm
+            words = pc.split_pattern(norm, " ")
+            words = (
+                words.combine_chunks() if isinstance(words, pa.ChunkedArray) else words
+            )
+            n = len(norm)
+            flat = np.asarray(words.flatten(), dtype=object)
+            offsets = np.asarray(words.offsets, dtype=np.int64)
+            offsets = offsets - offsets[0]  # sliced ListArray offsets rebase
+            n_words = np.diff(offsets)
+            doc_of = np.repeat(np.arange(n), n_words)
+            stop_counts = np.zeros(n, dtype=np.int64)
+            np.add.at(stop_counts, doc_of, pd.Series(flat).isin(self.stops).to_numpy())
+            keep = (n_words >= min_words) & (
+                stop_counts / n_words <= max_stopword_ratio
+            )
+            # decontamination: vectorized word-window probe match per
+            # distinct probe length (the docs_decontaminate matcher)
+            contam = np.zeros(n, dtype=bool)
+            for L, pset in self.by_len.items():
+                if len(flat) < L:
+                    continue
+                win_doc = doc_of[: len(flat) - L + 1]
+                ok = doc_of[L - 1 :] == win_doc
+                grams = pd.Series(flat[: len(flat) - L + 1])
+                for j in range(1, L):
+                    grams = grams + " " + pd.Series(flat[j : len(flat) - L + 1 + j])
+                m = ok & grams.isin(pset).to_numpy()
+                contam[win_doc[m]] = True
+            keep &= ~contam
+            if not keep.any():
+                return _empty.copy()
+            kmask = pa.array(keep)
+            out = pd.DataFrame(
+                {
+                    "content_hash": sha256_hex(norm.filter(kmask).to_pylist()),
+                    "doc_id": t["doc_id"].to_numpy(zero_copy_only=False)[keep],
+                    "n_words": n_words[keep],
+                }
+            )
+            # combiner: one candidate per hash per batch; n_words is a
+            # function of the (identical) text within a hash group, so
+            # min is exact
+            return (
+                out.groupby("content_hash", as_index=False)
+                .agg(doc_id=("doc_id", "min"), n_words=("n_words", "min"))
+                .astype({"doc_id": "int64", "n_words": "int64"})
+            )
+
+    hashed = _with_exact_copies(sf_dir).map_batches(
+        Cleaner, batch_format="pyarrow", concurrency=(1, cm.pool_size())
+    )
+    return cm.routed_grouped_agg(
+        hashed, ["content_hash"], {"doc_id": "min", "n_words": "min"}
+    )
+
+
+ORACLES["corpus_clean_pipeline"] = f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 5 = 0
+),
+norm AS (SELECT doc_id, {_NORM_SQL.format(c='text')} AS text_norm FROM corpus),
+quality AS (
+  SELECT doc_id, text_norm,
+         len(string_split(text_norm, ' ')) AS n_words,
+         len(list_filter(string_split(text_norm, ' '), x -> x IN ({_STOPLIST_SQL})))
+           / CAST(len(string_split(text_norm, ' ')) AS DOUBLE) AS swr
+  FROM norm),
+bench AS (
+  SELECT DISTINCT array_to_string(
+      (string_split({_NORM_SQL.format(c='text')}, ' '))[1:8], ' ') AS probe
+  FROM documents WHERE doc_id % 97 = 0),
+kept AS (
+  SELECT q.doc_id, q.text_norm, q.n_words FROM quality q
+  WHERE q.n_words >= 30 AND q.swr <= 0.25
+    AND NOT EXISTS (SELECT 1 FROM bench b
+      WHERE contains(' ' || q.text_norm || ' ', ' ' || b.probe || ' ')))
+SELECT sha256(text_norm) AS content_hash, MIN(doc_id) AS doc_id,
+       MIN(n_words) AS n_words
+FROM kept GROUP BY sha256(text_norm)
+"""
+
+
 def _verified_minhash_pairs(sigs: ray.data.Dataset, tau: float) -> pd.DataFrame:
     """DISTRIBUTED signature-verify tail shared by the MinHash queries:
     band rows CARRY the packed signature (binary 512 B) into the ONE
