@@ -361,18 +361,40 @@ def main(argv: list[str] | None = None) -> int:
                     help="document id; repeatable")
 
     rg = sub.add_parser("replay-gated", help="tail-and-apply with ingest-time "
-                                             "near-dup suppression: screen each "
+                                             "dup suppression: screen each "
                                              "epoch against the maintained index,"
                                              " quarantine matches, apply the rest")
     rg.add_argument("--changelog", required=True)
     rg.add_argument("--table", required=True)
-    rg.add_argument("--view", required=True, help="near-dup index state dir")
+    rg.add_argument("--view", required=True, help="dup index state dir")
+    rg.add_argument("--mode", choices=["neardup", "exact"], default="neardup",
+                    help="neardup = MinHash-LSH + exact-Jaccard confirm; "
+                         "exact = sha256 content-hash postings")
     rg.add_argument("--partitions", type=int, default=32)
     rg.add_argument("--threshold", type=float, default=0.5)
     rg.add_argument("--shingle", type=int, default=5)
     rg.add_argument("--tokens-column", default="tokens")
     rg.add_argument("--key-column", default="doc_id")
     rg.add_argument("--max-candidates", type=int, default=500)
+
+    di = sub.add_parser("dedup-view", help="build/refresh the incrementally-"
+                                           "maintained exact-dup content-hash "
+                                           "index (sha256 postings view)")
+    di.add_argument("--table", required=True)
+    di.add_argument("--view", required=True, help="index state dir")
+    di.add_argument("--tokens-column", default="tokens")
+    di.add_argument("--key-column", default="doc_id")
+    di.add_argument("--partitions", type=int, default=8)
+
+    dq = sub.add_parser("dedup-search", help="exact twins of committed docs "
+                                             "via the maintained content-hash "
+                                             "index")
+    dq.add_argument("--table", required=True)
+    dq.add_argument("--view", required=True)
+    dq.add_argument("--doc-id", required=True, action="append",
+                    help="probe document id; repeatable")
+    dq.add_argument("--tokens-column", default="tokens")
+    dq.add_argument("--key-column", default="doc_id")
 
     nq = sub.add_parser("neardup-search", help="near-duplicates of committed "
                                                "docs via the maintained index "
@@ -411,7 +433,7 @@ def main(argv: list[str] | None = None) -> int:
     sb.add_argument("--table", required=True)
     sb.add_argument("--kind", required=True,
                     choices=["agg", "inverted", "ann", "bm25", "relay",
-                             "neardup", "edges"])
+                             "neardup", "edges", "dedup"])
     sb.add_argument("--target", required=True, help="subscriber state dir")
     sb.add_argument("--params", default="{}", help="kind-specific JSON params")
 
@@ -851,8 +873,29 @@ def main(argv: list[str] | None = None) -> int:
                 num_partitions=args.partitions, threshold=args.threshold,
                 k=args.shingle, tokens_column=args.tokens_column,
                 key_column=args.key_column, max_candidates=args.max_candidates,
+                mode=args.mode,
             )
             print(json.dumps(out))
+        elif args.cmd == "dedup-view":
+            from gamechanger_data_ray.engine.dedup_index import content_index_view
+            from gamechanger_data_ray.engine.views import refresh
+
+            m = refresh(
+                content_index_view(tokens_column=args.tokens_column,
+                                   key_column=args.key_column),
+                args.view, args.table, num_partitions=args.partitions,
+            )
+            print(json.dumps(
+                {"epoch": m.epoch if m else None,
+                 "mode": m.epoch_counters.get("mode") if m else "current",
+                 "postings": m.totals.get("rows") if m else None}))
+        elif args.cmd == "dedup-search":
+            from gamechanger_data_ray.engine.dedup_index import dup_search
+
+            t = dup_search(args.view, args.table, args.doc_id,
+                           tokens_column=args.tokens_column,
+                           key_column=args.key_column)
+            print(json.dumps({"probes": args.doc_id, "results": t.to_pylist()}))
         elif args.cmd == "neardup-search":
             from gamechanger_data_ray.engine.neardup_index import neardup_search
 

@@ -55,6 +55,7 @@ from ..stages.dedup import TokenMinHasher, token_shingle_jaccard
 from ..state import manifest as mf
 from ..state.fs import StorageAdapter, default_fs
 from .cdc import apply_events_dataset, read_keys
+from .dedup_index import HASH_COLUMN, content_hashes, content_index_view
 from .neardup_index import _band_buckets, neardup_index_view
 from .views import lookup_terms, refresh
 
@@ -63,9 +64,23 @@ MATCH_COLUMN = "neardup_of"
 JACCARD_COLUMN = "neardup_jaccard"
 
 
+def _gate_view_def(mode: str, *, k: int, seed: int, tokens_column: str,
+                   key_column: str):
+    """The maintained index the gate screens against and refreshes:
+    ``neardup`` = MinHash-LSH band postings (+ exact-Jaccard confirm),
+    ``exact`` = sha256 content-hash postings (no confirm needed)."""
+    if mode == "exact":
+        return content_index_view(tokens_column=tokens_column,
+                                  key_column=key_column)
+    if mode == "neardup":
+        return neardup_index_view(tokens_column=tokens_column,
+                                  key_column=key_column, k=k, seed=seed)
+    raise ValueError(f"unknown gate mode {mode!r} (expected 'neardup' or 'exact')")
+
+
 def _check_view(view_dir: str, table_dir: str, *, k: int, seed: int,
                 tokens_column: str, key_column: str,
-                fs: StorageAdapter) -> mf.TableManifest | None:
+                fs: StorageAdapter, mode: str = "neardup") -> mf.TableManifest | None:
     """The same signature + staleness guards as ``neardup_search``:
     a k/seed/column mismatch or a lagging index must refuse loudly, not
     silently collapse recall. Returns the view manifest, or None when
@@ -73,8 +88,9 @@ def _check_view(view_dir: str, table_dir: str, *, k: int, seed: int,
     cur_view = mf.load_current(view_dir, fs)
     if cur_view is None:
         return None
-    expect_sig = neardup_index_view(
-        tokens_column=tokens_column, key_column=key_column, k=k, seed=seed
+    expect_sig = _gate_view_def(
+        mode, k=k, seed=seed, tokens_column=tokens_column,
+        key_column=key_column,
     ).signature()
     got_sig = cur_view.epoch_counters.get("view_sig")
     if got_sig != expect_sig:
@@ -172,6 +188,59 @@ class NearDupScreen:
         )
 
 
+class ExactDupScreen:
+    """Actor-pool stage: annotate each incoming event with its committed
+    EXACT duplicate (identical token payload), via the maintained
+    content-hash index (``engine/dedup_index.py``). sha256 decides at
+    the postings row, so the stage is a single routed postings lookup
+    per batch — no candidate point-fetch, no verify. Matches report
+    ``neardup_jaccard = 1.0`` (an exact dup IS Jaccard 1.0), so the
+    quarantine/commit plumbing downstream is shared verbatim with the
+    near-dup mode."""
+
+    def __init__(self, view_dir: str, *, tokens_column: str, key_column: str):
+        self.view_dir = view_dir
+        self.tokens_column = tokens_column
+        self.key_column = key_column
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        match = np.full(n, None, dtype=object)
+
+        toks = batch[self.tokens_column]
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        screen_mask = pc.and_(
+            toks.is_valid(), pc.not_equal(batch["op"], "D")
+        ).to_numpy(zero_copy_only=False)
+        idx = np.flatnonzero(screen_mask)
+        if idx.size:
+            sub = batch.take(pa.array(idx))
+            keys = sub[self.key_column].to_pylist()
+            hashes = content_hashes(sub[self.tokens_column]).to_pylist()
+            postings = lookup_terms(self.view_dir, sorted(set(hashes)))
+            if postings.num_rows:
+                by_hash: dict[str, list[str]] = {}
+                for h, key in zip(postings[HASH_COLUMN].to_pylist(),
+                                  postings[self.key_column].to_pylist()):
+                    by_hash.setdefault(h, []).append(key)
+                for qi, row_i in enumerate(idx):
+                    # a row whose only committed twin is ITSELF (an
+                    # update re-upload) is never suppressed
+                    twins = sorted(d for d in by_hash.get(hashes[qi], ())
+                                   if d != keys[qi])
+                    if twins:
+                        match[row_i] = twins[0]
+
+        matched = pa.array(match.tolist(), pa.string())
+        out = batch.append_column(MATCH_COLUMN, matched)
+        return out.append_column(
+            JACCARD_COLUMN,
+            pc.if_else(matched.is_valid(), pa.scalar(1.0, pa.float64()),
+                       pa.nulls(n, pa.float64())),
+        )
+
+
 def screen_events(
     events_ds: ray.data.Dataset,
     table_dir: str,
@@ -185,6 +254,7 @@ def screen_events(
     max_candidates: int = 500,
     concurrency=(1, 8),
     batch_size: int = 4096,
+    mode: str = "neardup",
     fs: StorageAdapter | None = None,
 ) -> ray.data.Dataset:
     """Annotate an incoming change-event Dataset with committed near-dup
@@ -200,13 +270,24 @@ def screen_events(
     fs = default_fs(fs)
     cur_view = _check_view(view_dir, table_dir, k=k, seed=seed,
                            tokens_column=tokens_column,
-                           key_column=key_column, fs=fs)
+                           key_column=key_column, fs=fs, mode=mode)
     if cur_view is None or not cur_view.partitions:
         def passthrough(batch: pa.Table) -> pa.Table:
             n = batch.num_rows
             out = batch.append_column(MATCH_COLUMN, pa.nulls(n, pa.string()))
             return out.append_column(JACCARD_COLUMN, pa.nulls(n, pa.float64()))
         return events_ds.map_batches(passthrough, batch_format="pyarrow")
+    if mode == "exact":
+        return events_ds.map_batches(
+            ExactDupScreen,
+            fn_constructor_kwargs=dict(
+                view_dir=view_dir, tokens_column=tokens_column,
+                key_column=key_column,
+            ),
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            concurrency=concurrency,
+        )
     return events_ds.map_batches(
         NearDupScreen,
         fn_constructor_kwargs=dict(
@@ -257,6 +338,7 @@ def apply_with_neardup_gate(
     max_candidates: int = 500,
     merge_policy: str = "rewrite",
     exchange: str = "staged",
+    mode: str = "neardup",
     fs: StorageAdapter | None = None,
 ) -> dict:
     """Screen → quarantine → apply → refresh, as one ingest step:
@@ -277,7 +359,7 @@ def apply_with_neardup_gate(
     annotated = screen_events(
         events_ds, table_dir, view_dir, threshold=threshold, k=k, seed=seed,
         tokens_column=tokens_column, key_column=key_column,
-        max_candidates=max_candidates, fs=fs,
+        max_candidates=max_candidates, mode=mode, fs=fs,
     ).materialize()
 
     def keep_clean(t: pa.Table) -> pa.Table:
@@ -301,8 +383,8 @@ def apply_with_neardup_gate(
         num_partitions=num_partitions, merge_policy=merge_policy,
         exchange=exchange, fs=fs,
     )
-    view = neardup_index_view(tokens_column=tokens_column,
-                              key_column=key_column, k=k, seed=seed)
+    view = _gate_view_def(mode, k=k, seed=seed, tokens_column=tokens_column,
+                          key_column=key_column)
     refresh(view, view_dir, table_dir, num_partitions=num_partitions, fs=fs)
     applied = int(m.epoch_counters.get("events_in", 0)) if m is not None else 0
     return {"epoch": epoch, "suppressed": int(n_sup), "applied": applied,
@@ -322,6 +404,7 @@ def replay_gated(
     key_column: str = "doc_id",
     max_candidates: int = 500,
     merge_policy: str = "rewrite",
+    mode: str = "neardup",
     fs: StorageAdapter | None = None,
 ) -> dict:
     """Tail-and-apply with the near-dup gate: every ready epoch past the
@@ -348,7 +431,8 @@ def replay_gated(
             events, table_dir, view_dir, e, incoming,
             num_partitions=num_partitions, threshold=threshold, k=k,
             seed=seed, tokens_column=tokens_column, key_column=key_column,
-            max_candidates=max_candidates, merge_policy=merge_policy, fs=fs,
+            max_candidates=max_candidates, merge_policy=merge_policy,
+            mode=mode, fs=fs,
         )
         total_sup += r["suppressed"]
         total_applied += r["applied"]

@@ -37,7 +37,7 @@ from ..state.fs import StorageAdapter, default_fs
 
 SUBS_FILE = "_subscriptions.json"
 
-_KINDS = ("agg", "inverted", "ann", "bm25", "relay", "neardup", "edges")
+_KINDS = ("agg", "inverted", "ann", "bm25", "relay", "neardup", "edges", "dedup")
 
 
 def _subs_path(table_dir: str) -> str:
@@ -161,6 +161,11 @@ def _sync_one(table_dir: str, sub: dict, fs: StorageAdapter) -> dict:
                                   key_column=p.get("key_column", "doc_id"),
                                   k=int(p.get("k", 5)),
                                   seed=int(p.get("seed", 1234)))
+    elif kind == "dedup":
+        from .dedup_index import content_index_view
+
+        view = content_index_view(tokens_column=p.get("tokens_column", "tokens"),
+                                  key_column=p.get("key_column", "doc_id"))
     elif kind == "edges":
         from .edge_view import typed_edge_view
 
