@@ -366,16 +366,25 @@ def main(argv: list[str] | None = None) -> int:
                                              " quarantine matches, apply the rest")
     rg.add_argument("--changelog", required=True)
     rg.add_argument("--table", required=True)
-    rg.add_argument("--view", required=True, help="dup index state dir")
-    rg.add_argument("--mode", choices=["neardup", "exact"], default="neardup",
+    rg.add_argument("--view", default=None,
+                    help="dup index state dir (required for neardup/exact)")
+    rg.add_argument("--mode", choices=["neardup", "exact", "quality"],
+                    default="neardup",
                     help="neardup = MinHash-LSH + exact-Jaccard confirm; "
-                         "exact = sha256 content-hash postings")
+                         "exact = sha256 content-hash postings; quality = "
+                         "stateless Gopher-rule screen (no index)")
     rg.add_argument("--partitions", type=int, default=32)
     rg.add_argument("--threshold", type=float, default=0.5)
     rg.add_argument("--shingle", type=int, default=5)
     rg.add_argument("--tokens-column", default="tokens")
     rg.add_argument("--key-column", default="doc_id")
     rg.add_argument("--max-candidates", type=int, default=500)
+    rg.add_argument("--min-tok", type=int, default=5,
+                    help="quality mode: minimum payload length")
+    rg.add_argument("--max-tok", type=int, default=None,
+                    help="quality mode: maximum payload length (unset = none)")
+    rg.add_argument("--max-top-frac", type=float, default=0.2,
+                    help="quality mode: max most-frequent-token fraction")
 
     di = sub.add_parser("dedup-view", help="build/refresh the incrementally-"
                                            "maintained exact-dup content-hash "
@@ -868,12 +877,16 @@ def main(argv: list[str] | None = None) -> int:
         elif args.cmd == "replay-gated":
             from gamechanger_data_ray.engine.ingest_gate import replay_gated
 
+            if args.mode != "quality" and not args.view:
+                raise SystemExit("replay-gated: --view is required for "
+                                 f"mode={args.mode!r}")
             out = replay_gated(
                 args.changelog, args.table, args.view,
                 num_partitions=args.partitions, threshold=args.threshold,
                 k=args.shingle, tokens_column=args.tokens_column,
                 key_column=args.key_column, max_candidates=args.max_candidates,
-                mode=args.mode,
+                mode=args.mode, min_tok=args.min_tok, max_tok=args.max_tok,
+                max_top_frac=args.max_top_frac,
             )
             print(json.dumps(out))
         elif args.cmd == "dedup-view":

@@ -68,14 +68,19 @@ def _gate_view_def(mode: str, *, k: int, seed: int, tokens_column: str,
                    key_column: str):
     """The maintained index the gate screens against and refreshes:
     ``neardup`` = MinHash-LSH band postings (+ exact-Jaccard confirm),
-    ``exact`` = sha256 content-hash postings (no confirm needed)."""
+    ``exact`` = sha256 content-hash postings (no confirm needed),
+    ``quality`` = None (stateless Gopher-rule screen — nothing to
+    maintain)."""
     if mode == "exact":
         return content_index_view(tokens_column=tokens_column,
                                   key_column=key_column)
     if mode == "neardup":
         return neardup_index_view(tokens_column=tokens_column,
                                   key_column=key_column, k=k, seed=seed)
-    raise ValueError(f"unknown gate mode {mode!r} (expected 'neardup' or 'exact')")
+    if mode == "quality":
+        return None
+    raise ValueError(
+        f"unknown gate mode {mode!r} (expected 'neardup', 'exact' or 'quality')")
 
 
 def _check_view(view_dir: str, table_dir: str, *, k: int, seed: int,
@@ -241,10 +246,74 @@ class ExactDupScreen:
         )
 
 
+class QualityScreen:
+    """Stateless actor-pool stage: annotate each incoming event with a
+    quality-rejection reason — the Gopher/C4-style ingest rules applied
+    to the token payload:
+
+    - ``n_tok < min_tok`` (or ``> max_tok`` when set): degenerate or
+      runaway payloads;
+    - most-frequent-token fraction ``> max_top_frac``: repetition
+      collapse (the ``docs_repetition`` keep-rule, applied at ingest).
+
+    No index, no reads — pure per-batch vectorized compute, so this
+    screen costs O(incoming epoch) map work and nothing else. In quality
+    mode ``MATCH_COLUMN`` carries the human-readable REASON (there is no
+    committed twin) and the jaccard column stays null."""
+
+    def __init__(self, *, tokens_column: str, min_tok: int,
+                 max_tok: int | None, max_top_frac: float):
+        self.tokens_column = tokens_column
+        self.min_tok = min_tok
+        self.max_tok = max_tok
+        self.max_top_frac = max_top_frac
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        n = batch.num_rows
+        reason = np.full(n, None, dtype=object)
+
+        toks = batch[self.tokens_column]
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        screen_mask = pc.and_(
+            toks.is_valid(), pc.not_equal(batch["op"], "D")
+        ).to_numpy(zero_copy_only=False)
+        idx = np.flatnonzero(screen_mask)
+        if idx.size:
+            sub = toks.take(pa.array(idx))
+            offsets = np.asarray(sub.offsets, dtype=np.int64)
+            lens = np.diff(offsets)
+            values = np.asarray(sub.values, dtype=np.int64)
+            doc_of = np.repeat(np.arange(len(idx)), lens)
+            mx = (
+                pd.DataFrame({"d": doc_of, "t": values})
+                .groupby(["d", "t"], sort=False).size()
+                .groupby(level=0).max()
+                .reindex(range(len(idx)), fill_value=0)
+                .to_numpy()
+            )
+            top_frac = mx / np.maximum(lens, 1)
+            for qi, row_i in enumerate(idx):
+                if lens[qi] < self.min_tok:
+                    reason[row_i] = f"quality:n_tok={lens[qi]}<{self.min_tok}"
+                elif self.max_tok is not None and lens[qi] > self.max_tok:
+                    reason[row_i] = f"quality:n_tok={lens[qi]}>{self.max_tok}"
+                elif top_frac[qi] > self.max_top_frac:
+                    reason[row_i] = (
+                        f"quality:top_token_frac={top_frac[qi]:.3f}"
+                        f">{self.max_top_frac}")
+
+        out = batch.append_column(MATCH_COLUMN,
+                                  pa.array(reason.tolist(), pa.string()))
+        return out.append_column(JACCARD_COLUMN, pa.nulls(n, pa.float64()))
+
+
 def screen_events(
     events_ds: ray.data.Dataset,
     table_dir: str,
-    view_dir: str,
+    view_dir: str | None,
     *,
     threshold: float = 0.5,
     k: int = 5,
@@ -255,6 +324,9 @@ def screen_events(
     concurrency=(1, 8),
     batch_size: int = 4096,
     mode: str = "neardup",
+    min_tok: int = 5,
+    max_tok: int | None = None,
+    max_top_frac: float = 0.2,
     fs: StorageAdapter | None = None,
 ) -> ray.data.Dataset:
     """Annotate an incoming change-event Dataset with committed near-dup
@@ -268,6 +340,18 @@ def screen_events(
     for skinny token payloads, lower it only if probe-token memory
     binds. Measurements in BASELINE.md."""
     fs = default_fs(fs)
+    if mode == "quality":
+        # stateless: no index to check, screens even a fresh table
+        return events_ds.map_batches(
+            QualityScreen,
+            fn_constructor_kwargs=dict(
+                tokens_column=tokens_column, min_tok=min_tok,
+                max_tok=max_tok, max_top_frac=max_top_frac,
+            ),
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            concurrency=concurrency,
+        )
     cur_view = _check_view(view_dir, table_dir, k=k, seed=seed,
                            tokens_column=tokens_column,
                            key_column=key_column, fs=fs, mode=mode)
@@ -325,7 +409,7 @@ def _write_quarantine(quarantined: ray.data.Dataset, table_dir: str,
 def apply_with_neardup_gate(
     events_ds: ray.data.Dataset,
     table_dir: str,
-    view_dir: str,
+    view_dir: str | None,
     epoch: int,
     incoming_schema: pa.Schema,
     *,
@@ -339,6 +423,9 @@ def apply_with_neardup_gate(
     merge_policy: str = "rewrite",
     exchange: str = "staged",
     mode: str = "neardup",
+    min_tok: int = 5,
+    max_tok: int | None = None,
+    max_top_frac: float = 0.2,
     fs: StorageAdapter | None = None,
 ) -> dict:
     """Screen → quarantine → apply → refresh, as one ingest step:
@@ -359,7 +446,8 @@ def apply_with_neardup_gate(
     annotated = screen_events(
         events_ds, table_dir, view_dir, threshold=threshold, k=k, seed=seed,
         tokens_column=tokens_column, key_column=key_column,
-        max_candidates=max_candidates, mode=mode, fs=fs,
+        max_candidates=max_candidates, mode=mode, min_tok=min_tok,
+        max_tok=max_tok, max_top_frac=max_top_frac, fs=fs,
     ).materialize()
 
     def keep_clean(t: pa.Table) -> pa.Table:
@@ -374,7 +462,11 @@ def apply_with_neardup_gate(
     n_sup = suppressed.count()
     qdir = None
     if n_sup:
-        audit_cols = [c for c in suppressed.schema().names if c != tokens_column]
+        # dup modes drop the payload (the surviving committed twin holds
+        # the content); a quality rejection has NO committed twin, so its
+        # payload must ride into quarantine or the data is gone for good
+        audit_cols = [c for c in suppressed.schema().names
+                      if c != tokens_column or mode == "quality"]
         qdir = _write_quarantine(suppressed.select_columns(audit_cols),
                                  table_dir, epoch)
 
@@ -385,7 +477,8 @@ def apply_with_neardup_gate(
     )
     view = _gate_view_def(mode, k=k, seed=seed, tokens_column=tokens_column,
                           key_column=key_column)
-    refresh(view, view_dir, table_dir, num_partitions=num_partitions, fs=fs)
+    if view is not None:  # quality mode maintains no index
+        refresh(view, view_dir, table_dir, num_partitions=num_partitions, fs=fs)
     applied = int(m.epoch_counters.get("events_in", 0)) if m is not None else 0
     return {"epoch": epoch, "suppressed": int(n_sup), "applied": applied,
             "quarantine_dir": qdir}
@@ -394,7 +487,7 @@ def apply_with_neardup_gate(
 def replay_gated(
     changelog_dir: str,
     table_dir: str,
-    view_dir: str,
+    view_dir: str | None,
     num_partitions: int = 32,
     *,
     threshold: float = 0.5,
@@ -405,6 +498,9 @@ def replay_gated(
     max_candidates: int = 500,
     merge_policy: str = "rewrite",
     mode: str = "neardup",
+    min_tok: int = 5,
+    max_tok: int | None = None,
+    max_top_frac: float = 0.2,
     fs: StorageAdapter | None = None,
 ) -> dict:
     """Tail-and-apply with the near-dup gate: every ready epoch past the
@@ -432,7 +528,8 @@ def replay_gated(
             num_partitions=num_partitions, threshold=threshold, k=k,
             seed=seed, tokens_column=tokens_column, key_column=key_column,
             max_candidates=max_candidates, merge_policy=merge_policy,
-            mode=mode, fs=fs,
+            mode=mode, min_tok=min_tok, max_tok=max_tok,
+            max_top_frac=max_top_frac, fs=fs,
         )
         total_sup += r["suppressed"]
         total_applied += r["applied"]

@@ -1,0 +1,102 @@
+"""Ingest-time quality gate (engine/ingest_gate.py mode='quality'):
+the Gopher/C4-style rules applied to the token payload at ingest —
+stateless, no index, screens even the very first epoch."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+from gamechanger_data_ray.engine.cdc import table_to_arrow
+from gamechanger_data_ray.engine.ingest_gate import (
+    JACCARD_COLUMN,
+    MATCH_COLUMN,
+    apply_with_neardup_gate,
+    read_quarantine,
+)
+
+
+def _tokens(seed: int, n: int = 120) -> list[int]:
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 30000, size=n).astype(int).tolist()
+
+
+def _events(rows):
+    op, lsn, seq, doc, toks = zip(*rows)
+    return pa.table({
+        "op": pa.array(op, pa.string()),
+        "lsn": pa.array(lsn, pa.int64()),
+        "seq": pa.array(seq, pa.int64()),
+        "doc_id": pa.array(doc, pa.string()),
+        "tokens": pa.array(
+            [list(t) if t is not None else None for t in toks],
+            pa.list_(pa.int32())),
+    })
+
+
+def test_quality_gate_suppresses_degenerate_on_fresh_table(tmp_path):
+    """Quality mode screens epoch 1 of a FRESH table (index modes pass
+    through until an index exists): repetition collapse and too-short
+    payloads quarantine with a reason; healthy docs, null payloads and
+    deletes pass."""
+    tb = str(tmp_path / "tb")
+    e1 = _events([
+        ("I", 1, 0, "healthy", _tokens(1)),
+        ("I", 1, 1, "repeat", [7] * 50),          # top_frac 1.0 → out
+        ("I", 1, 2, "short", [1, 2, 3]),          # n_tok 3 < 5 → out
+        ("I", 1, 3, "healthy-2", _tokens(2)),
+        ("I", 1, 4, "null-payload", None),        # passes (nothing to score)
+        ("D", 1, 5, "ghost", None),               # deletes pass
+    ])
+    res = apply_with_neardup_gate(
+        ray.data.from_arrow(e1), tb, None, 1, e1.schema,
+        num_partitions=2, mode="quality")
+    assert res["suppressed"] == 2
+    ids = set(table_to_arrow(tb)["doc_id"].to_pylist())
+    assert {"healthy", "healthy-2", "null-payload"} <= ids
+    assert not {"repeat", "short"} & ids
+    q = read_quarantine(tb, 1)
+    reasons = {r["doc_id"]: r[MATCH_COLUMN] for r in q.to_pylist()}
+    assert reasons["repeat"].startswith("quality:top_token_frac=1.000")
+    assert reasons["short"] == "quality:n_tok=3<5"
+    assert all(r[JACCARD_COLUMN] is None for r in q.to_pylist())
+    # a quality rejection has no committed twin: the payload must ride
+    # into quarantine (dup modes drop it — the twin holds the content)
+    assert "tokens" in q.schema.names
+    assert {r["doc_id"]: r["tokens"] for r in q.to_pylist()}["repeat"] == [7] * 50
+
+
+def test_quality_gate_max_tok_bound(tmp_path):
+    tb = str(tmp_path / "tb")
+    e1 = _events([
+        ("I", 1, 0, "ok", _tokens(3, n=100)),
+        ("I", 1, 1, "runaway", _tokens(4, n=5000)),
+    ])
+    res = apply_with_neardup_gate(
+        ray.data.from_arrow(e1), tb, None, 1, e1.schema,
+        num_partitions=2, mode="quality", max_tok=1000)
+    assert res["suppressed"] == 1
+    q = read_quarantine(tb, 1).to_pylist()
+    assert q[0]["doc_id"] == "runaway"
+    assert q[0][MATCH_COLUMN] == "quality:n_tok=5000>1000"
+
+
+def test_quality_gate_cli_replay(tmp_path):
+    """replay-gated --mode quality over a generated changelog: no --view
+    needed; every ready epoch commits with the sub-threshold payloads
+    quarantined."""
+    from gamechanger_data_ray.__main__ import main
+    from gamechanger_data_ray.state import manifest as mf
+
+    cl, tb = str(tmp_path / "cl"), str(tmp_path / "tb")
+    assert main(["generate", "--out", cl, "--epochs", "2", "--events", "600",
+                 "--keys", "80", "--zipf", "1.2"]) == 0
+    # generator payloads average ~96 tokens: min-tok 80 suppresses a
+    # nontrivial slice while most events land
+    assert main(["replay-gated", "--changelog", cl, "--table", tb,
+                 "--mode", "quality", "--min-tok", "80",
+                 "--partitions", "4"]) == 0
+    cur = mf.load_current(tb)
+    assert cur is not None and cur.epoch == 2
+    assert table_to_arrow(tb).num_rows > 0
