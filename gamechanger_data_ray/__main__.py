@@ -368,11 +368,13 @@ def main(argv: list[str] | None = None) -> int:
     rg.add_argument("--table", required=True)
     rg.add_argument("--view", default=None,
                     help="dup index state dir (required for neardup/exact)")
-    rg.add_argument("--mode", choices=["neardup", "exact", "quality"],
-                    default="neardup",
-                    help="neardup = MinHash-LSH + exact-Jaccard confirm; "
-                         "exact = sha256 content-hash postings; quality = "
-                         "stateless Gopher-rule screen (no index)")
+    rg.add_argument("--mode", default="neardup",
+                    help="comma-separated screen chain, applied in order "
+                         "(first flag wins): neardup = MinHash-LSH + exact-"
+                         "Jaccard confirm; exact = sha256 content-hash "
+                         "postings; quality = stateless Gopher-rule screen "
+                         "(no index). E.g. --mode quality,exact. At most one "
+                         "index screen per gate.")
     rg.add_argument("--partitions", type=int, default=32)
     rg.add_argument("--threshold", type=float, default=0.5)
     rg.add_argument("--shingle", type=int, default=5)
@@ -877,7 +879,8 @@ def main(argv: list[str] | None = None) -> int:
         elif args.cmd == "replay-gated":
             from gamechanger_data_ray.engine.ingest_gate import replay_gated
 
-            if args.mode != "quality" and not args.view:
+            modes = [m.strip() for m in args.mode.split(",") if m.strip()]
+            if any(m != "quality" for m in modes) and not args.view:
                 raise SystemExit("replay-gated: --view is required for "
                                  f"mode={args.mode!r}")
             out = replay_gated(
@@ -885,7 +888,7 @@ def main(argv: list[str] | None = None) -> int:
                 num_partitions=args.partitions, threshold=args.threshold,
                 k=args.shingle, tokens_column=args.tokens_column,
                 key_column=args.key_column, max_candidates=args.max_candidates,
-                mode=args.mode, min_tok=args.min_tok, max_tok=args.max_tok,
+                mode=modes, min_tok=args.min_tok, max_tok=args.max_tok,
                 max_top_frac=args.max_top_frac,
             )
             print(json.dumps(out))

@@ -112,6 +112,29 @@ def _check_view(view_dir: str, table_dir: str, *, k: int, seed: int,
     return cur_view
 
 
+def _split_prior(batch: pa.Table):
+    """(base_batch, prior_match, prior_jaccard): strip an upstream
+    screen's annotations so a CHAINED screen scores only still-clean
+    rows and the first flag wins. Returns (batch, None, None) for the
+    first screen in a chain."""
+    if MATCH_COLUMN not in batch.schema.names:
+        return batch, None, None
+    pm, pj = batch[MATCH_COLUMN], batch[JACCARD_COLUMN]
+    if isinstance(pm, pa.ChunkedArray):
+        pm = pm.combine_chunks()
+    if isinstance(pj, pa.ChunkedArray):
+        pj = pj.combine_chunks()
+    return batch.drop_columns([MATCH_COLUMN, JACCARD_COLUMN]), pm, pj
+
+
+def _merge_prior(matched: pa.Array, jac: pa.Array, pm, pj):
+    """Prior (upstream) flags win; this screen's flags fill the rest."""
+    if pm is None:
+        return matched, jac
+    keep = pm.is_valid()
+    return pc.if_else(keep, pm, matched), pc.if_else(keep, pj, jac)
+
+
 class NearDupScreen:
     """Actor-pool stage: annotate each incoming event with its best
     committed near-duplicate (``neardup_of`` / ``neardup_jaccard``,
@@ -134,6 +157,7 @@ class NearDupScreen:
                                      k=k, seed=seed)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        batch, pm, pj = _split_prior(batch)
         n = batch.num_rows
         match = np.full(n, None, dtype=object)
         jac = np.full(n, np.nan, dtype=np.float64)
@@ -144,6 +168,8 @@ class NearDupScreen:
         screen_mask = pc.and_(
             toks.is_valid(), pc.not_equal(batch["op"], "D")
         ).to_numpy(zero_copy_only=False)
+        if pm is not None:  # chained: only still-clean rows screen here
+            screen_mask &= ~pm.is_valid().to_numpy(zero_copy_only=False)
         idx = np.flatnonzero(screen_mask)
         if idx.size:
             sub = batch.take(pa.array(idx))
@@ -185,12 +211,14 @@ class NearDupScreen:
                             match[row_i] = best[1]
                             jac[row_i] = round(best[0], 5)
 
-        out = batch.append_column(MATCH_COLUMN, pa.array(match.tolist(), pa.string()))
-        return out.append_column(
-            JACCARD_COLUMN,
+        matched, jac_arr = _merge_prior(
+            pa.array(match.tolist(), pa.string()),
             pa.array([None if np.isnan(v) else float(v) for v in jac],
                      pa.float64()),
+            pm, pj,
         )
+        out = batch.append_column(MATCH_COLUMN, matched)
+        return out.append_column(JACCARD_COLUMN, jac_arr)
 
 
 class ExactDupScreen:
@@ -209,6 +237,7 @@ class ExactDupScreen:
         self.key_column = key_column
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        batch, pm, pj = _split_prior(batch)
         n = batch.num_rows
         match = np.full(n, None, dtype=object)
 
@@ -218,6 +247,8 @@ class ExactDupScreen:
         screen_mask = pc.and_(
             toks.is_valid(), pc.not_equal(batch["op"], "D")
         ).to_numpy(zero_copy_only=False)
+        if pm is not None:  # chained: only still-clean rows screen here
+            screen_mask &= ~pm.is_valid().to_numpy(zero_copy_only=False)
         idx = np.flatnonzero(screen_mask)
         if idx.size:
             sub = batch.take(pa.array(idx))
@@ -238,12 +269,11 @@ class ExactDupScreen:
                         match[row_i] = twins[0]
 
         matched = pa.array(match.tolist(), pa.string())
+        jac_arr = pc.if_else(matched.is_valid(), pa.scalar(1.0, pa.float64()),
+                             pa.nulls(n, pa.float64()))
+        matched, jac_arr = _merge_prior(matched, jac_arr, pm, pj)
         out = batch.append_column(MATCH_COLUMN, matched)
-        return out.append_column(
-            JACCARD_COLUMN,
-            pc.if_else(matched.is_valid(), pa.scalar(1.0, pa.float64()),
-                       pa.nulls(n, pa.float64())),
-        )
+        return out.append_column(JACCARD_COLUMN, jac_arr)
 
 
 class QualityScreen:
@@ -271,6 +301,7 @@ class QualityScreen:
     def __call__(self, batch: pa.Table) -> pa.Table:
         import pandas as pd
 
+        batch, pm, pj = _split_prior(batch)
         n = batch.num_rows
         reason = np.full(n, None, dtype=object)
 
@@ -280,6 +311,8 @@ class QualityScreen:
         screen_mask = pc.and_(
             toks.is_valid(), pc.not_equal(batch["op"], "D")
         ).to_numpy(zero_copy_only=False)
+        if pm is not None:  # chained: only still-clean rows screen here
+            screen_mask &= ~pm.is_valid().to_numpy(zero_copy_only=False)
         idx = np.flatnonzero(screen_mask)
         if idx.size:
             sub = toks.take(pa.array(idx))
@@ -305,9 +338,12 @@ class QualityScreen:
                         f"quality:top_token_frac={top_frac[qi]:.3f}"
                         f">{self.max_top_frac}")
 
-        out = batch.append_column(MATCH_COLUMN,
-                                  pa.array(reason.tolist(), pa.string()))
-        return out.append_column(JACCARD_COLUMN, pa.nulls(n, pa.float64()))
+        matched, jac_arr = _merge_prior(
+            pa.array(reason.tolist(), pa.string()),
+            pa.nulls(n, pa.float64()), pm, pj,
+        )
+        out = batch.append_column(MATCH_COLUMN, matched)
+        return out.append_column(JACCARD_COLUMN, jac_arr)
 
 
 def screen_events(
@@ -323,66 +359,92 @@ def screen_events(
     max_candidates: int = 500,
     concurrency=(1, 8),
     batch_size: int = 4096,
-    mode: str = "neardup",
+    mode: str | list[str] = "neardup",
     min_tok: int = 5,
     max_tok: int | None = None,
     max_top_frac: float = 0.2,
     fs: StorageAdapter | None = None,
 ) -> ray.data.Dataset:
-    """Annotate an incoming change-event Dataset with committed near-dup
-    matches (see :class:`NearDupScreen`). Pass-through (null columns)
-    when there is no committed index state yet.
+    """Annotate an incoming change-event Dataset with suppression flags.
+    ``mode`` may be a single screen or a LIST applied in order in ONE
+    epoch pass (e.g. ``["quality", "exact"]`` — the full ingest stack):
+    each chained screen scores only the rows every earlier screen left
+    clean, so the FIRST flag wins and a row quarantines once with one
+    reason. At most one INDEX screen (neardup/exact) per gate — it owns
+    the one ``view_dir``. Index screens pass through (null columns)
+    when there is no committed index state yet; the quality screen is
+    stateless and always runs.
 
     ``batch_size`` is the screen's amortization lever: each batch pays
-    ONE postings lookup (partition-pruned — the band index routes by
-    bucket, see ``neardup_index_view``) plus one candidate point-fetch;
-    larger batches spread those fixed reads across more events. Raise it
-    for skinny token payloads, lower it only if probe-token memory
-    binds. Measurements in BASELINE.md."""
+    ONE postings lookup (partition-pruned — the indexes route by their
+    probe key) plus, for neardup, one candidate point-fetch; larger
+    batches spread those fixed reads across more events. Raise it for
+    skinny token payloads, lower it only if probe-token memory binds.
+    Measurements in BASELINE.md."""
     fs = default_fs(fs)
-    if mode == "quality":
-        # stateless: no index to check, screens even a fresh table
-        return events_ds.map_batches(
-            QualityScreen,
-            fn_constructor_kwargs=dict(
-                tokens_column=tokens_column, min_tok=min_tok,
-                max_tok=max_tok, max_top_frac=max_top_frac,
-            ),
-            batch_format="pyarrow",
-            batch_size=batch_size,
-            concurrency=concurrency,
-        )
-    cur_view = _check_view(view_dir, table_dir, k=k, seed=seed,
-                           tokens_column=tokens_column,
-                           key_column=key_column, fs=fs, mode=mode)
-    if cur_view is None or not cur_view.partitions:
-        def passthrough(batch: pa.Table) -> pa.Table:
-            n = batch.num_rows
-            out = batch.append_column(MATCH_COLUMN, pa.nulls(n, pa.string()))
-            return out.append_column(JACCARD_COLUMN, pa.nulls(n, pa.float64()))
-        return events_ds.map_batches(passthrough, batch_format="pyarrow")
-    if mode == "exact":
-        return events_ds.map_batches(
-            ExactDupScreen,
-            fn_constructor_kwargs=dict(
-                view_dir=view_dir, tokens_column=tokens_column,
-                key_column=key_column,
-            ),
-            batch_format="pyarrow",
-            batch_size=batch_size,
-            concurrency=concurrency,
-        )
-    return events_ds.map_batches(
-        NearDupScreen,
-        fn_constructor_kwargs=dict(
-            view_dir=view_dir, table_dir=table_dir, threshold=threshold,
-            k=k, seed=seed, tokens_column=tokens_column,
-            key_column=key_column, max_candidates=max_candidates,
-        ),
-        batch_format="pyarrow",
-        batch_size=batch_size,
-        concurrency=concurrency,
-    )
+    modes = [mode] if isinstance(mode, str) else list(mode)
+    if not modes:
+        raise ValueError("at least one gate mode required")
+    for m in modes:
+        if m not in ("quality", "exact", "neardup"):
+            raise ValueError(f"unknown gate mode {m!r} (expected 'neardup', "
+                             "'exact' or 'quality')")
+    index_modes = [m for m in modes if m in ("neardup", "exact")]
+    if len(index_modes) > 1:
+        raise ValueError(
+            f"at most one index screen per gate, got {index_modes}")
+
+    ds = events_ds
+    for m in modes:
+        if m == "quality":
+            # stateless: no index to check, screens even a fresh table
+            ds = ds.map_batches(
+                QualityScreen,
+                fn_constructor_kwargs=dict(
+                    tokens_column=tokens_column, min_tok=min_tok,
+                    max_tok=max_tok, max_top_frac=max_top_frac,
+                ),
+                batch_format="pyarrow",
+                batch_size=batch_size,
+                concurrency=concurrency,
+            )
+            continue
+        cur_view = _check_view(view_dir, table_dir, k=k, seed=seed,
+                               tokens_column=tokens_column,
+                               key_column=key_column, fs=fs, mode=m)
+        if cur_view is None or not cur_view.partitions:
+            def passthrough(batch: pa.Table) -> pa.Table:
+                if MATCH_COLUMN in batch.schema.names:
+                    return batch  # an earlier screen already annotated
+                n = batch.num_rows
+                out = batch.append_column(MATCH_COLUMN, pa.nulls(n, pa.string()))
+                return out.append_column(JACCARD_COLUMN,
+                                         pa.nulls(n, pa.float64()))
+            ds = ds.map_batches(passthrough, batch_format="pyarrow")
+        elif m == "exact":
+            ds = ds.map_batches(
+                ExactDupScreen,
+                fn_constructor_kwargs=dict(
+                    view_dir=view_dir, tokens_column=tokens_column,
+                    key_column=key_column,
+                ),
+                batch_format="pyarrow",
+                batch_size=batch_size,
+                concurrency=concurrency,
+            )
+        else:
+            ds = ds.map_batches(
+                NearDupScreen,
+                fn_constructor_kwargs=dict(
+                    view_dir=view_dir, table_dir=table_dir, threshold=threshold,
+                    k=k, seed=seed, tokens_column=tokens_column,
+                    key_column=key_column, max_candidates=max_candidates,
+                ),
+                batch_format="pyarrow",
+                batch_size=batch_size,
+                concurrency=concurrency,
+            )
+    return ds
 
 
 def _write_quarantine(quarantined: ray.data.Dataset, table_dir: str,
@@ -422,7 +484,7 @@ def apply_with_neardup_gate(
     max_candidates: int = 500,
     merge_policy: str = "rewrite",
     exchange: str = "staged",
-    mode: str = "neardup",
+    mode: str | list[str] = "neardup",
     min_tok: int = 5,
     max_tok: int | None = None,
     max_top_frac: float = 0.2,
@@ -461,12 +523,13 @@ def apply_with_neardup_gate(
     suppressed = annotated.map_batches(only_flagged, batch_format="pyarrow")
     n_sup = suppressed.count()
     qdir = None
+    modes = [mode] if isinstance(mode, str) else list(mode)
     if n_sup:
         # dup modes drop the payload (the surviving committed twin holds
         # the content); a quality rejection has NO committed twin, so its
         # payload must ride into quarantine or the data is gone for good
         audit_cols = [c for c in suppressed.schema().names
-                      if c != tokens_column or mode == "quality"]
+                      if c != tokens_column or "quality" in modes]
         qdir = _write_quarantine(suppressed.select_columns(audit_cols),
                                  table_dir, epoch)
 
@@ -475,10 +538,13 @@ def apply_with_neardup_gate(
         num_partitions=num_partitions, merge_policy=merge_policy,
         exchange=exchange, fs=fs,
     )
-    view = _gate_view_def(mode, k=k, seed=seed, tokens_column=tokens_column,
-                          key_column=key_column)
-    if view is not None:  # quality mode maintains no index
-        refresh(view, view_dir, table_dir, num_partitions=num_partitions, fs=fs)
+    for gate_mode in modes:
+        view = _gate_view_def(gate_mode, k=k, seed=seed,
+                              tokens_column=tokens_column,
+                              key_column=key_column)
+        if view is not None:  # the quality screen maintains no index
+            refresh(view, view_dir, table_dir,
+                    num_partitions=num_partitions, fs=fs)
     applied = int(m.epoch_counters.get("events_in", 0)) if m is not None else 0
     return {"epoch": epoch, "suppressed": int(n_sup), "applied": applied,
             "quarantine_dir": qdir}
@@ -497,7 +563,7 @@ def replay_gated(
     key_column: str = "doc_id",
     max_candidates: int = 500,
     merge_policy: str = "rewrite",
-    mode: str = "neardup",
+    mode: str | list[str] = "neardup",
     min_tok: int = 5,
     max_tok: int | None = None,
     max_top_frac: float = 0.2,

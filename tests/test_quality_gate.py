@@ -6,6 +6,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pytest
 import ray.data
 
 from gamechanger_data_ray.engine.cdc import table_to_arrow
@@ -80,6 +81,57 @@ def test_quality_gate_max_tok_bound(tmp_path):
     q = read_quarantine(tb, 1).to_pylist()
     assert q[0]["doc_id"] == "runaway"
     assert q[0][MATCH_COLUMN] == "quality:n_tok=5000>1000"
+
+
+def test_chained_gate_quality_then_exact(tmp_path):
+    """mode=['quality','exact']: the full ingest stack in ONE epoch pass.
+    First flag wins — a row that is BOTH degenerate and an exact dup
+    carries the quality reason; clean rows flow through both screens."""
+    from gamechanger_data_ray.engine.dedup_index import content_index_view
+    from gamechanger_data_ray.engine.views import refresh
+
+    tb, vd = str(tmp_path / "tb"), str(tmp_path / "idx")
+    base = _tokens(3)
+    e1 = _events([
+        ("I", 1, 0, "d-base", list(base)),
+        ("I", 1, 1, "d-rep", [9] * 40),  # committed despite repetition
+        ("I", 1, 2, "d-other", _tokens(4)),
+    ])
+    apply_with_neardup_gate(ray.data.from_arrow(e1), tb, vd, 1, e1.schema,
+                            num_partitions=2, mode="exact")
+    e2 = _events([
+        ("I", 2, 0, "dup", list(base)),          # exact dup → exact reason
+        ("I", 2, 1, "degen-dup", [9] * 40),      # degenerate AND dup → quality
+        ("I", 2, 2, "short", [1, 2]),            # quality
+        ("I", 2, 3, "novel", _tokens(5)),        # passes both
+    ])
+    res = apply_with_neardup_gate(
+        ray.data.from_arrow(e2), tb, vd, 2, e2.schema,
+        num_partitions=2, mode=["quality", "exact"])
+    assert res["suppressed"] == 3
+    ids = set(table_to_arrow(tb)["doc_id"].to_pylist())
+    assert "novel" in ids and not {"dup", "degen-dup", "short"} & ids
+    q = {r["doc_id"]: r for r in read_quarantine(tb, 2).to_pylist()}
+    assert q["dup"][MATCH_COLUMN] == "d-base"
+    assert q["dup"][JACCARD_COLUMN] == 1.0
+    assert q["degen-dup"][MATCH_COLUMN].startswith("quality:top_token_frac")
+    assert q["short"][MATCH_COLUMN].startswith("quality:n_tok")
+    # quality in the chain → payloads ride into quarantine
+    assert q["short"]["tokens"] == [1, 2]
+    # the exact index is refreshed to epoch 2 (the chain maintains it)
+    assert refresh(content_index_view(), vd, tb) is None  # already current
+
+
+def test_chained_gate_rejects_two_index_screens(tmp_path):
+    from gamechanger_data_ray.engine.ingest_gate import screen_events
+
+    e1 = _events([("I", 1, 0, "d0", _tokens(1))])
+    with pytest.raises(ValueError, match="at most one index screen"):
+        screen_events(ray.data.from_arrow(e1), str(tmp_path / "tb"),
+                      str(tmp_path / "v"), mode=["exact", "neardup"])
+    with pytest.raises(ValueError, match="at least one gate mode"):
+        screen_events(ray.data.from_arrow(e1), str(tmp_path / "tb"),
+                      None, mode=[])
 
 
 def test_quality_gate_cli_replay(tmp_path):
