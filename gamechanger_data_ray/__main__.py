@@ -388,6 +388,25 @@ def main(argv: list[str] | None = None) -> int:
     rg.add_argument("--max-top-frac", type=float, default=0.2,
                     help="quality mode: max most-frequent-token fraction")
 
+    rm = sub.add_parser("readmit", help="operator override for gate false "
+                                        "positives: re-apply quarantined rows "
+                                        "from a gated epoch as a NEW epoch, "
+                                        "bypassing the gate")
+    rm.add_argument("--table", required=True)
+    rm.add_argument("--from-epoch", type=int, required=True,
+                    help="the gated epoch whose quarantine to readmit from")
+    rm.add_argument("--doc-id", action="append", default=None,
+                    help="readmit only these ids (repeatable; default all)")
+    rm.add_argument("--view", default=None,
+                    help="gate index dir to refresh directly (when it is "
+                         "not a subscriber)")
+    rm.add_argument("--gate-mode", default=None,
+                    help="comma-separated gate modes owning --view")
+    rm.add_argument("--tokens-column", default="tokens")
+    rm.add_argument("--key-column", default="doc_id")
+    rm.add_argument("--shingle", type=int, default=5)
+    rm.add_argument("--partitions", type=int, default=32)
+
     di = sub.add_parser("dedup-view", help="build/refresh the incrementally-"
                                            "maintained exact-dup content-hash "
                                            "index (sha256 postings view)")
@@ -890,6 +909,18 @@ def main(argv: list[str] | None = None) -> int:
                 key_column=args.key_column, max_candidates=args.max_candidates,
                 mode=modes, min_tok=args.min_tok, max_tok=args.max_tok,
                 max_top_frac=args.max_top_frac,
+            )
+            print(json.dumps(out))
+        elif args.cmd == "readmit":
+            from gamechanger_data_ray.engine.ingest_gate import readmit
+
+            gate_modes = ([m.strip() for m in args.gate_mode.split(",")
+                           if m.strip()] if args.gate_mode else None)
+            out = readmit(
+                args.table, args.from_epoch, args.doc_id,
+                tokens_column=args.tokens_column, key_column=args.key_column,
+                num_partitions=args.partitions, view_dir=args.view,
+                mode=gate_modes, k=args.shingle,
             )
             print(json.dumps(out))
         elif args.cmd == "dedup-view":

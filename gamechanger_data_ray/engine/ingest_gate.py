@@ -612,3 +612,105 @@ def read_quarantine(table_dir: str, epoch: int) -> pa.Table:
     if not os.path.isdir(d):
         return pa.table({})
     return pads.dataset(d).to_table()
+
+
+def readmit(
+    table_dir: str,
+    from_epoch: int,
+    doc_ids: list[str] | None = None,
+    *,
+    tokens_column: str = "tokens",
+    key_column: str = "doc_id",
+    num_partitions: int = 32,
+    merge_policy: str = "rewrite",
+    sync_subscribers: bool = True,
+    view_dir: str | None = None,
+    mode: str | list[str] | None = None,
+    k: int = 5,
+    seed: int = 1234,
+    fs: StorageAdapter | None = None,
+) -> dict:
+    """Operator override for gate false positives: re-apply quarantined
+    rows from epoch ``from_epoch`` as a NEW epoch, bypassing the gate
+    (the operator has decided these rows belong in the corpus).
+
+    Payload recovery per row:
+    - quality rejections quarantined WITH their token payload → used
+      directly;
+    - exact-dup rejections (jaccard == 1.0) were quarantined without the
+      payload, but their committed twin holds IDENTICAL content — the
+      tokens are reconstructed via a ``read_keys`` point lookup on the
+      match id;
+    - near-dup rejections (jaccard < 1.0) without a payload are
+      UNRECOVERABLE (the twin differs) — the call refuses with the ids
+      so the operator sees exactly what cannot come back, rather than
+      silently readmitting the wrong content.
+
+    After the fenced commit, subscribers sync to the new epoch, and —
+    when ``view_dir``/``mode`` name a gate index that is NOT a
+    subscriber — that index refreshes directly, so the next gated epoch
+    screens against the readmitted docs instead of tripping the
+    staleness guard. Returns ``{epoch, readmitted}``."""
+    fs = default_fs(fs)
+    q = read_quarantine(table_dir, from_epoch)
+    if q.num_rows == 0:
+        return {"epoch": None, "readmitted": 0}
+    if doc_ids is not None:
+        want = sorted(set(doc_ids))
+        q = q.filter(pc.is_in(q[key_column], value_set=pa.array(want)))
+        found = set(q[key_column].to_pylist())
+        missing = [d for d in want if d not in found]
+        if missing:
+            raise ValueError(
+                f"not in epoch {from_epoch}'s quarantine: {missing}")
+
+    keys = q[key_column].to_pylist()
+    jac = q[JACCARD_COLUMN].to_pylist()
+    match = q[MATCH_COLUMN].to_pylist()
+    toks: list[list[int] | None]
+    if tokens_column in q.schema.names:
+        toks = q[tokens_column].to_pylist()
+    else:
+        toks = [None] * q.num_rows
+
+    need_twin = [i for i, t in enumerate(toks) if t is None]
+    unrecoverable = [keys[i] for i in need_twin if jac[i] != 1.0]
+    if unrecoverable:
+        raise ValueError(
+            "payload unrecoverable for near-dup rejections (quarantine "
+            f"drops the tokens and the twin differs): {sorted(unrecoverable)}")
+    if need_twin:
+        twin_ids = sorted({match[i] for i in need_twin})
+        rows = read_keys(table_dir, twin_ids,
+                         columns=[key_column, tokens_column], fs=fs)
+        tok_of = dict(zip(rows[key_column].to_pylist(),
+                          rows[tokens_column].to_pylist()))
+        gone = sorted({match[i] for i in need_twin if match[i] not in tok_of})
+        if gone:
+            raise ValueError(
+                f"exact-dup twins no longer committed (deleted?): {gone}")
+        for i in need_twin:
+            toks[i] = tok_of[match[i]]
+
+    events = q.drop_columns(
+        [c for c in (MATCH_COLUMN, JACCARD_COLUMN, tokens_column)
+         if c in q.schema.names]
+    ).append_column(tokens_column, pa.array(toks, pa.list_(pa.int32())))
+    epoch = mf.committed_epoch(table_dir, fs) + 1
+    apply_events_dataset(
+        ray.data.from_arrow(events), table_dir, epoch, events.schema,
+        num_partitions=num_partitions, merge_policy=merge_policy, fs=fs,
+    )
+    if sync_subscribers:
+        from .subscriptions import sync
+
+        sync(table_dir, fs)
+    if view_dir is not None and mode is not None:
+        for gate_mode in ([mode] if isinstance(mode, str) else list(mode)):
+            view = _gate_view_def(gate_mode, k=k, seed=seed,
+                                  tokens_column=tokens_column,
+                                  key_column=key_column)
+            if view is not None:
+                refresh(view, view_dir, table_dir,
+                        num_partitions=num_partitions, fs=fs)
+    return {"epoch": epoch, "readmitted": len(keys)}

@@ -134,6 +134,108 @@ def test_chained_gate_rejects_two_index_screens(tmp_path):
                       None, mode=[])
 
 
+def test_readmit_quality_rejection_payload_direct(tmp_path):
+    """A quality false positive readmits from its quarantined payload as
+    a new epoch; the gate index (passed via view_dir/mode) refreshes so
+    the next gated epoch is not stale."""
+    from gamechanger_data_ray.engine.ingest_gate import readmit
+
+    tb, vd = str(tmp_path / "tb"), str(tmp_path / "idx")
+    e1 = _events([
+        ("I", 1, 0, "keep", _tokens(1)),
+        ("I", 1, 1, "flagged", [5] * 30),  # legit glossary doc, say
+    ])
+    apply_with_neardup_gate(ray.data.from_arrow(e1), tb, vd, 1, e1.schema,
+                            num_partitions=2, mode=["quality", "exact"])
+    assert "flagged" not in set(table_to_arrow(tb)["doc_id"].to_pylist())
+
+    r = readmit(tb, 1, ["flagged"], num_partitions=2,
+                view_dir=vd, mode=["quality", "exact"])
+    assert r == {"epoch": 2, "readmitted": 1}
+    t = table_to_arrow(tb)
+    rows = {d: tok for d, tok in zip(t["doc_id"].to_pylist(),
+                                     t["tokens"].to_pylist())}
+    assert rows["flagged"] == [5] * 30
+    # index refreshed: the next gated epoch screens (no staleness error),
+    # and a dup of the readmitted doc is now caught
+    e3 = _events([("I", 3, 0, "copycat", [5] * 30)])
+    res3 = apply_with_neardup_gate(
+        ray.data.from_arrow(e3), tb, vd, 3, e3.schema,
+        num_partitions=2, mode="exact")
+    assert res3["suppressed"] == 1
+
+
+def test_readmit_exact_dup_reconstructs_from_twin(tmp_path):
+    """Exact-dup rejections quarantine WITHOUT a payload; readmit
+    reconstructs the identical content from the committed twin."""
+    from gamechanger_data_ray.engine.dedup_index import content_index_view
+    from gamechanger_data_ray.engine.ingest_gate import readmit
+    from gamechanger_data_ray.engine.views import refresh as vrefresh
+
+    tb, vd = str(tmp_path / "tb"), str(tmp_path / "idx")
+    base = _tokens(7)
+    e1 = _events([("I", 1, 0, "orig", list(base))])
+    apply_with_neardup_gate(ray.data.from_arrow(e1), tb, vd, 1, e1.schema,
+                            num_partitions=2, mode="exact")
+    e2 = _events([("I", 2, 0, "mirror", list(base))])
+    res = apply_with_neardup_gate(ray.data.from_arrow(e2), tb, vd, 2,
+                                  e2.schema, num_partitions=2, mode="exact")
+    assert res["suppressed"] == 1
+    q = read_quarantine(tb, 2)
+    assert "tokens" not in q.schema.names  # dup quarantine has no payload
+
+    r = readmit(tb, 2, view_dir=vd, mode="exact", num_partitions=2)
+    assert r == {"epoch": 3, "readmitted": 1}
+    t = table_to_arrow(tb)
+    rows = {d: tok for d, tok in zip(t["doc_id"].to_pylist(),
+                                     t["tokens"].to_pylist())}
+    assert rows["mirror"] == list(base) == rows["orig"]
+    vrefresh(content_index_view(), vd, tb)  # no-op if readmit refreshed
+    # unknown id refuses with the id named
+    with pytest.raises(ValueError, match="not in epoch 2"):
+        readmit(tb, 2, ["nope"], num_partitions=2)
+
+
+def test_readmit_neardup_rejection_refuses(tmp_path):
+    """Near-dup rejections (jaccard < 1) without a payload are
+    unrecoverable: readmit must refuse loudly, never guess content."""
+    from gamechanger_data_ray.engine.ingest_gate import readmit
+    from gamechanger_data_ray.engine.neardup_index import neardup_index_view
+    from gamechanger_data_ray.engine.views import refresh as vrefresh
+
+    tb, vd = str(tmp_path / "tb"), str(tmp_path / "idx")
+    base = _tokens(9)
+    e1 = _events([("I", 1, 0, "orig", list(base))])
+    from gamechanger_data_ray.engine.cdc import apply_events_dataset
+    apply_events_dataset(ray.data.from_arrow(e1), tb, 1, e1.schema,
+                         num_partitions=2)
+    vrefresh(neardup_index_view(k=5), vd, tb, num_partitions=2)
+    near = list(base)
+    near[0] += 1000
+    e2 = _events([("I", 2, 0, "close-call", near)])
+    res = apply_with_neardup_gate(ray.data.from_arrow(e2), tb, vd, 2,
+                                  e2.schema, num_partitions=2, mode="neardup")
+    assert res["suppressed"] == 1
+    with pytest.raises(ValueError, match="unrecoverable.*close-call"):
+        readmit(tb, 2, num_partitions=2)
+
+
+def test_readmit_cli(tmp_path):
+    from gamechanger_data_ray.__main__ import main
+    from gamechanger_data_ray.state import manifest as mf
+
+    tb, vd = str(tmp_path / "tb"), str(tmp_path / "idx")
+    e1 = _events([("I", 1, 0, "keep", _tokens(1)),
+                  ("I", 1, 1, "fp", [3] * 20)])
+    apply_with_neardup_gate(ray.data.from_arrow(e1), tb, vd, 1, e1.schema,
+                            num_partitions=2, mode=["quality", "exact"])
+    assert main(["readmit", "--table", tb, "--from-epoch", "1",
+                 "--doc-id", "fp", "--view", vd,
+                 "--gate-mode", "quality,exact", "--partitions", "2"]) == 0
+    assert mf.load_current(tb).epoch == 2
+    assert "fp" in set(table_to_arrow(tb)["doc_id"].to_pylist())
+
+
 def test_quality_gate_cli_replay(tmp_path):
     """replay-gated --mode quality over a generated changelog: no --view
     needed; every ready epoch commits with the sub-threshold payloads
