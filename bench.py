@@ -121,6 +121,7 @@ QUERY_NAMES = [
     "docs_bpe_tokens",
     "multimodal_gif_frames",
     "corpus_clean_pipeline",
+    "dedup_semantic",
 ]
 
 

@@ -1,5 +1,15 @@
-"""Ingest-time near-duplicate suppression — screen incoming change
-events against the committed corpus BEFORE they commit.
+"""Ingest-time screening — suppress unwanted change events BEFORE they
+commit, with a quarantine audit trail and an operator ``readmit`` path.
+
+Three screens, chainable in one epoch pass (first flag wins):
+- ``neardup``: MinHash-LSH candidate lookup against the maintained
+  band index + EXACT token-shingle Jaccard confirm (this module's
+  original job, detailed below);
+- ``exact``: sha256 content-hash postings lookup against the
+  maintained index (``engine/dedup_index.py``) — identical payloads
+  only, no confirm step needed;
+- ``quality``: stateless Gopher/C4-style payload rules (n_tok bounds,
+  repetition collapse) — no index, screens even a fresh table.
 
 Batch near-dup sweeps (``dedup_minhash_lsh``) clean a corpus after the
 fact; a live lake wants the cheaper invariant "a near-duplicate of an

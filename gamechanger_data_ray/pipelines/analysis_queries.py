@@ -1128,6 +1128,91 @@ WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
 """
 
 
+def dedup_semantic(
+    sf_dir: str,
+    tau: float = 0.95,
+    n_clusters: int = 16,
+    max_cluster: int = 100_000,
+):
+    """SemDeDup-style semantic dedup (Abbas et al. 2023,
+    arXiv:2303.09540): k-means partition the embedding space — centroids
+    trained on a BOUNDED deterministic sample, the ann_ivf recipe — then
+    remove semantic duplicates WITHIN each cluster only, so the pairwise
+    work is O(Σ cᵢ·keptᵢ) instead of O(N²); ``n_clusters`` is the scale
+    lever (SemDeDup runs ~10⁵ clusters on web corpora).
+
+    Within a cluster: greedy ascending-id sweep — a vector whose max
+    cosine against the already-KEPT members is ≥ tau is removed and
+    attributed to that member (deterministic: first/max kept match).
+    Clusters beyond ``max_cluster`` members process their first
+    ``max_cluster`` by id and pass the tail uninspected — an explicit
+    skew cap (the ``stages/dedup.py max_bucket`` philosophy); at real
+    scale you raise ``n_clusters`` instead of the cap.
+
+    Two exchanges total: the assignment actor-pool pass feeds ONE
+    groupby(cluster); everything else is map-side. Corpus seeded with
+    exact copies (``vec_id % 10 == 0`` under ``+_COPY_OFFSET``) so the
+    result is non-trivially non-empty. Non-SQL (k-means): pytest asserts
+    distributed == serial recompute with the same centroids and the
+    planted-copy contract (tests/test_text_similarity.py). Returns
+    (dup_id, kept_as, cosine) sorted by dup_id."""
+    ds = cm.read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    n = cm.table_num_rows(sf_dir, "embeddings")
+    step = max(1, n // _KMEANS_SAMPLE)
+
+    def every_step(t: pa.Table) -> pa.Table:
+        vid = t["vec_id"].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(vid % step == 0))
+
+    sample = ds.map_batches(every_step, batch_format="pyarrow").to_pandas()
+    cents = sim.kmeans_lite(
+        sim.normalize_rows(sim._to_matrix(sample["embedding"])), n_clusters
+    )
+    cents_ref = cm.broadcast(cents)
+
+    def with_copies(t: pa.Table) -> pa.Table:
+        vid = t["vec_id"].to_numpy(zero_copy_only=False)
+        c = t.filter(pa.array(vid % 10 == 0))
+        c = c.set_column(
+            0, "vec_id", pc.add(c["vec_id"], pa.scalar(_COPY_OFFSET, pa.int64()))
+        )
+        return pa.concat_tables([t, c])
+
+    corpus = ds.map_batches(with_copies, batch_format="pyarrow")
+    assigned = corpus.map_batches(
+        sim.IVFAssigner, fn_constructor_args=(cents_ref,),
+        batch_format="pyarrow", concurrency=(1, cm.pool_size()),
+    )
+
+    def cluster_dedup(g: pd.DataFrame) -> pd.DataFrame:
+        ids = g["vec_id"].to_numpy(dtype=np.int64)
+        order = np.argsort(ids)[:max_cluster]
+        ids = ids[order]
+        m = sim.normalize_rows(sim._to_matrix(g["embedding"]))[order]
+        kept: list[int] = []
+        dup, kept_as, cos = [], [], []
+        for i in range(len(ids)):
+            if kept:
+                sims = m[kept] @ m[i]
+                j = int(np.argmax(sims))
+                if sims[j] >= tau:
+                    dup.append(ids[i])
+                    kept_as.append(ids[kept[j]])
+                    cos.append(round(float(sims[j]), 5))
+                    continue
+            kept.append(i)
+        return pd.DataFrame(
+            {"dup_id": pd.Series(dup, dtype="int64"),
+             "kept_as": pd.Series(kept_as, dtype="int64"),
+             "cosine": pd.Series(cos, dtype="float64")}
+        )
+
+    out = assigned.groupby("bucket").map_groups(
+        cluster_dedup, batch_format="pandas"
+    ).to_pandas()
+    return out.sort_values("dup_id").reset_index(drop=True)
+
+
 # ---------------------------------------------------------------------------
 # Multimodal plumbing (decode stub; real Ray-side schema/actor layout)
 # ---------------------------------------------------------------------------

@@ -195,3 +195,58 @@ def test_embedding_dedup_both_adaptive_paths_exact(sf_dir):
         ORACLES["embedding_dedup_cosine"],
         sf_dir,
     )
+
+
+def test_dedup_semantic_matches_serial_and_planted_copies(sf_dir):
+    """dedup_semantic (SemDeDup shape): the distributed cluster-then-
+    greedy result equals an independent serial recompute with the same
+    sampled centroids, and the planted exact copies are exactly the
+    removed set (each attributed to its original at cosine 1.0) —
+    random corpus vectors are near-orthogonal, so nothing else trips
+    tau=0.95."""
+    import pyarrow.parquet as pq
+
+    from gamechanger_data_ray.pipelines.analysis_queries import (
+        _COPY_OFFSET,
+        _KMEANS_SAMPLE,
+        dedup_semantic,
+    )
+
+    got = dedup_semantic(sf_dir)
+
+    # --- serial oracle, written independently of the pipeline code ---
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    ids = np.asarray(t["vec_id"].to_pylist(), dtype=np.int64)
+    m = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
+    m = m / np.linalg.norm(m, axis=1, keepdims=True)
+    step = max(1, len(ids) // _KMEANS_SAMPLE)
+    cents = sim.kmeans_lite(m[ids % step == 0], 16)
+    copy_mask = ids % 10 == 0
+    all_ids = np.concatenate([ids, ids[copy_mask] + _COPY_OFFSET])
+    all_m = np.vstack([m, m[copy_mask]])
+    assign = np.argmax(all_m @ cents.T, axis=1)
+    rows = []
+    for c in sorted(set(assign.tolist())):
+        sel = np.flatnonzero(assign == c)
+        order = sel[np.argsort(all_ids[sel])]
+        kept = []
+        for i in order:
+            if kept:
+                sims = all_m[kept] @ all_m[i]
+                j = int(np.argmax(sims))
+                if sims[j] >= 0.95:
+                    rows.append((int(all_ids[i]), int(all_ids[kept[j]]),
+                                 round(float(sims[j]), 5)))
+                    continue
+            kept.append(i)
+    exp = pd.DataFrame(rows, columns=["dup_id", "kept_as", "cosine"]
+                       ).sort_values("dup_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+    # planted-copy contract
+    planted = sorted(int(i) + _COPY_OFFSET for i in ids[copy_mask])
+    assert got["dup_id"].tolist() == planted
+    assert (got["kept_as"].to_numpy()
+            == got["dup_id"].to_numpy() - _COPY_OFFSET).all()
+    assert (got["cosine"] == 1.0).all()
