@@ -668,6 +668,22 @@ def main(argv: list[str] | None = None) -> int:
                 "partitions": len(cur.partitions),
                 "schema": str(cur.schema).replace("\n", "; "),
             }
+            # gated-ingest audit trail, from parquet footers only
+            import glob as _glob
+
+            import pyarrow.parquet as _pq
+
+            qdirs = sorted(_glob.glob(
+                os.path.join(args.table, "_quarantine", "epoch-*")))
+            qdirs = [d for d in qdirs if os.path.isdir(d)]
+            if qdirs:
+                out["quarantine"] = {
+                    "epochs": len(qdirs),
+                    "rows": sum(
+                        _pq.ParquetFile(f).metadata.num_rows
+                        for d in qdirs
+                        for f in _glob.glob(os.path.join(d, "*.parquet"))),
+                }
             if args.partitions:
                 out["per_partition"] = {
                     p: {

@@ -599,6 +599,17 @@ def replay_gated(
         files = _epoch_files(changelog_dir, e, fs)
         incoming = unify_all([fs.read_parquet_schema(f) for f in files])
         events = ray.data.read_parquet(files, filesystem=fs.fs)
+        # the changelog's hive layout (epoch=NNNN/) can surface as a
+        # phantom partition column; the commit path conforms it away,
+        # but the QUARANTINE writes pre-conform rows — and a later
+        # readmit would then commit the artifact into the table schema.
+        # Keep only footer-declared columns from the start.
+        names = list(incoming.names)
+
+        def footer_cols(t: pa.Table, names=names) -> pa.Table:
+            return t.select([c for c in names if c in t.schema.names])
+
+        events = events.map_batches(footer_cols, batch_format="pyarrow")
         r = apply_with_neardup_gate(
             events, table_dir, view_dir, e, incoming,
             num_partitions=num_partitions, threshold=threshold, k=k,

@@ -254,3 +254,10 @@ def test_quality_gate_cli_replay(tmp_path):
     cur = mf.load_current(tb)
     assert cur is not None and cur.epoch == 2
     assert table_to_arrow(tb).num_rows > 0
+    # the changelog's hive layout (epoch=NNNN/) must not leak a phantom
+    # partition column into the quarantine (a readmit would then commit
+    # it into the table schema)
+    q = read_quarantine(tb, 1)
+    assert q.num_rows == 0 or "epoch" not in q.schema.names
+    q2 = read_quarantine(tb, 2)
+    assert q2.num_rows > 0 and "epoch" not in q2.schema.names
