@@ -388,6 +388,18 @@ def main(argv: list[str] | None = None) -> int:
     rg.add_argument("--max-top-frac", type=float, default=0.2,
                     help="quality mode: max most-frequent-token fraction")
 
+    bf = sub.add_parser("backfill", help="CDC-native payload backfill: run a "
+                                         "module::func transform over every "
+                                         "live document and commit the results "
+                                         "as ONE new U-event epoch (indexes "
+                                         "retract + refold via subscribers)")
+    bf.add_argument("--table", required=True)
+    bf.add_argument("--transform", required=True,
+                    help="module.sub::func, callable(pa.Table)->pa.Table "
+                         "(the reference's --parser-path plugin syntax)")
+    bf.add_argument("--key-column", default="doc_id")
+    bf.add_argument("--partitions", type=int, default=None)
+
     rm = sub.add_parser("readmit", help="operator override for gate false "
                                         "positives: re-apply quarantined rows "
                                         "from a gated epoch as a NEW epoch, "
@@ -926,6 +938,16 @@ def main(argv: list[str] | None = None) -> int:
                 mode=modes, min_tok=args.min_tok, max_tok=args.max_tok,
                 max_top_frac=args.max_top_frac,
             )
+            print(json.dumps(out))
+        elif args.cmd == "backfill":
+            from gamechanger_data_ray.engine.maintenance import (
+                backfill,
+                resolve_transform,
+            )
+
+            out = backfill(args.table, resolve_transform(args.transform),
+                           key_column=args.key_column,
+                           num_partitions=args.partitions)
             print(json.dumps(out))
         elif args.cmd == "readmit":
             from gamechanger_data_ray.engine.ingest_gate import readmit

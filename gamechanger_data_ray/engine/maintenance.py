@@ -958,3 +958,137 @@ def repair_from_replica(table_dir: str, replica_dir: str, fs=None) -> dict:
     return {"diverged": diverged, "repaired": len(work),
             "equal_after": after["digest"] == theirs["digest"],
             "digest": after["digest"]}
+
+
+def resolve_transform(path: str):
+    """``module.sub::func`` dynamic resolution — the reference's
+    ``--parser-path`` plugin syntax (``process.py:33-71``), reused for
+    backfill transforms.
+
+    The plugin module is registered for BY-VALUE cloudpickle
+    serialization: a plugin file that exists only on the driver (the
+    normal ad-hoc-backfill situation) still runs in every Ray worker,
+    because the function ships inside the task instead of being
+    re-imported remotely."""
+    import importlib
+
+    mod_name, _, fn_name = path.partition("::")
+    if not mod_name or not fn_name:
+        raise ValueError(f"expected 'module::func', got {path!r}")
+    mod = importlib.import_module(mod_name)
+    try:
+        from ray import cloudpickle as _cp
+
+        _cp.register_pickle_by_value(mod)
+    except Exception:
+        pass  # stdlib/package modules importable everywhere work anyway
+    return getattr(mod, fn_name)
+
+
+def backfill(
+    table_dir: str,
+    transform,
+    *,
+    key_column: str = "doc_id",
+    num_partitions: int | None = None,
+    fs=None,
+) -> dict:
+    """CDC-native payload backfill — "re-parse / re-tokenize the corpus"
+    as ONE new change epoch instead of an in-place rewrite.
+
+    The reference reprocesses by re-running the parser over everything
+    and re-publishing (the ``--parser-path`` plugin surface,
+    ``common/document_parser/process.py:33-71``); an in-place rewrite
+    here would silently desync every derived index. Instead the
+    transform's output becomes ordinary U events: one per live document,
+    all stamped with ``lsn = max committed watermark lsn + 1`` — the
+    single job-level ``--batch-timestamp`` analog
+    (``configs.py:263-268``) — and a fresh deterministic
+    ``version_hash``. They apply through the standard fenced commit and
+    subscribers sync, so every maintained index retracts the old
+    versions and folds the new ones exactly as if the upstream had
+    re-crawled every document.
+
+    ``transform`` is ``callable(pa.Table) -> pa.Table`` over committed
+    row batches (payload + envelope columns in; it may change any
+    payload column). Contract, enforced per batch: same row count, same
+    ``key_column`` values in the same order — a backfill that also
+    deletes is two operations (run a revocation sweep for the second).
+    If the result carries both ``tokens`` and ``n_tok``, ``n_tok`` is
+    recomputed from ``tokens`` so the committed ``len(tokens) == n_tok``
+    invariant cannot drift.
+
+    Each call commits exactly one epoch; a crashed call leaves the
+    previous manifest committed (fenced swap) and a rerun recomputes
+    from that state. Streaming end-to-end: the committed table scans
+    through the transform into the exchange — nothing corpus-sized
+    lands on the driver."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ..state.fs import default_fs
+    from .cdc import apply_events_dataset, read_table
+    from .subscriptions import sync
+
+    fs = default_fs(fs)
+    cur = mf.load_current(table_dir, fs)
+    if cur is None or not cur.partitions:
+        raise ValueError(f"nothing committed at {table_dir} to backfill")
+    new_lsn = 1 + max(
+        int(e.get("watermark_lsn", 0)) for e in cur.partitions.values()
+    )
+    epoch = cur.epoch + 1
+    nparts = num_partitions or len(cur.partitions)
+    envelope = ("op", "lsn", "seq", "version_hash")
+
+    def to_events(t: pa.Table) -> pa.Table:
+        out = transform(t)
+        if out.num_rows != t.num_rows:
+            raise ValueError(
+                "backfill transform must preserve row count "
+                f"({t.num_rows} in, {out.num_rows} out); deletions are a "
+                "revocation sweep, not a backfill")
+        if key_column not in out.schema.names or not pc.all(
+            pc.equal(pc.cast(out[key_column], pa.string()),
+                     pc.cast(t[key_column], pa.string()))
+        ).as_py():
+            raise ValueError(
+                f"backfill transform must keep {key_column!r} values in "
+                "order — it rewrites versions of existing documents")
+        if "tokens" in out.schema.names and "n_tok" in out.schema.names:
+            i = out.schema.get_field_index("n_tok")
+            out = out.set_column(i, "n_tok", pc.cast(
+                pc.list_value_length(out["tokens"]),
+                out.schema.field("n_tok").type))
+        n = out.num_rows
+        out = out.drop_columns([c for c in envelope if c in out.schema.names])
+        vh = pc.binary_join_element_wise(
+            pc.cast(out[key_column], pa.string()),
+            pa.array([str(new_lsn)] * n),
+            pa.array(["bf"] * n),
+            "|",
+        )
+        cols = {
+            "op": pa.array(["U"] * n, pa.string()),
+            "lsn": pa.array(np.full(n, new_lsn, dtype=np.int64)),
+            "seq": pa.array(np.zeros(n, dtype=np.int64)),
+            "version_hash": vh,
+        }
+        for name in out.schema.names:
+            cols[name] = out[name]
+        return pa.table(cols)
+
+    payload_fields = [f for f in cur.schema if f.name not in envelope]
+    incoming = pa.schema(
+        [pa.field("op", pa.string()), pa.field("lsn", pa.int64()),
+         pa.field("seq", pa.int64()), pa.field("version_hash", pa.string())]
+        + payload_fields
+    )
+    events = read_table(table_dir, fs=fs).map_batches(
+        to_events, batch_format="pyarrow")
+    m = apply_events_dataset(events, table_dir, epoch, incoming,
+                             num_partitions=nparts, fs=fs)
+    sync(table_dir, fs)
+    docs = int(m.epoch_counters.get("events_in", 0)) if m is not None else 0
+    return {"epoch": epoch, "lsn": new_lsn, "docs": docs}
