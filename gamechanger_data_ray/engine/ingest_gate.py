@@ -503,9 +503,11 @@ def apply_with_neardup_gate(
     """Screen → quarantine → apply → refresh, as one ingest step:
 
     1. screen ``events_ds`` against the committed near-dup index;
-    2. stream suppressed events (match id + jaccard attached, token
-       payload dropped — the surviving committed twin already holds the
-       content) to the per-epoch quarantine directory;
+    2. stream suppressed events (match/reason + jaccard attached) to the
+       per-epoch quarantine directory — the token payload rides along
+       UNLESS every screen in the chain is ``exact`` (only then does the
+       committed twin hold byte-identical content for ``readmit`` to
+       reconstruct);
     3. apply the surviving events through the standard fenced commit;
     4. refresh the index to the new epoch so the next call screens
        against these documents too.
@@ -535,11 +537,15 @@ def apply_with_neardup_gate(
     qdir = None
     modes = [mode] if isinstance(mode, str) else list(mode)
     if n_sup:
-        # dup modes drop the payload (the surviving committed twin holds
-        # the content); a quality rejection has NO committed twin, so its
-        # payload must ride into quarantine or the data is gone for good
+        # drop the payload ONLY when every screen in the chain flags
+        # byte-identical content (pure-exact gates): the committed twin
+        # then holds the exact bytes and readmit reconstructs them.
+        # Quality and near-dup rejections hold content that exists
+        # nowhere else — it rides into quarantine so readmit can bring
+        # it back instead of refusing as unrecoverable.
+        drop_payload = all(m == "exact" for m in modes)
         audit_cols = [c for c in suppressed.schema().names
-                      if c != tokens_column or "quality" in modes]
+                      if c != tokens_column or not drop_payload]
         qdir = _write_quarantine(suppressed.select_columns(audit_cols),
                                  table_dir, epoch)
 
@@ -656,16 +662,16 @@ def readmit(
     (the operator has decided these rows belong in the corpus).
 
     Payload recovery per row:
-    - quality rejections quarantined WITH their token payload → used
-      directly;
-    - exact-dup rejections (jaccard == 1.0) were quarantined without the
-      payload, but their committed twin holds IDENTICAL content — the
-      tokens are reconstructed via a ``read_keys`` point lookup on the
-      match id;
-    - near-dup rejections (jaccard < 1.0) without a payload are
-      UNRECOVERABLE (the twin differs) — the call refuses with the ids
-      so the operator sees exactly what cannot come back, rather than
-      silently readmitting the wrong content.
+    - quality and near-dup rejections quarantine WITH their token
+      payload (their content exists nowhere else) → used directly;
+    - exact-dup rejections from a pure-exact gate quarantine without
+      the payload, but their committed twin holds IDENTICAL content —
+      the tokens are reconstructed via a ``read_keys`` point lookup on
+      the match id;
+    - a payload-less row whose jaccard is < 1.0 (a quarantine written
+      by a pre-retention build) is UNRECOVERABLE — the twin differs, so
+      the call refuses with the ids rather than silently readmitting
+      the wrong content.
 
     After the fenced commit, subscribers sync to the new epoch, and —
     when ``view_dir``/``mode`` name a gate index that is NOT a

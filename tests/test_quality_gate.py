@@ -196,9 +196,10 @@ def test_readmit_exact_dup_reconstructs_from_twin(tmp_path):
         readmit(tb, 2, ["nope"], num_partitions=2)
 
 
-def test_readmit_neardup_rejection_refuses(tmp_path):
-    """Near-dup rejections (jaccard < 1) without a payload are
-    unrecoverable: readmit must refuse loudly, never guess content."""
+def test_readmit_neardup_rejection_from_retained_payload(tmp_path):
+    """Near-dup rejections (jaccard < 1) quarantine WITH their payload —
+    the twin differs, so the content exists nowhere else — and readmit
+    brings back the ORIGINAL bytes, not the twin's."""
     from gamechanger_data_ray.engine.ingest_gate import readmit
     from gamechanger_data_ray.engine.neardup_index import neardup_index_view
     from gamechanger_data_ray.engine.views import refresh as vrefresh
@@ -216,7 +217,33 @@ def test_readmit_neardup_rejection_refuses(tmp_path):
     res = apply_with_neardup_gate(ray.data.from_arrow(e2), tb, vd, 2,
                                   e2.schema, num_partitions=2, mode="neardup")
     assert res["suppressed"] == 1
-    with pytest.raises(ValueError, match="unrecoverable.*close-call"):
+    r = readmit(tb, 2, num_partitions=2,
+                view_dir=vd, mode="neardup")
+    assert r["readmitted"] == 1
+    t = table_to_arrow(tb)
+    rows = {d: tok for d, tok in zip(t["doc_id"].to_pylist(),
+                                     t["tokens"].to_pylist())}
+    assert rows["close-call"] == near  # the original, NOT the twin
+
+
+def test_readmit_refuses_when_exact_twin_deleted(tmp_path):
+    """A pure-exact quarantine holds no payload; if the committed twin
+    is deleted before readmit, the bytes are gone — refuse loudly."""
+    from gamechanger_data_ray.engine.cdc import apply_events_dataset
+    from gamechanger_data_ray.engine.ingest_gate import readmit
+
+    tb, vd = str(tmp_path / "tb"), str(tmp_path / "idx")
+    base = _tokens(11)
+    e1 = _events([("I", 1, 0, "orig", list(base))])
+    apply_with_neardup_gate(ray.data.from_arrow(e1), tb, vd, 1, e1.schema,
+                            num_partitions=2, mode="exact")
+    e2 = _events([("I", 2, 0, "mirror", list(base))])
+    apply_with_neardup_gate(ray.data.from_arrow(e2), tb, vd, 2, e2.schema,
+                            num_partitions=2, mode="exact")
+    e3 = _events([("D", 3, 0, "orig", None)])
+    apply_events_dataset(ray.data.from_arrow(e3), tb, 3, e3.schema,
+                         num_partitions=2)
+    with pytest.raises(ValueError, match="no longer committed"):
         readmit(tb, 2, num_partitions=2)
 
 
