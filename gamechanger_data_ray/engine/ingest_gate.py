@@ -110,14 +110,15 @@ def _check_view(view_dir: str, table_dir: str, *, k: int, seed: int,
     got_sig = cur_view.epoch_counters.get("view_sig")
     if got_sig != expect_sig:
         raise ValueError(
-            f"near-dup index signature mismatch: view carries {got_sig!r}, "
-            f"gate params expect {expect_sig!r}"
+            f"gate ({mode}) index signature mismatch: view carries "
+            f"{got_sig!r}, gate params expect {expect_sig!r}"
         )
     cur_table = mf.load_current(table_dir, fs)
     if cur_table is not None and cur_table.epoch != cur_view.epoch:
         raise ValueError(
-            f"near-dup index is stale: view reflects epoch {cur_view.epoch}, "
-            f"table committed epoch {cur_table.epoch} — refresh before gating"
+            f"gate ({mode}) index is stale: view reflects epoch "
+            f"{cur_view.epoch}, table committed epoch {cur_table.epoch} — "
+            "refresh before gating"
         )
     return cur_view
 
