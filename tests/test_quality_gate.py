@@ -122,6 +122,44 @@ def test_chained_gate_quality_then_exact(tmp_path):
     assert refresh(content_index_view(), vd, tb) is None  # already current
 
 
+def test_chained_gate_quality_then_neardup(tmp_path):
+    """mode=['quality','neardup']: near-miss content flags with the
+    neardup match + true jaccard; degenerate rows carry the quality
+    reason; every suppressed row keeps its payload (neither screen in
+    this chain is byte-recoverable)."""
+    from gamechanger_data_ray.engine.cdc import apply_events_dataset
+    from gamechanger_data_ray.engine.neardup_index import neardup_index_view
+    from gamechanger_data_ray.engine.views import refresh as vrefresh
+
+    tb, vd = str(tmp_path / "tb"), str(tmp_path / "idx")
+    base = _tokens(6)
+    e1 = _events([("I", 1, 0, "orig", list(base)),
+                  ("I", 1, 1, "other", _tokens(7))])
+    apply_events_dataset(ray.data.from_arrow(e1), tb, 1, e1.schema,
+                         num_partitions=2)
+    vrefresh(neardup_index_view(k=5), vd, tb, num_partitions=2)
+
+    near = list(base)
+    near[0] += 1000
+    e2 = _events([
+        ("I", 2, 0, "close-call", near),        # near-dup of orig
+        ("I", 2, 1, "degen", [4] * 30),         # quality (first flag wins)
+        ("I", 2, 2, "novel", _tokens(8)),       # passes both
+    ])
+    res = apply_with_neardup_gate(
+        ray.data.from_arrow(e2), tb, vd, 2, e2.schema,
+        num_partitions=2, mode=["quality", "neardup"])
+    assert res["suppressed"] == 2
+    ids = set(table_to_arrow(tb)["doc_id"].to_pylist())
+    assert "novel" in ids and not {"close-call", "degen"} & ids
+    q = {r["doc_id"]: r for r in read_quarantine(tb, 2).to_pylist()}
+    assert q["close-call"][MATCH_COLUMN] == "orig"
+    assert 0.5 <= q["close-call"][JACCARD_COLUMN] < 1.0
+    assert q["degen"][MATCH_COLUMN].startswith("quality:")
+    assert q["close-call"]["tokens"] == near  # payload retained
+    assert q["degen"]["tokens"] == [4] * 30
+
+
 def test_chained_gate_rejects_two_index_screens(tmp_path):
     from gamechanger_data_ray.engine.ingest_gate import screen_events
 
