@@ -339,15 +339,21 @@ class QualityScreen:
                 .to_numpy()
             )
             top_frac = mx / np.maximum(lens, 1)
-            for qi, row_i in enumerate(idx):
-                if lens[qi] < self.min_tok:
-                    reason[row_i] = f"quality:n_tok={lens[qi]}<{self.min_tok}"
-                elif self.max_tok is not None and lens[qi] > self.max_tok:
-                    reason[row_i] = f"quality:n_tok={lens[qi]}>{self.max_tok}"
-                elif top_frac[qi] > self.max_top_frac:
-                    reason[row_i] = (
-                        f"quality:top_token_frac={top_frac[qi]:.3f}"
-                        f">{self.max_top_frac}")
+            # rule masks vectorized; Python touches only the FLAGGED
+            # minority (reason-string construction), never every row
+            short = lens < self.min_tok
+            long_ = (np.zeros(len(lens), dtype=bool) if self.max_tok is None
+                     else lens > self.max_tok)
+            rep = top_frac > self.max_top_frac
+            for qi in np.flatnonzero(short | long_ | rep):
+                if short[qi]:
+                    r = f"quality:n_tok={lens[qi]}<{self.min_tok}"
+                elif long_[qi]:
+                    r = f"quality:n_tok={lens[qi]}>{self.max_tok}"
+                else:
+                    r = (f"quality:top_token_frac={top_frac[qi]:.3f}"
+                         f">{self.max_top_frac}")
+                reason[idx[qi]] = r
 
         matched, jac_arr = _merge_prior(
             pa.array(reason.tolist(), pa.string()),
@@ -678,7 +684,13 @@ def readmit(
     when ``view_dir``/``mode`` name a gate index that is NOT a
     subscriber — that index refreshes directly, so the next gated epoch
     screens against the readmitted docs instead of tripping the
-    staleness guard. Returns ``{epoch, readmitted}``."""
+    staleness guard. Returns ``{epoch, readmitted}``.
+
+    Scale note: the quarantine is EPOCH-bounded (the suppressed slice of
+    one ingest epoch, never the corpus), and readmit materializes it on
+    the driver — operator-override scale by construction. A readmit big
+    enough to strain driver memory means the gate itself was
+    misconfigured for that epoch."""
     fs = default_fs(fs)
     q = read_quarantine(table_dir, from_epoch)
     if q.num_rows == 0:
