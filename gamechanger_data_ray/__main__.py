@@ -147,6 +147,18 @@ def main(argv: list[str] | None = None) -> int:
                         "(manifest-only revision; repairs/backfills/tightens col_stats)")
     rt.add_argument("--table", required=True)
 
+    dc = sub.add_parser("drop-column", help="schema evolution DROP: remove a payload "
+                        "column from the live schema (manifest-only lazy drop; "
+                        "tombstone blocks resurrection until retire-dropped)")
+    dc.add_argument("--table", required=True)
+    dc.add_argument("--column", required=True)
+
+    rd = sub.add_parser("retire-dropped", help="clear drop tombstones once no "
+                        "current file still carries the column (footer scan)")
+    rd.add_argument("--table", required=True)
+    rd.add_argument("--column", default=None,
+                    help="one tombstone (default: check all)")
+
     te = sub.add_parser("export-training", help="export the committed token table "
                         "as packed fixed-length training chunks")
     te.add_argument("--table", required=True)
@@ -588,6 +600,20 @@ def main(argv: list[str] | None = None) -> int:
                           "rev": m.rev if m else None}))
         return 0
 
+    if args.cmd == "drop-column":
+        from gamechanger_data_ray.engine.maintenance import drop_column
+
+        m = drop_column(args.table, args.column)
+        print(json.dumps({"dropped": args.column, "epoch": m.epoch,
+                          "rev": m.rev, "tombstones": m.dropped_columns}))
+        return 0
+
+    if args.cmd == "retire-dropped":
+        from gamechanger_data_ray.engine.maintenance import retire_dropped
+
+        print(json.dumps(retire_dropped(args.table, args.column)))
+        return 0
+
     if args.cmd == "export-training":
         from gamechanger_data_ray.engine.training_export import export_training
 
@@ -676,6 +702,7 @@ def main(argv: list[str] | None = None) -> int:
                 "rev": cur.rev,
                 "update_mode": cur.epoch_counters.get("update_mode", "replace"),
                 "clustered_by": cur.epoch_counters.get("clustered_by"),
+                "dropped_columns": cur.dropped_columns,
                 "totals": cur.totals,
                 "partitions": len(cur.partitions),
                 "schema": str(cur.schema).replace("\n", "; "),

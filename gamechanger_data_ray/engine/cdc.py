@@ -570,10 +570,17 @@ def apply_events_dataset(
     fs: StorageAdapter | None = None,
     renames: dict[str, str] | None = None,
     update_mode: str = "replace",
+    dropped_columns: list[str] | None = None,
 ) -> mf.TableManifest | None:
     """Apply an arbitrary change-event Dataset (op/lsn/seq/doc_id + payload
     columns) to the table as ``epoch`` — the core upsert used by epoch
     replay, manifest-driven I/U/D runs (S7) and revocation sweeps (J3).
+
+    ``dropped_columns`` seeds the column-DROP tombstone list on a FRESH
+    table (``carry_forward=False`` rewrites such as repartition, which
+    must not let a still-sending producer resurrect a dropped column in
+    the new directory); on an existing table the committed manifest's
+    list always wins.
 
     ``events_ds`` is a change-event Dataset, or — staged exchange only —
     a list of parquet FILE PATHS, in which case staging fuses
@@ -612,6 +619,17 @@ def apply_events_dataset(
                 f"table was built with update_mode={stored_mode!r}; "
                 f"got {update_mode!r}")
 
+    # column-DROP tombstones: strip dropped names from the INCOMING schema
+    # before unification (a producer still sending the column can't
+    # resurrect it — and can't even fail unification on a type conflict
+    # in a column the table no longer has); ``conform`` to the unified
+    # schema then discards the arriving values at the normalize boundary
+    drops = (list(current.dropped_columns)
+             if current is not None and carry_forward
+             else list(dropped_columns or []))
+    if drops:
+        incoming_schema = pa.schema(
+            [f for f in incoming_schema if f.name not in drops])
     unified = (
         unify_schemas(current.schema, incoming_schema)
         if current is not None
@@ -767,6 +785,10 @@ def apply_events_dataset(
         totals[k] = totals.get(k, 0) + epoch_counters[k]
     totals["rows"] = sum(p["rows"] for p in partitions.values())
 
+    if drops:
+        # visible in `history`: values arriving for these columns were
+        # discarded at the normalize boundary this epoch
+        epoch_counters["dropped_columns_active"] = drops
     manifest = mf.TableManifest(
         epoch=epoch,
         schema_b64=unified_b64,
@@ -774,6 +796,7 @@ def apply_events_dataset(
         epoch_counters=epoch_counters,
         totals=totals,
         num_partitions=num_partitions,
+        dropped_columns=drops,
     )
     fs.makedirs(table_dir)
     if not mf.commit(table_dir, manifest, fs):

@@ -185,6 +185,7 @@ def _rewrite_partitions(
         totals=current.totals,
         num_partitions=current.num_partitions,
         rev=new_rev,
+        dropped_columns=current.dropped_columns,
     )
     if not mf.commit(table_dir, manifest, fs):
         return None
@@ -375,10 +376,152 @@ def restamp_stats(table_dir: str, fs=None) -> mf.TableManifest | None:
         totals=current.totals,
         num_partitions=current.num_partitions,
         rev=current.rev + 1,
+        dropped_columns=current.dropped_columns,
     )
     if not mf.commit(table_dir, manifest, fs):
         return None
     return manifest
+
+
+# columns no drop may remove: the CDC envelope (merge/lineage machinery)
+# plus the core tokenized-payload contract every pipeline builds on
+_UNDROPPABLE = frozenset(
+    {"doc_id", "op", "lsn", "seq", "version_hash", "tokens", "n_tok", "source"}
+)
+
+
+def drop_column(table_dir: str, column: str, fs=None) -> mf.TableManifest:
+    """Schema evolution, the DROP half of add/widen/rename/drop: remove
+    ``column`` from the live schema as a MANIFEST-ONLY same-epoch revision
+    — zero data movement, the lazy-drop shape of Iceberg/Delta
+    ``ALTER TABLE DROP COLUMN``.
+
+    Committed data files keep the column's bytes until their partitions
+    are next physically rewritten (compaction, clustering, repartition,
+    or any copy-on-write merge); reads conform every file to the manifest
+    schema, so the column disappears from every scan and lookup
+    immediately. The name goes onto the manifest's ``dropped_columns``
+    tombstone list, which (a) strips the column from incoming event
+    schemas before unification — a producer still sending it cannot
+    resurrect it (values are discarded at the normalize boundary, and the
+    epoch's counters record ``dropped_columns_active``) — and (b)
+    reserves the name until :func:`retire_dropped` proves no current
+    file still carries the bytes. Without the tombstone a name-matched
+    re-add would RESURRECT old values out of un-rewritten files; with it,
+    a post-retire re-add is a fresh column (nulls for all prior rows).
+
+    Time-travel nuance: as-of reads resolve an epoch to its LATEST
+    retained revision, so a tag taken at the CURRENT epoch sees the drop
+    (the one same-epoch revision that is not state-identical); tags and
+    as-of reads at earlier epochs read their own manifests and keep the
+    column. The undroppable core (tokens/n_tok/doc_id/source) means a
+    pinned training release still re-exports byte-identically either
+    way. Reference analog: the parsed-doc schema trims of
+    ``common/document_parser`` — expressed as a fenced lake operation
+    instead of a re-parse."""
+    import pyarrow as pa
+
+    from ..state.fs import default_fs
+
+    fs = default_fs(fs)
+    current = mf.load_current(table_dir, fs)
+    if current is None:
+        raise FileNotFoundError(f"no committed table at {table_dir}")
+    if column in _UNDROPPABLE:
+        raise ValueError(
+            f"column {column!r} is part of the CDC envelope / payload "
+            "contract and cannot be dropped")
+    schema = current.schema
+    if column not in schema.names:
+        hint = (" (already dropped; pending retire_dropped)"
+                if column in current.dropped_columns else "")
+        raise KeyError(f"column {column!r} not in table schema{hint}")
+    new_schema = pa.schema([f for f in schema if f.name != column],
+                           metadata=schema.metadata)
+    partitions = {}
+    for p, e in current.partitions.items():
+        e = dict(e)
+        if e.get("col_stats"):
+            e["col_stats"] = {c: v for c, v in e["col_stats"].items()
+                              if c != column}
+        partitions[p] = e
+    manifest = mf.TableManifest(
+        epoch=current.epoch,
+        schema_b64=mf.schema_to_b64(new_schema),
+        partitions=partitions,
+        epoch_counters=current.epoch_counters,
+        totals=current.totals,
+        num_partitions=current.num_partitions,
+        rev=current.rev + 1,
+        dropped_columns=[*current.dropped_columns, column],
+    )
+    if not mf.commit(table_dir, manifest, fs):
+        raise RuntimeError("drop_column fenced out by a racing commit")
+    return manifest
+
+
+def retire_dropped(table_dir: str, column: str | None = None, fs=None) -> dict:
+    """Clear column-DROP tombstones whose bytes no longer exist in any
+    current-manifest data file, making the name safe to re-introduce.
+
+    A distributed FOOTER scan — one parquet-schema read per committed
+    file, payload never touched, driver sees one partial-count row per
+    block — checks each tombstoned name; tombstones found in zero files
+    are retired in a same-epoch revision commit, the rest stay pending.
+    Returns ``{"retired": [...], "pending": {column: files_still_carrying}}``.
+    Typical flow: ``drop_column`` → next compaction/clustering rewrites
+    the partitions → ``retire_dropped`` → the name is free again."""
+    import pyarrow as pa
+    import ray.data
+
+    from ..state.fs import default_fs
+
+    fs = default_fs(fs)
+    current = mf.load_current(table_dir, fs)
+    if current is None:
+        raise FileNotFoundError(f"no committed table at {table_dir}")
+    if column is not None and column not in current.dropped_columns:
+        raise KeyError(f"column {column!r} has no drop tombstone")
+    targets = [column] if column is not None else list(current.dropped_columns)
+    if not targets:
+        return {"retired": [], "pending": {}}
+    rels = [os.path.relpath(f, table_dir) for f in current.data_files(table_dir)]
+    counts = dict.fromkeys(targets, 0)
+    if rels:
+        names = sorted(targets)
+
+        def scan(batch: pa.Table) -> pa.Table:
+            partial = dict.fromkeys(names, 0)
+            for rel in batch["rel"].to_pylist():
+                have = set(
+                    fs.read_parquet_schema(os.path.join(table_dir, rel)).names)
+                for c in names:
+                    partial[c] += int(c in have)
+            return pa.table({c: [partial[c]] for c in names})
+
+        for b in (ray.data.from_items([{"rel": r} for r in rels])
+                  .map_batches(scan, batch_format="pyarrow",
+                               retry_exceptions=True, max_retries=4)
+                  .iter_batches(batch_format="pyarrow")):
+            for c in names:
+                counts[c] += sum(b[c].to_pylist())
+    retired = sorted(c for c, n in counts.items() if n == 0)
+    pending = {c: n for c, n in counts.items() if n}
+    if retired:
+        manifest = mf.TableManifest(
+            epoch=current.epoch,
+            schema_b64=current.schema_b64,
+            partitions=current.partitions,
+            epoch_counters=current.epoch_counters,
+            totals=current.totals,
+            num_partitions=current.num_partitions,
+            rev=current.rev + 1,
+            dropped_columns=[c for c in current.dropped_columns
+                             if c not in retired],
+        )
+        if not mf.commit(table_dir, manifest, fs):
+            raise RuntimeError("retire_dropped fenced out by a racing commit")
+    return {"retired": retired, "pending": pending}
 
 
 TAGS_FILE = "_TAGS.json"
@@ -547,6 +690,7 @@ def repartition_table(
         rows, out_dir, current.epoch, current.schema,
         num_partitions=new_partitions, exchange=exchange,
         update_mode=src_mode,
+        dropped_columns=current.dropped_columns,
     )
     if m is None:
         raise RuntimeError(f"repartition commit fenced out at {out_dir}")

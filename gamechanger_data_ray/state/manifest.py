@@ -67,6 +67,17 @@ class TableManifest:
     # same-epoch revision: bumped by physical rewrites that do not change
     # logical state (compaction). Fencing is on (epoch, rev).
     rev: int = 0
+    # column-DROP tombstones (schema evolution, the drop half of
+    # add/widen/rename/drop): names removed from the live schema whose
+    # bytes may still sit in committed data files. While listed here the
+    # name is (a) stripped from incoming event schemas before unification
+    # — a producer still sending the column can't resurrect it — and
+    # (b) blocked from re-use. ``maintenance.retire_dropped`` clears a
+    # tombstone once no current-manifest file still carries the column
+    # (i.e. after the partitions were physically rewritten), after which
+    # the name may be re-introduced as a fresh column (nulls for all
+    # pre-existing rows — never the old values).
+    dropped_columns: list[str] = field(default_factory=list)
 
     @property
     def schema(self) -> pa.Schema:
@@ -103,6 +114,7 @@ class TableManifest:
                 "totals": self.totals,
                 "num_partitions": self.num_partitions,
                 "rev": self.rev,
+                "dropped_columns": self.dropped_columns,
             },
             indent=1,
         )
@@ -118,6 +130,7 @@ class TableManifest:
             totals=d.get("totals", {}),
             num_partitions=d.get("num_partitions"),
             rev=d.get("rev", 0),
+            dropped_columns=d.get("dropped_columns", []),
         )
 
 
