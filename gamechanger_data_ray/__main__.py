@@ -232,6 +232,10 @@ def main(argv: list[str] | None = None) -> int:
     cl.add_argument("--by", required=True,
                     help="comma-separated payload column(s), e.g. 'source,n_tok'")
     cl.add_argument("--row-group-rows", type=int, default=4096)
+    cl.add_argument("--zorder", action="store_true",
+                    help="interleaved-bit Morton order over 2-4 columns "
+                         "(multi-column data skipping) instead of "
+                         "lexicographic")
 
     vc = sub.add_parser("vacuum", help="delete unreferenced data files + old manifests")
     vc.add_argument("--table", required=True)
@@ -800,10 +804,11 @@ def main(argv: list[str] | None = None) -> int:
 
             m = cluster_table(args.table,
                               by=[c.strip() for c in args.by.split(",") if c.strip()],
-                              row_group_rows=args.row_group_rows)
+                              row_group_rows=args.row_group_rows,
+                              zorder=args.zorder)
             print(json.dumps(
                 {"clustered": m is not None,
-                 "by": args.by if m else None,
+                 "by": (m.epoch_counters["clustered_by"] if m else None),
                  "epoch": m.epoch if m else None, "rev": m.rev if m else None}))
         elif args.cmd == "tail":
             from gamechanger_data_ray.engine.cdc import tail

@@ -220,10 +220,62 @@ def compact(table_dir: str, min_deltas: int = 1, fs=None) -> mf.TableManifest | 
     return _rewrite_partitions(table_dir, current, work, fs)
 
 
+_ZORDER_BITS = 16  # per-column rank resolution (64k distinct ranks)
+
+
+def _zorder_values(merged, by: list[str]):
+    """Per-row 64-bit Morton (Z-curve) codes over ``by``: each column is
+    rank/min-max-normalized to a ``_ZORDER_BITS``-bit code WITHIN the
+    partition being rewritten (layout-local normalization is sound — the
+    z-value only orders rows inside one file, it is never compared across
+    partitions or persisted), then the codes' bits are interleaved,
+    earlier columns taking the more significant position per bit plane.
+    Strings rank via ``np.unique`` inverse indices; numerics/temporals
+    min-max-scale; nulls sort first (code 0); a constant column
+    contributes nothing (all-zero plane). Vectorized end-to-end."""
+    import numpy as np
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    n = merged.num_rows
+    top = np.uint64((1 << _ZORDER_BITS) - 1)
+    codes = []
+    for c in by:
+        col = merged[c]
+        col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        if pa.types.is_string(col.type) or pa.types.is_large_string(col.type):
+            vals = pc.fill_null(col, "").to_numpy(zero_copy_only=False)
+            _, inv = np.unique(vals, return_inverse=True)
+            hi = int(inv.max()) if n else 0
+            code = (inv.astype(np.uint64) * top // np.uint64(max(1, hi))
+                    if hi else np.zeros(n, np.uint64))
+        else:
+            if pa.types.is_temporal(col.type) or pa.types.is_boolean(col.type):
+                col = pc.cast(col, pa.int64())
+            a = pc.cast(col, pa.float64()).to_numpy(zero_copy_only=False)
+            lo = np.nanmin(a) if n else 0.0
+            hi = np.nanmax(a) if n else 0.0
+            if not np.isfinite(lo) or hi <= lo:
+                code = np.zeros(n, np.uint64)
+            else:
+                a = np.where(np.isnan(a), lo, a)  # nulls first
+                code = ((a - lo) / (hi - lo) * int(top)).astype(np.uint64)
+        codes.append(code)
+    k = len(codes)
+    z = np.zeros(n, dtype=np.uint64)
+    for b in range(_ZORDER_BITS):
+        for j, code in enumerate(codes):
+            bit = (code >> np.uint64(b)) & np.uint64(1)
+            z |= bit << np.uint64(b * k + (k - 1 - j))
+    return z
+
+
 def cluster_table(
     table_dir: str,
     by: str | list[str],
     row_group_rows: int = 4096,
+    zorder: bool = False,
     fs=None,
 ) -> mf.TableManifest | None:
     """Sort-cluster every partition's rows by payload column(s) — the
@@ -248,7 +300,16 @@ def cluster_table(
     point lookups keep their Bloom sidecars; they only lose doc_id
     row-group locality inside clustered files, the inherent clustering
     trade. ``epoch_counters["clustered_by"]`` records the active order
-    for ``status``. One Ray task per partition; O(P) driver rows."""
+    for ``status``. One Ray task per partition; O(P) driver rows.
+
+    ``zorder=True`` orders by the interleaved-bit Morton code over
+    ``by`` (≥2, ≤4 columns) instead of lexicographically — the true
+    ``OPTIMIZE ... ZORDER BY`` shape: a lexicographic (a, b) sort makes
+    row-group stats disjoint on ``a`` but leaves ``b``'s range wide in
+    every group, so predicates on ``b`` alone prune nothing; the Z-curve
+    localizes BOTH columns, so single- and multi-column bounds each skip
+    most row groups (at mildly coarser per-column selectivity than a
+    dedicated single-column sort — the standard trade)."""
     import hashlib
 
     import pyarrow as pa
@@ -272,10 +333,23 @@ def cluster_table(
         if pa.types.is_nested(schema.field(idx).type):
             raise ValueError(f"cluster column {c!r} is nested — parquet "
                              "row-group stats cannot prune on it")
-    sort_keys = [(c, "ascending") for c in [*by, "doc_id"]]
+    if zorder and not 2 <= len(by) <= 4:
+        raise ValueError(
+            "zorder needs 2-4 columns (one column: use the plain "
+            "lexicographic cluster — it is strictly more selective)")
 
-    def order(merged: pa.Table) -> pa.Table:
-        return merged.take(pc.sort_indices(merged, sort_keys=sort_keys))
+    if zorder:
+        def order(merged: pa.Table) -> pa.Table:
+            import numpy as np
+            z = _zorder_values(merged, by)
+            # stable doc_id tie-break keeps the rewrite deterministic
+            ids = merged["doc_id"].to_numpy(zero_copy_only=False)
+            return merged.take(pa.array(np.lexsort((ids, z))))
+    else:
+        sort_keys = [(c, "ascending") for c in [*by, "doc_id"]]
+
+        def order(merged: pa.Table) -> pa.Table:
+            return merged.take(pc.sort_indices(merged, sort_keys=sort_keys))
 
     work = [
         {"part": int(p),
@@ -288,14 +362,16 @@ def cluster_table(
     # filename carries the sort order so a cluster rewrite can never
     # collide with compact (or a different-`by` cluster) racing from the
     # same rev — see _rewrite_partitions
-    tag = "-c" + hashlib.sha1(",".join(by).encode()).hexdigest()[:8]
+    label = (f"zorder({','.join(by)})" if zorder else ",".join(by))
+    tag = ("-z" if zorder else "-c") + hashlib.sha1(
+        label.encode()).hexdigest()[:8]
     return _rewrite_partitions(
         table_dir, current, work, fs,
         transform=order,
         sort_collapsed=False,  # order() re-sorts; skip the key sort
         file_tag=tag,
         row_group_rows=row_group_rows,
-        extra_counters={"clustered_by": ",".join(by)},
+        extra_counters={"clustered_by": label},
     )
 
 
