@@ -87,6 +87,24 @@ def main(argv: list[str] | None = None) -> int:
     r.add_argument("--update-mode", choices=["replace", "coalesce"], default="replace",
                    help="replace = whole-row LWW; coalesce = column-level "
                         "partial updates (null cells leave columns untouched)")
+    r.add_argument("--branch", default=None,
+                   help="apply onto this OPEN branch of --table instead of "
+                        "the live table (write-audit-publish staging)")
+
+    br = sub.add_parser("branch", help="write-audit-publish: fork the committed "
+                        "state onto a branch (zero copy), stage epochs there, "
+                        "audit, then publish-branch or --discard")
+    br.add_argument("--table", required=True)
+    brg = br.add_mutually_exclusive_group(required=True)
+    brg.add_argument("--create", metavar="NAME")
+    brg.add_argument("--list", action="store_true")
+    brg.add_argument("--discard", metavar="NAME")
+
+    pb = sub.add_parser("publish-branch", help="fenced fast-forward: the parent "
+                        "atomically adopts the branch's audited epochs "
+                        "(refuses if the parent moved since the fork)")
+    pb.add_argument("--table", required=True)
+    pb.add_argument("--name", required=True)
 
     bs = sub.add_parser("bootstrap", help="initial consistent-snapshot load: parquet "
                         "snapshot -> epoch-0 table; tail the changelog from epoch 1")
@@ -760,6 +778,21 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps({"subscriptions": list_subscriptions(args.table)}))
         return 0
 
+    if args.cmd == "branch":
+        from gamechanger_data_ray.engine.branches import (
+            branch_create,
+            branch_discard,
+            list_branches,
+        )
+
+        if args.create:
+            print(json.dumps(branch_create(args.table, args.create)))
+        elif args.discard:
+            print(json.dumps(branch_discard(args.table, args.discard)))
+        else:
+            print(json.dumps({"branches": list_branches(args.table)}))
+        return 0
+
     _ray_init(args.num_cpus)
     import ray
 
@@ -767,6 +800,19 @@ def main(argv: list[str] | None = None) -> int:
         if args.cmd == "replay":
             from gamechanger_data_ray.engine.cdc import replay, replay_union
 
+            if args.branch:
+                from gamechanger_data_ray.engine.branches import (
+                    _fork_info,
+                    branch_path,
+                )
+                from gamechanger_data_ray.state.fs import default_fs
+
+                bdir = branch_path(args.table, args.branch)
+                if _fork_info(bdir, default_fs(None)) is None:
+                    raise SystemExit(
+                        f"no open branch {args.branch!r} — create it first: "
+                        f"branch --table {args.table} --create {args.branch}")
+                args.table = bdir
             renames = dict(kv.split("=", 1) for kv in args.rename) or None
             if len(args.changelog) > 1:
                 m = replay_union(
@@ -782,6 +828,10 @@ def main(argv: list[str] | None = None) -> int:
                     update_mode=args.update_mode,
                 )
             print(json.dumps({"epoch": m.epoch if m else None, "totals": m.totals if m else {}}))
+        elif args.cmd == "publish-branch":
+            from gamechanger_data_ray.engine.branches import branch_publish
+
+            print(json.dumps(branch_publish(args.table, args.name)))
         elif args.cmd == "bootstrap":
             from gamechanger_data_ray.engine.cdc import bootstrap_table
 

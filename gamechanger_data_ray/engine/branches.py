@@ -1,0 +1,265 @@
+"""Write-audit-publish branches: stage epochs on an isolated branch,
+audit them with the full read/validate toolbox, then atomically
+fast-forward the parent — or discard the branch without a trace.
+
+The Iceberg/Nessie WAP workflow expressed over this engine's manifest
+protocol, and the missing third option between "commit straight to the
+live table" and "quarantine individual rows" (``ingest_gate``): the gate
+screens ROWS mechanically at ingest; a branch stages whole EPOCHS for
+arbitrary audits — drift reports, checksum diffs against a replica,
+human sign-off — before readers can see them. Reference analog: the
+blue/green alias swap of ``gc_elasticsearch_publisher.py:131-172``,
+generalized from "swap one rebuilt index" to "swap in N audited epochs".
+
+Design: a branch IS a table directory (``<table>/_branches/<name>/``)
+whose fork manifest references the parent's committed data files through
+ABSOLUTE paths (``os.path.join(branch_dir, abspath)`` resolves to the
+parent file in every reader, with no ``..`` for a filesystem layer to
+trip on) — zero bytes copied at fork, O(partitions) driver work. Every engine surface therefore works on a branch unchanged
+(replay, gated replay, merge-on-read, compaction, validate, checksum,
+drift, time travel); new epochs write branch-local files. Publish is a
+fenced FAST-FORWARD: it requires the parent still at the fork point
+(single-writer WAP; a moved parent means the audit ran against a stale
+base), rewrites each staged manifest's relpaths into the parent's frame
+(``../../X`` → ``X``; branch-local ``part=...`` → ``_branches/<name>/
+part=...``), and commits the head through the parent's (epoch, rev)
+fence — so the swap is atomic, crash-retryable, and preserves per-epoch
+lineage in the parent's history. Published branch-local files age out
+naturally: the next physical rewrite of their partitions lands in the
+parent tree and vacuum sweeps the residue; open branches' files are
+vacuum-protected (see ``maintenance.vacuum``).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import shutil
+
+from ..state import manifest as mf
+from ..state.fs import StorageAdapter, default_fs
+
+BRANCHES_DIR = "_branches"
+FORK_FILE = "_FORK.json"
+_NAME_RE = re.compile(r"^[A-Za-z0-9][A-Za-z0-9._-]{0,63}$")
+
+
+def branch_path(table_dir: str, name: str) -> str:
+    if not _NAME_RE.match(name):
+        raise ValueError(f"bad branch name {name!r} (want [A-Za-z0-9._-], "
+                         "≤64 chars, no leading punctuation)")
+    return os.path.join(table_dir, BRANCHES_DIR, name)
+
+
+def _fork_info(bdir: str, fs: StorageAdapter) -> dict | None:
+    p = os.path.join(bdir, FORK_FILE)
+    return json.loads(fs.read_text(p)) if fs.exists(p) else None
+
+
+def _to_parent_frame(rel: str, table_dir: str, name: str) -> str:
+    """Publish-time path mapping. Branch frame: inherited parent files
+    are ABSOLUTE; branch-local files are plain ``part=...`` rels.
+    Parent frame: inherited files become parent-relative again
+    (portable manifests); branch-local files become
+    ``_branches/<name>/part=...``."""
+    if os.path.isabs(rel):
+        return os.path.relpath(rel, table_dir)
+    return os.path.join(BRANCHES_DIR, name, rel)
+
+
+def _map_partitions(partitions: dict, fn) -> dict:
+    out = {}
+    for p, e in partitions.items():
+        e = dict(e)
+        if e.get("file"):
+            e["file"] = fn(e["file"])
+        if e.get("deltas"):
+            e["deltas"] = [fn(d) for d in e["deltas"]]
+        out[p] = e
+    return out
+
+
+def branch_create(table_dir: str, name: str, fs: StorageAdapter | None = None) -> dict:
+    """Fork the committed state onto a new branch. No data is copied:
+    the branch's genesis manifest points at the parent's files."""
+    fs = default_fs(fs)
+    cur = mf.load_current(table_dir, fs)
+    if cur is None:
+        raise FileNotFoundError(f"no committed table at {table_dir}")
+    bdir = branch_path(table_dir, name)
+    if _fork_info(bdir, fs) is not None or mf.load_current(bdir, fs) is not None:
+        raise FileExistsError(f"branch {name!r} already exists")
+    fork = mf.TableManifest(
+        epoch=cur.epoch,
+        schema_b64=cur.schema_b64,
+        partitions=_map_partitions(
+            cur.partitions,
+            lambda r: (r if os.path.isabs(r)  # re-fork of published residue
+                       else os.path.abspath(os.path.join(table_dir, r)))),
+        epoch_counters={**cur.epoch_counters, "branch_fork_of": table_dir},
+        totals=cur.totals,
+        num_partitions=cur.num_partitions,
+        rev=cur.rev,
+        dropped_columns=cur.dropped_columns,
+    )
+    fs.makedirs(bdir)
+    if not mf.commit(bdir, fork, fs):
+        raise RuntimeError(f"branch fork fenced out at {bdir}")
+    fs.atomic_write_text(
+        os.path.join(bdir, FORK_FILE),
+        json.dumps({"name": name, "parent_epoch": cur.epoch,
+                    "parent_rev": cur.rev}),
+    )
+    return {"branch": name, "path": bdir, "epoch": cur.epoch, "rev": cur.rev}
+
+
+def list_branches(table_dir: str, fs: StorageAdapter | None = None) -> dict[str, dict]:
+    """Open branches: name → {fork point, current head}."""
+    fs = default_fs(fs)
+    root = os.path.join(table_dir, BRANCHES_DIR)
+    out: dict[str, dict] = {}
+    if not os.path.isdir(root):
+        return out
+    for name in sorted(os.listdir(root)):
+        bdir = os.path.join(root, name)
+        fork = _fork_info(bdir, fs)
+        if fork is None:
+            continue  # published residue (data files only) or junk
+        head = mf.load_current(bdir, fs)
+        out[name] = {
+            "forked_at": [fork["parent_epoch"], fork["parent_rev"]],
+            "head": [head.epoch, head.rev] if head else None,
+            "staged_epochs": (head.epoch - fork["parent_epoch"]) if head else 0,
+        }
+    return out
+
+
+def _staged_manifests(bdir: str, fork: dict, fs: StorageAdapter) -> list[mf.TableManifest]:
+    """Branch manifests strictly after the fork point, ascending."""
+    mdir = os.path.join(bdir, mf.MANIFEST_DIR)
+    fp = (fork["parent_epoch"], fork["parent_rev"])
+    found = []
+    for fname in os.listdir(mdir):
+        er = mf.parse_manifest_name(fname)
+        if er is not None and er > fp:
+            found.append(er)
+    return [
+        mf.TableManifest.from_json(
+            fs.read_text(os.path.join(mdir, mf.manifest_name(*er))))
+        for er in sorted(found)
+    ]
+
+
+def branch_publish(table_dir: str, name: str, fs: StorageAdapter | None = None) -> dict:
+    """Fast-forward the parent to the branch head — the audited epochs
+    become the table, atomically, with their per-epoch lineage intact.
+
+    Fenced twice: refuses unless the parent is still exactly at the fork
+    point (non-fast-forward — the audit validated a stale base; discard
+    and re-fork), and the head lands through ``manifest.commit``'s
+    (epoch, rev) fence so a racing writer can't be overwritten. Crash
+    anywhere = parent unchanged; retry republishes idempotently.
+    Post-commit, the parent's declared subscribers sync, exactly as
+    after a direct replay."""
+    fs = default_fs(fs)
+    bdir = branch_path(table_dir, name)
+    fork = _fork_info(bdir, fs)
+    if fork is None:
+        raise FileNotFoundError(f"no open branch {name!r}")
+    cur = mf.load_current(table_dir, fs)
+    if cur is None or (cur.epoch, cur.rev) != (fork["parent_epoch"], fork["parent_rev"]):
+        raise RuntimeError(
+            f"non-fast-forward: parent moved to "
+            f"{(cur.epoch, cur.rev) if cur else None} since branch {name!r} "
+            f"forked at {(fork['parent_epoch'], fork['parent_rev'])} — "
+            "the audit no longer covers the live base; discard and re-fork")
+    staged = _staged_manifests(bdir, fork, fs)
+    if not staged:
+        _drop_branch_meta(bdir)
+        return {"published_epochs": 0, "epoch": cur.epoch, "rev": cur.rev}
+    mdir = os.path.join(table_dir, mf.MANIFEST_DIR)
+    reframed = []
+    for m in staged:
+        reframed.append(mf.TableManifest(
+            epoch=m.epoch,
+            schema_b64=m.schema_b64,
+            partitions=_map_partitions(
+                m.partitions,
+                lambda r: _to_parent_frame(r, table_dir, name)),
+            epoch_counters={**m.epoch_counters, "published_from_branch": name},
+            totals=m.totals,
+            num_partitions=m.num_partitions,
+            rev=m.rev,
+            dropped_columns=m.dropped_columns,
+        ))
+    # intermediates first (history), head last through the commit fence;
+    # a crash in between leaves future-epoch manifest files the retried
+    # publish rewrites byte-identically — _CURRENT never moves early
+    for m in reframed[:-1]:
+        fs.atomic_write_text(os.path.join(mdir, m.name), m.to_json())
+    if not mf.commit(table_dir, reframed[-1], fs):
+        raise RuntimeError("publish fenced out by a racing parent commit")
+    _drop_branch_meta(bdir)
+    from .cdc import _sync_subscribers
+
+    _sync_subscribers(table_dir, fs)
+    head = reframed[-1]
+    return {"published_epochs": len(reframed), "epoch": head.epoch,
+            "rev": head.rev}
+
+
+def _drop_branch_meta(bdir: str) -> None:
+    """Close the branch: remove pointer/fork/manifests. Data files stay —
+    after a publish the parent references them; a no-op publish leaves
+    nothing (fork copied no data)."""
+    shutil.rmtree(os.path.join(bdir, mf.MANIFEST_DIR), ignore_errors=True)
+    for f in (mf.CURRENT_POINTER, FORK_FILE):
+        p = os.path.join(bdir, f)
+        if os.path.exists(p):
+            os.remove(p)
+    # a branch that never wrote data vanishes entirely
+    if not any(e.startswith("part=") for e in os.listdir(bdir)):
+        shutil.rmtree(bdir, ignore_errors=True)
+
+
+def branch_discard(table_dir: str, name: str, fs: StorageAdapter | None = None) -> dict:
+    """Throw the staged epochs away: delete the branch directory — its
+    data files were never visible to parent readers. Refuses on a name
+    with no open branch (published residue must not be deleted: the
+    parent may reference those files)."""
+    fs = default_fs(fs)
+    bdir = branch_path(table_dir, name)
+    if _fork_info(bdir, fs) is None:
+        raise FileNotFoundError(
+            f"no open branch {name!r} (already published or never created)")
+    n_files = sum(
+        len(files) for root, _d, files in os.walk(bdir)
+        if os.path.basename(root).startswith("part="))
+    shutil.rmtree(bdir)
+    return {"discarded": name, "data_files_deleted": n_files}
+
+
+def branch_referenced_files(table_dir: str, fs: StorageAdapter | None = None) -> set[str]:
+    """Abspaths of every data file any OPEN branch's retained manifests
+    reference — vacuum's protection set (an open branch must stay
+    auditable even while the parent is vacuumed)."""
+    fs = default_fs(fs)
+    out: set[str] = set()
+    root = os.path.join(table_dir, BRANCHES_DIR)
+    if not os.path.isdir(root):
+        return out
+    for name in os.listdir(root):
+        bdir = os.path.join(root, name)
+        if _fork_info(bdir, fs) is None:
+            continue
+        mdir = os.path.join(bdir, mf.MANIFEST_DIR)
+        if not os.path.isdir(mdir):
+            continue
+        for fname in os.listdir(mdir):
+            if mf.parse_manifest_name(fname) is None:
+                continue
+            m = mf.TableManifest.from_json(
+                fs.read_text(os.path.join(mdir, fname)))
+            out.update(os.path.abspath(p) for p in m.data_files(bdir))
+    return out

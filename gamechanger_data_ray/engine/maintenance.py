@@ -689,6 +689,14 @@ def vacuum(table_dir: str, keep_epochs: int = 2) -> dict:
         except FileNotFoundError:
             continue
         referenced.update(os.path.abspath(p) for p in m.data_files(table_dir))
+    # open WAP branches stay auditable through a parent vacuum: protect
+    # every file their retained manifests reference (parent files they
+    # inherited at fork AND their own staged epochs — the recursive walk
+    # below descends into _branches/*/part=* too). Published residue is
+    # referenced by the parent's kept manifests directly.
+    from .branches import branch_referenced_files
+
+    referenced |= branch_referenced_files(table_dir)
 
     deleted, freed, sidecars = 0, 0, 0
     for root, _dirs, files in os.walk(table_dir):

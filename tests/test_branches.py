@@ -1,0 +1,227 @@
+"""Write-audit-publish branches (engine/branches.py).
+
+Invariants: fork copies zero data files and leaves the parent untouched;
+the full engine toolbox (replay, merge-on-read, validate, checksum)
+works on a branch unchanged; publish is a fenced fast-forward whose
+result is byte-identical in logical state to a never-branched replay,
+with per-epoch lineage preserved; a moved parent refuses publish;
+discard leaves no trace; vacuum never eats an open branch's files.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+import pytest
+
+from gamechanger_data_ray.core.changelog import write_changelog
+from gamechanger_data_ray.engine.branches import (
+    branch_create,
+    branch_discard,
+    branch_path,
+    branch_publish,
+    list_branches,
+)
+from gamechanger_data_ray.engine.cdc import replay, table_to_arrow
+from gamechanger_data_ray.engine.maintenance import (
+    table_checksums,
+    vacuum,
+    validate_table,
+)
+from gamechanger_data_ray.state import manifest as mf
+
+P = 4
+
+
+def _mk(tmp_path, epochs=3, events=600, keys=200, seed=11):
+    cd, td = str(tmp_path / "cl"), str(tmp_path / "tb")
+    write_changelog(cd, num_epochs=epochs, events_per_epoch=events,
+                    num_keys=keys, seed=seed, evolution=True)
+    return cd, td
+
+
+def _branch_parquets(bdir):
+    return glob.glob(os.path.join(bdir, "part=*", "*.parquet"))
+
+
+def test_fork_is_zero_copy_and_readable(tmp_path):
+    cd, td = _mk(tmp_path)
+    replay(cd, td, num_partitions=P, up_to_epoch=2)
+    before = table_to_arrow(td)
+    info = branch_create(td, "audit")
+    bdir = info["path"]
+    assert _branch_parquets(bdir) == []          # no data copied
+    got = table_to_arrow(bdir)                   # reads parent files
+    assert got.sort_by("doc_id").equals(before.sort_by("doc_id"))
+    assert mf.load_current(td).epoch == 2        # parent untouched
+    assert list_branches(td) == {
+        "audit": {"forked_at": [2, 0], "head": [2, 0], "staged_epochs": 0}}
+    with pytest.raises(FileExistsError):
+        branch_create(td, "audit")
+    with pytest.raises(ValueError, match="bad branch name"):
+        branch_create(td, "../evil")
+
+
+def test_wap_lifecycle_matches_never_branched_replay(tmp_path):
+    cd, td = _mk(tmp_path)
+    replay(cd, td, num_partitions=P, up_to_epoch=2, epochs_per_commit=1)
+    branch_create(td, "wap")
+    bdir = branch_path(td, "wap")
+
+    # stage epoch 3 on the branch; parent must not see it
+    m = replay(cd, bdir, num_partitions=P)
+    assert m.epoch == 3
+    assert mf.load_current(td).epoch == 2
+    assert list_branches(td)["wap"]["staged_epochs"] == 1
+
+    # audit with the standard toolbox, on the branch
+    assert validate_table(bdir)["violations"] == {}
+    staged_digest = table_checksums(bdir)["digest"]
+
+    out = branch_publish(td, "wap")
+    assert out == {"published_epochs": 1, "epoch": 3, "rev": 0}
+    cur = mf.load_current(td)
+    assert cur.epoch == 3
+    assert cur.epoch_counters["published_from_branch"] == "wap"
+    assert table_checksums(td)["digest"] == staged_digest
+
+    # logical state == a replay that never branched
+    ref = str(tmp_path / "ref")
+    replay(cd, ref, num_partitions=P)
+    assert table_to_arrow(td).sort_by("doc_id").equals(
+        table_to_arrow(ref).sort_by("doc_id"))
+    assert validate_table(td)["violations"] == {}
+    # branch is closed; its data files remain (the parent references them)
+    assert "wap" not in list_branches(td)
+    assert any("_branches/wap" in e.get("file", "")
+               for e in cur.partitions.values())
+
+
+def test_publish_refuses_non_fast_forward(tmp_path):
+    cd, td = _mk(tmp_path)
+    replay(cd, td, num_partitions=P, up_to_epoch=1)
+    branch_create(td, "stale")
+    bdir = branch_path(td, "stale")
+    replay(cd, bdir, num_partitions=P, up_to_epoch=2)  # stage epoch 2
+    replay(cd, td, num_partitions=P, up_to_epoch=2)    # parent moves too
+    with pytest.raises(RuntimeError, match="non-fast-forward"):
+        branch_publish(td, "stale")
+    # the doomed branch discards cleanly
+    out = branch_discard(td, "stale")
+    assert out["discarded"] == "stale" and out["data_files_deleted"] > 0
+    assert not os.path.exists(bdir)
+    with pytest.raises(FileNotFoundError):
+        branch_discard(td, "stale")
+    with pytest.raises(FileNotFoundError):
+        branch_publish(td, "stale")
+
+
+def test_noop_publish_closes_branch(tmp_path):
+    cd, td = _mk(tmp_path, epochs=1)
+    replay(cd, td, num_partitions=P)
+    branch_create(td, "idle")
+    out = branch_publish(td, "idle")
+    assert out["published_epochs"] == 0
+    assert "idle" not in list_branches(td)
+    assert not os.path.exists(branch_path(td, "idle"))  # wrote nothing
+
+
+def test_vacuum_protects_open_branch(tmp_path):
+    cd, td = _mk(tmp_path, epochs=4)
+    replay(cd, td, num_partitions=P, up_to_epoch=2, epochs_per_commit=1)
+    branch_create(td, "keepme")
+    bdir = branch_path(td, "keepme")
+    replay(cd, bdir, num_partitions=P, up_to_epoch=3)
+    staged = table_to_arrow(bdir)
+    # parent advances (dooming the branch) and vacuums hard
+    replay(cd, td, num_partitions=P, epochs_per_commit=1)
+    vacuum(td, keep_epochs=1)
+    # the branch still reads: its own files AND the fork-point parent
+    # files it references survived the sweep
+    assert table_to_arrow(bdir).sort_by("doc_id").equals(
+        staged.sort_by("doc_id"))
+
+
+def test_merge_on_read_branch_publishes(tmp_path):
+    cd, td = _mk(tmp_path)
+    replay(cd, td, num_partitions=P, up_to_epoch=2)
+    branch_create(td, "mor")
+    bdir = branch_path(td, "mor")
+    replay(cd, bdir, num_partitions=P, merge_policy="delta")
+    branch_publish(td, "mor")
+    cur = mf.load_current(td)
+    assert any(e.get("deltas") for e in cur.partitions.values())
+    ref = str(tmp_path / "ref")
+    replay(cd, ref, num_partitions=P)
+    assert table_to_arrow(td).sort_by("doc_id").equals(
+        table_to_arrow(ref).sort_by("doc_id"))
+
+
+def test_sequential_branches_reframe_residue(tmp_path):
+    """Branch b forks AFTER branch a published: b inherits a's
+    _branches/a/... files by absolute path and publish maps them back."""
+    cd, td = _mk(tmp_path, epochs=4, events=400)
+    replay(cd, td, num_partitions=P, up_to_epoch=2)
+    branch_create(td, "a")
+    replay(cd, branch_path(td, "a"), num_partitions=P, up_to_epoch=3)
+    branch_publish(td, "a")
+    branch_create(td, "b")
+    replay(cd, branch_path(td, "b"), num_partitions=P)
+    branch_publish(td, "b")
+    cur = mf.load_current(td)
+    assert cur.epoch == 4
+    for e in cur.partitions.values():
+        assert e.get("file") and not os.path.isabs(e["file"])
+    ref = str(tmp_path / "ref")
+    replay(cd, ref, num_partitions=P)
+    assert table_to_arrow(td).sort_by("doc_id").equals(
+        table_to_arrow(ref).sort_by("doc_id"))
+    assert validate_table(td)["violations"] == {}
+
+
+def test_rewrite_migrates_published_residue_out(tmp_path):
+    """The self-healing story: after publish, the next physical rewrite
+    of a partition lands in the parent tree, and vacuum sweeps the
+    _branches residue file."""
+    from gamechanger_data_ray.engine.maintenance import cluster_table
+
+    cd, td = _mk(tmp_path)
+    replay(cd, td, num_partitions=P, up_to_epoch=2)
+    branch_create(td, "w")
+    replay(cd, branch_path(td, "w"), num_partitions=P)
+    branch_publish(td, "w")
+    residue = [f for f in mf.load_current(td).data_files(td)
+               if "_branches" in f]
+    assert residue
+    assert cluster_table(td, by="n_tok") is not None  # rewrites all parts
+    cur = mf.load_current(td)
+    assert not any("_branches" in (e.get("file") or "")
+                   for e in cur.partitions.values())
+    vacuum(td, keep_epochs=1)
+    assert not any(os.path.exists(f) for f in residue)
+
+
+def test_branch_cli(tmp_path, capsys):
+    from gamechanger_data_ray.__main__ import main
+
+    cd, td = _mk(tmp_path)
+    replay(cd, td, num_partitions=P, up_to_epoch=2)
+
+    def last_json():
+        return json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+    assert main(["branch", "--table", td, "--create", "cli"]) == 0
+    assert last_json()["branch"] == "cli"
+    assert main(["replay", "--changelog", cd, "--table", td,
+                 "--partitions", str(P), "--branch", "cli"]) == 0
+    assert last_json()["epoch"] == 3
+    assert main(["branch", "--table", td, "--list"]) == 0
+    assert last_json()["branches"]["cli"]["staged_epochs"] == 1
+    assert main(["publish-branch", "--table", td, "--name", "cli"]) == 0
+    out = last_json()
+    assert out["published_epochs"] == 1 and out["epoch"] == 3
+    with pytest.raises(SystemExit):
+        main(["replay", "--changelog", cd, "--table", td,
+              "--branch", "never-created"])
