@@ -105,6 +105,9 @@ def main(argv: list[str] | None = None) -> int:
                         "(refuses if the parent moved since the fork)")
     pb.add_argument("--table", required=True)
     pb.add_argument("--name", required=True)
+    pb.add_argument("--require-clean", action="store_true",
+                    help="run validate_table on the staged state first; "
+                         "refuse to publish if it reports violations")
 
     bs = sub.add_parser("bootstrap", help="initial consistent-snapshot load: parquet "
                         "snapshot -> epoch-0 table; tail the changelog from epoch 1")
@@ -831,7 +834,8 @@ def main(argv: list[str] | None = None) -> int:
         elif args.cmd == "publish-branch":
             from gamechanger_data_ray.engine.branches import branch_publish
 
-            print(json.dumps(branch_publish(args.table, args.name)))
+            print(json.dumps(branch_publish(
+                args.table, args.name, require_clean=args.require_clean)))
         elif args.cmd == "bootstrap":
             from gamechanger_data_ray.engine.cdc import bootstrap_table
 

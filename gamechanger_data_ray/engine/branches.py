@@ -151,7 +151,12 @@ def _staged_manifests(bdir: str, fork: dict, fs: StorageAdapter) -> list[mf.Tabl
     ]
 
 
-def branch_publish(table_dir: str, name: str, fs: StorageAdapter | None = None) -> dict:
+def branch_publish(
+    table_dir: str,
+    name: str,
+    require_clean: bool = False,
+    fs: StorageAdapter | None = None,
+) -> dict:
     """Fast-forward the parent to the branch head — the audited epochs
     become the table, atomically, with their per-epoch lineage intact.
 
@@ -161,12 +166,26 @@ def branch_publish(table_dir: str, name: str, fs: StorageAdapter | None = None) 
     (epoch, rev) fence so a racing writer can't be overwritten. Crash
     anywhere = parent unchanged; retry republishes idempotently.
     Post-commit, the parent's declared subscribers sync, exactly as
-    after a direct replay."""
+    after a direct replay.
+
+    ``require_clean=True`` is the built-in audit: the staged state must
+    pass ``maintenance.validate_table`` (duplicate keys, n_tok/tokens
+    mismatches, zone-map violations, ...) or publish refuses with the
+    violation summary — nothing reaches readers unvalidated even if the
+    operator forgot to audit by hand."""
     fs = default_fs(fs)
     bdir = branch_path(table_dir, name)
     fork = _fork_info(bdir, fs)
     if fork is None:
         raise FileNotFoundError(f"no open branch {name!r}")
+    if require_clean:
+        from .maintenance import validate_table
+
+        rep = validate_table(bdir)
+        if rep["violations"]:
+            raise RuntimeError(
+                f"branch {name!r} failed the publish audit: "
+                f"{rep['violations']} — fix or discard; nothing published")
     cur = mf.load_current(table_dir, fs)
     if cur is None or (cur.epoch, cur.rev) != (fork["parent_epoch"], fork["parent_rev"]):
         raise RuntimeError(

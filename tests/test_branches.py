@@ -203,6 +203,38 @@ def test_rewrite_migrates_published_residue_out(tmp_path):
     assert not any(os.path.exists(f) for f in residue)
 
 
+def test_publish_require_clean_audit_gate(tmp_path):
+    """--require-clean: a staged state that fails validate_table cannot
+    publish; a clean one publishes with the same flag."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    cd, td = _mk(tmp_path)
+    replay(cd, td, num_partitions=P, up_to_epoch=2)
+    branch_create(td, "dirty")
+    bdir = branch_path(td, "dirty")
+    replay(cd, bdir, num_partitions=P)
+    # corrupt one BRANCH-LOCAL staged file: n_tok no longer len(tokens)
+    cur = mf.load_current(bdir)
+    local = next(e["file"] for e in cur.partitions.values()
+                 if e.get("file") and not os.path.isabs(e["file"]))
+    path = os.path.join(bdir, local)
+    t = pq.read_table(path)
+    bad = t.set_column(t.schema.get_field_index("n_tok"), "n_tok",
+                       pc.add(t["n_tok"], 1))
+    pq.write_table(bad, path)
+    with pytest.raises(RuntimeError, match="failed the publish audit"):
+        branch_publish(td, "dirty", require_clean=True)
+    assert mf.load_current(td).epoch == 2      # nothing published
+    branch_discard(td, "dirty")
+
+    branch_create(td, "clean")
+    replay(cd, branch_path(td, "clean"), num_partitions=P)
+    out = branch_publish(td, "clean", require_clean=True)
+    assert out["published_epochs"] == 1
+    assert mf.load_current(td).epoch == 3
+
+
 def test_branch_cli(tmp_path, capsys):
     from gamechanger_data_ray.__main__ import main
 
