@@ -35,6 +35,12 @@ from gamechanger_data_ray.engine.cdc import (
     replay,
     table_to_arrow,
 )
+from gamechanger_data_ray.engine.branches import (
+    branch_create,
+    branch_discard,
+    branch_path,
+    branch_publish,
+)
 from gamechanger_data_ray.engine.maintenance import (
     cluster_table,
     compact,
@@ -123,7 +129,9 @@ def test_lifecycle_fuzz(tmp_path, seed):
     trace.append("epoch1")
     check_state()
 
-    maintenance = ["compact", "cluster", "restamp", "vacuum", "repartition", "tag"]
+    maintenance = ["compact", "cluster", "restamp", "vacuum", "repartition",
+                   "tag", "branch"]
+    branch_gen = 0
     while applied < EPOCHS:
         op = rng.choice(maintenance + ["epoch", "epoch", "epoch"])
         trace.append(op)
@@ -133,6 +141,40 @@ def test_lifecycle_fuzz(tmp_path, seed):
             replay(cd, tb, num_partitions=P, up_to_epoch=applied + 1,
                    merge_policy=policy)
             applied += 1
+            check_lookups(check_state())
+            continue
+        if op == "branch":
+            # one WAP episode: fork, stage the next epoch in isolation,
+            # then publish it / discard it / prove the non-FF fence when
+            # the parent revs underneath. Parent state must be bit-stable
+            # through every path except publish.
+            branch_gen += 1
+            name = f"b{branch_gen}"
+            policy = rng.choice(["rewrite", "delta"])
+            action = rng.choice(["publish", "discard", "race"])
+            trace[-1] = f"branch:{policy}:{action}"
+            before = table_checksums(tb)
+            branch_create(tb, name)
+            replay(cd, branch_path(tb, name), num_partitions=P,
+                   up_to_epoch=applied + 1, merge_policy=policy)
+            assert table_checksums(tb)["digest"] == before["digest"], (
+                f"seed={seed} staging leaked into the parent after {trace}"
+            )
+            if action == "publish":
+                branch_publish(tb, name)
+                applied += 1
+            elif action == "discard":
+                branch_discard(tb, name)
+            else:
+                restamp_stats(tb)  # rev bump: the audit base moved
+                with pytest.raises(RuntimeError, match="non-fast-forward"):
+                    branch_publish(tb, name)
+                branch_discard(tb, name)
+            if action != "publish":
+                after = table_checksums(tb)
+                assert after["digest"] == before["digest"], (
+                    f"seed={seed} closed branch changed the parent {trace}"
+                )
             check_lookups(check_state())
             continue
         if op == "tag":
