@@ -235,6 +235,72 @@ def test_publish_require_clean_audit_gate(tmp_path):
     assert mf.load_current(td).epoch == 3
 
 
+def test_export_import_roundtrips_published_residue(tmp_path):
+    """A published table whose manifest references _branches/<name>/...
+    files must export/import as a working bundle (rels preserved)."""
+    from gamechanger_data_ray.engine.maintenance import export_table, import_table
+
+    cd, td = _mk(tmp_path)
+    replay(cd, td, num_partitions=P, up_to_epoch=2)
+    branch_create(td, "x")
+    replay(cd, branch_path(td, "x"), num_partitions=P)
+    branch_publish(td, "x")
+    want = table_to_arrow(td).sort_by("doc_id")
+    bundle, td2 = str(tmp_path / "bundle"), str(tmp_path / "tb2")
+    export_table(td, bundle)
+    import_table(bundle, td2)
+    assert table_to_arrow(td2).sort_by("doc_id").equals(want)
+    assert table_checksums(td2)["digest"] == table_checksums(td)["digest"]
+
+
+def test_publish_crash_sweep(tmp_path, monkeypatch):
+    """Kill publish at every write it performs; the parent must stay at
+    the fork point through every crash, and a plain retry must complete
+    to the exact state an uncrashed publish produces."""
+    from gamechanger_data_ray.state.fs import StorageAdapter
+
+    cd, td = _mk(tmp_path, epochs=4)
+    replay(cd, td, num_partitions=P, up_to_epoch=1, epochs_per_commit=1)
+    branch_create(td, "c")
+    bdir = branch_path(td, "c")
+    # 3 staged epochs -> >=3 manifest writes + the _CURRENT swap inside
+    # commit: several distinct crash points
+    replay(cd, bdir, num_partitions=P, epochs_per_commit=1)
+    want = table_to_arrow(bdir).sort_by("doc_id")
+
+    real = StorageAdapter.atomic_write_text
+    crash_point = 0
+    while True:
+        calls = {"n": 0}
+
+        def boom(self, path, text, _cp=crash_point, _calls=calls):
+            if _calls["n"] == _cp:
+                raise OSError(f"injected crash at write {_cp}")
+            _calls["n"] += 1
+            return real(self, path, text)
+
+        monkeypatch.setattr(StorageAdapter, "atomic_write_text", boom)
+        try:
+            branch_publish(td, "c")
+            monkeypatch.setattr(StorageAdapter, "atomic_write_text", real)
+            break  # crash point beyond the last write: publish succeeded
+        except OSError:
+            monkeypatch.setattr(StorageAdapter, "atomic_write_text", real)
+            # crashed mid-publish: parent must still be at the fork point
+            cur = mf.load_current(td)
+            assert (cur.epoch, cur.rev) == (1, 0), (
+                f"crash point {crash_point} moved the parent to "
+                f"{(cur.epoch, cur.rev)}")
+            assert "c" in list_branches(td)  # branch still open for retry
+        crash_point += 1
+        assert crash_point < 20, "runaway crash sweep"
+    assert crash_point >= 3  # the sweep actually exercised interior points
+    cur = mf.load_current(td)
+    assert cur.epoch == 4
+    assert table_to_arrow(td).sort_by("doc_id").equals(want)
+    assert validate_table(td)["violations"] == {}
+
+
 def test_branch_cli(tmp_path, capsys):
     from gamechanger_data_ray.__main__ import main
 
