@@ -109,6 +109,16 @@ def main(argv: list[str] | None = None) -> int:
                     help="run validate_table on the staged state first; "
                          "refuse to publish if it reports violations")
 
+    bdf = sub.add_parser("branch-diff", help="what WOULD this publish change: "
+                         "I/U/D rows from the parent's current state to the "
+                         "branch head (audit before publish-branch)")
+    bdf.add_argument("--table", required=True)
+    bdf.add_argument("--name", required=True)
+    bdf.add_argument("--mode", choices=["events", "retractions"], default="events")
+    bdf.add_argument("--out", default=None,
+                     help="write change rows as parquet here "
+                          "(default: print summary counts only)")
+
     bs = sub.add_parser("bootstrap", help="initial consistent-snapshot load: parquet "
                         "snapshot -> epoch-0 table; tail the changelog from epoch 1")
     bs.add_argument("--from", dest="snapshot", required=True,
@@ -836,6 +846,22 @@ def main(argv: list[str] | None = None) -> int:
 
             print(json.dumps(branch_publish(
                 args.table, args.name, require_clean=args.require_clean)))
+        elif args.cmd == "branch-diff":
+            from gamechanger_data_ray.core.diff import CHANGE_COLUMN, SIGN_COLUMN
+            from gamechanger_data_ray.engine.branches import branch_diff
+
+            ds = branch_diff(args.table, args.name, mode=args.mode)
+            if args.out:
+                ds.write_parquet(args.out)
+                ds = ray.data.read_parquet(args.out)
+            key = CHANGE_COLUMN if args.mode == "events" else SIGN_COLUMN
+            counts = {
+                str(r[key]): r["count()"]
+                for r in ds.groupby(key).count().take_all()
+            }
+            print(json.dumps({"branch": args.name, "mode": args.mode,
+                              "changes": counts,
+                              "out": args.out}))
         elif args.cmd == "bootstrap":
             from gamechanger_data_ray.engine.cdc import bootstrap_table
 

@@ -259,6 +259,71 @@ def branch_discard(table_dir: str, name: str, fs: StorageAdapter | None = None) 
     return {"discarded": name, "data_files_deleted": n_files}
 
 
+def branch_diff(table_dir: str, name: str, mode: str = "events", fs=None):
+    """The audit centerpiece: the I/U/D change rows (``mode="events"``)
+    or Z-set retractions (``mode="retractions"``) that PUBLISHING the
+    branch would apply to the parent — i.e. ``diff(parent@now,
+    branch@head)`` — as a streaming Dataset.
+
+    Zero-shuffle like :func:`engine.diff.diff_table_epochs`: both sides
+    route keys with the same pinned hash modulus (branches inherit it),
+    so each partition diffs in one task reading exactly two resolved
+    states — and partitions the branch never touched still reference the
+    parent's files by identical absolute path, so they prune without
+    reading a byte. Cost is O(what the branch changed). If the parent
+    moved since the fork, the diff is against the parent's CURRENT state
+    — exactly what a publish would be refused over, so the report shows
+    the operator what the conflict is about."""
+    import pyarrow as pa
+    import ray.data
+
+    from ..core.diff import CHANGE_COLUMN, SIGN_COLUMN
+    from ..core.reconcile import unify_schemas
+    from .diff import _diff_task
+
+    fs = default_fs(fs)
+    bdir = branch_path(table_dir, name)
+    if _fork_info(bdir, fs) is None:
+        raise FileNotFoundError(f"no open branch {name!r}")
+    man_old = mf.load_current(table_dir, fs)
+    man_new = mf.load_current(bdir, fs)
+    if man_old is None or man_new is None:
+        raise FileNotFoundError("missing committed state on parent or branch")
+    if man_old.num_partitions != man_new.num_partitions:
+        raise ValueError("parent was repartitioned under the branch — "
+                         "partition alignment lost; discard and re-fork")
+
+    def abs_rels(man: mf.TableManifest, root: str, p: str) -> list[str]:
+        e = man.partitions.get(p)
+        if e is None:
+            return []
+        rels = ([e["file"]] if e.get("file") else []) + list(e.get("deltas", ()))
+        return [os.path.abspath(os.path.join(root, r)) for r in rels]
+
+    work = []
+    for p in sorted(set(man_old.partitions) | set(man_new.partitions), key=int):
+        old_f = abs_rels(man_old, table_dir, p)
+        new_f = abs_rels(man_new, bdir, p)
+        if old_f == new_f:  # untouched by the branch: free prune
+            continue
+        work.append({"part": int(p), "old_files": old_f, "new_files": new_f})
+    unified_b64 = mf.schema_to_b64(
+        unify_schemas(man_old.schema, man_new.schema))
+    extra = (pa.field(CHANGE_COLUMN, pa.string()) if mode == "events"
+             else pa.field(SIGN_COLUMN, pa.int8()))
+    out_schema = pa.schema(
+        list(mf.schema_from_b64(unified_b64)) + [extra])
+    if not work:
+        return ray.data.from_arrow(
+            pa.table({f.name: pa.array([], f.type) for f in out_schema}))
+    # absolute file paths ride the work items, so the task root is ""
+    return ray.data.from_items(work).map_batches(
+        _diff_task("", unified_b64, mode, fs),
+        batch_size=1, batch_format="pyarrow",
+        retry_exceptions=True, max_retries=4,
+    )
+
+
 def branch_referenced_files(table_dir: str, fs: StorageAdapter | None = None) -> set[str]:
     """Abspaths of every data file any OPEN branch's retained manifests
     reference — vacuum's protection set (an open branch must stay

@@ -301,6 +301,37 @@ def test_publish_crash_sweep(tmp_path, monkeypatch):
     assert validate_table(td)["violations"] == {}
 
 
+def test_branch_diff_previews_publish(tmp_path):
+    """branch_diff == the change rows a never-branched table's own
+    epoch-to-epoch diff produces for the same epochs (and empty for a
+    fresh fork)."""
+    import pyarrow as pa
+
+    from gamechanger_data_ray.core.diff import CHANGE_COLUMN
+    from gamechanger_data_ray.engine.branches import branch_diff
+    from gamechanger_data_ray.engine.diff import diff_table_epochs
+
+    cd, td = _mk(tmp_path)
+    replay(cd, td, num_partitions=P, up_to_epoch=2, epochs_per_commit=1)
+    branch_create(td, "d")
+    assert branch_diff(td, "d").count() == 0  # nothing staged yet
+    replay(cd, branch_path(td, "d"), num_partitions=P)
+
+    def gather(ds):
+        t = pa.concat_tables(
+            [pa.table(b) for b in ds.iter_batches(batch_format="pyarrow")])
+        return t.sort_by([("doc_id", "ascending"), (CHANGE_COLUMN, "ascending")])
+
+    got = gather(branch_diff(td, "d"))
+    ref = str(tmp_path / "ref")
+    replay(cd, ref, num_partitions=P, epochs_per_commit=1)
+    want = gather(diff_table_epochs(ref, 2, 3))
+    assert got.num_rows == want.num_rows > 0
+    assert got.cast(want.schema).equals(want)
+    with pytest.raises(FileNotFoundError):
+        branch_diff(td, "nope")
+
+
 def test_branch_cli(tmp_path, capsys):
     from gamechanger_data_ray.__main__ import main
 
@@ -317,6 +348,9 @@ def test_branch_cli(tmp_path, capsys):
     assert last_json()["epoch"] == 3
     assert main(["branch", "--table", td, "--list"]) == 0
     assert last_json()["branches"]["cli"]["staged_epochs"] == 1
+    assert main(["branch-diff", "--table", td, "--name", "cli"]) == 0
+    changes = last_json()["changes"]
+    assert changes and all(k in ("insert", "update", "delete") for k in changes)
     assert main(["publish-branch", "--table", td, "--name", "cli"]) == 0
     out = last_json()
     assert out["published_epochs"] == 1 and out["epoch"] == 3
