@@ -109,6 +109,13 @@ def main(argv: list[str] | None = None) -> int:
                     help="run validate_table on the staged state first; "
                          "refuse to publish if it reports violations")
 
+    rb = sub.add_parser("rebase-branch", help="non-fast-forward recovery: "
+                        "re-fork from the parent's new head and re-apply the "
+                        "branch's net change as one epoch (conflicts resolve "
+                        "by LWW on true lineage)")
+    rb.add_argument("--table", required=True)
+    rb.add_argument("--name", required=True)
+
     bdf = sub.add_parser("branch-diff", help="what WOULD this publish change: "
                          "I/U/D rows from the parent's current state to the "
                          "branch head (audit before publish-branch)")
@@ -846,6 +853,10 @@ def main(argv: list[str] | None = None) -> int:
 
             print(json.dumps(branch_publish(
                 args.table, args.name, require_clean=args.require_clean)))
+        elif args.cmd == "rebase-branch":
+            from gamechanger_data_ray.engine.branches import branch_rebase
+
+            print(json.dumps(branch_rebase(args.table, args.name)))
         elif args.cmd == "branch-diff":
             from gamechanger_data_ray.core.diff import CHANGE_COLUMN, SIGN_COLUMN
             from gamechanger_data_ray.engine.branches import branch_diff

@@ -324,6 +324,127 @@ def branch_diff(table_dir: str, name: str, mode: str = "events", fs=None):
     )
 
 
+def branch_rebase(table_dir: str, name: str, fs=None) -> dict:
+    """Recover from non-fast-forward without losing the staged work:
+    re-fork from the parent's NEW head and re-apply the branch's net
+    change — unioned with the parent's own post-fork net change, see the
+    inline correctness note — as one fresh epoch.
+
+    The net change is the branch's own ``diff(fork state, head)`` —
+    zero-shuffle, O(what the branch changed) — whose "events" mode is
+    built for exactly this replay: inserted/updated keys carry the new
+    row VERBATIM with its real (lsn, seq) lineage, deletes carry a
+    tombstone at (old lsn, sentinel seq). Conflicts with what the parent
+    adopted since the fork therefore resolve by LAST-WRITER-WINS on
+    lineage: a parent WRITE newer than the branch's version survives, a
+    branch delete loses to a genuinely newer parent write — the same
+    rule every other merge in the engine follows, not a bespoke one.
+
+    One asymmetry, pinned in tests: committed state compacts tombstones
+    away, so a post-fork parent DELETE survives rebase only at the
+    lineage of the row it deleted (the reverse-CDC floor) — a branch
+    UPDATE of that key, being post-fork and therefore newer than the
+    deleted row, resurrects it (update-beats-concurrent-delete, the
+    standard choice when delete lineage is not retained). A parent
+    delete of a key the branch never touched stays deleted.
+
+    Refused on ``update_mode='coalesce'`` tables: a rebased full-image
+    row would re-apply column-level history it did not observe.
+    Crash-safe ordering: the rebased branch is built under a
+    ``<name>.rebasing`` temp name; the original branch is kept (as
+    ``<name>.old``) until the rebased one sits under the real name, then
+    swept — a crash at any point leaves at least one intact copy of the
+    staged work on disk."""
+    from .cdc import apply_events_dataset
+    from .diff import diff_table_epochs
+
+    fs = default_fs(fs)
+    bdir = branch_path(table_dir, name)
+    fork = _fork_info(bdir, fs)
+    if fork is None:
+        raise FileNotFoundError(f"no open branch {name!r}")
+    cur = mf.load_current(table_dir, fs)
+    if cur is None:
+        raise FileNotFoundError(f"no committed table at {table_dir}")
+    if cur.epoch_counters.get("update_mode", "replace") == "coalesce":
+        raise ValueError(
+            "rebase is not defined for update_mode='coalesce' tables "
+            "(full-image re-apply would overwrite column-level history); "
+            "discard and re-stage instead")
+    if (cur.epoch, cur.rev) == (fork["parent_epoch"], fork["parent_rev"]):
+        return {"rebased": False, "reason": "parent still at the fork "
+                "point; publish directly"}
+    head = mf.load_current(bdir, fs)
+    if head is None or head.epoch <= fork["parent_epoch"]:
+        # nothing staged: a fresh fork of the new head is the rebase
+        branch_discard(table_dir, name, fs)
+        branch_create(table_dir, name, fs)
+        return {"rebased": True, "replayed_changes": 0,
+                "new_base": [cur.epoch, cur.rev]}
+    # the branch's net change, computed entirely inside the branch dir
+    # (fork manifest and head manifest are partition-aligned by
+    # construction); drop the change label — the rows ARE the events
+    branch_net = diff_table_epochs(
+        bdir, fork["parent_epoch"], head.epoch, mode="events", fs=fs
+    ).map_batches(
+        lambda t: t.drop_columns(["change"]), batch_format="pyarrow")
+    n_changes = branch_net.count()
+    # …UNIONed with the PARENT's net change since the fork. Required for
+    # correctness, not an optimization: committed state drops tombstone
+    # rows (safe under replay's strictly-greater-epoch rule), so applying
+    # only the branch's events onto the new base would let an old branch
+    # row RESURRECT a key the parent deleted post-fork. With both change
+    # sets in one event epoch, the LWW combiner arbitrates every
+    # conflict by true lineage — the diff kernel's sentinel-seq
+    # tombstones beat the row they deleted and lose to genuinely newer
+    # writes — and re-applied parent rows are idempotent no-ops.
+    try:
+        parent_net = diff_table_epochs(
+            table_dir, fork["parent_epoch"], cur.epoch, mode="events", fs=fs
+        ).map_batches(
+            lambda t: t.drop_columns(["change"]), batch_format="pyarrow")
+    except FileNotFoundError as e:
+        raise RuntimeError(
+            f"cannot rebase {name!r}: the fork-point manifest "
+            f"(epoch {fork['parent_epoch']}) was vacuumed from the parent "
+            "— the conflict set is unrecoverable; discard and re-stage"
+        ) from e
+
+    from ..core.reconcile import conform, unify_schemas
+
+    uni = unify_schemas(head.schema, cur.schema)
+
+    def to_uni(t):
+        return conform(t, uni)
+
+    events = (branch_net.map_batches(to_uni, batch_format="pyarrow")
+              .union(parent_net.map_batches(to_uni, batch_format="pyarrow")))
+    tmp_dir = branch_path(table_dir, f"{name}.rebasing")
+    old_dir = branch_path(table_dir, f"{name}.old")
+    for d in (tmp_dir, old_dir):  # debris from a crashed earlier attempt
+        shutil.rmtree(d, ignore_errors=True)
+    branch_create(table_dir, f"{name}.rebasing", fs)
+    m = apply_events_dataset(
+        events, tmp_dir, epoch=cur.epoch + 1,
+        incoming_schema=uni,
+        num_partitions=cur.num_partitions or head.num_partitions,
+        fs=fs,
+    )
+    if m is None:
+        shutil.rmtree(tmp_dir, ignore_errors=True)
+        raise RuntimeError("rebase apply was fenced out; retry")
+    # swap, originals preserved until the new branch is in place
+    os.rename(bdir, old_dir)
+    os.replace(tmp_dir, bdir)
+    shutil.rmtree(old_dir, ignore_errors=True)
+    info = _fork_info(bdir, fs)
+    info["name"] = name
+    fs.atomic_write_text(os.path.join(bdir, FORK_FILE), json.dumps(info))
+    return {"rebased": True, "replayed_changes": int(n_changes),
+            "new_base": [cur.epoch, cur.rev],
+            "head": [m.epoch, m.rev]}
+
+
 def branch_referenced_files(table_dir: str, fs: StorageAdapter | None = None) -> set[str]:
     """Abspaths of every data file any OPEN branch's retained manifests
     reference — vacuum's protection set (an open branch must stay

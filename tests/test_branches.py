@@ -332,6 +332,103 @@ def test_branch_diff_previews_publish(tmp_path):
         branch_diff(td, "nope")
 
 
+def test_rebase_recovers_non_fast_forward(tmp_path):
+    """Parent moves under an open branch; rebase re-forks and re-applies
+    the branch's net change unioned with the parent's, conflicts
+    resolving by LWW on lineage: a NEWER parent write survives the
+    rebase; a parent delete of a key the branch never touched stays
+    deleted; a parent delete of a key the branch UPDATED loses to the
+    update (update-beats-concurrent-delete — delete lineage floors at
+    the deleted row after tombstone compaction, the documented
+    reverse-CDC limit); disjoint changes merge."""
+    import pyarrow as pa
+
+    from gamechanger_data_ray.core.diff import CHANGE_COLUMN
+    from gamechanger_data_ray.engine.branches import branch_diff, branch_rebase
+    from gamechanger_data_ray.engine.cdc import apply_events_dataset
+
+    cd, td = _mk(tmp_path)
+    replay(cd, td, num_partitions=P, up_to_epoch=2)
+    branch_create(td, "r")
+    bdir = branch_path(td, "r")
+    replay(cd, bdir, num_partitions=P)  # stage epoch 3
+    staged = table_to_arrow(bdir)
+
+    # keys the branch's net change actually touches (alive post-stage)
+    net = pa.concat_tables([pa.table(b) for b in branch_diff(td, "r")
+                           .iter_batches(batch_format="pyarrow")])
+    alive = set(staged["doc_id"].to_pylist())
+    changed = [k for k, c in zip(net["doc_id"].to_pylist(),
+                                 net[CHANGE_COLUMN].to_pylist())
+               if c != "delete" and k in alive]
+    assert len(changed) >= 2, "test premise: branch changed >= 2 live keys"
+    k_up, k_del = sorted(changed)[:2]
+    untouched = sorted(alive - set(net["doc_id"].to_pylist()))
+    assert untouched, "test premise: a live key the branch never changed"
+    k_gone = untouched[0]
+
+    # parent adopts CONFLICTING writes at much higher lsn + a fresh key
+    hi = 10**9
+    ev = pa.table({
+        "op": pa.array(["U", "D", "D", "I"]),
+        "lsn": pa.array([hi] * 4, pa.int64()),
+        "seq": pa.array([1, 2, 3, 4], pa.int64()),
+        "version_hash": pa.array(["p1", "p2", "p3", "p4"]),
+        "doc_id": pa.array([k_up, k_del, k_gone, "zz-parent-new"]),
+        "tokens": pa.array([[9, 9, 9], None, None, [7]], pa.list_(pa.int32())),
+        "n_tok": pa.array([3, None, None, 1], pa.int32()),
+        "source": pa.array(["hotfix", None, None, "hotfix"]),
+    })
+    import ray.data
+    apply_events_dataset(ray.data.from_arrow(ev), td, epoch=3,
+                         incoming_schema=ev.schema, num_partitions=P)
+    with pytest.raises(RuntimeError, match="non-fast-forward"):
+        branch_publish(td, "r")
+
+    out = branch_rebase(td, "r")
+    assert out["rebased"] and out["new_base"] == [3, 0]
+    assert out["replayed_changes"] == net.num_rows
+    assert branch_publish(td, "r")["epoch"] == 4
+
+    final = table_to_arrow(td)
+    rows = {r["doc_id"]: r for r in final.to_pylist()}
+    assert rows[k_up]["tokens"] == [9, 9, 9]          # parent's write won
+    assert rows[k_up]["source"] == "hotfix"
+    assert k_gone not in rows                         # untouched-key delete holds
+    assert rows["zz-parent-new"]["tokens"] == [7]     # disjoint parent add
+    # delete-vs-update conflict: the branch's post-fork update is newer
+    # than the row the parent deleted, so it resurrects (pinned semantics)
+    staged_rows = {r["doc_id"]: r for r in staged.to_pylist()}
+    assert rows[k_del]["tokens"] == staged_rows[k_del]["tokens"]
+    # every OTHER branch change landed verbatim
+    for k, r in staged_rows.items():
+        if k in (k_up, k_gone):
+            continue
+        assert rows[k]["tokens"] == r["tokens"], k
+        assert rows[k]["n_tok"] == r["n_tok"], k
+    assert validate_table(td)["violations"] == {}
+
+
+def test_rebase_noop_and_guards(tmp_path, capsys):
+    from gamechanger_data_ray.__main__ import main
+    from gamechanger_data_ray.engine.branches import branch_rebase
+
+    cd, td = _mk(tmp_path, epochs=2)
+    replay(cd, td, num_partitions=P, up_to_epoch=1)
+    with pytest.raises(FileNotFoundError):
+        branch_rebase(td, "ghost")
+    branch_create(td, "n")
+    out = branch_rebase(td, "n")
+    assert out["rebased"] is False  # parent never moved
+    # parent moves; branch staged NOTHING -> rebase is a fresh re-fork
+    replay(cd, td, num_partitions=P)
+    assert main(["rebase-branch", "--table", td, "--name", "n"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["rebased"] is True and out["replayed_changes"] == 0
+    assert list_branches(td)["n"]["forked_at"] == [2, 0]
+    assert branch_publish(td, "n")["published_epochs"] == 0
+
+
 def test_branch_cli(tmp_path, capsys):
     from gamechanger_data_ray.__main__ import main
 
