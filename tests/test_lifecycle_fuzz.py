@@ -40,6 +40,7 @@ from gamechanger_data_ray.engine.branches import (
     branch_discard,
     branch_path,
     branch_publish,
+    branch_rebase,
 )
 from gamechanger_data_ray.engine.maintenance import (
     cluster_table,
@@ -151,7 +152,7 @@ def test_lifecycle_fuzz(tmp_path, seed):
             branch_gen += 1
             name = f"b{branch_gen}"
             policy = rng.choice(["rewrite", "delta"])
-            action = rng.choice(["publish", "discard", "race"])
+            action = rng.choice(["publish", "discard", "race", "rebase"])
             trace[-1] = f"branch:{policy}:{action}"
             before = table_checksums(tb)
             branch_create(tb, name)
@@ -165,12 +166,21 @@ def test_lifecycle_fuzz(tmp_path, seed):
                 applied += 1
             elif action == "discard":
                 branch_discard(tb, name)
+            elif action == "rebase":
+                # parent revs underneath; rebase re-applies the staged
+                # epoch onto the new base, publish must then land and the
+                # result must still equal the serial fold of the prefix
+                restamp_stats(tb)
+                r = branch_rebase(tb, name)
+                assert r["rebased"], f"seed={seed} rebase refused {trace}"
+                branch_publish(tb, name)
+                applied += 1
             else:
                 restamp_stats(tb)  # rev bump: the audit base moved
                 with pytest.raises(RuntimeError, match="non-fast-forward"):
                     branch_publish(tb, name)
                 branch_discard(tb, name)
-            if action != "publish":
+            if action in ("discard", "race"):
                 after = table_checksums(tb)
                 assert after["digest"] == before["digest"], (
                     f"seed={seed} closed branch changed the parent {trace}"
