@@ -435,6 +435,10 @@ def main(argv: list[str] | None = None) -> int:
     rg.add_argument("--tokens-column", default="tokens")
     rg.add_argument("--key-column", default="doc_id")
     rg.add_argument("--max-candidates", type=int, default=500)
+    rg.add_argument("--branch", default=None,
+                    help="apply onto this OPEN branch of --table (screened "
+                         "AND staged: gate rows mechanically, audit the "
+                         "epochs, then publish-branch)")
     rg.add_argument("--min-tok", type=int, default=5,
                     help="quality mode: minimum payload length")
     rg.add_argument("--max-tok", type=int, default=None,
@@ -1053,6 +1057,19 @@ def main(argv: list[str] | None = None) -> int:
             if any(m != "quality" for m in modes) and not args.view:
                 raise SystemExit("replay-gated: --view is required for "
                                  f"mode={args.mode!r}")
+            if args.branch:
+                from gamechanger_data_ray.engine.branches import (
+                    _fork_info,
+                    branch_path,
+                )
+                from gamechanger_data_ray.state.fs import default_fs
+
+                bdir = branch_path(args.table, args.branch)
+                if _fork_info(bdir, default_fs(None)) is None:
+                    raise SystemExit(
+                        f"no open branch {args.branch!r} — create it first: "
+                        f"branch --table {args.table} --create {args.branch}")
+                args.table = bdir
             out = replay_gated(
                 args.changelog, args.table, args.view,
                 num_partitions=args.partitions, threshold=args.threshold,

@@ -429,6 +429,41 @@ def test_rebase_noop_and_guards(tmp_path, capsys):
     assert branch_publish(td, "n")["published_epochs"] == 0
 
 
+def test_gated_replay_onto_branch_cli(tmp_path, capsys):
+    """The screened-AND-staged combo: replay-gated --branch quality-
+    screens each staged epoch, quarantine lands in the branch dir, and
+    publish adopts only the admitted rows."""
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+
+    from gamechanger_data_ray.__main__ import main
+
+    cd, td = _mk(tmp_path)
+    replay(cd, td, num_partitions=P, up_to_epoch=1)  # ungated base
+    lsn1 = max(
+        int(pq.read_table(f, columns=["lsn"])["lsn"].to_numpy().max())
+        for f in _glob.glob(os.path.join(cd, "epoch=000001", "*.parquet")))
+    branch_create(td, "g")
+    min_tok = 60
+    assert main(["replay-gated", "--changelog", cd, "--table", td,
+                 "--branch", "g", "--mode", "quality",
+                 "--min-tok", str(min_tok), "--partitions", str(P)]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["applied_epochs"] == [2, 3] and out["suppressed"] > 0
+    bdir = branch_path(td, "g")
+    assert os.path.isdir(os.path.join(bdir, "_quarantine"))
+    assert mf.load_current(td).epoch == 1  # gate staged, parent untouched
+    branch_publish(td, "g")
+    final = table_to_arrow(td)
+    # every under-min_tok row in the published state predates the gate
+    for r in final.to_pylist():
+        if r["n_tok"] is not None and r["n_tok"] < min_tok:
+            assert r["lsn"] <= lsn1, (r["doc_id"], r["lsn"])
+    assert any(r["n_tok"] is not None and r["n_tok"] >= min_tok
+               for r in final.to_pylist())
+
+
 def test_branch_cli(tmp_path, capsys):
     from gamechanger_data_ray.__main__ import main
 
