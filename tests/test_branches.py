@@ -429,6 +429,28 @@ def test_rebase_noop_and_guards(tmp_path, capsys):
     assert branch_publish(td, "n")["published_epochs"] == 0
 
 
+def test_schema_drop_staged_on_branch(tmp_path):
+    """Schema evolution composes with staging: drop a column ON the
+    branch, audit, publish — the parent adopts the narrowed schema AND
+    the anti-resurrection tombstone in one atomic swap."""
+    from gamechanger_data_ray.engine.maintenance import drop_column
+
+    cd, td = _mk(tmp_path)
+    replay(cd, td, num_partitions=P)  # epochs 1-3; lang present
+    assert "lang" in mf.load_current(td).schema.names
+    branch_create(td, "narrow")
+    bdir = branch_path(td, "narrow")
+    drop_column(bdir, "lang")
+    assert "lang" not in mf.load_current(bdir).schema.names
+    assert "lang" in mf.load_current(td).schema.names  # parent unaffected
+    out = branch_publish(td, "narrow")
+    assert out["published_epochs"] == 1  # the same-epoch drop revision
+    cur = mf.load_current(td)
+    assert "lang" not in cur.schema.names
+    assert cur.dropped_columns == ["lang"]
+    assert "lang" not in table_to_arrow(td).schema.names
+
+
 def test_gated_replay_onto_branch_cli(tmp_path, capsys):
     """The screened-AND-staged combo: replay-gated --branch quality-
     screens each staged epoch, quarantine lands in the branch dir, and

@@ -155,6 +155,34 @@ def test_zorder_handles_strings_nulls_constants():
     assert int(zs[1]) == min(int(v) for v in zs)
 
 
+def test_zorder_axis_monotonicity_property():
+    """Hypothesis: with every other column held fixed, z is monotone in
+    each single column's value — the curve never inverts an axis."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        vals=st.lists(st.integers(0, 10**9), min_size=2, max_size=50),
+        other=st.integers(0, 10**9),
+        axis=st.sampled_from(["x", "y"]),
+    )
+    def prop(vals, other, axis):
+        n = len(vals)
+        t = pa.table({
+            "doc_id": [f"k{i}" for i in range(n)],
+            "x": pa.array(vals if axis == "x" else [other] * n, pa.int64()),
+            "y": pa.array(vals if axis == "y" else [other] * n, pa.int64()),
+        })
+        z = _zorder_values(t, ["x", "y"])
+        order_by_val = np.argsort(np.asarray(vals), kind="stable")
+        z_sorted = z[order_by_val]
+        assert np.all(np.diff(z_sorted.astype(np.int64)) >= 0), (
+            vals, other, axis, z.tolist())
+
+    prop()
+
+
 def test_zorder_guards(tables):
     lex, _, _ = tables
     with pytest.raises(ValueError, match="2-4 columns"):
