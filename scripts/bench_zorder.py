@@ -30,7 +30,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 ROWS = int(os.environ.get("GRAFT_Z_ROWS", "2000000"))
 ROUNDS = int(os.environ.get("GRAFT_Z_ROUNDS", "2"))
 PARTS = 16
-ROW_GROUP = 4096
+ROW_GROUP = int(os.environ.get("GRAFT_Z_ROW_GROUP", "4096"))
 DOMAIN = 1_000_000
 LO, HI = 450_000, 550_000  # 10% slice of either axis
 
