@@ -753,6 +753,11 @@ def main(argv: list[str] | None = None) -> int:
                 "partitions": len(cur.partitions),
                 "schema": str(cur.schema).replace("\n", "; "),
             }
+            from gamechanger_data_ray.engine.branches import list_branches
+
+            open_branches = list_branches(args.table)
+            if open_branches:
+                out["branches"] = open_branches
             # gated-ingest audit trail, from parquet footers only
             import glob as _glob
 

@@ -505,6 +505,8 @@ def test_branch_cli(tmp_path, capsys):
     assert main(["branch-diff", "--table", td, "--name", "cli"]) == 0
     changes = last_json()["changes"]
     assert changes and all(k in ("insert", "update", "delete") for k in changes)
+    assert main(["status", "--table", td]) == 0
+    assert last_json()["branches"]["cli"]["staged_epochs"] == 1
     assert main(["publish-branch", "--table", td, "--name", "cli"]) == 0
     out = last_json()
     assert out["published_epochs"] == 1 and out["epoch"] == 3
