@@ -278,6 +278,10 @@ def main(argv: list[str] | None = None) -> int:
     vc = sub.add_parser("vacuum", help="delete unreferenced data files + old manifests")
     vc.add_argument("--table", required=True)
     vc.add_argument("--keep-epochs", type=int, default=2)
+    vc.add_argument("--keep-seconds", type=int, default=None,
+                    help="ALSO retain every epoch committed within this "
+                         "window (time-based retention; union with "
+                         "--keep-epochs)")
 
     pr = sub.add_parser("prune", help="changelog retention: drop epochs every "
                                       "consumer table has durably applied")
@@ -572,7 +576,8 @@ def main(argv: list[str] | None = None) -> int:
     if args.cmd == "vacuum":
         from gamechanger_data_ray.engine.maintenance import vacuum
 
-        print(json.dumps(vacuum(args.table, keep_epochs=args.keep_epochs)))
+        print(json.dumps(vacuum(args.table, keep_epochs=args.keep_epochs,
+                                keep_seconds=args.keep_seconds)))
         return 0
 
     if args.cmd == "history":

@@ -779,6 +779,10 @@ def apply_events_dataset(
     # so a slow replay localizes to exchange vs merge without re-running
     epoch_counters["phase_wall"] = phase_wall
     epoch_counters["update_mode"] = update_mode
+    # wall-clock commit stamp: drives time-based retention (vacuum
+    # --keep-seconds). Same-epoch revisions inherit it (the epoch's
+    # logical time), so a compaction never "refreshes" retention age.
+    epoch_counters["committed_at"] = int(_time_mod.time())
 
     totals = dict(current.totals) if current else {}
     for k in ("events_in", "upserts", "deletes", "tombstones"):

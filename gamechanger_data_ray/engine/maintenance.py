@@ -667,11 +667,22 @@ def resolve_tag(table_dir: str, name: str) -> int:
     return tags[name]
 
 
-def vacuum(table_dir: str, keep_epochs: int = 2) -> dict:
+def vacuum(table_dir: str, keep_epochs: int = 2,
+           keep_seconds: int | None = None, now: int | None = None) -> dict:
     """Delete partition data files not referenced by the current manifest or
     the ``keep_epochs`` most recent retained manifests; drop manifests older
     than the window. Returns {files_deleted, sidecars_deleted, bytes_freed,
-    manifests_kept}."""
+    manifests_kept}.
+
+    ``keep_seconds`` ADDS time-based retention (Iceberg
+    ``expire_snapshots(older_than)``): every epoch whose ``committed_at``
+    stamp is within the window stays restorable, on top of the count
+    window — a union, so time retention can only widen what survives.
+    Epochs committed before the stamp existed count as in-window
+    (conservative: age unknown ≠ old). ``now`` injects the clock for
+    tests; default wall clock."""
+    import time as _time
+
     current = mf.load_current(table_dir)
     if current is None:
         return {"files_deleted": 0, "sidecars_deleted": 0, "bytes_freed": 0,
@@ -682,6 +693,17 @@ def vacuum(table_dir: str, keep_epochs: int = 2) -> dict:
     # tags pin reproducible snapshots through retention
     kept = sorted(set(epochs[-keep_epochs:]) | {current.epoch}
                   | set(list_tags(table_dir).values()))
+    if keep_seconds is not None:
+        cutoff = (now if now is not None else int(_time.time())) - keep_seconds
+        young = set()
+        for e in epochs:
+            try:
+                m = load_manifest(table_dir, e)
+            except FileNotFoundError:
+                continue
+            if m.epoch_counters.get("committed_at", cutoff) >= cutoff:
+                young.add(e)
+        kept = sorted(set(kept) | young)
     referenced: set[str] = set()
     for e in kept:
         try:
