@@ -429,6 +429,36 @@ def test_rebase_noop_and_guards(tmp_path, capsys):
     assert branch_publish(td, "n")["published_epochs"] == 0
 
 
+def test_rebase_refusals(tmp_path):
+    """The two honest refusals: coalesce tables (full-image re-apply
+    would clobber column history) and a vacuumed fork-point manifest
+    (the parent's conflict set is unrecoverable)."""
+    from gamechanger_data_ray.engine.branches import branch_rebase
+    from gamechanger_data_ray.engine.maintenance import vacuum
+
+    # coalesce table
+    cd, td = str(tmp_path / "ccl"), str(tmp_path / "ctb")
+    write_changelog(cd, num_epochs=2, events_per_epoch=200, num_keys=80,
+                    partial_frac=0.5)
+    replay(cd, td, num_partitions=P, up_to_epoch=1, update_mode="coalesce")
+    branch_create(td, "c")
+    replay(cd, branch_path(td, "c"), num_partitions=P,
+           update_mode="coalesce")
+    with pytest.raises(ValueError, match="coalesce"):
+        branch_rebase(td, "c")
+
+    # vacuumed fork point
+    cd2, td2 = _mk(tmp_path, epochs=4)
+    replay(cd2, td2, num_partitions=P, up_to_epoch=2, epochs_per_commit=1)
+    branch_create(td2, "v")
+    replay(cd2, branch_path(td2, "v"), num_partitions=P, up_to_epoch=3)
+    replay(cd2, td2, num_partitions=P, epochs_per_commit=1)  # parent -> 4
+    vacuum(td2, keep_epochs=1)  # evicts the epoch-2 fork manifest
+    with pytest.raises(RuntimeError, match="unrecoverable"):
+        branch_rebase(td2, "v")
+    branch_discard(td2, "v")
+
+
 def test_schema_drop_staged_on_branch(tmp_path):
     """Schema evolution composes with staging: drop a column ON the
     branch, audit, publish — the parent adopts the narrowed schema AND
