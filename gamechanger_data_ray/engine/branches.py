@@ -11,6 +11,14 @@ human sign-off — before readers can see them. Reference analog: the
 blue/green alias swap of ``gc_elasticsearch_publisher.py:131-172``,
 generalized from "swap one rebuilt index" to "swap in N audited epochs".
 
+Gate interplay: ``replay-gated --branch`` composes (screened AND
+staged); with quality mode nothing else is involved. With an INDEX
+screen (exact/neardup), point the gate at a branch-scoped view
+directory (build it fresh or copy the parent's): the gate refreshes its
+index through each staged epoch, so sharing the parent's live view
+would leave it ahead of the parent if the branch is later discarded —
+the index's staleness guard then refuses it until a re-sync.
+
 Design: a branch IS a table directory (``<table>/_branches/<name>/``)
 whose fork manifest references the parent's committed data files through
 ABSOLUTE paths (``os.path.join(branch_dir, abspath)`` resolves to the
