@@ -92,7 +92,12 @@ def asof_payload(table_dir: str, name: str, names) -> pa.Table:
     return t.take(pa.compute.sort_indices(t, sort_keys=[("doc_id", "ascending")]))
 
 
-@pytest.mark.parametrize("seed", [5, 7, 23])
+_SEEDS = [5, 7, 23] + [
+    int(s) for s in os.environ.get("GRAFT_FUZZ_SEEDS", "").split(",") if s
+]
+
+
+@pytest.mark.parametrize("seed", _SEEDS)
 def test_lifecycle_fuzz(tmp_path, seed):
     rng = random.Random(seed)
     cd = str(tmp_path / "cl")
