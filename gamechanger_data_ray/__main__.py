@@ -291,6 +291,19 @@ def main(argv: list[str] | None = None) -> int:
                     help="consumer table dir; repeat per consumer — pruning "
                          "never outruns the laggiest one")
 
+    ap = sub.add_parser("autopilot", help="standing maintenance from committed "
+                                          "metadata: plan (and --apply) compact / "
+                                          "re-cluster / retire-dropped / sync "
+                                          "subscribers / vacuum")
+    ap.add_argument("--table", required=True)
+    ap.add_argument("--apply", action="store_true",
+                    help="execute the plan (default: print it only)")
+    ap.add_argument("--max-delta-depth", type=int, default=3,
+                    help="compact partitions carrying at least this many "
+                         "merge-on-read deltas")
+    ap.add_argument("--keep-manifests", type=int, default=8,
+                    help="vacuum once more manifests than this are retained")
+
     hi = sub.add_parser("history", help="per-epoch lineage counters from retained manifests")
     hi.add_argument("--table", required=True)
 
@@ -827,6 +840,15 @@ def main(argv: list[str] | None = None) -> int:
             print(json.dumps({"branches": list_branches(args.table)}))
         return 0
 
+    if args.cmd == "autopilot" and not args.apply:
+        # plan() reads only committed metadata — no Ray session needed
+        from gamechanger_data_ray.engine.autopilot import main_json
+
+        print(main_json(args.table, False,
+                        max_delta_depth=args.max_delta_depth,
+                        keep_manifests=args.keep_manifests))
+        return 0
+
     _ray_init(args.num_cpus)
     import ray
 
@@ -897,6 +919,12 @@ def main(argv: list[str] | None = None) -> int:
             )
             print(json.dumps({"epoch": m.epoch, "totals": m.totals,
                               "duplicate_keys": m.totals["events_in"] - m.totals["rows"]}))
+        elif args.cmd == "autopilot":
+            from gamechanger_data_ray.engine.autopilot import main_json
+
+            print(main_json(args.table, True,
+                            max_delta_depth=args.max_delta_depth,
+                            keep_manifests=args.keep_manifests))
         elif args.cmd == "compact":
             from gamechanger_data_ray.engine.maintenance import compact
 
