@@ -444,8 +444,10 @@ def main(argv: list[str] | None = None) -> int:
                          "(first flag wins): neardup = MinHash-LSH + exact-"
                          "Jaccard confirm; exact = sha256 content-hash "
                          "postings; quality = stateless Gopher-rule screen "
-                         "(no index). E.g. --mode quality,exact. At most one "
-                         "index screen per gate.")
+                         "(no index); decontam = eval-bench n-gram "
+                         "contamination (needs --bench). E.g. --mode "
+                         "quality,decontam,exact. At most one index screen "
+                         "per gate.")
     rg.add_argument("--partitions", type=int, default=32)
     rg.add_argument("--threshold", type=float, default=0.5)
     rg.add_argument("--shingle", type=int, default=5)
@@ -462,6 +464,12 @@ def main(argv: list[str] | None = None) -> int:
                     help="quality mode: maximum payload length (unset = none)")
     rg.add_argument("--max-top-frac", type=float, default=0.2,
                     help="quality mode: max most-frequent-token fraction")
+    rg.add_argument("--bench", default=None,
+                    help="decontam mode: eval-benchmark parquet (same "
+                         "tokens column) whose n-grams must not enter "
+                         "the corpus")
+    rg.add_argument("--ngram", type=int, default=8,
+                    help="decontam mode: contamination window length")
 
     bf = sub.add_parser("backfill", help="CDC-native payload backfill: run a "
                                          "module::func transform over every "
@@ -1092,9 +1100,12 @@ def main(argv: list[str] | None = None) -> int:
             from gamechanger_data_ray.engine.ingest_gate import replay_gated
 
             modes = [m.strip() for m in args.mode.split(",") if m.strip()]
-            if any(m != "quality" for m in modes) and not args.view:
+            if any(m not in ("quality", "decontam") for m in modes) and not args.view:
                 raise SystemExit("replay-gated: --view is required for "
                                  f"mode={args.mode!r}")
+            if "decontam" in modes and not args.bench:
+                raise SystemExit("replay-gated: --bench is required for "
+                                 "mode=decontam")
             if args.branch:
                 from gamechanger_data_ray.engine.branches import (
                     _fork_info,
@@ -1115,6 +1126,7 @@ def main(argv: list[str] | None = None) -> int:
                 key_column=args.key_column, max_candidates=args.max_candidates,
                 mode=modes, min_tok=args.min_tok, max_tok=args.max_tok,
                 max_top_frac=args.max_top_frac,
+                bench_path=args.bench, ngram=args.ngram,
             )
             print(json.dumps(out))
         elif args.cmd == "backfill":

@@ -1,7 +1,7 @@
 """Ingest-time screening — suppress unwanted change events BEFORE they
 commit, with a quarantine audit trail and an operator ``readmit`` path.
 
-Three screens, chainable in one epoch pass (first flag wins):
+Four screens, chainable in one epoch pass (first flag wins):
 - ``neardup``: MinHash-LSH candidate lookup against the maintained
   band index + EXACT token-shingle Jaccard confirm (this module's
   original job, detailed below);
@@ -9,7 +9,10 @@ Three screens, chainable in one epoch pass (first flag wins):
   maintained index (``engine/dedup_index.py``) — identical payloads
   only, no confirm step needed;
 - ``quality``: stateless Gopher/C4-style payload rules (n_tok bounds,
-  repetition collapse) — no index, screens even a fresh table.
+  repetition collapse) — no index, screens even a fresh table;
+- ``decontam``: eval-benchmark n-gram contamination (the
+  ``docs_decontaminate`` sweep as a standing ingest invariant) — the
+  bench rides each actor, no index.
 
 Batch near-dup sweeps (``dedup_minhash_lsh``) clean a corpus after the
 fact; a live lake wants the cheaper invariant "a near-duplicate of an
@@ -87,10 +90,11 @@ def _gate_view_def(mode: str, *, k: int, seed: int, tokens_column: str,
     if mode == "neardup":
         return neardup_index_view(tokens_column=tokens_column,
                                   key_column=key_column, k=k, seed=seed)
-    if mode == "quality":
-        return None
+    if mode in ("quality", "decontam"):
+        return None  # stateless screens — nothing to maintain
     raise ValueError(
-        f"unknown gate mode {mode!r} (expected 'neardup', 'exact' or 'quality')")
+        f"unknown gate mode {mode!r} (expected 'neardup', 'exact', "
+        "'quality' or 'decontam')")
 
 
 def _check_view(view_dir: str, table_dir: str, *, k: int, seed: int,
@@ -363,6 +367,117 @@ class QualityScreen:
         return out.append_column(JACCARD_COLUMN, jac_arr)
 
 
+# eval benchmarks are small by definition; the cap turns a misconfigured
+# bench path (e.g. pointed at the corpus) into a loud error instead of an
+# OOM'd actor pool
+DECONTAM_MAX_WINDOWS = 2_000_000
+
+
+class DecontamScreen:
+    """Actor-pool stage: flag incoming events whose token payload
+    contains any ``ngram``-token window of the eval benchmark — the
+    ``docs_decontaminate`` batch sweep (GPT-3 App. C-style n-gram
+    contamination) turned into a standing ingest invariant: a document
+    that would leak eval data never enters the training corpus.
+
+    The bench (parquet, same ``tokens_column``) is read ONCE per actor
+    in ``__init__`` and expanded into a sorted uint64 window-hash array
+    plus a hash → window-bytes dict; it is eval-bench-sized (capped at
+    ``DECONTAM_MAX_WINDOWS``), never the corpus. Per batch, every
+    payload window is hashed with the same vectorized polynomial kernel
+    the span dedup uses (``stages/dedup.py::token_window_hashes``) over
+    the batch's FLAT value buffer — windows straddling a row boundary
+    are masked out, hits are confirmed byte-exact (a 64-bit hash
+    collision can never quarantine a clean doc), and the row's reason
+    records the distinct contaminated windows. Jaccard stays null, like
+    the quality screen; the payload rides into quarantine (its content
+    exists nowhere else) so ``readmit`` can bring a false positive back."""
+
+    def __init__(self, *, bench_path: str, ngram: int, tokens_column: str):
+        import pyarrow.parquet as pq
+
+        from ..stages.dedup import token_window_hashes
+
+        self.ngram = int(ngram)
+        self.tokens_column = tokens_column
+        self._hash_windows = token_window_hashes
+        bench = pq.read_table(bench_path, columns=[tokens_column])
+        col = bench[tokens_column]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        flat = col.flatten().to_numpy(zero_copy_only=False)
+        offs = col.offsets.to_numpy(zero_copy_only=False)
+        offs = offs - offs[0]
+        by_hash: dict[int, set[bytes]] = {}
+        total = 0
+        for i in range(len(col)):
+            toks = flat[offs[i]:offs[i + 1]]
+            h = token_window_hashes(toks, self.ngram)
+            if len(h) == 0:
+                continue
+            wins = np.lib.stride_tricks.sliding_window_view(
+                toks.astype("<u4"), self.ngram)
+            uniq, first_idx = np.unique(h, return_index=True)
+            total += len(uniq)
+            if total > DECONTAM_MAX_WINDOWS:
+                raise ValueError(
+                    f"decontam bench {bench_path!r} exceeds "
+                    f"{DECONTAM_MAX_WINDOWS} distinct {self.ngram}-gram "
+                    "windows — that is corpus-sized, not an eval bench")
+            for j, u in zip(first_idx, uniq):
+                by_hash.setdefault(int(u), set()).add(
+                    np.ascontiguousarray(wins[j]).tobytes())
+        self.by_hash = by_hash
+        self.bench_hashes = np.sort(
+            np.fromiter(by_hash.keys(), dtype=np.uint64, count=len(by_hash)))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        batch, pm, pj = _split_prior(batch)
+        n = batch.num_rows
+        reason = np.full(n, None, dtype=object)
+
+        toks = batch[self.tokens_column]
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        screen_mask = pc.and_(
+            toks.is_valid(), pc.not_equal(batch["op"], "D")
+        ).to_numpy(zero_copy_only=False)
+        if pm is not None:  # chained: only still-clean rows screen here
+            screen_mask &= ~pm.is_valid().to_numpy(zero_copy_only=False)
+        idx = np.flatnonzero(screen_mask)
+        if idx.size and len(self.bench_hashes):
+            sub = toks.take(pa.array(idx))
+            flat = sub.flatten().to_numpy(zero_copy_only=False)
+            offs = np.asarray(sub.offsets, dtype=np.int64)
+            offs = offs - offs[0]
+            L = self.ngram
+            if len(flat) >= L:
+                h = self._hash_windows(flat, L)
+                doc_of = np.repeat(np.arange(len(idx)), np.diff(offs))
+                # a window is real only if its last token is in the same
+                # row as its first (the flat buffer concatenates rows)
+                within = doc_of[: len(h)] == doc_of[L - 1:]
+                pos = np.searchsorted(self.bench_hashes, h)
+                pos[pos == len(self.bench_hashes)] = 0
+                cand = within & (self.bench_hashes[pos] == h)
+                hits: dict[int, set[bytes]] = {}
+                for p in np.flatnonzero(cand):  # confirmed minority only
+                    wb = np.ascontiguousarray(
+                        flat[p:p + L].astype("<u4")).tobytes()
+                    if wb in self.by_hash[int(h[p])]:
+                        hits.setdefault(int(doc_of[p]), set()).add(wb)
+                for qi, wset in hits.items():
+                    reason[idx[qi]] = (
+                        f"contaminated:ngram={L}:hits={len(wset)}")
+
+        matched, jac_arr = _merge_prior(
+            pa.array(reason.tolist(), pa.string()),
+            pa.nulls(n, pa.float64()), pm, pj,
+        )
+        out = batch.append_column(MATCH_COLUMN, matched)
+        return out.append_column(JACCARD_COLUMN, jac_arr)
+
+
 def screen_events(
     events_ds: ray.data.Dataset,
     table_dir: str,
@@ -380,6 +495,8 @@ def screen_events(
     min_tok: int = 5,
     max_tok: int | None = None,
     max_top_frac: float = 0.2,
+    bench_path: str | None = None,
+    ngram: int = 8,
     fs: StorageAdapter | None = None,
 ) -> ray.data.Dataset:
     """Annotate an incoming change-event Dataset with suppression flags.
@@ -389,8 +506,10 @@ def screen_events(
     clean, so the FIRST flag wins and a row quarantines once with one
     reason. At most one INDEX screen (neardup/exact) per gate — it owns
     the one ``view_dir``. Index screens pass through (null columns)
-    when there is no committed index state yet; the quality screen is
-    stateless and always runs.
+    when there is no committed index state yet; the quality and
+    decontam screens are stateless (decontam's bench file, named by
+    ``bench_path`` with window length ``ngram``, loads once per actor)
+    and always run.
 
     ``batch_size`` is the screen's amortization lever: each batch pays
     ONE postings lookup (partition-pruned — the indexes route by their
@@ -403,9 +522,12 @@ def screen_events(
     if not modes:
         raise ValueError("at least one gate mode required")
     for m in modes:
-        if m not in ("quality", "exact", "neardup"):
+        if m not in ("quality", "exact", "neardup", "decontam"):
             raise ValueError(f"unknown gate mode {m!r} (expected 'neardup', "
-                             "'exact' or 'quality')")
+                             "'exact', 'quality' or 'decontam')")
+    if "decontam" in modes and not bench_path:
+        raise ValueError("decontam mode requires bench_path (the eval "
+                         "benchmark parquet to screen against)")
     index_modes = [m for m in modes if m in ("neardup", "exact")]
     if len(index_modes) > 1:
         raise ValueError(
@@ -420,6 +542,20 @@ def screen_events(
                 fn_constructor_kwargs=dict(
                     tokens_column=tokens_column, min_tok=min_tok,
                     max_tok=max_tok, max_top_frac=max_top_frac,
+                ),
+                batch_format="pyarrow",
+                batch_size=batch_size,
+                concurrency=concurrency,
+            )
+            continue
+        if m == "decontam":
+            # stateless like quality: the bench is its own (tiny) state,
+            # loaded once per actor — no maintained index to guard
+            ds = ds.map_batches(
+                DecontamScreen,
+                fn_constructor_kwargs=dict(
+                    bench_path=bench_path, ngram=ngram,
+                    tokens_column=tokens_column,
                 ),
                 batch_format="pyarrow",
                 batch_size=batch_size,
@@ -505,6 +641,8 @@ def apply_with_neardup_gate(
     min_tok: int = 5,
     max_tok: int | None = None,
     max_top_frac: float = 0.2,
+    bench_path: str | None = None,
+    ngram: int = 8,
     fs: StorageAdapter | None = None,
 ) -> dict:
     """Screen → quarantine → apply → refresh, as one ingest step:
@@ -528,7 +666,8 @@ def apply_with_neardup_gate(
         events_ds, table_dir, view_dir, threshold=threshold, k=k, seed=seed,
         tokens_column=tokens_column, key_column=key_column,
         max_candidates=max_candidates, mode=mode, min_tok=min_tok,
-        max_tok=max_tok, max_top_frac=max_top_frac, fs=fs,
+        max_tok=max_tok, max_top_frac=max_top_frac,
+        bench_path=bench_path, ngram=ngram, fs=fs,
     ).materialize()
 
     def keep_clean(t: pa.Table) -> pa.Table:
@@ -590,6 +729,8 @@ def replay_gated(
     min_tok: int = 5,
     max_tok: int | None = None,
     max_top_frac: float = 0.2,
+    bench_path: str | None = None,
+    ngram: int = 8,
     fs: StorageAdapter | None = None,
 ) -> dict:
     """Tail-and-apply with the near-dup gate: every ready epoch past the
@@ -629,7 +770,8 @@ def replay_gated(
             seed=seed, tokens_column=tokens_column, key_column=key_column,
             max_candidates=max_candidates, merge_policy=merge_policy,
             mode=mode, min_tok=min_tok, max_tok=max_tok,
-            max_top_frac=max_top_frac, fs=fs,
+            max_top_frac=max_top_frac, bench_path=bench_path, ngram=ngram,
+            fs=fs,
         )
         total_sup += r["suppressed"]
         total_applied += r["applied"]
