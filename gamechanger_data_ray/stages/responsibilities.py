@@ -44,6 +44,11 @@ BREAK_STRINGS = (
     "GLOSSARY", "Glossary", "ACRONYMS", "REFERENCES", "SUMMARY OF CHANGE",
     "Summary of Change", "Abbreviations and Acronyms", "............................",
 )
+# a table-of-contents entry ("2.1. Under Secretary ...... 5"): dotted
+# leader + page number. These carry role-shaped numbering AND a dot run
+# long enough to trip the acronym-table break string — they are noise to
+# skip, not a section break (the body follows them).
+_TOC_LEADER = re.compile(r"\.{4,}\s*\d{1,4}\s*$")
 _PUNCT_TABLE = str.maketrans("", "", string.punctuation)
 
 
@@ -147,6 +152,8 @@ def parse_responsibility_section(section_text: str) -> list[list[str]]:
         line = raw.replace("\t", "").strip()
         if not line:
             continue
+        if _TOC_LEADER.search(line):
+            continue  # contents entry, not content (and not a break)
         if any(b in line for b in BREAK_STRINGS):
             break
         for piece in _explode_midline(line):
