@@ -209,6 +209,16 @@ def main(argv: list[str] | None = None) -> int:
                     help="deterministic seeded global document shuffle "
                          "before packing (same seed = byte-identical)")
 
+    tv = sub.add_parser("training-view", help="create-or-refresh the MAINTAINED "
+                        "training view: bucket-local packed chunks that follow "
+                        "the table at O(changed partitions) per refresh")
+    tv.add_argument("--table", required=True)
+    tv.add_argument("--out", required=True, help="view dir (holds _TRAINING.json)")
+    tv.add_argument("--cap", type=int, default=2048,
+                    help="tokens per training chunk")
+    tv.add_argument("--seed", type=int, default=0,
+                    help="within-bucket document shuffle seed")
+
     dr = sub.add_parser("drift", help="distribution drift report between two "
                         "committed epochs (per-column PSI + histograms)")
     dr.add_argument("--table", required=True)
@@ -558,7 +568,7 @@ def main(argv: list[str] | None = None) -> int:
     sb.add_argument("--table", required=True)
     sb.add_argument("--kind", required=True,
                     choices=["agg", "inverted", "ann", "bm25", "relay",
-                             "neardup", "edges", "dedup"])
+                             "neardup", "edges", "dedup", "training"])
     sb.add_argument("--target", required=True, help="subscriber state dir")
     sb.add_argument("--params", default="{}", help="kind-specific JSON params")
 
@@ -693,6 +703,16 @@ def main(argv: list[str] | None = None) -> int:
             args.table, args.out, cap=args.cap,
             epoch=_epoch_arg(args.table, args.at),
             shuffle_seed=args.shuffle_seed)))
+        return 0
+
+    if args.cmd == "training-view":
+        from gamechanger_data_ray.engine.training_view import training_view_refresh
+
+        m = training_view_refresh(args.out, args.table, cap=args.cap,
+                                  seed=args.seed)
+        print(json.dumps({k: m[k] for k in (
+            "epoch", "rev", "cap", "seed", "repacked", "total_chunks",
+            "total_tokens", "docs")}))
         return 0
 
     if args.cmd == "drift":

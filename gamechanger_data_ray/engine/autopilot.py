@@ -136,8 +136,8 @@ def plan(
     if check_subscribers:
         stale_subs = []
         for sub in subs.list_subscriptions(table_dir, fs):
-            target = mf.load_current(sub["target_dir"], fs)
-            if target is None or target.epoch < current.epoch:
+            seen = subs.subscriber_epoch(sub, fs)
+            if seen is None or seen < current.epoch:
                 stale_subs.append(sub["target_dir"])
         if stale_subs:
             actions.append({

@@ -37,7 +37,8 @@ from ..state.fs import StorageAdapter, default_fs
 
 SUBS_FILE = "_subscriptions.json"
 
-_KINDS = ("agg", "inverted", "ann", "bm25", "relay", "neardup", "edges", "dedup")
+_KINDS = ("agg", "inverted", "ann", "bm25", "relay", "neardup", "edges",
+          "dedup", "training")
 
 
 def _subs_path(table_dir: str) -> str:
@@ -128,6 +129,22 @@ def unsubscribe(
     return _rewrite(table_dir, fs, edit)
 
 
+def subscriber_epoch(sub: dict, fs: StorageAdapter | None = None) -> int | None:
+    """The source epoch a subscriber currently reflects (None = never
+    synced) — kind-aware: most subscribers commit a manifest, the
+    training view gates on its ``_TRAINING.json`` marker instead."""
+    fs = default_fs(fs)
+    if sub["kind"] == "training":
+        from .training_view import load_marker
+
+        m = load_marker(sub["target_dir"], fs)
+        return None if m is None else int(m["epoch"])
+    from ..state import manifest as mf
+
+    t = mf.load_current(sub["target_dir"], fs)
+    return None if t is None else int(t.epoch)
+
+
 def _sync_one(table_dir: str, sub: dict, fs: StorageAdapter) -> dict:
     kind, target, p = sub["kind"], sub["target_dir"], dict(sub.get("params", {}))
     if kind == "relay":
@@ -138,6 +155,14 @@ def _sync_one(table_dir: str, sub: dict, fs: StorageAdapter) -> dict:
                   merge_policy=p.get("merge_policy", "rewrite"), fs=fs)
         return {"target": target, "kind": kind,
                 "epoch": r["dst_epoch_after"], "mode": r["mode"]}
+    if kind == "training":
+        from .training_view import training_view_refresh
+
+        marker = training_view_refresh(target, table_dir,
+                                       cap=int(p.get("cap", 2048)),
+                                       seed=int(p.get("seed", 0)), fs=fs)
+        return {"target": target, "kind": kind, "epoch": marker["epoch"],
+                "repacked": marker.get("repacked", 0)}
     if kind == "bm25":
         from .search_index import bm25_refresh
 
