@@ -218,6 +218,10 @@ def main(argv: list[str] | None = None) -> int:
                     help="tokens per training chunk")
     tv.add_argument("--seed", type=int, default=0,
                     help="within-bucket document shuffle seed")
+    tv.add_argument("--mixture", default=None,
+                    help='JSON per-source keep probabilities, e.g. '
+                         '\'{"web":0.4}\' (unlisted sources keep 1.0; '
+                         "part of the view's identity)")
 
     dr = sub.add_parser("drift", help="distribution drift report between two "
                         "committed epochs (per-column PSI + histograms)")
@@ -708,11 +712,12 @@ def main(argv: list[str] | None = None) -> int:
     if args.cmd == "training-view":
         from gamechanger_data_ray.engine.training_view import training_view_refresh
 
-        m = training_view_refresh(args.out, args.table, cap=args.cap,
-                                  seed=args.seed)
-        print(json.dumps({k: m[k] for k in (
-            "epoch", "rev", "cap", "seed", "repacked", "total_chunks",
-            "total_tokens", "docs")}))
+        m = training_view_refresh(
+            args.out, args.table, cap=args.cap, seed=args.seed,
+            mixture=json.loads(args.mixture) if args.mixture else None)
+        print(json.dumps({k: m.get(k) for k in (
+            "epoch", "rev", "cap", "seed", "mixture", "repacked",
+            "total_chunks", "total_tokens", "docs")}))
         return 0
 
     if args.cmd == "drift":

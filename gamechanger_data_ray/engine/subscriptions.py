@@ -160,7 +160,8 @@ def _sync_one(table_dir: str, sub: dict, fs: StorageAdapter) -> dict:
 
         marker = training_view_refresh(target, table_dir,
                                        cap=int(p.get("cap", 2048)),
-                                       seed=int(p.get("seed", 0)), fs=fs)
+                                       seed=int(p.get("seed", 0)),
+                                       mixture=p.get("mixture"), fs=fs)
         return {"target": target, "kind": kind, "epoch": marker["epoch"],
                 "repacked": marker.get("repacked", 0)}
     if kind == "bm25":

@@ -72,22 +72,57 @@ def _fingerprint(entry: dict) -> str:
     return hashlib.sha1(key.encode()).hexdigest()[:16]
 
 
-def _bucket_rel(part: int, fp: str, cap: int, seed: int) -> str:
-    tag = hashlib.sha1(f"{fp}|{cap}|{seed}".encode()).hexdigest()[:12]
+def _norm_mixture(mixture: dict[str, float] | None) -> dict[str, float] | None:
+    """Validated canonical form: weights in (0, 1], sorted keys. A weight
+    of 1.0 is the implicit default for unlisted sources; >1 would need
+    doc repetition (a different artifact) and refuses."""
+    if not mixture:
+        return None
+    out = {}
+    for k in sorted(mixture):
+        w = float(mixture[k])
+        if not (0.0 < w <= 1.0):
+            raise ValueError(
+                f"mixture weight for {k!r} must be in (0, 1], got {w} "
+                "(upsampling >1 needs repetition — export that separately)")
+        out[str(k)] = w
+    return out
+
+
+# salt for mixture membership, deliberately NOT the shuffle seed: a new
+# shuffle seed re-orders chunks without changing which docs are sampled
+_MIXTURE_SALT = 0x6D697874
+
+
+def _bucket_rel(part: int, fp: str, cap: int, seed: int,
+                mixture: dict[str, float] | None) -> str:
+    mix = json.dumps(mixture, sort_keys=True) if mixture else ""
+    tag = hashlib.sha1(f"{fp}|{cap}|{seed}|{mix}".encode()).hexdigest()[:12]
     return os.path.join(f"bucket={part:05d}", f"chunks-{tag}.parquet")
 
 
 def _pack_bucket(
     table_dir: str, rels: list[str], part: int, schema_b64: str,
     cap: int, seed: int, out_abs: str, fs: StorageAdapter,
+    mixture: dict[str, float] | None = None,
 ) -> dict:
-    """Resolve one partition, order docs by (seeded hash, doc_id),
-    concat-and-chunk at ``cap``, write ONE parquet file at the
-    deterministic path. Returns the bucket's marker entry."""
+    """Resolve one partition, apply the mixture sample, order docs by
+    (seeded hash, doc_id), concat-and-chunk at ``cap``, write ONE parquet
+    file at the deterministic path. Returns the bucket's marker entry."""
     schema = mf.schema_from_b64(schema_b64)
     t = _load_state(table_dir, rels, schema, fs)
     if t is None or t.num_rows == 0:
         return {"chunks": 0, "tokens": 0, "docs": 0, "file": None}
+    if mixture:
+        # hash-Bernoulli per doc on a FIXED salt: membership depends only
+        # on (doc_id, mixture), so reshuffles and repacks keep the sample
+        src = t["source"].to_numpy(zero_copy_only=False)
+        w = np.array([mixture.get(s, 1.0) for s in src], dtype=np.float64)
+        u = _seeded_hash(pc.cast(t["doc_id"], pa.string()),
+                         _MIXTURE_SALT).astype(np.float64) / 2.0**64
+        t = t.filter(pa.array(u < w))
+        if t.num_rows == 0:
+            return {"chunks": 0, "tokens": 0, "docs": 0, "file": None}
     doc_id = pc.cast(t["doc_id"], pa.string())
     h = _seeded_hash(doc_id, seed)
     order = np.lexsort((doc_id.to_numpy(zero_copy_only=False), h))
@@ -126,7 +161,8 @@ def _pack_bucket(
 
 def _run_packs(table_dir: str, out_dir: str, work: list[dict],
                schema_b64: str, cap: int, seed: int,
-               fs: StorageAdapter) -> dict[str, dict]:
+               fs: StorageAdapter,
+               mixture: dict[str, float] | None = None) -> dict[str, dict]:
     """Distribute the dirty-bucket packs (one Ray task per bucket)."""
     if not work:
         return {}
@@ -136,7 +172,8 @@ def _run_packs(table_dir: str, out_dir: str, work: list[dict],
         for row in batch.to_pylist():
             stats = _pack_bucket(
                 table_dir, row["files"], row["part"], schema_b64,
-                cap, seed, os.path.join(out_dir, row["rel"]), default_fs(None))
+                cap, seed, os.path.join(out_dir, row["rel"]), default_fs(None),
+                mixture=mixture)
             rows.append({"part": row["part"], "rel": row["rel"],
                          "fp": row["fp"], **{k: v for k, v in stats.items()
                                              if k != "file"}})
@@ -177,6 +214,7 @@ def training_view_refresh(
     table_dir: str,
     cap: int = 2048,
     seed: int = 0,
+    mixture: dict[str, float] | None = None,
     fs: StorageAdapter | None = None,
 ) -> dict[str, Any]:
     """Create-or-refresh the maintained training view at ``out_dir``.
@@ -184,21 +222,33 @@ def training_view_refresh(
     buckets whose partition fingerprint moved since the marker's
     (epoch, rev) and delete superseded files after the marker swap.
     Returns the new marker. Fenced: marker at head (epoch, rev) → no-op;
-    param drift against an existing marker refuses loudly."""
+    param drift against an existing marker refuses loudly.
+
+    ``mixture`` down-samples by ``source``: ``{"web": 0.4}`` keeps each
+    web doc with probability 0.4 by a deterministic hash-Bernoulli on
+    doc_id (fixed salt — independent of ``seed``, so reshuffles keep the
+    same sample); unlisted sources keep weight 1.0. Part of the view's
+    identity (marker + bucket file names)."""
     fs = default_fs(fs)
+    mixture = _norm_mixture(mixture)
     cur = _resolve_manifest(table_dir, None, fs)
     if cur is None:
         raise FileNotFoundError(f"no committed table at {table_dir}")
     for need in ("tokens", "n_tok"):
         if need not in cur.schema.names:
             raise ValueError(f"table has no {need!r} column: {cur.schema.names}")
+    if mixture and "source" not in cur.schema.names:
+        raise ValueError("mixture weights need a 'source' column; table has "
+                         f"{cur.schema.names}")
     prev = load_marker(out_dir, fs)
     if prev is not None:
-        if (prev.get("cap"), prev.get("seed")) != (cap, seed):
+        if (prev.get("cap"), prev.get("seed"),
+                prev.get("mixture")) != (cap, seed, mixture):
             raise ValueError(
                 f"training view at {out_dir} was built with cap="
-                f"{prev.get('cap')} seed={prev.get('seed')}; refusing "
-                f"cap={cap} seed={seed} (rebuild into a fresh dir)")
+                f"{prev.get('cap')} seed={prev.get('seed')} mixture="
+                f"{prev.get('mixture')}; refusing cap={cap} seed={seed} "
+                f"mixture={mixture} (rebuild into a fresh dir)")
         if (prev.get("epoch"), prev.get("rev")) == (cur.epoch, cur.rev):
             return prev  # already current — fenced no-op
     old_buckets: dict[str, dict] = (prev or {}).get("buckets", {})
@@ -217,9 +267,9 @@ def training_view_refresh(
             buckets[str(int(p))] = old  # untouched — keep the file as-is
             continue
         work.append({"part": int(p), "files": rels, "fp": fp,
-                     "rel": _bucket_rel(int(p), fp, cap, seed)})
+                     "rel": _bucket_rel(int(p), fp, cap, seed, mixture)})
     buckets.update(_run_packs(table_dir, out_dir, work, cur.schema_b64,
-                              cap, seed, fs))
+                              cap, seed, fs, mixture=mixture))
 
     marker = {
         "table": table_dir,
@@ -227,6 +277,7 @@ def training_view_refresh(
         "rev": cur.rev,
         "cap": cap,
         "seed": seed,
+        "mixture": mixture,
         "buckets": buckets,
         "repacked": len(work),
         "total_chunks": sum(b["chunks"] for b in buckets.values()),
@@ -250,17 +301,33 @@ def training_view_refresh(
 
 
 def read_training_view(
-    out_dir: str, fs: StorageAdapter | None = None
+    out_dir: str, fs: StorageAdapter | None = None,
+    rank: int | None = None, world_size: int | None = None,
 ) -> ray.data.Dataset:
     """The maintained chunks as a Dataset — the file list comes from the
     marker, so an in-flight refresh's new files and any undeleted
-    superseded files are both invisible."""
+    superseded files are both invisible.
+
+    ``rank``/``world_size`` (both or neither) shard the view for a
+    multi-reader training job: buckets are assigned round-robin in
+    bucket order, so every rank's shard is deterministic, the shards are
+    disjoint, and their union is the whole view. Balance is bucket-
+    granular — ranks ≫ buckets starves ranks; size the table's
+    partition count to the training world first."""
     fs = default_fs(fs)
+    if (rank is None) != (world_size is None):
+        raise ValueError("rank and world_size go together")
+    if rank is not None and not (0 <= rank < world_size):
+        raise ValueError(f"rank {rank} outside [0, {world_size})")
     marker = load_marker(out_dir, fs)
     if marker is None:
         raise FileNotFoundError(f"no training view at {out_dir}")
-    files = [os.path.join(out_dir, b["file"])
-             for b in marker["buckets"].values() if b.get("file")]
+    occupied = sorted(
+        ((int(p), b["file"]) for p, b in marker["buckets"].items()
+         if b.get("file")), key=lambda x: x[0])
+    if rank is not None:
+        occupied = occupied[rank::world_size]
+    files = [os.path.join(out_dir, f) for _, f in occupied]
     if not files:
         return ray.data.from_arrow(pa.table({
             "chunk_id": pa.array([], pa.string()),

@@ -52,6 +52,7 @@ from gamechanger_data_ray.engine.maintenance import (
     vacuum,
     validate_table,
 )
+from gamechanger_data_ray.engine.training_view import training_view_refresh
 
 EPOCHS = 6
 EVENTS = 220
@@ -136,8 +137,42 @@ def test_lifecycle_fuzz(tmp_path, seed):
     check_state()
 
     maintenance = ["compact", "cluster", "restamp", "vacuum", "repartition",
-                   "tag", "branch"]
+                   "tag", "branch", "tview"]
     branch_gen = 0
+    tview_gen = 0
+    tview_dir = str(tmp_path / "tview")
+
+    def check_tview() -> None:
+        """The MAINTAINED training view refreshed at this arbitrary point
+        in the walk must equal a FRESH build of the same committed state,
+        file-name- and byte-identical — the incremental path can never
+        drift from the from-scratch one, whatever replay/compact/cluster/
+        vacuum/repartition history preceded it."""
+        import hashlib
+
+        nonlocal tview_gen
+        tview_gen += 1
+        m = training_view_refresh(tview_dir, tb, cap=48, seed=9)
+        fresh_dir = str(tmp_path / f"tview_fresh{tview_gen}")
+        f = training_view_refresh(fresh_dir, tb, cap=48, seed=9)
+
+        def digests(root, marker):
+            return {
+                p: hashlib.sha1(
+                    open(os.path.join(root, b["file"]), "rb").read()
+                ).hexdigest()
+                for p, b in marker["buckets"].items() if b.get("file")
+            }
+
+        assert {p: b["file"] for p, b in m["buckets"].items()} == \
+               {p: b["file"] for p, b in f["buckets"].items()}, (
+            f"seed={seed} training view layout drifted after {trace}")
+        assert digests(tview_dir, m) == digests(fresh_dir, f), (
+            f"seed={seed} training view bytes drifted after {trace}")
+        oracle = oracle_upto(cd, applied)
+        want = sum(len(t) for t in oracle["tokens"].to_pylist() if t is not None)
+        assert m["total_tokens"] == want, (
+            f"seed={seed} training view lost tokens after {trace}")
     while applied < EPOCHS:
         op = rng.choice(maintenance + ["epoch", "epoch", "epoch"])
         trace.append(op)
@@ -192,6 +227,9 @@ def test_lifecycle_fuzz(tmp_path, seed):
                 )
             check_lookups(check_state())
             continue
+        if op == "tview":
+            check_tview()
+            continue
         if op == "tag":
             name = f"s{len(tags)}"
             tag(tb, name)
@@ -225,9 +263,11 @@ def test_lifecycle_fuzz(tmp_path, seed):
         )
         check_lookups(check_state())
 
-    # converged: full oracle, validator clean, tags still byte-stable
+    # converged: full oracle, validator clean, tags still byte-stable,
+    # and the maintained training view lands on the final state too
     oracle = check_state()
     check_lookups(oracle)
+    check_tview()
     assert validate_table(tb)["violations"] == {}, f"seed={seed} after {trace}"
     for name, want in tags.items():
         got = asof_payload(tb, name, want.schema.names)
