@@ -72,3 +72,23 @@ def version_hash_column(t: pa.Table, cols: list[str]) -> pa.Array:
     for p in parts[1:]:
         joined = pc.binary_join_element_wise(joined, p, "|")
     return pa.array(sha256_hex(joined.to_pylist()), pa.string())
+
+
+def state_content_sig(t: "pa.Table") -> str:
+    """Order-independent identity of one partition's RESOLVED live state:
+    XOR of fnv1a64("doc_id|lsn|seq") over rows, plus the row count —
+    ``"xorhex:count"``. (lsn, seq) is the engine's change clock (every
+    payload change arrives as an event with a new position), so two
+    physical layouts of the same logical state — an MOR stack and its
+    compacted rewrite, a clustered re-order, a dropped unrelated column —
+    produce the SAME sig, while any upsert/delete/backfill moves it.
+    Computable from the skinny merge index alone (no payload read)."""
+    if t.num_rows == 0:
+        return "0:0"
+    joined = pc.binary_join_element_wise(
+        pc.cast(t["doc_id"], pa.string()),
+        pc.cast(t["lsn"], pa.string()),
+        pc.cast(t["seq"], pa.string()), "|")
+    h = fnv1a64(joined)
+    x = np.bitwise_xor.reduce(h)
+    return f"{int(x):016x}:{t.num_rows}"

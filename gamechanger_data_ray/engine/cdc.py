@@ -55,7 +55,7 @@ import pyarrow.parquet as pq
 import ray.data
 
 from ..core import changelog as cl
-from ..core.hashing import partition_ids
+from ..core.hashing import partition_ids, state_content_sig
 from ..core.merge import (
     EVENTS_REP,
     TOMBS_REP,
@@ -287,6 +287,7 @@ def _merge_one_partition(
         return {"part": part, "file": out_rel, "delta": "",
                 "key_min": kmin, "key_max": kmax,
                 "col_stats": _col_stats_json(merged),
+                "content_sig": state_content_sig(merged),
                 "cell_writes": counters.pop("cell_writes", ""),
                 **{k: int(counters[k]) for k in COUNTER_KEYS}}
     if policy != "delta":
@@ -313,6 +314,9 @@ def _merge_one_partition(
             # delta-body stats only; the driver widens them into the
             # previous bounds so the manifest covers the resolved state
             "col_stats": _col_stats_json(body),
+            # identity of the RESOLVED state (from the skinny index), so
+            # a later compaction of this stack keeps the same sig
+            "content_sig": state_content_sig(merged_idx),
             "cell_writes": "",
             "key_min": kmin, "key_max": kmax,
             **{k: int(counters[k]) for k in COUNTER_KEYS}}
@@ -750,6 +754,10 @@ def apply_events_dataset(
         if r.get("key_min") is not None:
             partitions[p]["key_min"] = r["key_min"]
             partitions[p]["key_max"] = r["key_max"]
+        if r.get("content_sig"):
+            # logical-state identity (resolved, layout-independent) —
+            # consumers like the training view key change detection on it
+            partitions[p]["content_sig"] = r["content_sig"]
         if r.get("col_stats") is not None:
             import json as _json
 

@@ -153,12 +153,15 @@ def _rewrite_partitions(
             if merged.num_rows and pa.types.is_string(schema.field("doc_id").type):
                 mm = pc.min_max(merged["doc_id"]).as_py()
                 kmin, kmax = str(mm["min"]), str(mm["max"])
+            from ..core.hashing import state_content_sig
+
             rows.append({"part": int(row["part"]), "file": out_rel,
                          "rows": merged.num_rows, "key_min": kmin,
                          "key_max": kmax,
                          # exact again: rewrites re-tighten the wide union
                          # bounds accumulated by delta commits
-                         "col_stats": _col_stats_json(merged)})
+                         "col_stats": _col_stats_json(merged),
+                         "content_sig": state_content_sig(merged)})
         return pa.table({k: [r[k] for r in rows] for k in rows[0]})
 
     results = ray.data.from_items(work).map_batches(
@@ -177,6 +180,8 @@ def _rewrite_partitions(
             "key_max": r["key_max"],
             "col_stats": json.loads(r["col_stats"]) if r.get("col_stats") else {},
         }
+        if r.get("content_sig"):
+            partitions[p]["content_sig"] = r["content_sig"]
     manifest = mf.TableManifest(
         epoch=epoch,
         schema_b64=b64,

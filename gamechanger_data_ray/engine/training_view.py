@@ -60,12 +60,19 @@ from .training_export import _seeded_hash
 TRAINING_MARKER = "_TRAINING.json"
 
 
-def _fingerprint(entry: dict) -> str:
-    """Committed-metadata identity of one partition's physical state:
-    base file + delta stack + row count. Any commit that touches the
-    partition changes it; a compaction rewrite also changes it (the
-    re-pack then reproduces identical chunk bytes — wasted work only,
-    never wrong bytes)."""
+def _fingerprint(entry: dict, trust_sig: bool = True) -> str:
+    """Committed-metadata identity of one partition's state. Preferred:
+    the manifest's ``content_sig`` — the LOGICAL (resolved,
+    layout-independent) identity, under which compaction / clustering /
+    unrelated-column retires do NOT dirty the bucket. Fallback for
+    entries that predate the sig (or coalesce tables, whose composite
+    rows have no single change position): the physical identity — base
+    file + delta stack + row count — which is never wrong, only
+    conservative (a content-preserving rewrite triggers a re-pack that
+    reproduces identical bytes)."""
+    sig = entry.get("content_sig")
+    if trust_sig and sig:
+        return f"sig:{sig}"
     key = json.dumps({"file": entry.get("file"),
                       "deltas": list(entry.get("deltas", ())),
                       "rows": entry.get("rows", 0)}, sort_keys=True)
@@ -253,6 +260,11 @@ def training_view_refresh(
             return prev  # already current — fenced no-op
     old_buckets: dict[str, dict] = (prev or {}).get("buckets", {})
 
+    # coalesce tables build rows column-by-column across events — there
+    # is no single (lsn, seq) change position per row, so the logical
+    # content_sig can miss payload movement there; fall back to the
+    # (conservative) physical fingerprint
+    trust_sig = cur.epoch_counters.get("update_mode", "replace") == "replace"
     buckets: dict[str, dict] = {}
     work: list[dict] = []
     for p in sorted(cur.partitions, key=int):
@@ -261,7 +273,7 @@ def training_view_refresh(
             entry.get("deltas", ()))
         if not rels or not entry.get("rows"):
             continue  # empty partition: no bucket
-        fp = _fingerprint(entry)
+        fp = _fingerprint(entry, trust_sig=trust_sig)
         old = old_buckets.get(str(int(p)))
         if old is not None and old.get("src") == fp:
             buckets[str(int(p))] = old  # untouched — keep the file as-is

@@ -133,6 +133,48 @@ def test_delete_shrinks_and_tokens_conserved(tmp_path):
     assert sum(t["n_tok"].to_pylist()) == m2["total_tokens"]
 
 
+def test_compaction_and_clustering_do_not_repack(tmp_path):
+    """The manifest's content_sig makes the view's change detection
+    LOGICAL: physical rewrites of identical state (compact a
+    merge-on-read stack, cluster, restamp) refresh the marker without
+    repacking a single bucket — at 10^10 docs routine compaction no
+    longer re-exports the corpus."""
+    from gamechanger_data_ray.engine.maintenance import (
+        cluster_table,
+        compact,
+        restamp_stats,
+    )
+
+    tb, out = str(tmp_path / "tb"), str(tmp_path / "v")
+    _apply(tb, 1, _epoch1_rows())
+    e2 = _events([("U", 2, 0, "d001", _tokens(71, 30)),
+                  ("I", 2, 1, "mor-doc", _tokens(72, 25))])
+    # merge-on-read delta commit: resolved-state sig rides the manifest
+    from gamechanger_data_ray.engine.cdc import apply_events_dataset as aed
+
+    aed(ray.data.from_arrow(e2), tb, 2, e2.schema, num_partitions=P,
+        merge_policy="delta")
+    m1 = training_view_refresh(out, tb, cap=CAP, seed=0)
+
+    compact(tb)
+    m2 = training_view_refresh(out, tb, cap=CAP, seed=0)
+    assert m2["repacked"] == 0 and m2["rev"] > m1["rev"]
+    assert {p: b["file"] for p, b in m1["buckets"].items()} == \
+           {p: b["file"] for p, b in m2["buckets"].items()}
+
+    cluster_table(tb, by="n_tok")
+    restamp_stats(tb)
+    m3 = training_view_refresh(out, tb, cap=CAP, seed=0)
+    assert m3["repacked"] == 0
+    # and the packed bytes still equal a from-scratch build
+    fresh = training_view_refresh(str(tmp_path / "f"), tb, cap=CAP, seed=0)
+    assert _digests(out, m3) == _digests(str(tmp_path / "f"), fresh)
+    # a REAL change still dirties exactly its bucket
+    _apply(tb, 3, [("D", 3, 0, "mor-doc", None)])
+    m4 = training_view_refresh(out, tb, cap=CAP, seed=0)
+    assert m4["repacked"] == 1
+
+
 def test_fences_and_guards(tmp_path):
     tb, out = str(tmp_path / "tb"), str(tmp_path / "v")
     with pytest.raises(FileNotFoundError):
