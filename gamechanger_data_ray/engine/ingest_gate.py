@@ -775,6 +775,13 @@ def replay_gated(
         )
         total_sup += r["suppressed"]
         total_applied += r["applied"]
+    if pending:
+        # same post-commit contract as plain replay: declared subscribers
+        # (views, indexes, the training view) follow gated ingest too —
+        # the gate's own index already refreshed per epoch above
+        from .cdc import _sync_subscribers
+
+        _sync_subscribers(table_dir, fs)
     return {"applied_epochs": pending, "suppressed": total_sup,
             "applied_events": total_applied,
             "epoch": mf.committed_epoch(table_dir, fs)}
