@@ -299,16 +299,24 @@ def training_view_refresh(
     _write_marker(out_dir, marker, fs)
 
     # superseded files are invisible the moment the marker lands; sweep
-    # them best-effort (a crash here leaves orphans a later refresh or
-    # operator delete can reclaim — never a correctness issue)
+    # by DIRECTORY LISTING against the new marker's live set (not the
+    # previous marker), so orphans from any earlier crash — a pack that
+    # died before its marker, a sweep that died after one — are reclaimed
+    # by whichever refresh runs next. Best-effort: a failed rm is retried
+    # implicitly next time, never a correctness issue (readers follow the
+    # marker's file list).
     live = {b["file"] for b in buckets.values() if b.get("file")}
-    for b in old_buckets.values():
-        f = b.get("file")
-        if f and f not in live:
-            try:
-                fs.rm(os.path.join(out_dir, f))
-            except OSError:
-                pass
+    for d in fs.listdir(out_dir):
+        name = os.path.basename(d.rstrip("/"))
+        if not name.startswith("bucket="):
+            continue
+        for f in fs.list_files(os.path.join(out_dir, name), suffix=".parquet"):
+            rel = os.path.join(name, os.path.basename(f))
+            if rel not in live:
+                try:
+                    fs.rm(os.path.join(out_dir, rel))
+                except OSError:
+                    pass
     return marker
 
 

@@ -189,6 +189,52 @@ def test_fences_and_guards(tmp_path):
         read_training_view(str(tmp_path / "nowhere"))
 
 
+def test_crash_convergence_and_orphan_sweep(tmp_path):
+    """Two simulated crash states converge on the next refresh:
+    (a) packs landed but the marker write died — the rerun rewrites the
+    same deterministic names and commits; (b) the marker landed but the
+    sweep died — the next real refresh reclaims orphans by directory
+    listing, not by trusting the previous marker."""
+    import json
+
+    from gamechanger_data_ray.engine.training_view import TRAINING_MARKER
+
+    tb, out = str(tmp_path / "tb"), str(tmp_path / "v")
+    _apply(tb, 1, _epoch1_rows())
+    training_view_refresh(out, tb, cap=CAP, seed=0)
+    marker1 = open(os.path.join(out, TRAINING_MARKER)).read()
+
+    _apply(tb, 2, [("U", 2, 0, "d000", _tokens(5, 50))])
+    m2 = training_view_refresh(out, tb, cap=CAP, seed=0)
+    d2 = _digests(out, m2)
+
+    # (a) crash BEFORE the marker: epoch-2 files on disk, epoch-1 marker
+    with open(os.path.join(out, TRAINING_MARKER), "w") as f:
+        f.write(marker1)
+    m2b = training_view_refresh(out, tb, cap=CAP, seed=0)
+    assert {p: b["file"] for p, b in m2b["buckets"].items()} == \
+           {p: b["file"] for p, b in m2["buckets"].items()}
+    assert _digests(out, m2b) == d2
+
+    # (b) crash AFTER the marker, before the sweep: plant an orphan from
+    # a long-dead refresh; the NEXT real refresh reclaims it
+    orphan = os.path.join(out, "bucket=00000", "chunks-deadbeef0000.parquet")
+    os.makedirs(os.path.dirname(orphan), exist_ok=True)
+    with open(orphan, "wb") as f:
+        f.write(b"stale")
+    _apply(tb, 3, [("I", 3, 0, "zz-new", _tokens(88, 30))])
+    m3 = training_view_refresh(out, tb, cap=CAP, seed=0)
+    assert not os.path.exists(orphan)
+    # every on-disk bucket file is exactly the marker's live set
+    on_disk = sorted(
+        os.path.join(d, f)
+        for d in os.listdir(out) if d.startswith("bucket=")
+        for f in os.listdir(os.path.join(out, d)) if f.endswith(".parquet"))
+    live = sorted(b["file"] for b in m3["buckets"].values() if b.get("file"))
+    assert on_disk == live
+    json.loads(open(os.path.join(out, TRAINING_MARKER)).read())  # sane
+
+
 def test_seed_changes_within_bucket_order_only(tmp_path):
     tb = str(tmp_path / "tb")
     _apply(tb, 1, _epoch1_rows())
