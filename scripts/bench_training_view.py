@@ -94,6 +94,29 @@ def main() -> int:
     assert (m_inc["total_chunks"], m_inc["total_tokens"]) == \
            (m_re["total_chunks"], m_re["total_tokens"])
 
+    # content_sig in action: a merge-on-read commit + compaction is two
+    # physical rewrites of ~the same logical state — the view must track
+    # the MOR commit (dirty buckets only) and skip the compaction entirely
+    t6 = generate_epoch_table(
+        6, 200, 10, seed=43, zipf_a=0.0, mean_tokens=96,
+        evolution=True, dup_frac=0.0,
+    )
+    d6 = epoch_dir(cl5, 6)
+    os.makedirs(d6, exist_ok=True)
+    pq.write_table(t6, os.path.join(d6, "part-00000.parquet"))
+    with open(os.path.join(d6, READY_MARKER), "w") as f:
+        json.dump({"epoch": 6, "files": ["part-00000.parquet"],
+                   "events": t6.num_rows}, f)
+    replay(cl5, tb, num_partitions=parts, up_to_epoch=6, merge_policy="delta")
+    m_mor = training_view_refresh(f"{base}/tv", tb, cap=2048, seed=7)
+    from gamechanger_data_ray.engine.maintenance import compact
+
+    compact(tb)
+    t0 = time.perf_counter()
+    m_cmp = training_view_refresh(f"{base}/tv", tb, cap=2048, seed=7)
+    compact_refresh_s = time.perf_counter() - t0
+    assert m_cmp["repacked"] == 0, m_cmp["repacked"]
+
     print(json.dumps({
         "metric": "training_view_refresh",
         "unit": "sec",
@@ -103,6 +126,9 @@ def main() -> int:
         "speedup_vs_rebuild": round(rebuild_s / max(inc_s, 1e-9), 2),
         "buckets_total": len(m_re["buckets"]),
         "buckets_repacked": m_inc["repacked"],
+        "mor_epoch_repacked": m_mor["repacked"],
+        "post_compact_repacked": m_cmp["repacked"],
+        "post_compact_refresh_sec": round(compact_refresh_s, 3),
         "docs": m_re["docs"],
         "total_tokens": m_re["total_tokens"],
         "total_chunks": m_re["total_chunks"],
