@@ -825,6 +825,19 @@ def main(argv: list[str] | None = None) -> int:
                         for d in qdirs
                         for f in _glob.glob(os.path.join(d, "*.parquet"))),
                 }
+            from gamechanger_data_ray.engine.subscriptions import (
+                list_subscriptions,
+                subscriber_epoch,
+            )
+
+            subs_list = list_subscriptions(args.table)
+            if subs_list:
+                out["subscribers"] = [
+                    {"target": s["target_dir"], "kind": s["kind"],
+                     "epoch_seen": (seen := subscriber_epoch(s)),
+                     "lag": cur.epoch - seen if seen is not None else None}
+                    for s in subs_list
+                ]
             if args.partitions:
                 out["per_partition"] = {
                     p: {
