@@ -430,6 +430,14 @@ class DecontamScreen:
         self.by_hash = by_hash
         self.bench_hashes = np.sort(
             np.fromiter(by_hash.keys(), dtype=np.uint64, count=len(by_hash)))
+        # 4 MiB direct-indexed bitset prefilter: one vectorized load per
+        # window instead of a log2(|bench|) searchsorted — at ~2M bench
+        # windows the fill ratio stays <50%, so the (exact) binary search
+        # runs on a small candidate minority only
+        self._mask_bits = 22
+        self._mask = np.zeros(1 << self._mask_bits, dtype=bool)
+        self._mask[(self.bench_hashes & np.uint64((1 << self._mask_bits) - 1)
+                    ).astype(np.int64)] = True
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         batch, pm, pj = _split_prior(batch)
@@ -457,9 +465,17 @@ class DecontamScreen:
                 # a window is real only if its last token is in the same
                 # row as its first (the flat buffer concatenates rows)
                 within = doc_of[: len(h)] == doc_of[L - 1:]
-                pos = np.searchsorted(self.bench_hashes, h)
-                pos[pos == len(self.bench_hashes)] = 0
-                cand = within & (self.bench_hashes[pos] == h)
+                # bitset prefilter (one load/window), then exact binary
+                # search on the surviving minority only
+                maybe = within & self._mask[
+                    (h & np.uint64((1 << self._mask_bits) - 1)).astype(np.int64)]
+                cand = np.zeros(len(h), dtype=bool)
+                mi = np.flatnonzero(maybe)
+                if mi.size:
+                    hm = h[mi]
+                    pos = np.searchsorted(self.bench_hashes, hm)
+                    pos[pos == len(self.bench_hashes)] = 0
+                    cand[mi] = self.bench_hashes[pos] == hm
                 hits: dict[int, set[bytes]] = {}
                 for p in np.flatnonzero(cand):  # confirmed minority only
                     wb = np.ascontiguousarray(

@@ -135,6 +135,7 @@ def test_hash_collision_rejected_by_byte_confirm(tmp_path, monkeypatch):
     screen = ig.DecontamScreen(bench_path=bp, ngram=L, tokens_column="tokens")
     # constant hash → every window is a candidate; confirm must save us
     screen.bench_hashes = np.zeros(1, dtype=np.uint64)
+    screen._mask = np.ones_like(screen._mask)  # prefilter passes all
     win_bytes = np.ascontiguousarray(
         np.array([1, 2, 3, 4], dtype="<u4")).tobytes()
     screen.by_hash = {0: {win_bytes}}
