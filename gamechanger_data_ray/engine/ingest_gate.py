@@ -552,16 +552,17 @@ def screen_events(
     ds = events_ds
     for m in modes:
         if m == "quality":
-            # stateless: no index to check, screens even a fresh table
+            # stateless: no index to check, screens even a fresh table.
+            # Plain tasks, not an actor pool — the screen's only "state"
+            # is a ~100-word stop set, and per-epoch pool spin-up costs
+            # more than it saves (measured; BASELINE.md)
+            screen = QualityScreen(
+                tokens_column=tokens_column, min_tok=min_tok,
+                max_tok=max_tok, max_top_frac=max_top_frac)
             ds = ds.map_batches(
-                QualityScreen,
-                fn_constructor_kwargs=dict(
-                    tokens_column=tokens_column, min_tok=min_tok,
-                    max_tok=max_tok, max_top_frac=max_top_frac,
-                ),
+                screen.__call__,
                 batch_format="pyarrow",
                 batch_size=batch_size,
-                concurrency=concurrency,
             )
             continue
         if m == "decontam":
@@ -616,25 +617,41 @@ def screen_events(
     return ds
 
 
+def _footer_rows(d: str) -> int:
+    import glob
+
+    import pyarrow.parquet as pq
+
+    return sum(pq.ParquetFile(f).metadata.num_rows
+               for f in glob.glob(os.path.join(d, "*.parquet")))
+
+
 def _write_quarantine(quarantined: ray.data.Dataset, table_dir: str,
-                      epoch: int) -> str | None:
+                      epoch: int) -> tuple[str | None, int]:
     """Stream suppressed events to ``_quarantine/epoch-EEEEEE/`` with an
     atomic directory rename: a retried epoch finds the directory and
     skips (idempotent), a crashed attempt leaves only a temp dir that
-    the next attempt replaces."""
+    the next attempt replaces. Returns ``(dir|None, rows)`` — the write
+    IS the count (parquet footers), so the suppressed stream is consumed
+    exactly once; an all-clean epoch leaves no directory behind."""
     final = os.path.join(table_dir, QUARANTINE_DIR, f"epoch-{epoch:06d}")
     if os.path.isdir(final):
-        return final  # fenced retry: audit trail already committed
+        return final, _footer_rows(final)  # fenced retry: already committed
     os.makedirs(os.path.dirname(final), exist_ok=True)
     tmp = f"{final}.tmp-{uuid.uuid4().hex}"
     quarantined.write_parquet(tmp)
+    rows = _footer_rows(tmp)
+    if rows == 0:
+        shutil.rmtree(tmp, ignore_errors=True)
+        return None, 0
     try:
         os.rename(tmp, final)
     except OSError:
         shutil.rmtree(tmp, ignore_errors=True)  # lost the race to a peer
         if not os.path.isdir(final):
             raise
-    return final
+        return final, _footer_rows(final)
+    return final, rows
 
 
 def apply_with_neardup_gate(
@@ -673,18 +690,27 @@ def apply_with_neardup_gate(
     4. refresh the index to the new epoch so the next call screens
        against these documents too.
 
-    The screened dataset is materialized once (it is epoch-sized — the
-    incoming slice, never the corpus) so the kept/suppressed split does
-    not re-run the screen. Returns
-    ``{epoch, suppressed, applied, quarantine_dir}``."""
+    Returns ``{epoch, suppressed, applied, quarantine_dir}``.
+
+    Pass economics (measured; BASELINE.md): any chain with an ACTOR-POOL
+    screen (exact/neardup index probes, decontam's per-actor bench)
+    materializes the annotated epoch once so the kept/suppressed split
+    never re-runs the pool; a pure plain-task chain (quality only) skips
+    the materialize — re-running the cheap vectorized screen per
+    consumer beats pushing the whole epoch payload through the object
+    store. The suppressed stream is consumed exactly once either way:
+    the quarantine write doubles as the count (parquet footers)."""
     fs = default_fs(fs)
+    modes = [mode] if isinstance(mode, str) else list(mode)
     annotated = screen_events(
         events_ds, table_dir, view_dir, threshold=threshold, k=k, seed=seed,
         tokens_column=tokens_column, key_column=key_column,
         max_candidates=max_candidates, mode=mode, min_tok=min_tok,
         max_tok=max_tok, max_top_frac=max_top_frac,
         bench_path=bench_path, ngram=ngram, fs=fs,
-    ).materialize()
+    )
+    if any(m != "quality" for m in modes):
+        annotated = annotated.materialize()
 
     def keep_clean(t: pa.Table) -> pa.Table:
         return t.filter(pc.is_null(t[MATCH_COLUMN])).drop_columns(
@@ -695,21 +721,17 @@ def apply_with_neardup_gate(
 
     kept = annotated.map_batches(keep_clean, batch_format="pyarrow")
     suppressed = annotated.map_batches(only_flagged, batch_format="pyarrow")
-    n_sup = suppressed.count()
-    qdir = None
-    modes = [mode] if isinstance(mode, str) else list(mode)
-    if n_sup:
-        # drop the payload ONLY when every screen in the chain flags
-        # byte-identical content (pure-exact gates): the committed twin
-        # then holds the exact bytes and readmit reconstructs them.
-        # Quality and near-dup rejections hold content that exists
-        # nowhere else — it rides into quarantine so readmit can bring
-        # it back instead of refusing as unrecoverable.
-        drop_payload = all(m == "exact" for m in modes)
-        audit_cols = [c for c in suppressed.schema().names
-                      if c != tokens_column or not drop_payload]
-        qdir = _write_quarantine(suppressed.select_columns(audit_cols),
-                                 table_dir, epoch)
+    # drop the payload ONLY when every screen in the chain flags
+    # byte-identical content (pure-exact gates): the committed twin
+    # then holds the exact bytes and readmit reconstructs them.
+    # Quality and near-dup rejections hold content that exists
+    # nowhere else — it rides into quarantine so readmit can bring
+    # it back instead of refusing as unrecoverable.
+    drop_payload = all(m == "exact" for m in modes)
+    audit_cols = [c for c in suppressed.schema().names
+                  if c != tokens_column or not drop_payload]
+    qdir, n_sup = _write_quarantine(suppressed.select_columns(audit_cols),
+                                    table_dir, epoch)
 
     m = apply_events_dataset(
         kept, table_dir, epoch, incoming_schema,
