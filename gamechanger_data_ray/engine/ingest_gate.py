@@ -12,7 +12,8 @@ Four screens, chainable in one epoch pass (first flag wins):
   repetition collapse) — no index, screens even a fresh table;
 - ``decontam``: eval-benchmark n-gram contamination (the
   ``docs_decontaminate`` sweep as a standing ingest invariant) — the
-  bench rides each actor, no index.
+  bench state is built once, broadcast via ``ray.put`` and read
+  zero-copy by plain tasks; no index.
 
 Batch near-dup sweeps (``dedup_minhash_lsh``) clean a corpus after the
 fact; a live lake wants the cheaper invariant "a near-duplicate of an
@@ -372,72 +373,126 @@ class QualityScreen:
 # OOM'd actor pool
 DECONTAM_MAX_WINDOWS = 2_000_000
 
+_DECONTAM_MASK_BITS = 22  # 4 MiB direct-indexed bitset prefilter
+
+
+def build_decontam_state(bench_path: str, *, ngram: int,
+                         tokens_column: str) -> dict:
+    """Expand the eval benchmark into the screen's lookup state — three
+    plain numpy arrays so one ``ray.put`` broadcasts them zero-copy to
+    every task for the whole replay (no per-epoch actor pools, no
+    per-actor re-read of the bench):
+
+    - ``hash_sorted`` (uint64): one entry per distinct
+      (window-hash, window-bytes) pair, sorted by hash — duplicate
+      hashes appear when distinct windows collide;
+    - ``wins_sorted`` (n × ngram uint32): the window tokens aligned with
+      ``hash_sorted``, for the byte-exact confirm;
+    - ``mask`` (bool, 2^22): the bitset prefilter — at ~2M bench windows
+      the fill ratio stays <50%, so the (exact) binary search runs on a
+      small candidate minority only.
+
+    Fully vectorized: the whole bench hashes as ONE flat buffer with the
+    same kernel/boundary-masking the per-batch screen uses. Capped at
+    ``DECONTAM_MAX_WINDOWS`` distinct windows (total windows are bounded
+    first so a corpus-sized file errors before any O(windows) sort)."""
+    import pyarrow.parquet as pq
+
+    from ..stages.dedup import token_window_hashes
+
+    L = int(ngram)
+    bench = pq.read_table(bench_path, columns=[tokens_column])
+    col = bench[tokens_column]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    flat = col.flatten().to_numpy(zero_copy_only=False)
+    offs = col.offsets.to_numpy(zero_copy_only=False)
+    offs = offs - offs[0]
+    hs = np.empty(0, dtype=np.uint64)
+    Ws = np.empty((0, L), dtype="<u4")
+    if len(flat) >= L:
+        # distinct ≤ total, so a total-window bound errors loudly before
+        # the dedup sort ever allocates corpus-sized temporaries
+        if len(flat) > 10 * DECONTAM_MAX_WINDOWS:
+            raise ValueError(
+                f"decontam bench {bench_path!r} exceeds "
+                f"{DECONTAM_MAX_WINDOWS} distinct {L}-gram windows — "
+                "that is corpus-sized, not an eval bench")
+        h = token_window_hashes(flat, L)
+        doc_of = np.repeat(np.arange(len(col)), np.diff(offs))
+        within = doc_of[: len(h)] == doc_of[L - 1:]
+        valid = np.flatnonzero(within)
+        if valid.size:
+            hv = h[valid]
+            flat_u4 = (flat.view("<u4") if flat.dtype == np.int32
+                       else flat.astype("<u4"))
+            Wv = np.lib.stride_tricks.sliding_window_view(flat_u4, L)[valid]
+            order = np.lexsort(
+                tuple(Wv[:, j] for j in range(L - 1, -1, -1)) + (hv,))
+            hs, Ws = hv[order], Wv[order]
+            keep = np.ones(len(hs), dtype=bool)
+            keep[1:] = (hs[1:] != hs[:-1]) | (Ws[1:] != Ws[:-1]).any(axis=1)
+            hs, Ws = hs[keep], np.ascontiguousarray(Ws[keep])
+    if len(hs) > DECONTAM_MAX_WINDOWS:
+        raise ValueError(
+            f"decontam bench {bench_path!r} exceeds "
+            f"{DECONTAM_MAX_WINDOWS} distinct {L}-gram windows — "
+            "that is corpus-sized, not an eval bench")
+    mask = np.zeros(1 << _DECONTAM_MASK_BITS, dtype=bool)
+    mask[(hs & np.uint64((1 << _DECONTAM_MASK_BITS) - 1)
+          ).astype(np.int64)] = True
+    return {"hash_sorted": hs, "wins_sorted": Ws, "mask": mask}
+
 
 class DecontamScreen:
-    """Actor-pool stage: flag incoming events whose token payload
-    contains any ``ngram``-token window of the eval benchmark — the
-    ``docs_decontaminate`` batch sweep (GPT-3 App. C-style n-gram
+    """Flag incoming events whose token payload contains any
+    ``ngram``-token window of the eval benchmark — the
+    ``docs_decontaminate`` sweep (GPT-3 App. C-style n-gram
     contamination) turned into a standing ingest invariant: a document
     that would leak eval data never enters the training corpus.
 
-    The bench (parquet, same ``tokens_column``) is read ONCE per actor
-    in ``__init__`` and expanded into a sorted uint64 window-hash array
-    plus a hash → window-bytes dict; it is eval-bench-sized (capped at
-    ``DECONTAM_MAX_WINDOWS``), never the corpus. Per batch, every
-    payload window is hashed with the same vectorized polynomial kernel
-    the span dedup uses (``stages/dedup.py::token_window_hashes``) over
-    the batch's FLAT value buffer — windows straddling a row boundary
-    are masked out, hits are confirmed byte-exact (a 64-bit hash
-    collision can never quarantine a clean doc), and the row's reason
-    records the distinct contaminated windows. Jaccard stays null, like
-    the quality screen; the payload rides into quarantine (its content
-    exists nowhere else) so ``readmit`` can bring a false positive back."""
+    State is :func:`build_decontam_state` output (eval-bench-sized,
+    capped — never the corpus). Per batch, every payload window is
+    hashed with the same vectorized polynomial kernel the span dedup
+    uses (``stages/dedup.py::token_window_hashes``) over the batch's
+    FLAT value buffer — windows straddling a row boundary are masked
+    out, hits are confirmed byte-exact (a 64-bit hash collision can
+    never quarantine a clean doc), and the row's reason records the
+    distinct contaminated windows. Jaccard stays null, like the quality
+    screen; the payload rides into quarantine (its content exists
+    nowhere else) so ``readmit`` can bring a false positive back.
+
+    Constructed directly it reads the bench itself (self-contained
+    actor/stage use); :func:`screen_events` instead builds the state
+    ONCE on the driver, broadcasts it via ``ray.put`` and runs the
+    screen as plain tasks (:meth:`from_state`) — measured ~2x cheaper
+    per gated epoch than per-epoch actor pools (BASELINE.md)."""
 
     def __init__(self, *, bench_path: str, ngram: int, tokens_column: str):
-        import pyarrow.parquet as pq
-
         from ..stages.dedup import token_window_hashes
 
         self.ngram = int(ngram)
         self.tokens_column = tokens_column
         self._hash_windows = token_window_hashes
-        bench = pq.read_table(bench_path, columns=[tokens_column])
-        col = bench[tokens_column]
-        if isinstance(col, pa.ChunkedArray):
-            col = col.combine_chunks()
-        flat = col.flatten().to_numpy(zero_copy_only=False)
-        offs = col.offsets.to_numpy(zero_copy_only=False)
-        offs = offs - offs[0]
-        by_hash: dict[int, set[bytes]] = {}
-        total = 0
-        for i in range(len(col)):
-            toks = flat[offs[i]:offs[i + 1]]
-            h = token_window_hashes(toks, self.ngram)
-            if len(h) == 0:
-                continue
-            wins = np.lib.stride_tricks.sliding_window_view(
-                toks.astype("<u4"), self.ngram)
-            uniq, first_idx = np.unique(h, return_index=True)
-            total += len(uniq)
-            if total > DECONTAM_MAX_WINDOWS:
-                raise ValueError(
-                    f"decontam bench {bench_path!r} exceeds "
-                    f"{DECONTAM_MAX_WINDOWS} distinct {self.ngram}-gram "
-                    "windows — that is corpus-sized, not an eval bench")
-            for j, u in zip(first_idx, uniq):
-                by_hash.setdefault(int(u), set()).add(
-                    np.ascontiguousarray(wins[j]).tobytes())
-        self.by_hash = by_hash
-        self.bench_hashes = np.sort(
-            np.fromiter(by_hash.keys(), dtype=np.uint64, count=len(by_hash)))
-        # 4 MiB direct-indexed bitset prefilter: one vectorized load per
-        # window instead of a log2(|bench|) searchsorted — at ~2M bench
-        # windows the fill ratio stays <50%, so the (exact) binary search
-        # runs on a small candidate minority only
-        self._mask_bits = 22
-        self._mask = np.zeros(1 << self._mask_bits, dtype=bool)
-        self._mask[(self.bench_hashes & np.uint64((1 << self._mask_bits) - 1)
-                    ).astype(np.int64)] = True
+        st = build_decontam_state(bench_path, ngram=ngram,
+                                  tokens_column=tokens_column)
+        self.hash_sorted = st["hash_sorted"]
+        self.wins_sorted = st["wins_sorted"]
+        self._mask = st["mask"]
+
+    @classmethod
+    def from_state(cls, state: dict, *, ngram: int,
+                   tokens_column: str) -> "DecontamScreen":
+        from ..stages.dedup import token_window_hashes
+
+        obj = cls.__new__(cls)
+        obj.ngram = int(ngram)
+        obj.tokens_column = tokens_column
+        obj._hash_windows = token_window_hashes
+        obj.hash_sorted = state["hash_sorted"]
+        obj.wins_sorted = state["wins_sorted"]
+        obj._mask = state["mask"]
+        return obj
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         batch, pm, pj = _split_prior(batch)
@@ -453,7 +508,7 @@ class DecontamScreen:
         if pm is not None:  # chained: only still-clean rows screen here
             screen_mask &= ~pm.is_valid().to_numpy(zero_copy_only=False)
         idx = np.flatnonzero(screen_mask)
-        if idx.size and len(self.bench_hashes):
+        if idx.size and len(self.hash_sorted):
             sub = toks.take(pa.array(idx))
             flat = sub.flatten().to_numpy(zero_copy_only=False)
             offs = np.asarray(sub.offsets, dtype=np.int64)
@@ -468,23 +523,44 @@ class DecontamScreen:
                 # bitset prefilter (one load/window), then exact binary
                 # search on the surviving minority only
                 maybe = within & self._mask[
-                    (h & np.uint64((1 << self._mask_bits) - 1)).astype(np.int64)]
-                cand = np.zeros(len(h), dtype=bool)
+                    (h & np.uint64((1 << _DECONTAM_MASK_BITS) - 1)
+                     ).astype(np.int64)]
                 mi = np.flatnonzero(maybe)
+                hit_pos = np.empty(0, dtype=np.int64)
                 if mi.size:
                     hm = h[mi]
-                    pos = np.searchsorted(self.bench_hashes, hm)
-                    pos[pos == len(self.bench_hashes)] = 0
-                    cand[mi] = self.bench_hashes[pos] == hm
-                hits: dict[int, set[bytes]] = {}
-                for p in np.flatnonzero(cand):  # confirmed minority only
-                    wb = np.ascontiguousarray(
-                        flat[p:p + L].astype("<u4")).tobytes()
-                    if wb in self.by_hash[int(h[p])]:
-                        hits.setdefault(int(doc_of[p]), set()).add(wb)
-                for qi, wset in hits.items():
-                    reason[idx[qi]] = (
-                        f"contaminated:ngram={L}:hits={len(wset)}")
+                    lo = np.searchsorted(self.hash_sorted, hm, "left")
+                    hi = np.searchsorted(self.hash_sorted, hm, "right")
+                    cand = hi > lo
+                    ci = mi[cand]
+                    if ci.size:
+                        flat_u4 = (flat.view("<u4") if flat.dtype == np.int32
+                                   else flat.astype("<u4"))
+                        Wv = np.lib.stride_tricks.sliding_window_view(
+                            flat_u4, L)
+                        lo_c, hi_c = lo[cand], hi[cand]
+                        eq = np.zeros(len(ci), dtype=bool)
+                        single = (hi_c - lo_c) == 1
+                        si = np.flatnonzero(single)
+                        if si.size:  # vectorized byte-exact confirm
+                            eq[si] = (self.wins_sorted[lo_c[si]]
+                                      == Wv[ci[si]]).all(axis=1)
+                        for j in np.flatnonzero(~single):  # collision groups
+                            eq[j] = (self.wins_sorted[lo_c[j]:hi_c[j]]
+                                     == Wv[ci[j]]).all(axis=1).any()
+                        hit_pos = ci[eq]
+                if hit_pos.size:
+                    # distinct contaminated windows per doc: unique
+                    # (doc, window tokens) rows of the confirmed hits
+                    rows = np.column_stack([
+                        doc_of[hit_pos].astype(np.uint64),
+                        Wv[hit_pos].astype(np.uint64)])
+                    uniq_rows = np.unique(rows, axis=0)
+                    docs, counts = np.unique(uniq_rows[:, 0],
+                                             return_counts=True)
+                    for d, c in zip(docs, counts):
+                        reason[idx[int(d)]] = (
+                            f"contaminated:ngram={L}:hits={int(c)}")
 
         matched, jac_arr = _merge_prior(
             pa.array(reason.tolist(), pa.string()),
@@ -492,6 +568,18 @@ class DecontamScreen:
         )
         out = batch.append_column(MATCH_COLUMN, matched)
         return out.append_column(JACCARD_COLUMN, jac_arr)
+
+
+def _decontam_task(batch: pa.Table, *, state_ref, ngram: int,
+                   tokens_column: str) -> pa.Table:
+    """Plain-task form of the decontam screen: the broadcast state comes
+    out of the object store zero-copy (all-numpy), so per-batch
+    reconstruction is pointer assignment — no actor pool to spin up."""
+    state = ray.get(state_ref) if isinstance(state_ref, ray.ObjectRef) \
+        else state_ref
+    screen = DecontamScreen.from_state(state, ngram=ngram,
+                                       tokens_column=tokens_column)
+    return screen(batch)
 
 
 def screen_events(
@@ -513,6 +601,7 @@ def screen_events(
     max_top_frac: float = 0.2,
     bench_path: str | None = None,
     ngram: int = 8,
+    decontam_state_ref=None,
     fs: StorageAdapter | None = None,
 ) -> ray.data.Dataset:
     """Annotate an incoming change-event Dataset with suppression flags.
@@ -566,17 +655,23 @@ def screen_events(
             )
             continue
         if m == "decontam":
-            # stateless like quality: the bench is its own (tiny) state,
-            # loaded once per actor — no maintained index to guard
+            # stateless like quality — no maintained index to guard. The
+            # bench state is built ONCE (driver) and broadcast: plain
+            # tasks read it zero-copy from the object store, so there is
+            # no per-epoch actor-pool spin-up and no per-actor bench
+            # re-read (measured; BASELINE.md). Callers looping epochs
+            # (replay_gated) pass decontam_state_ref to share one build.
+            import functools
+
+            ref = decontam_state_ref
+            if ref is None:
+                ref = ray.put(build_decontam_state(
+                    bench_path, ngram=ngram, tokens_column=tokens_column))
             ds = ds.map_batches(
-                DecontamScreen,
-                fn_constructor_kwargs=dict(
-                    bench_path=bench_path, ngram=ngram,
-                    tokens_column=tokens_column,
-                ),
+                functools.partial(_decontam_task, state_ref=ref,
+                                  ngram=ngram, tokens_column=tokens_column),
                 batch_format="pyarrow",
                 batch_size=batch_size,
-                concurrency=concurrency,
             )
             continue
         cur_view = _check_view(view_dir, table_dir, k=k, seed=seed,
@@ -676,6 +771,7 @@ def apply_with_neardup_gate(
     max_top_frac: float = 0.2,
     bench_path: str | None = None,
     ngram: int = 8,
+    decontam_state_ref=None,
     fs: StorageAdapter | None = None,
 ) -> dict:
     """Screen → quarantine → apply → refresh, as one ingest step:
@@ -693,13 +789,14 @@ def apply_with_neardup_gate(
     Returns ``{epoch, suppressed, applied, quarantine_dir}``.
 
     Pass economics (measured; BASELINE.md): any chain with an ACTOR-POOL
-    screen (exact/neardup index probes, decontam's per-actor bench)
-    materializes the annotated epoch once so the kept/suppressed split
-    never re-runs the pool; a pure plain-task chain (quality only) skips
-    the materialize — re-running the cheap vectorized screen per
-    consumer beats pushing the whole epoch payload through the object
-    store. The suppressed stream is consumed exactly once either way:
-    the quarantine write doubles as the count (parquet footers)."""
+    screen (exact/neardup index probes) materializes the annotated epoch
+    once so the kept/suppressed split never re-runs the pool; pure
+    plain-task chains (quality and/or decontam — both stateless-or-
+    broadcast) skip the materialize — re-running the cheap vectorized
+    screen per consumer beats pushing the whole epoch payload through
+    the object store. The suppressed stream is consumed exactly once
+    either way: the quarantine write doubles as the count (parquet
+    footers)."""
     fs = default_fs(fs)
     modes = [mode] if isinstance(mode, str) else list(mode)
     annotated = screen_events(
@@ -707,9 +804,10 @@ def apply_with_neardup_gate(
         tokens_column=tokens_column, key_column=key_column,
         max_candidates=max_candidates, mode=mode, min_tok=min_tok,
         max_tok=max_tok, max_top_frac=max_top_frac,
-        bench_path=bench_path, ngram=ngram, fs=fs,
+        bench_path=bench_path, ngram=ngram,
+        decontam_state_ref=decontam_state_ref, fs=fs,
     )
-    if any(m != "quality" for m in modes):
+    if any(m in ("exact", "neardup") for m in modes):
         annotated = annotated.materialize()
 
     def keep_clean(t: pa.Table) -> pa.Table:
@@ -786,6 +884,11 @@ def replay_gated(
     fs.makedirs(table_dir)
     pending = cl.ready_epochs(
         changelog_dir, after=mf.committed_epoch(table_dir, fs), fs=fs)
+    modes = [mode] if isinstance(mode, str) else list(mode)
+    decontam_ref = None
+    if "decontam" in modes:  # build + broadcast ONCE for the whole tail
+        decontam_ref = ray.put(build_decontam_state(
+            bench_path, ngram=ngram, tokens_column=tokens_column))
     total_sup = total_applied = 0
     for e in pending:
         files = _epoch_files(changelog_dir, e, fs)
@@ -809,7 +912,7 @@ def replay_gated(
             max_candidates=max_candidates, merge_policy=merge_policy,
             mode=mode, min_tok=min_tok, max_tok=max_tok,
             max_top_frac=max_top_frac, bench_path=bench_path, ngram=ngram,
-            fs=fs,
+            decontam_state_ref=decontam_ref, fs=fs,
         )
         total_sup += r["suppressed"]
         total_applied += r["applied"]

@@ -134,11 +134,9 @@ def test_hash_collision_rejected_by_byte_confirm(tmp_path, monkeypatch):
     bp = _bench(tmp_path, [[1, 2, 3, 4]])
     screen = ig.DecontamScreen(bench_path=bp, ngram=L, tokens_column="tokens")
     # constant hash → every window is a candidate; confirm must save us
-    screen.bench_hashes = np.zeros(1, dtype=np.uint64)
+    screen.hash_sorted = np.zeros(1, dtype=np.uint64)
+    screen.wins_sorted = np.array([[1, 2, 3, 4]], dtype="<u4")
     screen._mask = np.ones_like(screen._mask)  # prefilter passes all
-    win_bytes = np.ascontiguousarray(
-        np.array([1, 2, 3, 4], dtype="<u4")).tobytes()
-    screen.by_hash = {0: {win_bytes}}
     screen._hash_windows = lambda toks, w: np.zeros(
         max(0, len(toks) - w + 1), dtype=np.uint64)
     t = _events([
@@ -149,6 +147,64 @@ def test_hash_collision_rejected_by_byte_confirm(tmp_path, monkeypatch):
     got = dict(zip(out["doc_id"].to_pylist(), out[MATCH_COLUMN].to_pylist()))
     assert got["real"] == f"contaminated:ngram={L}:hits=1"
     assert got["collider"] is None
+
+
+def test_hash_collision_group_confirms_each_member(tmp_path):
+    """Two DISTINCT bench windows sharing one hash (a collision group in
+    hash_sorted): the byte-exact confirm must match each group member,
+    and a third window with the same hash but different bytes must not
+    flag."""
+    import gamechanger_data_ray.engine.ingest_gate as ig
+
+    screen = ig.DecontamScreen.from_state(
+        {"hash_sorted": np.zeros(2, dtype=np.uint64),
+         "wins_sorted": np.array([[1, 2, 3, 4], [5, 6, 7, 8]], dtype="<u4"),
+         "mask": np.ones(1 << 22, dtype=bool)},
+        ngram=L, tokens_column="tokens")
+    screen._hash_windows = lambda toks, w: np.zeros(
+        max(0, len(toks) - w + 1), dtype=np.uint64)
+    t = _events([
+        ("I", 1, 0, "hits-first", [9, 1, 2, 3, 4]),
+        ("I", 1, 1, "hits-second", [5, 6, 7, 8, 9]),
+        ("I", 1, 2, "hits-both", [1, 2, 3, 4, 5, 6, 7, 8]),
+        ("I", 1, 3, "collider", [20, 21, 22, 23, 24]),
+    ])
+    out = screen(t)
+    got = dict(zip(out["doc_id"].to_pylist(), out[MATCH_COLUMN].to_pylist()))
+    assert got["hits-first"] == f"contaminated:ngram={L}:hits=1"
+    assert got["hits-second"] == f"contaminated:ngram={L}:hits=1"
+    assert got["hits-both"] == f"contaminated:ngram={L}:hits=2"
+    assert got["collider"] is None
+
+
+def test_broadcast_state_path_matches_self_built(tmp_path):
+    """screen_events with a pre-broadcast decontam_state_ref (the
+    replay_gated path: build once, ray.put, plain tasks) annotates
+    identically to the build-per-call path."""
+    import ray
+
+    from gamechanger_data_ray.engine.ingest_gate import build_decontam_state
+
+    bench = [[10, 11, 12, 13, 14], [700, 701, 702, 703]]
+    rows = [
+        ("I", 1, 0, "dirty", [1, 11, 12, 13, 14, 2]),
+        ("I", 1, 1, "clean", list(range(300, 312))),
+    ]
+    bp = _bench(tmp_path, bench)
+    ref = ray.put(build_decontam_state(bp, ngram=L, tokens_column="tokens"))
+    t_ref = _collect(screen_events(
+        ray.data.from_arrow(_events(rows)), str(tmp_path / "tb"), None,
+        mode="decontam", bench_path=bp, ngram=L, decontam_state_ref=ref,
+    )).sort_by("seq")
+    t_own = _collect(screen_events(
+        ray.data.from_arrow(_events(rows)), str(tmp_path / "tb"), None,
+        mode="decontam", bench_path=bp, ngram=L,
+    )).sort_by("seq")
+    assert t_ref.equals(t_own)
+    got = dict(zip(t_ref["doc_id"].to_pylist(),
+                   t_ref[MATCH_COLUMN].to_pylist()))
+    assert got["dirty"] == f"contaminated:ngram={L}:hits=1"
+    assert got["clean"] is None
 
 
 def test_bench_cap_refuses_corpus_sized_bench(tmp_path, monkeypatch):
