@@ -721,16 +721,30 @@ def _footer_rows(d: str) -> int:
                for f in glob.glob(os.path.join(d, "*.parquet")))
 
 
+def _sweep_orphan_tmp(final: str, keep: str | None = None) -> None:
+    """Remove ``epoch-EEEEEE.tmp-*`` residue from crashed attempts.
+    Called only once ``final`` exists — at that point the epoch is
+    committed, so any remaining tmp (unique uuid per attempt) is
+    garbage; sweeping earlier could yank a live peer's in-progress
+    write out from under it."""
+    import glob
+
+    for d in glob.glob(f"{final}.tmp-*"):
+        if d != keep:
+            shutil.rmtree(d, ignore_errors=True)
+
+
 def _write_quarantine(quarantined: ray.data.Dataset, table_dir: str,
                       epoch: int) -> tuple[str | None, int]:
     """Stream suppressed events to ``_quarantine/epoch-EEEEEE/`` with an
     atomic directory rename: a retried epoch finds the directory and
     skips (idempotent), a crashed attempt leaves only a temp dir that
-    the next attempt replaces. Returns ``(dir|None, rows)`` — the write
+    the next attempt sweeps. Returns ``(dir|None, rows)`` — the write
     IS the count (parquet footers), so the suppressed stream is consumed
     exactly once; an all-clean epoch leaves no directory behind."""
     final = os.path.join(table_dir, QUARANTINE_DIR, f"epoch-{epoch:06d}")
     if os.path.isdir(final):
+        _sweep_orphan_tmp(final)  # a crashed attempt's residue
         return final, _footer_rows(final)  # fenced retry: already committed
     os.makedirs(os.path.dirname(final), exist_ok=True)
     tmp = f"{final}.tmp-{uuid.uuid4().hex}"
@@ -746,6 +760,7 @@ def _write_quarantine(quarantined: ray.data.Dataset, table_dir: str,
         if not os.path.isdir(final):
             raise
         return final, _footer_rows(final)
+    _sweep_orphan_tmp(final, keep=None)
     return final, rows
 
 

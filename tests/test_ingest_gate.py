@@ -123,6 +123,51 @@ def test_gate_retry_is_fenced_and_quarantine_idempotent(gated_table):
     assert table_to_arrow(tb).num_rows == 21
 
 
+def test_crashed_attempt_tmp_residue_swept_on_retry(gated_table):
+    """A crashed gate attempt leaves ``epoch-EEEEEE.tmp-<uuid>`` behind;
+    the next successful attempt (and any fenced retry) sweeps it, and the
+    residue never pollutes read_quarantine."""
+    import os
+
+    from gamechanger_data_ray.engine.ingest_gate import QUARANTINE_DIR
+
+    tb, vd = gated_table
+    qroot = os.path.join(tb, QUARANTINE_DIR)
+    orphan = os.path.join(qroot, "epoch-000002.tmp-deadbeef")
+    os.makedirs(orphan)
+    with open(os.path.join(orphan, "part-0.parquet"), "wb") as f:
+        f.write(b"junk from a crashed attempt")
+    e2 = _events([("I", 2, 0, "dup", _tokens(5, n=120)),
+                  ("I", 2, 1, "new", _tokens(444, n=120))])
+    res = apply_with_neardup_gate(ray.data.from_arrow(e2), tb, vd, 2,
+                                  e2.schema, num_partitions=4, k=K)
+    assert res["suppressed"] == 1
+    assert not os.path.isdir(orphan)  # swept after commit
+    assert read_quarantine(tb, 2).num_rows == 1
+    # residue appearing later (crash of a duplicate attempt) goes on the
+    # fenced-retry pass too
+    os.makedirs(orphan)
+    again = apply_with_neardup_gate(ray.data.from_arrow(e2), tb, vd, 2,
+                                    e2.schema, num_partitions=4, k=K)
+    assert again["suppressed"] == 1
+    assert not os.path.isdir(orphan)
+
+
+def test_all_clean_epoch_leaves_no_quarantine_dir(gated_table):
+    import os
+
+    from gamechanger_data_ray.engine.ingest_gate import QUARANTINE_DIR
+
+    tb, vd = gated_table
+    e2 = _events([("I", 2, 0, "novel", _tokens(999, n=120))])
+    res = apply_with_neardup_gate(ray.data.from_arrow(e2), tb, vd, 2,
+                                  e2.schema, num_partitions=4, k=K)
+    assert res["suppressed"] == 0 and res["quarantine_dir"] is None
+    assert not os.path.isdir(
+        os.path.join(tb, QUARANTINE_DIR, "epoch-000002"))
+    assert read_quarantine(tb, 2).num_rows == 0
+
+
 def test_screen_passthrough_on_fresh_table(tmp_path):
     tb, vd = str(tmp_path / "tb"), str(tmp_path / "idx")
     e1 = _events([("I", 1, 0, "a", _tokens(1)), ("I", 1, 1, "b", _tokens(2))])
