@@ -516,6 +516,23 @@ def main(argv: list[str] | None = None) -> int:
     rm.add_argument("--shingle", type=int, default=5)
     rm.add_argument("--partitions", type=int, default=32)
 
+    qp = sub.add_parser("quarantine-policy",
+                        help="record (or clear with 0) the standing "
+                             "quarantine retention: keep the newest N "
+                             "gated epochs' audit dirs; autopilot plans "
+                             "expirations against this")
+    qp.add_argument("--table", required=True)
+    qp.add_argument("--keep-epochs", type=int, required=True)
+
+    qe = sub.add_parser("expire-quarantine",
+                        help="expire old quarantine audit dirs (by the "
+                             "recorded policy, --keep-epochs, or "
+                             "--before-epoch); expired epochs can no "
+                             "longer readmit")
+    qe.add_argument("--table", required=True)
+    qe.add_argument("--keep-epochs", type=int, default=None)
+    qe.add_argument("--before-epoch", type=int, default=None)
+
     di = sub.add_parser("dedup-view", help="build/refresh the incrementally-"
                                            "maintained exact-dup content-hash "
                                            "index (sha256 postings view)")
@@ -814,10 +831,15 @@ def main(argv: list[str] | None = None) -> int:
 
             import pyarrow.parquet as _pq
 
-            qdirs = sorted(_glob.glob(
-                os.path.join(args.table, "_quarantine", "epoch-*")))
-            qdirs = [d for d in qdirs if os.path.isdir(d)]
-            if qdirs:
+            from gamechanger_data_ray.engine.ingest_gate import (
+                list_quarantine_epochs,
+                quarantine_policy,
+            )
+
+            qepochs = list_quarantine_epochs(args.table)
+            if qepochs:
+                qdirs = [os.path.join(args.table, "_quarantine",
+                                      f"epoch-{e:06d}") for e in qepochs]
                 out["quarantine"] = {
                     "epochs": len(qdirs),
                     "rows": sum(
@@ -825,6 +847,9 @@ def main(argv: list[str] | None = None) -> int:
                         for d in qdirs
                         for f in _glob.glob(os.path.join(d, "*.parquet"))),
                 }
+                pol = quarantine_policy(args.table)
+                if pol:
+                    out["quarantine"]["retention"] = pol
             from gamechanger_data_ray.engine.subscriptions import (
                 list_subscriptions,
                 subscriber_epoch,
@@ -1189,6 +1214,21 @@ def main(argv: list[str] | None = None) -> int:
                 mode=gate_modes, k=args.shingle,
             )
             print(json.dumps(out))
+        elif args.cmd == "quarantine-policy":
+            from gamechanger_data_ray.engine.ingest_gate import (
+                set_quarantine_policy,
+            )
+
+            print(json.dumps(set_quarantine_policy(args.table,
+                                                   args.keep_epochs)))
+        elif args.cmd == "expire-quarantine":
+            from gamechanger_data_ray.engine.ingest_gate import (
+                expire_quarantine,
+            )
+
+            print(json.dumps(expire_quarantine(
+                args.table, args.keep_epochs,
+                before_epoch=args.before_epoch)))
         elif args.cmd == "dedup-view":
             from gamechanger_data_ray.engine.dedup_index import content_index_view
             from gamechanger_data_ray.engine.views import refresh

@@ -35,6 +35,10 @@ Signals and the actions they trigger:
 - stale subscribers: a registered subscriber whose ``_CURRENT`` epoch
   trails the table's → ``sync`` (each subscriber refresh is itself
   incremental, so syncing early costs O(changed partitions)).
+- quarantine backlog: a RECORDED retention policy
+  (``ingest_gate.set_quarantine_policy``) with more audit dirs than it
+  keeps → ``expire-quarantine`` (opt-in: no policy, no expiry — the
+  audit trail is never silently dropped).
 - manifest backlog: more retained manifests than ``keep_manifests`` →
   ``vacuum`` (run LAST so it sweeps the orphans the other actions strand).
 
@@ -146,6 +150,19 @@ def plan(
                           f"{current.epoch}",
             })
 
+    from .ingest_gate import list_quarantine_epochs, quarantine_policy
+
+    pol = quarantine_policy(table_dir)
+    if pol:  # retention is opt-in: no recorded policy, no expiry planned
+        keep_q = int(pol["keep_epochs"])
+        backlog = len(list_quarantine_epochs(table_dir))
+        if backlog > keep_q:
+            actions.append({
+                "op": "expire-quarantine", "keep_epochs": keep_q,
+                "reason": f"{backlog} quarantine audit dirs > recorded "
+                          f"retention {keep_q}",
+            })
+
     retained = maintenance.list_manifests(table_dir)
     if len(retained) > keep_manifests:
         actions.append({
@@ -187,6 +204,12 @@ def apply(
         elif op == "sync":
             rows = subs.sync(table_dir, fs)
             report.append({"op": op, "synced": len(rows)})
+        elif op == "expire-quarantine":
+            from .ingest_gate import expire_quarantine
+
+            out = expire_quarantine(table_dir, a["keep_epochs"])
+            report.append({"op": op, "removed": len(out["removed"]),
+                           "kept": out["kept"]})
         elif op == "vacuum":
             out = maintenance.vacuum(table_dir, keep_epochs=a["keep_epochs"])
             report.append({"op": op, **out})

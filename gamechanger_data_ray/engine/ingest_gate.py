@@ -1059,3 +1059,93 @@ def readmit(
                 refresh(view, view_dir, table_dir,
                         num_partitions=num_partitions, fs=fs)
     return {"epoch": epoch, "readmitted": len(keys)}
+
+
+# ---------------------------------------------------------------------------
+# Quarantine retention — the audit trail is per-gated-epoch directories;
+# at changelog scale (one gated commit per epoch) they accumulate without
+# bound, so retention is a first-class policy like manifest vacuum.
+
+RETENTION_FILE = "_RETENTION.json"
+_EPOCH_DIR_RE = None  # compiled lazily (module import stays light)
+
+
+def list_quarantine_epochs(table_dir: str) -> list[int]:
+    """Committed quarantine epochs, ascending — matches ``epoch-EEEEEE``
+    exactly, so crashed-attempt ``.tmp-*`` residue and the retention
+    policy file never pollute counts (``status`` uses this too)."""
+    import glob
+    import re
+
+    global _EPOCH_DIR_RE
+    if _EPOCH_DIR_RE is None:
+        _EPOCH_DIR_RE = re.compile(r"epoch-(\d{6})$")
+    out = []
+    for d in glob.glob(os.path.join(table_dir, QUARANTINE_DIR, "epoch-*")):
+        m = _EPOCH_DIR_RE.search(os.path.basename(d))
+        if m and os.path.isdir(d):
+            out.append(int(m.group(1)))
+    return sorted(out)
+
+
+def set_quarantine_policy(table_dir: str, keep_epochs: int) -> dict:
+    """Record the standing retention policy (atomic write): keep the
+    newest ``keep_epochs`` quarantine directories; older ones are
+    expired by :func:`expire_quarantine` — directly or via the
+    maintenance autopilot, which plans an expire whenever the backlog
+    exceeds the recorded policy. ``keep_epochs <= 0`` clears the
+    policy (retention returns to keep-everything)."""
+    import json
+
+    qroot = os.path.join(table_dir, QUARANTINE_DIR)
+    os.makedirs(qroot, exist_ok=True)
+    path = os.path.join(qroot, RETENTION_FILE)
+    if keep_epochs <= 0:
+        if os.path.exists(path):
+            os.remove(path)
+        return {"policy": None}
+    tmp = f"{path}.tmp-{uuid.uuid4().hex}"
+    with open(tmp, "w") as f:
+        json.dump({"keep_epochs": int(keep_epochs)}, f)
+    os.replace(tmp, path)
+    return {"policy": {"keep_epochs": int(keep_epochs)}}
+
+
+def quarantine_policy(table_dir: str) -> dict | None:
+    """The recorded retention policy, or None (keep everything)."""
+    import json
+
+    path = os.path.join(table_dir, QUARANTINE_DIR, RETENTION_FILE)
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        return json.load(f)
+
+
+def expire_quarantine(table_dir: str, keep_epochs: int | None = None,
+                      *, before_epoch: int | None = None) -> dict:
+    """Expire old quarantine directories. ``before_epoch`` removes every
+    committed quarantine strictly older than it; otherwise the newest
+    ``keep_epochs`` directories survive (default: the recorded policy).
+    With neither, a no-op — the audit trail is never silently dropped.
+    Idempotent: re-running removes nothing further. Expired epochs can
+    no longer ``readmit`` (read_quarantine returns empty) — that is the
+    retention trade the operator opted into."""
+    epochs = list_quarantine_epochs(table_dir)
+    if before_epoch is not None:
+        doomed = [e for e in epochs if e < before_epoch]
+    else:
+        if keep_epochs is None:
+            pol = quarantine_policy(table_dir)
+            keep_epochs = pol["keep_epochs"] if pol else None
+        if keep_epochs is None:
+            return {"removed": [], "kept": len(epochs), "reason": "no policy"}
+        doomed = epochs[:-keep_epochs] if keep_epochs > 0 else epochs
+    removed = []
+    for e in doomed:
+        d = os.path.join(table_dir, QUARANTINE_DIR, f"epoch-{e:06d}")
+        _sweep_orphan_tmp(d)  # committed-or-doomed either way: residue goes
+        shutil.rmtree(d, ignore_errors=True)
+        if not os.path.isdir(d):
+            removed.append(e)
+    return {"removed": removed, "kept": len(epochs) - len(removed)}

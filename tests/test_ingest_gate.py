@@ -168,6 +168,77 @@ def test_all_clean_epoch_leaves_no_quarantine_dir(gated_table):
     assert read_quarantine(tb, 2).num_rows == 0
 
 
+def test_quarantine_retention_policy_and_expiry(gated_table):
+    """Recorded policy → expire keeps the newest N audit dirs; no policy
+    → expire is a refuse-to-guess no-op; before_epoch is the explicit
+    override; an expired epoch readmits as a clean no-op; re-running
+    removes nothing further."""
+    from gamechanger_data_ray.engine.ingest_gate import (
+        expire_quarantine,
+        list_quarantine_epochs,
+        quarantine_policy,
+        readmit,
+        set_quarantine_policy,
+    )
+
+    tb, vd = gated_table
+    for e in (2, 3, 4):  # one quarantined dup per epoch
+        ev = _events([("I", e, 0, f"dup-{e}", _tokens(e - 2, n=120)),
+                      ("I", e, 1, f"new-{e}", _tokens(7000 + e, n=120))])
+        apply_with_neardup_gate(ray.data.from_arrow(ev), tb, vd, e,
+                                ev.schema, num_partitions=4, k=K)
+    assert list_quarantine_epochs(tb) == [2, 3, 4]
+
+    # no policy: nothing silently dropped
+    assert expire_quarantine(tb) == {"removed": [], "kept": 3,
+                                     "reason": "no policy"}
+    assert quarantine_policy(tb) is None
+
+    set_quarantine_policy(tb, 1)
+    assert quarantine_policy(tb) == {"keep_epochs": 1}
+    out = expire_quarantine(tb)  # defaults from the recorded policy
+    assert out["removed"] == [2, 3] and out["kept"] == 1
+    assert list_quarantine_epochs(tb) == [4]
+    assert read_quarantine(tb, 2).num_rows == 0
+    assert readmit(tb, 2) == {"epoch": None, "readmitted": 0}
+    assert expire_quarantine(tb) == {"removed": [], "kept": 1}  # idempotent
+
+    # explicit cutoff beats the policy; clearing the policy restores
+    # keep-everything
+    assert expire_quarantine(tb, before_epoch=4) == {"removed": [],
+                                                     "kept": 1}
+    set_quarantine_policy(tb, 0)
+    assert quarantine_policy(tb) is None
+    assert expire_quarantine(tb)["removed"] == []
+
+
+def test_autopilot_plans_quarantine_expiry_only_with_policy(gated_table):
+    from gamechanger_data_ray.engine import autopilot
+    from gamechanger_data_ray.engine.ingest_gate import (
+        list_quarantine_epochs,
+        set_quarantine_policy,
+    )
+
+    tb, vd = gated_table
+    for e in (2, 3):
+        ev = _events([("I", e, 0, f"dup-{e}", _tokens(e - 2, n=120))])
+        apply_with_neardup_gate(ray.data.from_arrow(ev), tb, vd, e,
+                                ev.schema, num_partitions=4, k=K)
+    ops = [a["op"] for a in autopilot.plan(tb)]
+    assert "expire-quarantine" not in ops  # opt-in
+
+    set_quarantine_policy(tb, 1)
+    plan = autopilot.plan(tb)
+    acts = [a for a in plan if a["op"] == "expire-quarantine"]
+    assert len(acts) == 1 and acts[0]["keep_epochs"] == 1
+    report = autopilot.apply(tb, plan)
+    row = next(r for r in report if r["op"] == "expire-quarantine")
+    assert row["removed"] == 1 and row["kept"] == 1
+    assert list_quarantine_epochs(tb) == [3]
+    assert not [a for a in autopilot.plan(tb)
+                if a["op"] == "expire-quarantine"]  # converged
+
+
 def test_screen_passthrough_on_fresh_table(tmp_path):
     tb, vd = str(tmp_path / "tb"), str(tmp_path / "idx")
     e1 = _events([("I", 1, 0, "a", _tokens(1)), ("I", 1, 1, "b", _tokens(2))])
