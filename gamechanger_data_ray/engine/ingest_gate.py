@@ -30,9 +30,12 @@ composes two existing pieces into that gate:
   survives, then the index is refreshed so the NEXT epoch screens
   against these documents too.
 
-Scale shape: screening is an actor-pool ``map_batches`` stage over the
-*incoming epoch only* (never the corpus); each task's reads are bounded
-by its batch's bucket count × postings cap. Suppressed events stream to
+Scale shape: every screen is a plain-task ``map_batches`` stage over
+the *incoming epoch only* (never the corpus) — none holds cross-batch
+state an actor pool could amortize (the decontam bench broadcasts once
+per replay), so tasks use full cluster parallelism with no per-epoch
+pool spin-up; each task's reads are bounded by its batch's bucket
+count × postings cap. Suppressed events stream to
 a per-epoch quarantine directory (committed by atomic rename, so a
 retried epoch neither duplicates nor half-writes the audit trail) —
 they are data the operator may want back, not silent drops.
@@ -152,12 +155,13 @@ def _merge_prior(matched: pa.Array, jac: pa.Array, pm, pj):
 
 
 class NearDupScreen:
-    """Actor-pool stage: annotate each incoming event with its best
+    """Plain-task stage: annotate each incoming event with its best
     committed near-duplicate (``neardup_of`` / ``neardup_jaccard``,
-    null = clean). Hasher built once per actor; every read the stage
-    performs (postings lookup, candidate point-fetch) is pure-pyarrow
-    and bounded by the batch, so the stage runs anywhere a Ray worker
-    runs."""
+    null = clean). The instance (params + two tiny permutation arrays)
+    ships with each task; every read the stage performs (postings
+    lookup, candidate point-fetch) is pure-pyarrow and bounded by the
+    batch, so the stage runs anywhere a Ray worker runs and holds no
+    cross-batch state an actor pool could amortize."""
 
     def __init__(self, view_dir: str, table_dir: str, *, threshold: float,
                  k: int, seed: int, tokens_column: str, key_column: str,
@@ -238,7 +242,7 @@ class NearDupScreen:
 
 
 class ExactDupScreen:
-    """Actor-pool stage: annotate each incoming event with its committed
+    """Plain-task stage: annotate each incoming event with its committed
     EXACT duplicate (identical token payload), via the maintained
     content-hash index (``engine/dedup_index.py``). sha256 decides at
     the postings row, so the stage is a single routed postings lookup
@@ -293,7 +297,7 @@ class ExactDupScreen:
 
 
 class QualityScreen:
-    """Stateless actor-pool stage: annotate each incoming event with a
+    """Stateless plain-task stage: annotate each incoming event with a
     quality-rejection reason — the Gopher/C4-style ingest rules applied
     to the token payload:
 
@@ -593,7 +597,7 @@ def screen_events(
     tokens_column: str = "tokens",
     key_column: str = "doc_id",
     max_candidates: int = 500,
-    concurrency=(1, 8),
+    concurrency=None,  # kept for API compat; screens run as plain tasks
     batch_size: int = 4096,
     mode: str | list[str] = "neardup",
     min_tok: int = 5,
@@ -687,27 +691,27 @@ def screen_events(
                                          pa.nulls(n, pa.float64()))
             ds = ds.map_batches(passthrough, batch_format="pyarrow")
         elif m == "exact":
+            # plain tasks, like every other screen: the stage holds no
+            # cross-batch state (params + a postings lookup per batch),
+            # so an actor pool only adds per-epoch spin-up and caps
+            # parallelism at the pool size (measured; BASELINE.md)
+            screen = ExactDupScreen(
+                view_dir=view_dir, tokens_column=tokens_column,
+                key_column=key_column)
             ds = ds.map_batches(
-                ExactDupScreen,
-                fn_constructor_kwargs=dict(
-                    view_dir=view_dir, tokens_column=tokens_column,
-                    key_column=key_column,
-                ),
+                screen.__call__,
                 batch_format="pyarrow",
                 batch_size=batch_size,
-                concurrency=concurrency,
             )
         else:
+            screen = NearDupScreen(
+                view_dir=view_dir, table_dir=table_dir, threshold=threshold,
+                k=k, seed=seed, tokens_column=tokens_column,
+                key_column=key_column, max_candidates=max_candidates)
             ds = ds.map_batches(
-                NearDupScreen,
-                fn_constructor_kwargs=dict(
-                    view_dir=view_dir, table_dir=table_dir, threshold=threshold,
-                    k=k, seed=seed, tokens_column=tokens_column,
-                    key_column=key_column, max_candidates=max_candidates,
-                ),
+                screen.__call__,
                 batch_format="pyarrow",
                 batch_size=batch_size,
-                concurrency=concurrency,
             )
     return ds
 
