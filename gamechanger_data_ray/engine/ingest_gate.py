@@ -807,15 +807,14 @@ def apply_with_neardup_gate(
 
     Returns ``{epoch, suppressed, applied, quarantine_dir}``.
 
-    Pass economics (measured; BASELINE.md): any chain with an ACTOR-POOL
-    screen (exact/neardup index probes) materializes the annotated epoch
-    once so the kept/suppressed split never re-runs the pool; pure
-    plain-task chains (quality and/or decontam — both stateless-or-
-    broadcast) skip the materialize — re-running the cheap vectorized
-    screen per consumer beats pushing the whole epoch payload through
-    the object store. The suppressed stream is consumed exactly once
-    either way: the quarantine write doubles as the count (parquet
-    footers)."""
+    Pass economics (measured; BASELINE.md): the annotated epoch is
+    materialized ONCE — the kept/suppressed split then reads it from
+    the object store instead of each consumer re-reading the changelog
+    and re-running the screens (two full input passes; measured ~1.6x
+    slower even for the cheapest single-screen chain). The epoch is
+    incoming-slice-sized, never the corpus. The suppressed stream is
+    consumed exactly once: the quarantine write doubles as the count
+    (parquet footers)."""
     fs = default_fs(fs)
     modes = [mode] if isinstance(mode, str) else list(mode)
     annotated = screen_events(
@@ -825,9 +824,7 @@ def apply_with_neardup_gate(
         max_tok=max_tok, max_top_frac=max_top_frac,
         bench_path=bench_path, ngram=ngram,
         decontam_state_ref=decontam_state_ref, fs=fs,
-    )
-    if any(m in ("exact", "neardup") for m in modes):
-        annotated = annotated.materialize()
+    ).materialize()
 
     def keep_clean(t: pa.Table) -> pa.Table:
         return t.filter(pc.is_null(t[MATCH_COLUMN])).drop_columns(

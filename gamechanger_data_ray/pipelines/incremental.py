@@ -139,7 +139,14 @@ SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id ORDER BY user_id
 def hash_antijoin_incremental(sf_dir: str):
     """Cumulative content-hash anti-join (J4): events in the second half of
     the stream (by event_id) whose sha256(user_id|event_type) was already
-    seen in the first half are dropped as duplicate deliveries."""
+    seen in the first half are dropped as duplicate deliveries.
+
+    This is the DIRECT form — the seen-set collects on the driver and
+    broadcasts, O(distinct keys) driver memory, fine up to ~10^7 keys.
+    The 10^10-key path is :func:`hash_antijoin_bloom` (registered):
+    OR-reduced partial Bloom partials prune map-side, then ONLY the
+    maybe-seen minority joins distributed — kept here as the readable
+    contrast the bloom docstring refers back to."""
     mid_tbl = cm.read_arrow(sf_dir, "events", columns=["event_id"])
     ids = pd.Series(mid_tbl["event_id"].to_pandas())
     mn, mx = int(ids.min()), int(ids.max())
