@@ -207,6 +207,40 @@ def test_broadcast_state_path_matches_self_built(tmp_path):
     assert got["clean"] is None
 
 
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_SMALL_VOCAB = st.integers(0, 6)  # tiny vocab → dense accidental overlaps
+_SEQ = st.lists(_SMALL_VOCAB, min_size=0, max_size=12)
+
+
+@given(
+    bench=st.lists(_SEQ, min_size=1, max_size=4),
+    payloads=st.lists(_SEQ, min_size=1, max_size=8),
+)
+@settings(max_examples=150, deadline=None)
+def test_decontam_screen_matches_naive_oracle_property(tmp_path_factory,
+                                                       bench, payloads):
+    """Property: over a tiny vocabulary (dense accidental window overlap,
+    shared prefixes/suffixes straddling row boundaries, empty and
+    sub-window rows) the vectorized state build + flat-buffer screen
+    reports EXACTLY the naive per-row window scan — same flagged set,
+    same distinct-hit counts."""
+    import gamechanger_data_ray.engine.ingest_gate as ig
+
+    d = tmp_path_factory.mktemp("prop")
+    bp = _bench(d, bench, name="b.parquet")
+    screen = ig.DecontamScreen(bench_path=bp, ngram=L, tokens_column="tokens")
+    rows = [("I", 1, i, f"d{i}", toks) for i, toks in enumerate(payloads)]
+    out = screen(_events(rows))
+    got = dict(zip(out["doc_id"].to_pylist(), out[MATCH_COLUMN].to_pylist()))
+    for i, toks in enumerate(payloads):
+        naive = _naive_contaminated(toks, bench)
+        want = (f"contaminated:ngram={L}:hits={len(naive)}" if naive
+                else None)
+        assert got[f"d{i}"] == want, (bench, toks)
+
+
 def test_bench_cap_refuses_corpus_sized_bench(tmp_path, monkeypatch):
     import gamechanger_data_ray.engine.ingest_gate as ig
 
