@@ -1072,3 +1072,360 @@ def docs_bpe_tokens(sf_dir: str, num_merges: int = 128) -> ray.data.Dataset:
         return out
 
     return encoded.map_batches(project, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# LM-based quality filtering (CCNet shape) and importance resampling (DSIR)
+# ---------------------------------------------------------------------------
+
+def _surprisal_bits(den: np.ndarray, num: np.ndarray) -> np.ndarray:
+    """``floor(log2(den / num))`` for integer arrays with ``1 <= num <=
+    den``, in EXACT integer arithmetic — no float log anywhere (numpy's
+    SIMD ``log`` and DuckDB's libm ``ln`` disagree in the last ulp on
+    ~20% of inputs, measured, so a float mirror can never be
+    hash-exact). ``frexp`` exponent == bit_length for ints < 2^53; one
+    shift-compare fixes the off-by-one. The SQL mirror is the
+    ``length(bin(x))`` CASE built by :func:`_bits_sql` — bit-for-bit
+    identical by construction."""
+    den = den.astype(np.int64)
+    num = num.astype(np.int64)
+    k0 = (np.frexp(den.astype(np.float64))[1]
+          - np.frexp(num.astype(np.float64))[1]).astype(np.int64)
+    return k0 - ((num << k0) > den)
+
+
+def _bits_sql(den: str, num: str) -> str:
+    """The SQL mirror of :func:`_surprisal_bits` over BIGINT expressions."""
+    k0 = f"(length(bin({den})) - length(bin({num})))"
+    return (f"(CASE WHEN ({num} << {k0}) <= {den} "
+            f"THEN {k0} ELSE {k0} - 1 END)")
+
+
+def _word_count_partial(t: pa.Table, extra_filter=None) -> pa.Table:
+    """Per-batch global word-frequency combiner: (w, n) partial rows.
+    Emits ARROW (typed even when empty — a 0-row object-dtype pandas
+    block trips Ray's block-size estimator into log spam)."""
+    if extra_filter is not None:
+        t = extra_filter(t)
+    toks = pc.split_pattern(t["text"], " ")
+    toks = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
+    flat = np.asarray(toks.flatten(), dtype=object)
+    if len(flat) == 0:
+        return pa.table({"w": pa.array([], pa.string()),
+                         "n": pa.array([], pa.int64())})
+    vc = pd.Series(flat).value_counts()
+    return pa.table({"w": pa.array(vc.index.to_numpy(dtype=object), pa.string()),
+                     "n": pa.array(vc.to_numpy(np.int64))})
+
+
+# keep docs with mean transition surprisal <= 87/20 = 4.35 bits
+# (perplexity <= 2^4.35 ~= 20.4) — a RATIONAL threshold keeps the compare
+# exact-integer (total*den <= num*trans) while splitting the corpus's
+# tight surprisal distribution (driver testdata: 4.07..4.73 bits/trans)
+_PPL_TAU_NUM, _PPL_TAU_DEN = 87, 20
+
+
+def docs_lm_perplexity(sf_dir: str, tau=(_PPL_TAU_NUM, _PPL_TAU_DEN)):
+    """Bigram-LM perplexity filter — the CCNet quality gate (Wenzek et
+    al. 2019: score every document under a language model trained on the
+    corpus, drop the high-perplexity tail) with the surprisal quantized
+    to WHOLE BITS so the whole pipeline stays in exact integer
+    arithmetic and the DuckDB oracle hash-matches.
+
+    Model: add-one-smoothed word-bigram LM fitted on the corpus itself.
+    Per transition (w1, w2): ``bits = floor(log2((c(w1) + V) /
+    (c(w1,w2) + 1)))`` — the integer part of the surprisal
+    ``-log2 p(w2 | w1)``. Per doc: ``total_bits`` over its ``n_trans =
+    n_words - 1`` transitions; keep iff ``total_bits / n_trans <=
+    tau[0] / tau[1]`` compared cross-multiplied in integers (mean
+    surprisal ≤ 4.35 bits = perplexity ≤ ~20).
+
+    Distributed plan (three corpus passes + counts-sized joins, no
+    driver state beyond the scalar V):
+    pass A: unigram counts — per-batch value_counts combiner → routed
+            sum (vocab-sized, materialized once);
+    pass B: bigram counts — same shape keyed by the bigram string;
+    weight table: bigram rows pick up c(w1) via ONE counts-to-counts
+            hash join, then the integer surprisal per distinct bigram —
+            LM fitting touches count rows only, never the corpus;
+    pass C: per-doc transition multiplicities (doc_id, bigram, m) join
+            the weight table (corpus-to-counts hash join), then one
+            routed per-doc sum merged with map-side (doc_id, n_trans)
+            rows through the SAME routed groupby (union of two partial
+            streams — no doc-to-doc join).
+    """
+    ds = cm.read(sf_dir, "documents", columns=["doc_id", "text"])
+    from .joins import hash_join
+
+    ug = cm.routed_grouped_agg(
+        ds.map_batches(_word_count_partial, batch_format="pyarrow"),
+        ["w"], {"n": "sum"},
+    ).materialize()
+    vocab_size = ug.count()
+
+    def bg_partial(t: pa.Table) -> pd.DataFrame:
+        toks = pc.split_pattern(t["text"], " ")
+        toks = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
+        flat = np.asarray(toks.flatten(), dtype=object)
+        if len(flat) < 2:
+            return pd.DataFrame({"bigram": pd.Series(dtype="object"),
+                                 "w1": pd.Series(dtype="object"),
+                                 "n_bg": pd.Series(dtype="int64")})
+        offsets = np.asarray(toks.offsets, dtype=np.int64)
+        offsets = offsets - offsets[0]
+        starts = np.ones(len(flat) - 1, dtype=bool)
+        starts[offsets[1:-1] - 1] = False
+        cnt = (
+            pd.DataFrame({"w1": flat[:-1][starts], "w2": flat[1:][starts]})
+            .groupby(["w1", "w2"], sort=False).size().reset_index(name="n_bg")
+        )
+        cnt["bigram"] = cnt["w1"] + " " + cnt["w2"]
+        return cnt[["bigram", "w1", "n_bg"]]
+
+    bg = cm.routed_grouped_agg(
+        ds.map_batches(bg_partial, batch_format="pyarrow"),
+        ["bigram", "w1"], {"n_bg": "sum"},
+    )
+
+    ug1 = ug.map_batches(
+        lambda df: df.rename(columns={"w": "w1", "n": "n_ug"}),
+        batch_format="pandas",
+    )
+    joined = hash_join(bg, ug1, on="w1")
+
+    def weigh(df: pd.DataFrame) -> pd.DataFrame:
+        b = _surprisal_bits(df["n_ug"].to_numpy(np.int64) + vocab_size,
+                            df["n_bg"].to_numpy(np.int64) + 1)
+        return pd.DataFrame({"bigram": df["bigram"], "b": b})
+
+    weights = joined.map_batches(weigh, batch_format="pandas")
+
+    def doc_bg_partial(t: pa.Table) -> pd.DataFrame:
+        toks = pc.split_pattern(t["text"], " ")
+        toks = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
+        flat = np.asarray(toks.flatten(), dtype=object)
+        did = t["doc_id"].to_numpy(zero_copy_only=False)
+        if len(flat) < 2:
+            return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                                 "bigram": pd.Series(dtype="object"),
+                                 "m": pd.Series(dtype="int64")})
+        offsets = np.asarray(toks.offsets, dtype=np.int64)
+        offsets = offsets - offsets[0]
+        starts = np.ones(len(flat) - 1, dtype=bool)
+        starts[offsets[1:-1] - 1] = False
+        doc_of = np.repeat(did, np.diff(offsets))[:-1][starts]
+        cnt = (
+            pd.DataFrame({"doc_id": doc_of,
+                          "w1": flat[:-1][starts], "w2": flat[1:][starts]})
+            .groupby(["doc_id", "w1", "w2"], sort=False).size().reset_index(name="m")
+        )
+        cnt["bigram"] = cnt["w1"] + " " + cnt["w2"]
+        return cnt[["doc_id", "bigram", "m"]].astype({"doc_id": "int64", "m": "int64"})
+
+    scored = hash_join(
+        ds.map_batches(doc_bg_partial, batch_format="pyarrow"), weights, on="bigram"
+    ).map_batches(
+        lambda df: pd.DataFrame({
+            "doc_id": df["doc_id"].astype("int64"),
+            "bits": (df["m"].to_numpy(np.int64) * df["b"].to_numpy(np.int64)),
+            "trans": np.zeros(len(df), dtype=np.int64),
+        }),
+        batch_format="pandas",
+    )
+
+    def nw_partial(t: pa.Table) -> pd.DataFrame:
+        n = pc.list_value_length(pc.split_pattern(t["text"], " "))
+        return pd.DataFrame({
+            "doc_id": t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64),
+            "bits": np.zeros(t.num_rows, dtype=np.int64),
+            "trans": n.to_numpy(zero_copy_only=False).astype(np.int64) - 1,
+        })
+
+    tot = cm.routed_grouped_agg(
+        scored.union(ds.map_batches(nw_partial, batch_format="pyarrow")),
+        ["doc_id"], {"bits": "sum", "trans": "sum"},
+    )
+
+    t_num, t_den = tau
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].astype("int64"),
+            "total_bits": df["bits"].astype("int64"),
+            "n_trans": df["trans"].astype("int64"),
+            "keep": t_den * df["bits"].to_numpy(np.int64)
+                    <= t_num * df["trans"].to_numpy(np.int64),
+        })
+
+    return tot.map_batches(finish, batch_format="pandas")
+
+
+ORACLES["docs_lm_perplexity"] = f"""
+WITH words AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+         unnest(range(len(string_split(text, ' ')))) AS pos
+  FROM documents
+),
+ug AS (SELECT w, COUNT(*) AS c FROM words GROUP BY w),
+v AS (SELECT COUNT(*) AS v FROM ug),
+bg AS (
+  SELECT a.w AS w1, b.w AS w2, COUNT(*) AS c
+  FROM words a JOIN words b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+  GROUP BY a.w, b.w
+),
+wt AS (
+  SELECT bg.w1, bg.w2,
+         {_bits_sql("(ug.c + v.v)", "(bg.c + 1)")} AS b
+  FROM bg JOIN ug ON bg.w1 = ug.w CROSS JOIN v
+),
+doc_bg AS (
+  SELECT a.doc_id, a.w AS w1, b.w AS w2, COUNT(*) AS m
+  FROM words a JOIN words b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+  GROUP BY a.doc_id, a.w, b.w
+),
+scored AS (
+  SELECT d.doc_id, SUM(d.m * wt.b) AS total_bits
+  FROM doc_bg d JOIN wt ON d.w1 = wt.w1 AND d.w2 = wt.w2
+  GROUP BY d.doc_id
+),
+nw AS (SELECT doc_id, len(string_split(text, ' ')) - 1 AS n_trans FROM documents)
+SELECT nw.doc_id,
+       CAST(COALESCE(scored.total_bits, 0) AS BIGINT) AS total_bits,
+       CAST(nw.n_trans AS BIGINT) AS n_trans,
+       {_PPL_TAU_DEN} * COALESCE(scored.total_bits, 0)
+         <= {_PPL_TAU_NUM} * nw.n_trans AS keep
+FROM nw LEFT JOIN scored USING (doc_id)
+"""
+
+
+_DSIR_K = 40  # resampled subset size
+
+
+def docs_dsir_sample(sf_dir: str, k: int = _DSIR_K):
+    """DSIR-shape importance resampling (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): score every corpus
+    document by an importance weight under a TARGET unigram LM vs the RAW
+    corpus LM, and keep the top-k most target-like documents. The target
+    distribution is fitted on the eval-benchmark subset (``doc_id % 97 ==
+    0`` — the same eval-set convention as :func:`docs_decontaminate`),
+    the raw distribution on the whole corpus.
+
+    Per word: ``s(w) = bits_raw(w) - bits_target(w)`` where ``bits_X(w) =
+    floor(log2((N_X + V) / (c_X(w) + 1)))`` is the add-one-smoothed
+    integer surprisal under distribution X (shared vocabulary V from the
+    raw corpus). Per doc: ``score = Σ_positions s(w)`` — high score means
+    the target model finds the doc's words much less surprising than the
+    raw model does. Integer end-to-end (:func:`_surprisal_bits`), so the
+    DuckDB mirror is hash-exact; top-k ties break on doc_id.
+
+    Distributed plan: raw unigram counts (routed combiner, vocab-sized,
+    materialized); target counts over the tiny eval subset (map-side
+    filter → routed combiner → driver dict, broadcast — the target set is
+    an eval benchmark, bounded by construction); weight table = one
+    map over the raw counts with the broadcast target lookup; scoring =
+    per-doc word multiplicities hash-join the weight table, one routed
+    per-doc sum; top-k = per-block local top-k → tiny driver merge (the
+    ``vocab_topk`` mergeable pattern)."""
+    from .joins import hash_join
+
+    ds = cm.read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    raw = cm.routed_grouped_agg(
+        ds.map_batches(_word_count_partial, batch_format="pyarrow"),
+        ["w"], {"n": "sum"},
+    ).materialize()
+    vocab_size = raw.count()
+    n_raw = int(raw.sum("n"))
+
+    def target_filter(t: pa.Table) -> pa.Table:
+        did = t["doc_id"].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(did % 97 == 0))
+
+    tgt_df = (
+        ds.map_batches(
+            lambda t: _word_count_partial(t, extra_filter=target_filter),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+        .groupby("w", as_index=False)["n"].sum()
+    )
+    n_tgt = int(tgt_df["n"].sum())
+    tgt_ref = cm.broadcast(dict(zip(tgt_df["w"], tgt_df["n"].astype(int))))
+
+    def weigh(df: pd.DataFrame) -> pd.DataFrame:
+        tgt = ray.get(tgt_ref)
+        c_raw = df["n"].to_numpy(np.int64)
+        c_tgt = df["w"].map(tgt).fillna(0).to_numpy(np.int64)
+        s = (_surprisal_bits(np.full_like(c_raw, n_raw + vocab_size), c_raw + 1)
+             - _surprisal_bits(np.full_like(c_tgt, n_tgt + vocab_size), c_tgt + 1))
+        return pd.DataFrame({"w": df["w"], "s": s})
+
+    weights = raw.map_batches(weigh, batch_format="pandas")
+
+    def doc_word_partial(t: pa.Table) -> pd.DataFrame:
+        toks = pc.split_pattern(t["text"], " ")
+        toks = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
+        flat = np.asarray(toks.flatten(), dtype=object)
+        if len(flat) == 0:
+            return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                                 "w": pd.Series(dtype="object"),
+                                 "m": pd.Series(dtype="int64")})
+        offsets = np.asarray(toks.offsets, dtype=np.int64)
+        offsets = offsets - offsets[0]
+        did = t["doc_id"].to_numpy(zero_copy_only=False)
+        doc_of = np.repeat(did, np.diff(offsets))
+        return (
+            pd.DataFrame({"doc_id": doc_of, "w": flat})
+            .groupby(["doc_id", "w"], sort=False).size().reset_index(name="m")
+            .astype({"doc_id": "int64", "m": "int64"})
+        )
+
+    scores = cm.routed_grouped_agg(
+        hash_join(
+            ds.map_batches(doc_word_partial, batch_format="pyarrow"),
+            weights, on="w",
+        ).map_batches(
+            lambda df: pd.DataFrame({
+                "doc_id": df["doc_id"].astype("int64"),
+                "score": df["m"].to_numpy(np.int64) * df["s"].to_numpy(np.int64),
+            }),
+            batch_format="pandas",
+        ),
+        ["doc_id"], {"score": "sum"},
+    )
+
+    local = scores.map_batches(
+        lambda df: df.sort_values(["score", "doc_id"],
+                                  ascending=[False, True]).head(k),
+        batch_format="pandas",
+    ).to_pandas()
+    return (
+        local.sort_values(["score", "doc_id"], ascending=[False, True])
+        .head(k)
+        .reset_index(drop=True)
+        .astype({"doc_id": "int64", "score": "int64"})
+    )
+
+
+_DSIR_BITS_RAW = _bits_sql("(nr.n + v.v)", "(ur.c + 1)")
+_DSIR_BITS_TGT = _bits_sql("(nt.n + v.v)", "(COALESCE(ut.c, 0) + 1)")
+ORACLES["docs_dsir_sample"] = f"""
+WITH words AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w
+  FROM documents
+),
+ur AS (SELECT w, COUNT(*) AS c FROM words GROUP BY w),
+ut AS (SELECT w, COUNT(*) AS c FROM words WHERE doc_id % 97 = 0 GROUP BY w),
+v AS (SELECT COUNT(*) AS v FROM ur),
+nr AS (SELECT COUNT(*) AS n FROM words),
+nt AS (SELECT COUNT(*) AS n FROM words WHERE doc_id % 97 = 0),
+wt AS (
+  SELECT ur.w, {_DSIR_BITS_RAW} - {_DSIR_BITS_TGT} AS s
+  FROM ur LEFT JOIN ut USING (w) CROSS JOIN v CROSS JOIN nr CROSS JOIN nt
+)
+SELECT words.doc_id, CAST(SUM(wt.s) AS BIGINT) AS score
+FROM words JOIN wt USING (w)
+GROUP BY words.doc_id
+ORDER BY score DESC, doc_id
+LIMIT {_DSIR_K}
+"""
