@@ -564,6 +564,171 @@ GROUP BY 1
 """
 
 
+def dedup_span_removal(sf_dir: str, window: int = 16):
+    """The REMOVAL stage of "Deduplicating Training Data Makes Language
+    Models Better" (Lee et al. 2021) — detection's missing other half
+    (:func:`dedup_token_spans_q` only counts): every duplicated
+    ``window``-token span keeps its globally-first occurrence (min
+    (doc_id, pos) lexicographic) and is CUT from the corpus everywhere
+    else; overlapping cuts union. Output is the rewritten corpus as a
+    per-doc face — (doc_id, n_tok_kept, tok_sum, tok_wsum) with
+    ``tok_wsum`` = Σ rank·token over the kept sequence, so the oracle
+    hash pins token ORDER, not just the multiset.
+
+    Distributed shape (reference analog: the dedup half of
+    ``dataPipelines/gc_ingest/tools/load/utils.py`` version-replace, done
+    at token-span granularity):
+
+    1. per-batch occurrence partials (``span_occurrence_partials``):
+       one row per (window-hash, doc) with all start positions + the
+       exact-confirm window bytes;
+    2. ONE routed groupby on ``hash % 256``: every occurrence of a given
+       span lands in one group, so groups pick the canonical occurrence
+       exactly and emit cut coordinates for the rest — singleton spans
+       emit nothing for free (the non-first mask is empty);
+    3. cuts route by doc (second small groupby over CUT rows only — dup
+       coordinates, not the corpus) and pack to int32 bytes;
+    4. one ``left_outer`` bucketed hash join back to the corpus + a
+       vectorized interval-union mask per doc.
+
+    Driver traffic: none (all exchanges are routed groupbys / the
+    bucketed join). The per-occurrence byte-carry in step 1 is the
+    price of emitting coordinates; at dup-heavy 10^10-window scale the
+    two-phase variant (hash-only counting pass, then confirm bytes for
+    candidate hashes only) drops it to the duplicated minority."""
+    from .joins import bucketed_hash_join
+
+    corpus = _arith_token_corpus(sf_dir)
+    parts = corpus.map_batches(
+        lambda t: dd.span_occurrence_partials(t, window), batch_format="pyarrow"
+    )
+
+    def add_route(df: pd.DataFrame, num_routes: int = 256) -> pd.DataFrame:
+        df = df.copy()
+        df["_route"] = (df["span_hash"].to_numpy().astype(np.uint64)
+                        % np.uint64(num_routes)).astype("int64")
+        return df
+
+    def cut_starts(g: pd.DataFrame) -> pd.DataFrame:
+        # explode packed positions to occurrence rows (vectorized:
+        # frombuffer lengths drive one repeat + one concatenate)
+        pos_bufs = g["pos"].to_list()
+        lens = np.fromiter((len(b) // 4 for b in pos_bufs), dtype=np.int64,
+                           count=len(pos_bufs))
+        if lens.sum() == 0:
+            return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                                 "start": pd.Series(dtype="int64")})
+        occ_pos = np.frombuffer(b"".join(pos_bufs), dtype="<i4").astype(np.int64)
+        # (hash, win) grouping = exact confirm: a 64-bit collision lands
+        # in two gids and never cross-contaminates cuts
+        gid = g.groupby(["span_hash", "win"], sort=False).ngroup().to_numpy()
+        occ_gid = np.repeat(gid, lens)
+        occ_doc = np.repeat(g["doc_id"].to_numpy(dtype=np.int64), lens)
+        order = np.lexsort((occ_pos, occ_doc, occ_gid))
+        sg, sd, sp = occ_gid[order], occ_doc[order], occ_pos[order]
+        first = np.r_[True, sg[1:] != sg[:-1]]  # canonical = min (doc, pos)
+        return pd.DataFrame({"doc_id": sd[~first], "start": sp[~first]})
+
+    cuts = (
+        parts.map_batches(add_route, batch_format="pandas")
+        .groupby("_route")
+        .map_groups(lambda g: cut_starts(g.drop(columns=["_route"])),
+                    batch_format="pandas")
+    )
+
+    def add_doc_route(df: pd.DataFrame, num_routes: int = 64) -> pd.DataFrame:
+        df = df.copy()
+        df["_route"] = (df["doc_id"].to_numpy(np.uint64) % np.uint64(num_routes)
+                        ).astype("int64")
+        return df
+
+    def pack_per_doc(g: pd.DataFrame) -> pd.DataFrame:
+        packed = (g.sort_values(["doc_id", "start"])
+                  .groupby("doc_id", sort=False)["start"]
+                  .apply(lambda s: s.to_numpy("<i4").tobytes()))
+        return pd.DataFrame({"doc_id": packed.index.to_numpy(dtype=np.int64),
+                             "starts": packed.to_numpy()})
+
+    per_doc = (
+        cuts.map_batches(add_doc_route, batch_format="pandas")
+        .groupby("_route")
+        .map_groups(lambda g: pack_per_doc(g.drop(columns=["_route"])),
+                    batch_format="pandas")
+    )
+
+    joined = bucketed_hash_join(corpus, per_doc, on="doc_id", how="left_outer")
+
+    def finalize(t: pa.Table) -> pd.DataFrame:
+        col = t["tokens"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
+        offs = col.offsets.to_numpy(zero_copy_only=False)
+        offs = offs - offs[0]
+        starts_col = t["starts"].to_pylist()
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        n_kept = np.empty(len(ids), dtype=np.int64)
+        tok_sum = np.empty(len(ids), dtype=np.int64)
+        tok_wsum = np.empty(len(ids), dtype=np.int64)
+        for i in range(len(ids)):
+            toks = flat[offs[i]:offs[i + 1]]
+            b = starts_col[i]
+            if b:
+                s = np.frombuffer(b, dtype="<i4").astype(np.int64)
+                d = np.zeros(len(toks) + 1, dtype=np.int64)
+                np.add.at(d, s, 1)
+                np.add.at(d, np.minimum(s + window, len(toks)), -1)
+                kept = toks[d.cumsum()[:-1] == 0]
+            else:
+                kept = toks
+            n_kept[i] = kept.size
+            tok_sum[i] = kept.sum()
+            tok_wsum[i] = (np.arange(1, kept.size + 1, dtype=np.int64) * kept).sum()
+        return pd.DataFrame({"doc_id": ids.astype(np.int64), "n_tok_kept": n_kept,
+                             "tok_sum": tok_sum, "tok_wsum": tok_wsum})
+
+    out = joined.map_batches(finalize, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+ORACLES["dedup_span_removal"] = f"""
+WITH docs AS (SELECT doc_id, 1 + (doc_id * 13) % 97 AS m FROM documents),
+corpus AS (
+  SELECT doc_id, doc_id AS base, m FROM docs
+  UNION ALL
+  SELECT doc_id + {_COPY_OFFSET}, doc_id, GREATEST(16, (m * 9) // 10)
+  FROM docs WHERE doc_id % 10 = 0
+), tok AS (
+  SELECT doc_id, j, (base * 31 + j * 7) % 50257 AS tokval
+  FROM corpus, unnest(range(m)) AS t(j)
+), win AS (
+  SELECT doc_id, j,
+         string_agg(tokval, ',') OVER (PARTITION BY doc_id ORDER BY j
+            ROWS BETWEEN CURRENT ROW AND 15 FOLLOWING) AS wkey,
+         COUNT(*) OVER (PARTITION BY doc_id ORDER BY j
+            ROWS BETWEEN CURRENT ROW AND 15 FOLLOWING) AS wlen
+  FROM tok
+), ranked AS (
+  SELECT doc_id, j,
+         ROW_NUMBER() OVER (PARTITION BY wkey ORDER BY doc_id, j) AS rn
+  FROM win WHERE wlen = 16
+), cut AS (SELECT doc_id, j AS s FROM ranked WHERE rn > 1),
+kept AS (
+  SELECT t.doc_id, t.j, t.tokval,
+         ROW_NUMBER() OVER (PARTITION BY t.doc_id ORDER BY t.j) AS rnk
+  FROM tok t WHERE NOT EXISTS (
+    SELECT 1 FROM cut r
+    WHERE r.doc_id = t.doc_id AND t.j BETWEEN r.s AND r.s + 15)
+)
+SELECT c.doc_id,
+       CAST(COALESCE(COUNT(k.tokval), 0) AS BIGINT) AS n_tok_kept,
+       CAST(COALESCE(SUM(k.tokval), 0) AS BIGINT) AS tok_sum,
+       CAST(COALESCE(SUM(k.rnk * k.tokval), 0) AS BIGINT) AS tok_wsum
+FROM corpus c LEFT JOIN kept k ON k.doc_id = c.doc_id
+GROUP BY c.doc_id
+"""
+
+
 def dedup_simhash(sf_dir: str, max_hamming: int = 8, max_bucket: int = 200):
     """SimHash near-dup pairs via 16-bit chunk bucketing (rows-only).
 

@@ -488,3 +488,64 @@ def span_partials(
     if carry_window:
         cols["win"] = out_w
     return pd.DataFrame(cols)
+
+
+def span_occurrence_partials(
+    t,
+    window: int,
+    id_col: str = "doc_id",
+    tok_col: str = "tokens",
+):
+    """Per-batch combiner for span REMOVAL (the output stage of Lee et
+    al. 2021 — not just detection): one row per distinct (window-hash,
+    doc) carrying EVERY occurrence start position (``pos``, little-endian
+    int32 bytes — bytes, not list cells, so the routed sort exchange
+    never sees ndarray-valued pandas columns) plus the first window's raw
+    tokens (``win``, the exact-confirm bytes, same contract as
+    :func:`span_partials`).
+
+    Scale note: vs the counting partial this ships ~4 bytes per window
+    occurrence plus the 4·W confirm bytes per distinct window — the
+    honest price of emitting removal coordinates. The doc loop is
+    per-document; grouping inside it is one stable argsort."""
+    import pandas as pd
+    import pyarrow as pa
+
+    col = t[tok_col]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    flat = col.flatten().to_numpy(zero_copy_only=False)
+    offs = col.offsets.to_numpy(zero_copy_only=False)
+    offs = offs - offs[0]
+    ids = t[id_col].to_pylist()
+    out_h, out_d, out_w, out_p = [], [], [], []
+    for i, did in enumerate(ids):
+        toks = flat[offs[i]:offs[i + 1]]
+        h = token_window_hashes(toks, window)
+        if len(h) == 0:
+            continue
+        order = np.argsort(h, kind="stable")  # stable ⇒ ascending pos per hash
+        sh = h[order]
+        starts = np.flatnonzero(np.r_[True, sh[1:] != sh[:-1]])
+        bounds = np.r_[starts, len(sh)]
+        wins = np.lib.stride_tricks.sliding_window_view(toks.astype("<u4"), window)
+        for gi in range(len(starts)):
+            lo, hi = bounds[gi], bounds[gi + 1]
+            pos = order[lo:hi]
+            out_h.append(sh[lo])
+            out_d.append(did)
+            out_w.append(np.ascontiguousarray(wins[pos[0]]).tobytes())
+            out_p.append(pos.astype("<i4").tobytes())
+    if not out_h:
+        return pd.DataFrame({
+            "span_hash": pd.Series(dtype="int64"),
+            "doc_id": pd.Series(dtype="object"),
+            "win": pd.Series(dtype="object"),
+            "pos": pd.Series(dtype="object"),
+        })
+    return pd.DataFrame({
+        "span_hash": np.asarray(out_h, dtype=np.uint64).astype(np.int64),
+        "doc_id": out_d,
+        "win": out_w,
+        "pos": out_p,
+    })

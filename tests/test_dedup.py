@@ -244,3 +244,66 @@ def test_simhash_boilerplate_bucket_cap(tmp_path):
     assert 0 < len(pairs) <= 200 * 199 // 2
     assert (pairs["hamming"] == 0).all()
     assert elapsed < 60, f"bucket cap failed to bound the pair pass: {elapsed:.1f}s"
+
+
+def test_span_removal_matches_serial_recompute(ray_session, tmp_path):
+    """dedup_span_removal's distributed cut machinery == a naive serial
+    sweep: seeded random corpus with planted cross-doc copies, within-doc
+    repeats and overlapping duplicated windows."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from gamechanger_data_ray.pipelines import analysis_queries as A
+
+    import pyarrow as pa
+
+    W = 8
+    rng = np.random.default_rng(4242)
+    docs: dict[int, np.ndarray] = {}
+    for d in range(1, 41):
+        docs[d] = rng.integers(0, 50, size=int(rng.integers(4, 60)), dtype=np.int64)
+    shared = rng.integers(0, 50, size=W + 3, dtype=np.int64)  # overlapping dup windows
+    for d in (3, 7, 20):
+        docs[d] = np.concatenate([docs[d], shared, docs[d][:5]])
+    docs[11] = np.concatenate([docs[11][:W], docs[11][:W], docs[11]])  # within-doc repeat
+
+    # monkeypatch-free: drive the op through its own corpus generator by
+    # writing a documents table whose doc_ids reproduce these lengths is
+    # impossible — so test the machinery directly on a Dataset.
+    import pandas as pd
+    import ray as _ray
+
+    import gamechanger_data_ray.pipelines.analysis_queries as mod
+
+    corpus = pa.table({
+        "doc_id": pa.array(sorted(docs), pa.int64()),
+        "tokens": pa.array([docs[d].tolist() for d in sorted(docs)], pa.list_(pa.int32())),
+    })
+    orig = mod._arith_token_corpus
+    mod._arith_token_corpus = lambda sf: _ray.data.from_arrow(corpus)
+    try:
+        out = A.dedup_span_removal("unused", window=W)
+    finally:
+        mod._arith_token_corpus = orig
+
+    # serial oracle: global first occurrence by (doc, pos) survives
+    occ: dict[tuple, list[tuple[int, int]]] = {}
+    for d in sorted(docs):
+        t = docs[d]
+        for j in range(len(t) - W + 1):
+            occ.setdefault(tuple(t[j:j + W]), []).append((d, j))
+    cut: dict[int, set[int]] = {d: set() for d in docs}
+    for positions in occ.values():
+        for (d, j) in sorted(positions)[1:]:
+            cut[d].update(range(j, j + W))
+    exp = []
+    for d in sorted(docs):
+        kept = np.array([v for j, v in enumerate(docs[d]) if j not in cut[d]],
+                        dtype=np.int64)
+        exp.append((d, kept.size, int(kept.sum()),
+                    int((np.arange(1, kept.size + 1) * kept).sum())))
+    exp_df = pd.DataFrame(exp, columns=["doc_id", "n_tok_kept", "tok_sum", "tok_wsum"])
+    pd.testing.assert_frame_equal(out.reset_index(drop=True), exp_df)
+    # the planted copies actually lost tokens
+    assert (out.set_index("doc_id").loc[[7, 20], "n_tok_kept"].to_numpy()
+            < np.array([len(docs[7]), len(docs[20])])).all()
