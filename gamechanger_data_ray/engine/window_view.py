@@ -1,0 +1,382 @@
+"""Event-time tumbling-window views with WATERMARK finalization,
+ALLOWED-LATENESS side output and a per-refresh TRIGGER stream of
+newly-final windows — the streaming-window semantics (Flink's
+event-time windows / allowed lateness / side outputs, public API shape)
+grafted onto the engine's Z-set view machinery.
+
+The reference recomputes its time rollups from scratch on every publish
+(``gc_db_utils/orch/sql/create_views.sql``); a 10^10-event stream can't.
+Here a windowed view is the standard incremental fold
+(:mod:`gamechanger_data_ray.engine.views`) over ``window_start =
+floor(ts / width) * width`` with three additions per refresh:
+
+1. **Watermark**: ``wm = max(old_wm, max event-time in the delta −
+   lateness)``, committed with the view manifest, monotone by
+   construction. Windows with ``window_end ≤ wm`` are FINAL.
+2. **Late side output**: a delta row (either sign — a late retraction is
+   just as late as a late insert) targeting a window already final at
+   the PREVIOUS commit never mutates the aggregate; it lands in
+   ``late/e{epoch}/part-K.parquet`` (deterministic names — a crashed
+   refresh rewrites the same bytes) with its sign, and is counted in the
+   manifest. The LAKE TABLE itself accepts every event; lateness is a
+   property of this view's aggregate only.
+3. **Trigger stream**: windows whose end crosses the watermark THIS
+   refresh are snapshotted (final values) to
+   ``triggers/e{epoch}.parquet`` — the exactly-once "window closed"
+   emission a downstream consumer tails via :func:`triggers_since`.
+
+Arrival-order caveat (stated, not hidden): which rows are late depends
+on the refresh cadence — the view is STATE, not a pure function of the
+table. A refresh that can no longer diff (vacuumed history /
+repartition) therefore REFUSES to fall back to a full rebuild — a
+rebuild would re-admit every previously-late row — instead of silently
+changing the answer. Bootstrap (first build) declares all current table
+rows on-time, exactly like a Flink job started against existing state.
+
+Scale: the fold touches only the delta; the part-merge touches only
+dirty view partitions; the trigger scan reads view ROWS (one per live
+window — bounded by windows, not events); late rows are a routed
+minority shuffle. Driver traffic: O(partitions) counter rows + the two
+watermark scalars.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+from ..core.diff import SIGN_COLUMN
+from ..core.hashing import partition_ids
+from ..state import manifest as mf
+from ..state.fs import StorageAdapter, default_fs
+from .cdc import PART_COLUMN, read_table
+from .diff import diff_table_epochs
+from .views import ViewDef, _make_fold, _make_part_merger, _view_schema
+
+WINDOW_COLUMN = "window_start"
+
+
+class TumblingWindowView:
+    """Tumbling event-time window spec: ``ts_column`` (int64 event time,
+    unit-agnostic) bucketed to ``width``-sized windows, plus optional
+    extra ``group_by`` dimensions and additive ``sums`` — maintained by
+    :func:`refresh_windowed`. ``lateness`` is the allowed-lateness slack
+    subtracted from the max seen event time to form the watermark."""
+
+    def __init__(
+        self,
+        ts_column: str,
+        width: int,
+        sums: dict[str, str] | None = None,
+        group_by: tuple[str, ...] | list[str] = (),
+        lateness: int = 0,
+    ):
+        if width <= 0:
+            raise ValueError("window width must be positive")
+        if lateness < 0:
+            raise ValueError("lateness must be >= 0")
+        self.ts_column = ts_column
+        self.width = int(width)
+        self.lateness = int(lateness)
+        self.extra = tuple(group_by)
+        sums = dict(sums or {})
+        src = list(dict.fromkeys([ts_column, *self.extra, *sums.values()]))
+        ts_col, w = ts_column, self.width
+
+        def add_window(batch: pa.Table) -> pa.Table:
+            ts = pc.cast(batch[ts_col], pa.int64()).to_numpy(zero_copy_only=False)
+            ws = (ts // w) * w  # numpy floor division: correct for negatives
+            cols: dict[str, pa.Array | pa.ChunkedArray] = {
+                WINDOW_COLUMN: pa.array(ws, pa.int64())
+            }
+            for c in (*self.extra, *sums.values(), SIGN_COLUMN):
+                if c not in cols:
+                    cols[c] = batch[c]
+            return pa.table(cols)
+
+        # width + lateness are on-disk contracts: bake them into the
+        # signature so a view_dir built with one geometry refuses another
+        self.inner = ViewDef(
+            group_by=[WINDOW_COLUMN, *self.extra],
+            sums=sums,
+            transform=add_window,
+            transform_id=f"tumbling-{ts_column}-w{self.width}-l{self.lateness}",
+            source_columns=src,
+            derived_schema=pa.schema([pa.field(WINDOW_COLUMN, pa.int64())]),
+        )
+
+    def signature(self) -> str:
+        return self.inner.signature()
+
+
+def _max_event_ts(src: ray.data.Dataset, ts_column: str) -> int | None:
+    from ray.data.aggregate import Max
+
+    row = src.aggregate(Max(ts_column))
+    v = row.get(f"max({ts_column})") if row else None
+    return None if v is None else int(v)
+
+
+def refresh_windowed(
+    view: TumblingWindowView,
+    view_dir: str,
+    table_dir: str,
+    num_partitions: int = 8,
+    fs: StorageAdapter | None = None,
+) -> mf.TableManifest | None:
+    """Bring the windowed view to the table's committed epoch. Returns
+    the committed view manifest, None when already current (or the table
+    has no committed state). Raises when incremental history is gone —
+    see the module docstring for why there is deliberately no
+    full-rebuild fallback once a watermark exists."""
+    fs = default_fs(fs)
+    cur_table = mf.load_current(table_dir, fs)
+    if cur_table is None:
+        return None
+    epoch = cur_table.epoch
+    cur_view = mf.load_current(view_dir, fs)
+
+    old_wm: int | None = None
+    delta = None
+    if cur_view is not None:
+        if cur_view.epoch_counters.get("view_sig") != view.signature():
+            raise ValueError(
+                "windowed-view definition (ts column / width / lateness / "
+                "groups / sums) changed since this view_dir was built; "
+                "build the new definition into a fresh view_dir"
+            )
+        if cur_view.epoch >= epoch:
+            return None
+        wm = cur_view.epoch_counters.get("watermark_ts")
+        old_wm = None if wm is None else int(wm)
+        num_partitions = cur_view.num_partitions or num_partitions
+        try:
+            delta = diff_table_epochs(
+                table_dir, cur_view.epoch, epoch, mode="retractions", fs=fs
+            )
+        except (FileNotFoundError, ValueError) as e:
+            raise ValueError(
+                "cannot diff the table since this view's epoch (vacuumed "
+                "manifest or repartition); a windowed view is arrival-order "
+                "state and a full rebuild would re-admit previously-late "
+                "rows — rebuild into a fresh view_dir to declare a new "
+                "bootstrap instead"
+            ) from e
+
+    schema = _view_schema(view.inner, cur_table.schema)
+    schema_b64 = mf.schema_to_b64(schema)
+    needed = view.inner.needed_columns()
+
+    late_rows = 0
+    late_files: list[str] = []
+    if delta is not None:
+        # epoch-sized, two consumers (max-ts + split) → materialize once,
+        # the same economics the ingest gate measured for its epochs.
+        # The key column rides along so the late AUDIT rows carry row
+        # identity, not just the fold inputs.
+        cols = list(needed)
+        if "doc_id" in cur_table.schema.names and "doc_id" not in cols:
+            cols.append("doc_id")
+        src = delta.select_columns(cols + [SIGN_COLUMN]).materialize()
+        max_ts = _max_event_ts(src, view.ts_column)
+        old_files = {int(k): v["file"] for k, v in cur_view.partitions.items()}
+        carry = dict(cur_view.partitions)
+        mode = "incremental"
+
+        if old_wm is not None:
+            wm_cut, ts_col, w = old_wm, view.ts_column, view.width
+
+            def split(keep_late: bool):
+                def fn(t: pa.Table) -> pa.Table:
+                    ts = pc.cast(t[ts_col], pa.int64()).to_numpy(
+                        zero_copy_only=False
+                    )
+                    late = (ts // w) * w + w <= wm_cut
+                    return t.filter(pa.array(late if keep_late else ~late))
+
+                return fn
+
+            late_ds = src.map_batches(split(True), batch_format="pyarrow")
+            ontime = src.map_batches(split(False), batch_format="pyarrow")
+
+            # late side output: routed to deterministic per-partition
+            # files (idempotent on retry), recorded in the manifest
+            def write_late(group: pa.Table) -> pa.Table:
+                part = group.column(PART_COLUMN)[0].as_py()
+                out = group.drop_columns([PART_COLUMN])
+                rel = os.path.join(
+                    f"late/e{epoch:06d}", f"part-{int(part)}.parquet"
+                )
+                fs.makedirs(os.path.join(view_dir, f"late/e{epoch:06d}"))
+                fs.write_parquet_atomic(out, os.path.join(view_dir, rel))
+                return pa.table({
+                    "file": pa.array([rel], pa.string()),
+                    "rows": pa.array([out.num_rows], pa.int64()),
+                })
+
+            def route_late(t: pa.Table) -> pa.Table:
+                return t.append_column(
+                    PART_COLUMN,
+                    partition_ids(
+                        pc.cast(t[ts_col], pa.string()), num_partitions
+                    ),
+                )
+
+            late_stats = (
+                late_ds.map_batches(route_late, batch_format="pyarrow")
+                .groupby(PART_COLUMN)
+                .map_groups(write_late, batch_format="pyarrow")
+                .take_all()
+            )
+            late_rows = sum(int(r["rows"]) for r in late_stats)
+            late_files = sorted(r["file"] for r in late_stats)
+            src = ontime
+    else:
+        src = read_table(
+            table_dir, payload_only=True, columns=needed, fs=fs
+        )
+        max_ts = _max_event_ts(src, view.ts_column)
+        old_files, carry, mode = {}, {}, "bootstrap"
+
+    new_wm = old_wm
+    if max_ts is not None:
+        cand = max_ts - view.lateness
+        new_wm = cand if new_wm is None else max(new_wm, cand)
+
+    _retry = {"retry_exceptions": True, "max_retries": 4}
+    counters = (
+        src.map_batches(
+            _make_fold(view.inner, schema_b64, num_partitions),
+            batch_format="pyarrow",
+            **_retry,
+        )
+        .groupby(PART_COLUMN)
+        .map_groups(
+            _make_part_merger(view.inner, view_dir, schema_b64, old_files, epoch, fs),
+            batch_format="pyarrow",
+            **_retry,
+        )
+        .take_all()
+    )
+
+    partitions = carry
+    total = sum(int(p.get("rows", 0)) for p in carry.values())
+    for row in counters:
+        prev = carry.get(str(row["part"]))
+        total += int(row["rows"]) - int(prev["rows"] if prev else 0)
+        partitions[str(row["part"])] = {"file": row["file"], "rows": int(row["rows"])}
+    partitions = {k: v for k, v in partitions.items() if int(v["rows"])}
+
+    # trigger stream: windows finalized by THIS watermark advance —
+    # final values snapshotted before the commit makes them visible
+    trigger_file = None
+    trigger_rows = 0
+    if new_wm is not None and (old_wm is None or new_wm > old_wm):
+        lo = old_wm  # window_end must be > old_wm (None → all ≤ new_wm)
+        pieces = []
+        for p in partitions.values():
+            t = fs.read_parquet(os.path.join(view_dir, p["file"]))
+            if not t.num_rows:
+                continue
+            wend = pc.add(t[WINDOW_COLUMN], pa.scalar(view.width, pa.int64()))
+            m = pc.less_equal(wend, pa.scalar(new_wm, pa.int64()))
+            if lo is not None:
+                m = pc.and_(m, pc.greater(wend, pa.scalar(lo, pa.int64())))
+            t = t.filter(m)
+            if t.num_rows:
+                pieces.append(t)
+        fired = (
+            pa.concat_tables(pieces, promote_options="default")
+            if pieces
+            else pa.table(
+                {f.name: pa.array([], f.type) for f in schema}, schema=schema
+            )
+        )
+        if fired.num_rows:
+            fired = fired.take(
+                pc.sort_indices(
+                    fired,
+                    sort_keys=[(c, "ascending") for c in view.inner.group_by],
+                )
+            )
+        trigger_file = f"triggers/e{epoch:06d}.parquet"
+        fs.makedirs(os.path.join(view_dir, "triggers"))
+        fs.write_parquet_atomic(fired, os.path.join(view_dir, trigger_file))
+        trigger_rows = fired.num_rows
+
+    manifest = mf.TableManifest(
+        epoch=epoch,
+        schema_b64=schema_b64,
+        partitions=partitions,
+        epoch_counters={
+            "view_sig": view.signature(),
+            "group_by": list(view.inner.group_by),
+            "mode": mode,
+            "dirty_partitions": len(counters),
+            "watermark_ts": new_wm,
+            "late_rows": late_rows,
+            "late_files": late_files,
+            "trigger_file": trigger_file,
+            "trigger_rows": trigger_rows,
+        },
+        totals={"rows": total},
+        num_partitions=num_partitions,
+    )
+    if not mf.commit(view_dir, manifest, fs):
+        return None  # a racing refresher landed this (or a later) epoch first
+    return manifest
+
+
+def read_windowed(view_dir: str, fs: StorageAdapter | None = None) -> pa.Table:
+    """Current window aggregates (live + final) as one Arrow table."""
+    from .views import view_to_arrow
+
+    return view_to_arrow(view_dir, fs)
+
+
+def _history(view_dir: str):
+    from .maintenance import list_manifests, load_manifest
+
+    for e in list_manifests(view_dir):
+        yield load_manifest(view_dir, e)
+
+
+def late_rows(
+    view_dir: str, fs: StorageAdapter | None = None
+) -> pa.Table | None:
+    """Every late row diverted so far (signed), from the files recorded
+    by committed manifests — the audit trail of what the aggregates do
+    NOT contain."""
+    fs = default_fs(fs)
+    if mf.load_current(view_dir, fs) is None:
+        return None
+    pieces = []
+    for m in _history(view_dir):
+        for rel in m.epoch_counters.get("late_files") or []:
+            pieces.append(fs.read_parquet(os.path.join(view_dir, rel)))
+    if not pieces:
+        return None
+    return pa.concat_tables(pieces, promote_options="default")
+
+
+def triggers_since(
+    view_dir: str, after_epoch: int, fs: StorageAdapter | None = None
+) -> pa.Table | None:
+    """Concatenated trigger emissions (finalized-window snapshots) of
+    every committed refresh with epoch > ``after_epoch`` — the
+    exactly-once consumption surface: a consumer remembers the last
+    epoch it saw and tails from there."""
+    fs = default_fs(fs)
+    if mf.load_current(view_dir, fs) is None:
+        return None
+    pieces = []
+    for m in _history(view_dir):
+        rel = m.epoch_counters.get("trigger_file")
+        if m.epoch > after_epoch and rel:
+            pieces.append(fs.read_parquet(os.path.join(view_dir, rel)))
+    if not pieces:
+        return None
+    return pa.concat_tables(pieces, promote_options="default")
