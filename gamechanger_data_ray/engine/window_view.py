@@ -59,12 +59,18 @@ from .views import ViewDef, _make_fold, _make_part_merger, _view_schema
 WINDOW_COLUMN = "window_start"
 
 
-class TumblingWindowView:
-    """Tumbling event-time window spec: ``ts_column`` (int64 event time,
-    unit-agnostic) bucketed to ``width``-sized windows, plus optional
+class EventWindowView:
+    """Event-time window spec: ``ts_column`` (int64 event time,
+    unit-agnostic) assigned to ``width``-sized windows every ``slide``
+    (``slide == width`` → tumbling; ``slide < width`` → sliding/hopping,
+    each event replicated into the ``width/slide`` windows covering it,
+    sign inherited so retractions expand identically), plus optional
     extra ``group_by`` dimensions and additive ``sums`` — maintained by
     :func:`refresh_windowed`. ``lateness`` is the allowed-lateness slack
-    subtracted from the max seen event time to form the watermark."""
+    subtracted from the max seen event time to form the watermark.
+    Lateness is judged per (row, window) pair: a sliding-window event on
+    the watermark boundary folds into its still-open windows while its
+    already-final windows divert to the side output."""
 
     def __init__(
         self,
@@ -73,6 +79,7 @@ class TumblingWindowView:
         sums: dict[str, str] | None = None,
         group_by: tuple[str, ...] | list[str] = (),
         lateness: int = 0,
+        slide: int | None = None,
     ):
         if width <= 0:
             raise ValueError("window width must be positive")
@@ -80,36 +87,68 @@ class TumblingWindowView:
             raise ValueError("lateness must be >= 0")
         self.ts_column = ts_column
         self.width = int(width)
+        self.slide = int(slide) if slide is not None else int(width)
+        if not 0 < self.slide <= self.width:
+            raise ValueError("slide must be in (0, width]")
         self.lateness = int(lateness)
         self.extra = tuple(group_by)
         sums = dict(sums or {})
+        self._sums = sums
         src = list(dict.fromkeys([ts_column, *self.extra, *sums.values()]))
-        ts_col, w = ts_column, self.width
+        keep = [WINDOW_COLUMN, *self.extra, *sums.values(), SIGN_COLUMN]
+        keep = list(dict.fromkeys(keep))
 
-        def add_window(batch: pa.Table) -> pa.Table:
-            ts = pc.cast(batch[ts_col], pa.int64()).to_numpy(zero_copy_only=False)
-            ws = (ts // w) * w  # numpy floor division: correct for negatives
-            cols: dict[str, pa.Array | pa.ChunkedArray] = {
-                WINDOW_COLUMN: pa.array(ws, pa.int64())
-            }
-            for c in (*self.extra, *sums.values(), SIGN_COLUMN):
-                if c not in cols:
-                    cols[c] = batch[c]
-            return pa.table(cols)
+        # expansion happens in refresh_windowed (the late split needs
+        # per-(row, window) rows); the fold's transform is a projection
+        def project(batch: pa.Table) -> pa.Table:
+            return batch.select(keep)
 
-        # width + lateness are on-disk contracts: bake them into the
-        # signature so a view_dir built with one geometry refuses another
+        # width + slide + lateness are on-disk contracts: bake them into
+        # the signature so a view_dir built with one geometry refuses
+        # another
         self.inner = ViewDef(
             group_by=[WINDOW_COLUMN, *self.extra],
             sums=sums,
-            transform=add_window,
-            transform_id=f"tumbling-{ts_column}-w{self.width}-l{self.lateness}",
+            transform=project,
+            transform_id=(f"window-{ts_column}-w{self.width}"
+                          f"-s{self.slide}-l{self.lateness}"),
             source_columns=src,
             derived_schema=pa.schema([pa.field(WINDOW_COLUMN, pa.int64())]),
         )
 
     def signature(self) -> str:
         return self.inner.signature()
+
+    def expand(self, batch: pa.Table) -> pa.Table:
+        """Assign windows: one output row per (input row, covering
+        window), all other columns replicated (including ``sign``).
+        Vectorized: a repeat + segmented arange, no Python per row."""
+        import numpy as np
+
+        if batch.num_rows == 0:
+            return batch.append_column(WINDOW_COLUMN, pa.array([], pa.int64()))
+        ts = pc.cast(batch[self.ts_column], pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        w, s = self.width, self.slide
+        if s == w:
+            ws = (ts // w) * w  # numpy floor division: exact for negatives
+            return batch.append_column(WINDOW_COLUMN, pa.array(ws, pa.int64()))
+        first = ((ts - w) // s + 1) * s  # smallest start with ts < start+w
+        last = (ts // s) * s             # largest start ≤ ts
+        counts = (last - first) // s + 1
+        idx = np.repeat(np.arange(len(ts)), counts)
+        # segmented 0..count_i-1 ramp: global arange minus each segment's
+        # starting offset
+        offsets = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        ramp = np.arange(int(counts.sum())) - np.repeat(offsets, counts)
+        ws = first[idx] + ramp * s
+        out = batch.take(pa.array(idx))
+        return out.append_column(WINDOW_COLUMN, pa.array(ws, pa.int64()))
+
+
+# the tumbling case reads better under its own name at call sites
+TumblingWindowView = EventWindowView
 
 
 def _max_event_ts(src: ray.data.Dataset, ts_column: str) -> int | None:
@@ -186,16 +225,22 @@ def refresh_windowed(
         carry = dict(cur_view.partitions)
         mode = "incremental"
 
+        # window assignment precedes the late split: lateness is a
+        # per-(row, window) judgment (a sliding-window row can be late
+        # for its oldest covering window and on time for the rest)
+        src = src.map_batches(view.expand, batch_format="pyarrow")
+
         if old_wm is not None:
-            wm_cut, ts_col, w = old_wm, view.ts_column, view.width
+            wm_cut, w = old_wm, view.width
 
             def split(keep_late: bool):
                 def fn(t: pa.Table) -> pa.Table:
-                    ts = pc.cast(t[ts_col], pa.int64()).to_numpy(
-                        zero_copy_only=False
+                    wend = pc.add(
+                        pc.cast(t[WINDOW_COLUMN], pa.int64()),
+                        pa.scalar(w, pa.int64()),
                     )
-                    late = (ts // w) * w + w <= wm_cut
-                    return t.filter(pa.array(late if keep_late else ~late))
+                    late = pc.less_equal(wend, pa.scalar(wm_cut, pa.int64()))
+                    return t.filter(late if keep_late else pc.invert(late))
 
                 return fn
 
@@ -221,7 +266,7 @@ def refresh_windowed(
                 return t.append_column(
                     PART_COLUMN,
                     partition_ids(
-                        pc.cast(t[ts_col], pa.string()), num_partitions
+                        pc.cast(t[WINDOW_COLUMN], pa.int64()), num_partitions
                     ),
                 )
 
@@ -239,6 +284,7 @@ def refresh_windowed(
             table_dir, payload_only=True, columns=needed, fs=fs
         )
         max_ts = _max_event_ts(src, view.ts_column)
+        src = src.map_batches(view.expand, batch_format="pyarrow")
         old_files, carry, mode = {}, {}, "bootstrap"
 
     new_wm = old_wm

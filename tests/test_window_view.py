@@ -294,3 +294,116 @@ def test_crash_before_commit_then_retry_converges(lake):
     assert m2.epoch_counters["late_rows"] == 1
     assert _win_map(vd) == {0: (1, 100), 10: (2, 15), 80: (1, 7),
                             90: (1, 2), 100: (1, 11)}
+
+
+SLIDING = TumblingWindowView("event_ts", width=20, slide=10,
+                             sums={"sum_amt": "amount"}, lateness=5)
+
+
+def test_sliding_expansion_covers_every_window(ray_session):
+    """Each event lands in exactly width/slide covering windows and
+    nowhere else (vectorized expansion == literal definition)."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    ts = rng.integers(-50, 200, size=300).astype("int64")
+    t = pa.table({"event_ts": pa.array(ts), "amount": pa.array(ts * 0 + 1)})
+    out = SLIDING.expand(t)
+    got = sorted(zip(out["event_ts"].to_pylist(), out["window_start"].to_pylist()))
+    exp = sorted(
+        (int(v), ws)
+        for v in ts
+        for ws in range(((int(v) - 20) // 10 + 1) * 10, ((int(v) // 10) * 10) + 1, 10)
+    )
+    assert got == exp
+    assert all(ws <= v < ws + 20 for v, ws in got)
+
+
+def test_sliding_partial_lateness_same_event(ray_session, tmp_path):
+    """One event on the watermark boundary: its older covering window is
+    already final (→ late side output), its newer one is open (→ folds).
+    The same physical row splits per (row, window) pair."""
+    tb, vd = str(tmp_path / "tb"), str(tmp_path / "view")
+    _apply(tb, 1, [("I", 1, 0, "a", 55, 1)])
+    m1 = refresh_windowed(SLIDING, vd, tb, num_partitions=4)
+    assert m1.epoch_counters["watermark_ts"] == 50
+    # a=55 covers ws=40 (end 60 > 50, open) and ws=50 — both counted
+    assert _win_map(vd) == {40: (1, 1), 50: (1, 1)}
+    # ts=42 covers ws=30 (end 50 ≤ wm 50 → LATE pair) and ws=40 (open)
+    _apply(tb, 2, [("I", 2, 0, "b", 42, 7)])
+    m2 = refresh_windowed(SLIDING, vd, tb)
+    assert m2.epoch_counters["late_rows"] == 1
+    w = _win_map(vd)
+    assert 30 not in w            # late pair never reached the aggregate
+    assert w[40] == (2, 8)        # on-time pair folded
+    lr = late_rows(vd)
+    assert lr["window_start"].to_pylist() == [30]
+    assert lr["doc_id"].to_pylist() == ["b"] and lr["sign"].to_pylist() == [1]
+
+
+def test_sliding_fuzz_matches_serial_simulator(ray_session, tmp_path):
+    import numpy as np
+
+    rng = np.random.default_rng(99)
+    W, S, L = 30, 10, 8
+    view = TumblingWindowView("event_ts", width=W, slide=S,
+                              sums={"sum_amt": "amount"}, lateness=L)
+    tb, vd = str(tmp_path / "tb"), str(tmp_path / "view")
+
+    state: dict[str, tuple[int, int]] = {}
+    wm = None
+    wins: dict[int, list[int]] = {}
+    sim_late = 0
+    fired: set[int] = set()
+
+    for epoch in range(1, 6):
+        rows, new_state = [], dict(state)
+        for seq in range(int(rng.integers(4, 20))):
+            op = rng.choice(["I", "I", "U", "D"])
+            if op in ("U", "D") and new_state:
+                doc = str(rng.choice(sorted(new_state)))
+            else:
+                doc = f"d{int(rng.integers(0, 30))}"
+            ts = int(rng.integers(0, 40 + epoch * 35))
+            amt = int(rng.integers(1, 9))
+            rows.append((str(op), epoch, seq, doc, ts, amt))
+            if op == "D":
+                new_state.pop(doc, None)
+            else:
+                new_state[doc] = (ts, amt)
+        _apply(tb, epoch, rows)
+        m = refresh_windowed(view, vd, tb, num_partitions=4)
+
+        delta = []
+        for doc in set(state) | set(new_state):
+            if state.get(doc) != new_state.get(doc):
+                if doc in state:
+                    delta.append((*state[doc], -1))
+                if doc in new_state:
+                    delta.append((*new_state[doc], +1))
+        max_ts = max((ts for ts, _, _ in delta), default=None)
+        for ts, amt, sign in delta:
+            for ws in range(((ts - W) // S + 1) * S, (ts // S) * S + 1, S):
+                if wm is not None and ws + W <= wm:
+                    sim_late += 1
+                else:
+                    n, s = wins.get(ws, (0, 0))
+                    n, s = n + sign, s + sign * amt
+                    if n:
+                        wins[ws] = (n, s)
+                    else:
+                        wins.pop(ws, None)
+        if max_ts is not None:
+            wm = max_ts - L if wm is None else max(wm, max_ts - L)
+        newly = {ws for ws in wins if wm is not None and ws + W <= wm} - fired
+        state = new_state
+
+        assert m.epoch_counters["watermark_ts"] == wm
+        assert _win_map(vd) == wins
+        trig = triggers_since(vd, epoch - 1)
+        got = set() if trig is None else set(trig["window_start"].to_pylist())
+        assert got == newly
+        fired |= newly
+
+    lr = late_rows(vd)
+    assert (0 if lr is None else lr.num_rows) == sim_late
