@@ -396,6 +396,27 @@ def main(argv: list[str] | None = None) -> int:
     jv.add_argument("--on", default="doc_id")
     jv.add_argument("--how", default="inner", choices=["inner", "left_outer"])
 
+    ww = sub.add_parser("window-view", help="build/refresh an event-time "
+                        "windowed view (watermark + allowed lateness + "
+                        "late side output + exactly-once triggers)")
+    ww.add_argument("--table", required=True)
+    ww.add_argument("--view", required=True, help="view state dir")
+    ww.add_argument("--ts-column", required=True, help="int64 event-time column")
+    ww.add_argument("--width", type=int, required=True)
+    ww.add_argument("--slide", type=int, default=None,
+                    help="hop size (default: width = tumbling)")
+    ww.add_argument("--lateness", type=int, default=0)
+    ww.add_argument("--group-by", default="",
+                    help="comma-separated extra dimensions")
+    ww.add_argument("--sum", action="append", default=[],
+                    help="OUT=SRC summed column; repeatable")
+    ww.add_argument("--partitions", type=int, default=8)
+
+    wt = sub.add_parser("window-triggers", help="tail finalized-window "
+                        "emissions committed after --after-epoch")
+    wt.add_argument("--view", required=True)
+    wt.add_argument("--after-epoch", type=int, default=0)
+
     ai = sub.add_parser("ann-view", help="build/refresh the incrementally-"
                                          "maintained ANN index (LSH-bucket postings view)")
     ai.add_argument("--table", required=True)
@@ -1104,6 +1125,35 @@ def main(argv: list[str] | None = None) -> int:
                  "dirty_partitions":
                      m.epoch_counters.get("dirty_partitions") if m else 0,
                  "rows": m.totals.get("rows") if m else None}))
+        elif args.cmd == "window-view":
+            from gamechanger_data_ray.engine.window_view import (
+                EventWindowView,
+                refresh_windowed,
+            )
+
+            sums = dict(s.split("=", 1) for s in args.sum)
+            view = EventWindowView(
+                args.ts_column, args.width, sums=sums,
+                group_by=[c for c in args.group_by.split(",") if c],
+                lateness=args.lateness, slide=args.slide,
+            )
+            m = refresh_windowed(view, args.view, args.table,
+                                 num_partitions=args.partitions)
+            print(json.dumps(
+                {"epoch": m.epoch if m else None,
+                 "mode": m.epoch_counters.get("mode") if m else "current",
+                 "watermark_ts": m.epoch_counters.get("watermark_ts") if m else None,
+                 "late_rows": m.epoch_counters.get("late_rows") if m else 0,
+                 "trigger_rows": m.epoch_counters.get("trigger_rows") if m else 0,
+                 "rows": m.totals.get("rows") if m else None}))
+        elif args.cmd == "window-triggers":
+            from gamechanger_data_ray.engine.window_view import triggers_since
+
+            t = triggers_since(args.view, args.after_epoch)
+            print(json.dumps(
+                {"rows": 0 if t is None else t.num_rows,
+                 "windows": [] if t is None
+                 else sorted(set(t["window_start"].to_pylist()))}))
         elif args.cmd == "ann-view":
             from gamechanger_data_ray.engine.ann_index import ann_index_view
             from gamechanger_data_ray.engine.views import refresh

@@ -407,3 +407,39 @@ def test_sliding_fuzz_matches_serial_simulator(ray_session, tmp_path):
 
     lr = late_rows(vd)
     assert (0 if lr is None else lr.num_rows) == sim_late
+
+
+def test_cli_window_view_and_triggers(tmp_path):
+    """CLI loop: generate → replay → window-view over n_tok (any int64
+    column is a valid event-time axis) → fenced rerun → window-triggers."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    env = dict(os.environ, PYTHONPATH="/root/repo")
+
+    def run(*argv):
+        r = subprocess.run(
+            [sys.executable, "-m", "gamechanger_data_ray", *argv],
+            capture_output=True, text=True, env=env, cwd="/root/repo",
+        )
+        assert r.returncode == 0, r.stderr[-800:]
+        return json.loads(r.stdout.strip().splitlines()[-1])
+
+    cl, tb, vd = str(tmp_path / "cl"), str(tmp_path / "tb"), str(tmp_path / "vw")
+    run("generate", "--out", cl, "--epochs", "2", "--events", "400",
+        "--keys", "80")
+    run("--num-cpus", "4", "replay", "--changelog", cl, "--table", tb,
+        "--partitions", "4")
+    out = run("--num-cpus", "4", "window-view", "--table", tb, "--view", vd,
+              "--ts-column", "n_tok", "--width", "16", "--lateness", "4",
+              "--sum", "sum_tok=n_tok")
+    assert out["mode"] == "bootstrap" and out["rows"] > 0
+    assert out["watermark_ts"] is not None
+    again = run("--num-cpus", "4", "window-view", "--table", tb, "--view", vd,
+                "--ts-column", "n_tok", "--width", "16", "--lateness", "4",
+                "--sum", "sum_tok=n_tok")
+    assert again["mode"] == "current"  # fenced no-op
+    trig = run("window-triggers", "--view", vd, "--after-epoch", "0")
+    assert trig["rows"] >= 0 and isinstance(trig["windows"], list)
