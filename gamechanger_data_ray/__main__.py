@@ -610,7 +610,8 @@ def main(argv: list[str] | None = None) -> int:
     sb.add_argument("--table", required=True)
     sb.add_argument("--kind", required=True,
                     choices=["agg", "inverted", "ann", "bm25", "relay",
-                             "neardup", "edges", "dedup", "training"])
+                             "neardup", "edges", "dedup", "training",
+                             "window"])
     sb.add_argument("--target", required=True, help="subscriber state dir")
     sb.add_argument("--params", default="{}", help="kind-specific JSON params")
 

@@ -16,6 +16,9 @@ Kinds:
 - ``agg``   — grouped additive aggregate view (group_by + sums).
 - ``inverted`` / ``ann`` / ``bm25`` — the maintained search indexes.
 - ``relay`` — a downstream CDC table (table→table subscription).
+- ``window`` — an event-time windowed view (watermark + lateness +
+  triggers): the live tail-loop advances the watermark and fires
+  finalized windows as part of the ingest itself.
 
 Every kind's refresh is fenced + idempotent, so ``sync`` is crash-safe:
 a killed sync reconverges on the next call, and a subscriber can never
@@ -38,7 +41,7 @@ from ..state.fs import StorageAdapter, default_fs
 SUBS_FILE = "_subscriptions.json"
 
 _KINDS = ("agg", "inverted", "ann", "bm25", "relay", "neardup", "edges",
-          "dedup", "training")
+          "dedup", "training", "window")
 
 
 def _subs_path(table_dir: str) -> str:
@@ -106,6 +109,9 @@ def subscribe(
         raise ValueError("edges subscription needs params.gazetteer (token ids)")
     if kind == "ann" and not (params or {}).get("dim"):
         raise ValueError("ann subscription needs params.dim")
+    if kind == "window" and not ((params or {}).get("ts_column")
+                                 and (params or {}).get("width")):
+        raise ValueError("window subscription needs params.ts_column + width")
     target = _norm(target_dir)
     if _norm(table_dir) == target:
         raise ValueError("a table cannot subscribe to itself")
@@ -164,6 +170,25 @@ def _sync_one(table_dir: str, sub: dict, fs: StorageAdapter) -> dict:
                                        mixture=p.get("mixture"), fs=fs)
         return {"target": target, "kind": kind, "epoch": marker["epoch"],
                 "repacked": marker.get("repacked", 0)}
+    if kind == "window":
+        from .window_view import EventWindowView, refresh_windowed
+
+        view = EventWindowView(
+            p["ts_column"], int(p["width"]),
+            sums=dict(p.get("sums", {})),
+            group_by=list(p.get("group_by", [])),
+            lateness=int(p.get("lateness", 0)),
+            slide=int(p["slide"]) if p.get("slide") else None,
+        )
+        m = refresh_windowed(view, target, table_dir,
+                             num_partitions=p.get("num_partitions", 8), fs=fs)
+        return {"target": target, "kind": kind,
+                "epoch": m.epoch if m is not None else None,
+                "mode": m.epoch_counters.get("mode") if m is not None else "current",
+                "watermark_ts": (m.epoch_counters.get("watermark_ts")
+                                 if m is not None else None),
+                "late_rows": m.epoch_counters.get("late_rows", 0) if m else 0,
+                "trigger_rows": m.epoch_counters.get("trigger_rows", 0) if m else 0}
     if kind == "bm25":
         from .search_index import bm25_refresh
 

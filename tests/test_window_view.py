@@ -443,3 +443,28 @@ def test_cli_window_view_and_triggers(tmp_path):
     assert again["mode"] == "current"  # fenced no-op
     trig = run("window-triggers", "--view", vd, "--after-epoch", "0")
     assert trig["rows"] >= 0 and isinstance(trig["windows"], list)
+
+
+def test_window_subscription_followed_by_sync(ray_session, tmp_path):
+    """A 'window' subscription keeps the watermark advancing and triggers
+    firing as part of the table's own sync loop — no separate refresh
+    pipeline to remember."""
+    from gamechanger_data_ray.engine.subscriptions import subscribe, sync
+
+    tb, vd = str(tmp_path / "tb"), str(tmp_path / "wv")
+    _apply(tb, 1, [("I", 1, 0, "a", 3, 100), ("I", 1, 1, "e", 95, 2)])
+    subscribe(tb, "window", vd, params={
+        "ts_column": "event_ts", "width": 10, "lateness": 5,
+        "sums": {"sum_amt": "amount"}, "num_partitions": 4,
+    })
+    r1 = sync(tb)
+    assert r1[0]["kind"] == "window" and r1[0]["mode"] == "bootstrap"
+    assert r1[0]["watermark_ts"] == 90
+    _apply(tb, 2, [("I", 2, 0, "f", 50, 999), ("I", 2, 1, "h", 105, 11)])
+    r2 = sync(tb)
+    assert r2[0]["mode"] == "incremental" and r2[0]["watermark_ts"] == 100
+    assert r2[0]["late_rows"] == 1 and r2[0]["trigger_rows"] >= 1
+    assert _win_map(vd) == {0: (1, 100), 90: (1, 2), 100: (1, 11)}
+    # fenced: a second sync at the same epoch is a no-op
+    r3 = sync(tb)
+    assert r3[0]["mode"] == "current"
