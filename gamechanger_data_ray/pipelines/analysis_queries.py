@@ -69,6 +69,141 @@ FROM documents
 """
 
 
+_GOPHER_REQUIRED = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def docs_quality_gopher(sf_dir: str):
+    """The Gopher quality-rule bundle (Rae et al. 2021, arXiv:2112.11446
+    Appendix A) as one vectorized pass — the standard web-corpus document
+    filter, integer-exact so the oracle hash-matches:
+
+    1. 50 ≤ word count ≤ 100 000
+    2. mean word length in [3, 10]    → 3·n_words ≤ word_chars ≤ 10·n_words
+    3. symbol-to-word ratio ≤ 0.1     → 10·n_symbols ≤ n_words  (# and …)
+    4. bullet-line fraction ≤ 0.9     → 10·n_bullet ≤ 9·n_lines
+    5. ellipsis-line fraction ≤ 0.3   → 10·n_ellipsis ≤ 3·n_lines
+    6. alpha-word fraction ≥ 0.8      → 10·n_alpha ≥ 8·n_words
+    7. ≥ 2 distinct required stop words (the/be/to/of/and/that/have/with)
+
+    Every ratio compares cross-multiplied integers — no float reaches the
+    output. The synthetic corpus has no newlines/bullets/symbols, so a
+    deterministic doc_id-keyed enrichment (reconstructed identically in
+    SQL) plants material for every rule. Shuffle-free: one actor-pool
+    map_batches; a 10^10-doc corpus streams through at read bandwidth."""
+    ds = cm.read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    class GopherScorer:
+        def __init__(self):
+            self.required = set(_GOPHER_REQUIRED)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            did = df["doc_id"].to_numpy(dtype=np.int64)
+            txt = df["text"].reset_index(drop=True)
+            txt = (
+                txt
+                + pd.Series(np.where(did % 3 == 0, " ### words with ... dots", ""))
+                + pd.Series(np.where(did % 7 == 0,
+                                     "\n- bullet item\n- second bullet", ""))
+                + pd.Series(np.where(did % 5 == 0, "\ntrailing thought ...", ""))
+                + pd.Series(np.where(did % 11 == 0, " 101 202 303 404", ""))
+            )
+            n_words = (txt.str.count(" ") + 1).astype("int64")
+            n_word_chars = (txt.str.len() - (n_words - 1)).astype("int64")
+            lines = txt.str.split("\n")
+            n_lines = lines.str.len().astype("int64")
+            lx = lines.explode()
+            n_bullet = (
+                (lx.str.startswith("-") | lx.str.startswith("*"))
+                .groupby(level=0).sum().reindex(txt.index, fill_value=0)
+                .astype("int64")
+            )
+            n_ellipsis = (
+                lx.str.endswith("...").groupby(level=0).sum()
+                .reindex(txt.index, fill_value=0).astype("int64")
+            )
+            wx = txt.str.split(" ").explode()
+            n_alpha = (
+                wx.str.contains("[A-Za-z]", regex=True)
+                .groupby(level=0).sum().reindex(txt.index, fill_value=0)
+                .astype("int64")
+            )
+            n_symbols = (txt.str.count("#") + txt.str.count(r"\.\.\.")).astype("int64")
+            req = wx[wx.isin(self.required)]
+            n_required = (
+                req.groupby(level=0).nunique()
+                .reindex(txt.index, fill_value=0).astype("int64")
+            )
+            keep = (
+                (n_words >= 50) & (n_words <= 100_000)
+                & (3 * n_words <= n_word_chars) & (n_word_chars <= 10 * n_words)
+                & (10 * n_symbols <= n_words)
+                & (10 * n_bullet <= 9 * n_lines)
+                & (10 * n_ellipsis <= 3 * n_lines)
+                & (10 * n_alpha >= 8 * n_words)
+                & (n_required >= 2)
+            )
+            return pd.DataFrame({
+                "doc_id": did, "n_words": n_words.to_numpy(),
+                "n_word_chars": n_word_chars.to_numpy(),
+                "n_lines": n_lines.to_numpy(),
+                "n_bullet_lines": n_bullet.to_numpy(),
+                "n_ellipsis_lines": n_ellipsis.to_numpy(),
+                "n_alpha_words": n_alpha.to_numpy(),
+                "n_symbols": n_symbols.to_numpy(),
+                "n_required_stop": n_required.to_numpy(),
+                "keep": keep.to_numpy().astype(np.int32),
+            })
+
+    out = ds.map_batches(GopherScorer, batch_format="pandas",
+                         concurrency=(1, cm.pool_size())).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+_REQ_SQL = ", ".join(f"'{w}'" for w in _GOPHER_REQUIRED)
+ORACLES["docs_quality_gopher"] = f"""
+WITH corpus AS (
+  SELECT doc_id,
+    text
+    || CASE WHEN doc_id % 3 = 0 THEN ' ### words with ... dots' ELSE '' END
+    || CASE WHEN doc_id % 7 = 0
+            THEN chr(10) || '- bullet item' || chr(10) || '- second bullet'
+            ELSE '' END
+    || CASE WHEN doc_id % 5 = 0 THEN chr(10) || 'trailing thought ...' ELSE '' END
+    || CASE WHEN doc_id % 11 = 0 THEN ' 101 202 303 404' ELSE '' END AS txt
+  FROM documents
+), w AS (
+  SELECT doc_id, txt, string_split(txt, ' ') AS words,
+         string_split(txt, chr(10)) AS lines
+  FROM corpus
+), m AS (
+  SELECT doc_id,
+    CAST(len(words) AS BIGINT) AS n_words,
+    CAST(length(txt) - (len(words) - 1) AS BIGINT) AS n_word_chars,
+    CAST(len(lines) AS BIGINT) AS n_lines,
+    CAST(len(list_filter(lines, x -> x LIKE '-%' OR x LIKE '*%')) AS BIGINT)
+      AS n_bullet_lines,
+    CAST(len(list_filter(lines, x -> x LIKE '%...')) AS BIGINT)
+      AS n_ellipsis_lines,
+    CAST(len(list_filter(words, x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT)
+      AS n_alpha_words,
+    CAST((length(txt) - length(replace(txt, '#', '')))
+       + (length(txt) - length(replace(txt, '...', ''))) / 3 AS BIGINT)
+      AS n_symbols,
+    CAST(len(list_distinct(list_filter(words, x -> x IN ({_REQ_SQL}))))
+      AS BIGINT) AS n_required_stop
+  FROM w
+)
+SELECT *, CAST(CASE WHEN n_words >= 50 AND n_words <= 100000
+  AND 3 * n_words <= n_word_chars AND n_word_chars <= 10 * n_words
+  AND 10 * n_symbols <= n_words
+  AND 10 * n_bullet_lines <= 9 * n_lines
+  AND 10 * n_ellipsis_lines <= 3 * n_lines
+  AND 10 * n_alpha_words >= 8 * n_words
+  AND n_required_stop >= 2 THEN 1 ELSE 0 END AS INTEGER) AS keep
+FROM m
+"""
+
+
 def text_metrics(sf_dir: str):
     """Token counting + quality scoring fused in one actor-pool pass
     (M11 + quality analysis): the two stages chain inside one pipeline —
