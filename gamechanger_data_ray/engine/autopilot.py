@@ -149,6 +149,21 @@ def plan(
                 "reason": f"{len(stale_subs)} subscriber(s) trail epoch "
                           f"{current.epoch}",
             })
+        # windowed views strand late/trigger files when their own
+        # manifests get vacuumed — plan the sweep per affected view
+        from .window_view import orphaned_window_outputs
+
+        for sub in subs.list_subscriptions(table_dir, fs):
+            if sub["kind"] != "window":
+                continue
+            n = orphaned_window_outputs(sub["target_dir"])
+            if n:
+                actions.append({
+                    "op": "expire-window-outputs",
+                    "view_dir": sub["target_dir"],
+                    "reason": f"{n} late/trigger file(s) reference vacuumed "
+                              f"view manifests",
+                })
 
     from .ingest_gate import list_quarantine_epochs, quarantine_policy
 
@@ -210,6 +225,11 @@ def apply(
             out = expire_quarantine(table_dir, a["keep_epochs"])
             report.append({"op": op, "removed": len(out["removed"]),
                            "kept": out["kept"]})
+        elif op == "expire-window-outputs":
+            from .window_view import expire_window_outputs
+
+            out = expire_window_outputs(a["view_dir"], fs)
+            report.append({"op": op, "view_dir": a["view_dir"], **out})
         elif op == "vacuum":
             out = maintenance.vacuum(table_dir, keep_epochs=a["keep_epochs"])
             report.append({"op": op, **out})

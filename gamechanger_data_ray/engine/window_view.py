@@ -426,3 +426,71 @@ def triggers_since(
     if not pieces:
         return None
     return pa.concat_tables(pieces, promote_options="default")
+
+
+def expire_window_outputs(
+    view_dir: str, fs: StorageAdapter | None = None
+) -> dict:
+    """Delete late/trigger output files whose epoch no longer has a
+    retained manifest (a ``vacuum`` of the view dir dropped it): such
+    files are unreachable from :func:`late_rows` / :func:`triggers_since`
+    and would otherwise accumulate forever. Run after vacuum — the
+    retention window is whatever vacuum kept, so tags pin trigger/late
+    history exactly like they pin data files. Returns
+    ``{late_files_removed, trigger_files_removed, bytes_freed}``."""
+    import re
+    import shutil
+
+    from .maintenance import list_manifests
+
+    fs = default_fs(fs)
+    retained = set(list_manifests(view_dir))
+    freed = late_removed = trig_removed = 0
+    late_root = os.path.join(view_dir, "late")
+    if os.path.isdir(late_root):
+        for name in sorted(os.listdir(late_root)):
+            m = re.fullmatch(r"e(\d{6})", name)
+            if m and int(m.group(1)) not in retained:
+                d = os.path.join(late_root, name)
+                for f in os.listdir(d):
+                    freed += os.path.getsize(os.path.join(d, f))
+                    late_removed += 1
+                shutil.rmtree(d)
+    trig_root = os.path.join(view_dir, "triggers")
+    if os.path.isdir(trig_root):
+        for name in sorted(os.listdir(trig_root)):
+            m = re.fullmatch(r"e(\d{6})\.parquet", name)
+            if m and int(m.group(1)) not in retained:
+                p = os.path.join(trig_root, name)
+                freed += os.path.getsize(p)
+                os.remove(p)
+                trig_removed += 1
+    return {"late_files_removed": late_removed,
+            "trigger_files_removed": trig_removed, "bytes_freed": freed}
+
+
+def orphaned_window_outputs(view_dir: str) -> int:
+    """Count of late/trigger files no retained manifest references —
+    the autopilot's signal to plan an ``expire-window-outputs``."""
+    import re
+
+    from .maintenance import list_manifests
+
+    try:
+        retained = set(list_manifests(view_dir))
+    except FileNotFoundError:
+        return 0
+    n = 0
+    late_root = os.path.join(view_dir, "late")
+    if os.path.isdir(late_root):
+        for name in os.listdir(late_root):
+            m = re.fullmatch(r"e(\d{6})", name)
+            if m and int(m.group(1)) not in retained:
+                n += len(os.listdir(os.path.join(late_root, name)))
+    trig_root = os.path.join(view_dir, "triggers")
+    if os.path.isdir(trig_root):
+        for name in os.listdir(trig_root):
+            m = re.fullmatch(r"e(\d{6})\.parquet", name)
+            if m and int(m.group(1)) not in retained:
+                n += 1
+    return n

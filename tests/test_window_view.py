@@ -468,3 +468,48 @@ def test_window_subscription_followed_by_sync(ray_session, tmp_path):
     # fenced: a second sync at the same epoch is a no-op
     r3 = sync(tb)
     assert r3[0]["mode"] == "current"
+
+
+def test_window_output_retention_after_vacuum(ray_session, tmp_path):
+    """vacuum of a windowed view dir drops old manifests; the stranded
+    late/trigger files are invisible to late_rows/triggers_since and
+    expire_window_outputs sweeps them; autopilot plans the sweep for
+    window subscribers."""
+    from gamechanger_data_ray.engine import autopilot
+    from gamechanger_data_ray.engine.maintenance import vacuum
+    from gamechanger_data_ray.engine.subscriptions import subscribe, sync
+    from gamechanger_data_ray.engine.window_view import (
+        expire_window_outputs,
+        orphaned_window_outputs,
+    )
+
+    tb, vd = str(tmp_path / "tb"), str(tmp_path / "wv")
+    _apply(tb, 1, [("I", 1, 0, "a", 95, 2)])
+    subscribe(tb, "window", vd, params={
+        "ts_column": "event_ts", "width": 10, "lateness": 5,
+        "sums": {"sum_amt": "amount"}, "num_partitions": 4,
+    })
+    sync(tb)
+    for e in (2, 3, 4):
+        # each epoch: one late row (ts 40) + one on-time advancing the max
+        _apply(tb, e, [("I", e, 0, f"l{e}", 40, 1),
+                       ("I", e, 1, f"o{e}", 95 + e * 10, 1)])
+        sync(tb)
+    lr = late_rows(vd)
+    assert lr.num_rows == 3
+    assert orphaned_window_outputs(vd) == 0
+
+    vacuum(vd, keep_epochs=1)  # view manifests beyond the window drop
+    n_orphans = orphaned_window_outputs(vd)
+    assert n_orphans > 0
+    plan = autopilot.plan(tb)
+    ops = [a["op"] for a in plan]
+    assert "expire-window-outputs" in ops
+    report = autopilot.apply(tb, [a for a in plan
+                                  if a["op"] == "expire-window-outputs"])
+    assert (report[0]["late_files_removed"]
+            + report[0]["trigger_files_removed"]) == n_orphans
+    assert orphaned_window_outputs(vd) == 0
+    # reachable outputs survive and the view still reads
+    assert late_rows(vd) is None or late_rows(vd).num_rows <= 3
+    assert len(_win_map(vd)) > 0
