@@ -513,3 +513,53 @@ def test_window_output_retention_after_vacuum(ray_session, tmp_path):
     # reachable outputs survive and the view still reads
     assert late_rows(vd) is None or late_rows(vd).num_rows <= 3
     assert len(_win_map(vd)) > 0
+
+
+def test_windowed_view_with_group_dimension(ray_session, tmp_path):
+    """width + extra group_by dimension: aggregates keyed (window, source);
+    triggers carry the dimension; a late row for one (window, source) cell
+    diverts while the same window's other cells stay live."""
+    tb, vd = str(tmp_path / "tb"), str(tmp_path / "wv")
+
+    def ev(rows):
+        op, lsn, seq, doc, ts, amt, src = zip(*rows)
+        return pa.table({
+            "op": pa.array(op, pa.string()),
+            "lsn": pa.array(lsn, pa.int64()),
+            "seq": pa.array(seq, pa.int64()),
+            "doc_id": pa.array(doc, pa.string()),
+            "event_ts": pa.array(ts, pa.int64()),
+            "amount": pa.array(amt, pa.int64()),
+            "source": pa.array(src, pa.string()),
+        })
+
+    view = TumblingWindowView("event_ts", width=10, lateness=5,
+                              sums={"sum_amt": "amount"},
+                              group_by=("source",))
+    e1 = ev([("I", 1, 0, "a", 12, 5, "x"), ("I", 1, 1, "b", 17, 3, "y"),
+             ("I", 1, 2, "c", 95, 1, "x")])
+    apply_events_dataset(ray.data.from_arrow(e1), tb, 1, e1.schema,
+                         num_partitions=4)
+    refresh_windowed(view, vd, tb, num_partitions=4)  # wm 90
+    t = read_windowed(vd)
+    cells = {(int(w), s): (int(n), int(a)) for w, s, n, a in zip(
+        t["window_start"].to_pylist(), t["source"].to_pylist(),
+        t["n_rows"].to_pylist(), t["sum_amt"].to_pylist())}
+    assert cells == {(10, "x"): (1, 5), (10, "y"): (1, 3), (90, "x"): (1, 1)}
+    # late row into the finalized (10, *) window; on-time row for (90, y)
+    e2 = ev([("I", 2, 0, "d", 14, 99, "y"), ("I", 2, 1, "e", 96, 2, "y")])
+    apply_events_dataset(ray.data.from_arrow(e2), tb, 2, e2.schema,
+                         num_partitions=4)
+    m2 = refresh_windowed(view, vd, tb)
+    assert m2.epoch_counters["late_rows"] == 1
+    t = read_windowed(vd)
+    cells = {(int(w), s): (int(n), int(a)) for w, s, n, a in zip(
+        t["window_start"].to_pylist(), t["source"].to_pylist(),
+        t["n_rows"].to_pylist(), t["sum_amt"].to_pylist())}
+    assert cells[(10, "y")] == (1, 3)       # late 99 never landed
+    assert cells[(90, "y")] == (1, 2)
+    lr = late_rows(vd)
+    assert lr["source"].to_pylist() == ["y"] and lr["amount"].to_pylist() == [99]
+    # bootstrap trigger carried the dimension column
+    trig = triggers_since(vd, 0)
+    assert set(trig.schema.names) >= {"window_start", "source", "n_rows", "sum_amt"}
