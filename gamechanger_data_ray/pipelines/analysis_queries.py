@@ -159,6 +159,106 @@ def docs_quality_gopher(sf_dir: str):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def docs_c4_clean(sf_dir: str):
+    """The C4 line-level cleaner (Raffel et al. 2020, arXiv:1910.10683
+    §2.2) — the REWRITE companion to :func:`docs_quality_gopher`'s
+    doc-level rules: keep only lines that end in terminal punctuation
+    (``. ! ? \"``), have ≥ 3 words, and don't mention javascript; drop
+    whole pages containing ``lorem ipsum`` or a curly brace. Output is
+    the cleaned document as a byte-exact face (md5 of the kept lines
+    re-joined) plus the integer rule counters — a lost or extra byte
+    anywhere in the rewrite is a hash mismatch.
+
+    A deterministic doc_id-keyed enrichment (reconstructed identically
+    in SQL) plants one line per rule; the base synthetic text has no
+    terminal punctuation, so the line filter provably drops it.
+    Shuffle-free one-pass; the md5 loop is per row but C-speed (the
+    house hash-face pattern, see docs_html_text)."""
+    import hashlib as _hl
+
+    ds = cm.read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    class C4Cleaner:
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            did = df["doc_id"].to_numpy(dtype=np.int64)
+            txt = df["text"].reset_index(drop=True)
+            txt = (
+                txt
+                + pd.Series(np.where(did % 4 == 0,
+                                     "\nThis line ends properly.", ""))
+                + pd.Series(np.where(did % 8 == 0, "\nToo short.", ""))
+                + pd.Series(np.where(did % 6 == 0,
+                                     "\nenable javascript to view this page.", ""))
+                + pd.Series(np.where(did % 9 == 0,
+                                     "\nlorem ipsum dolor sit amet.", ""))
+                + pd.Series(np.where(did % 10 == 0,
+                                     "\nfunction() { return 1; }", ""))
+            )
+            lines = txt.str.split("\n")
+            n_lines = lines.str.len().astype("int64")
+            lx = lines.explode()
+            ok = (
+                ((lx.str.count(" ") + 1) >= 3)
+                & (lx.str.endswith(".") | lx.str.endswith("!")
+                   | lx.str.endswith("?") | lx.str.endswith('"'))
+                & ~lx.str.lower().str.contains("javascript", regex=False)
+            )
+            kept = lx[ok]
+            n_kept = (ok.groupby(level=0).sum()
+                      .reindex(txt.index, fill_value=0).astype("int64"))
+            joined = (kept.groupby(level=0).agg("\n".join)
+                      .reindex(txt.index, fill_value=""))
+            page_ok = (
+                (n_kept >= 1)
+                & ~txt.str.lower().str.contains("lorem ipsum", regex=False)
+                & ~txt.str.contains("{", regex=False)
+            )
+            return pd.DataFrame({
+                "doc_id": did,
+                "n_lines": n_lines.to_numpy(),
+                "n_kept": n_kept.to_numpy(),
+                "clean_md5": [_hl.md5(s.encode("utf-8")).hexdigest()
+                              for s in joined],
+                "keep": page_ok.to_numpy().astype(np.int32),
+            })
+
+    out = ds.map_batches(C4Cleaner, batch_format="pandas",
+                         concurrency=(1, cm.pool_size())).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+ORACLES["docs_c4_clean"] = """
+WITH corpus AS (
+  SELECT doc_id,
+    text
+    || CASE WHEN doc_id % 4 = 0 THEN chr(10) || 'This line ends properly.' ELSE '' END
+    || CASE WHEN doc_id % 8 = 0 THEN chr(10) || 'Too short.' ELSE '' END
+    || CASE WHEN doc_id % 6 = 0
+            THEN chr(10) || 'enable javascript to view this page.' ELSE '' END
+    || CASE WHEN doc_id % 9 = 0
+            THEN chr(10) || 'lorem ipsum dolor sit amet.' ELSE '' END
+    || CASE WHEN doc_id % 10 = 0
+            THEN chr(10) || 'function() { return 1; }' ELSE '' END AS txt
+  FROM documents
+), w AS (
+  SELECT doc_id, txt, string_split(txt, chr(10)) AS lines,
+         list_filter(string_split(txt, chr(10)), x ->
+           len(string_split(x, ' ')) >= 3
+           AND (x LIKE '%.' OR x LIKE '%!' OR x LIKE '%?' OR x LIKE '%"')
+           AND NOT contains(lower(x), 'javascript')) AS kept
+  FROM corpus
+)
+SELECT doc_id,
+  CAST(len(lines) AS BIGINT) AS n_lines,
+  CAST(len(kept) AS BIGINT) AS n_kept,
+  md5(COALESCE(array_to_string(kept, chr(10)), '')) AS clean_md5,
+  CAST(CASE WHEN len(kept) >= 1
+            AND NOT contains(lower(txt), 'lorem ipsum')
+            AND NOT contains(txt, '{') THEN 1 ELSE 0 END AS INTEGER) AS keep
+FROM w
+"""
+
+
 _REQ_SQL = ", ".join(f"'{w}'" for w in _GOPHER_REQUIRED)
 ORACLES["docs_quality_gopher"] = f"""
 WITH corpus AS (
