@@ -94,6 +94,16 @@ class EventWindowView:
         self.extra = tuple(group_by)
         sums = dict(sums or {})
         self._sums = sums
+        # the assigned-window column REPLACES a source column of the same
+        # name (that's how a coarse view windows over a finer view's
+        # fired window_start) — so that name can't double as a dimension
+        # or a summed source, where replacement would clobber the values
+        if WINDOW_COLUMN in self.extra or WINDOW_COLUMN in sums.values():
+            raise ValueError(
+                f"{WINDOW_COLUMN!r} is the assigned-window output column; "
+                f"it may serve as ts_column but not as a group dimension "
+                f"or sum source"
+            )
         src = list(dict.fromkeys([ts_column, *self.extra, *sums.values()]))
         keep = [WINDOW_COLUMN, *self.extra, *sums.values(), SIGN_COLUMN]
         keep = list(dict.fromkeys(keep))
@@ -126,14 +136,22 @@ class EventWindowView:
         import numpy as np
 
         if batch.num_rows == 0:
+            if WINDOW_COLUMN in batch.schema.names:
+                return batch
             return batch.append_column(WINDOW_COLUMN, pa.array([], pa.int64()))
         ts = pc.cast(batch[self.ts_column], pa.int64()).to_numpy(
             zero_copy_only=False
         )
+        def put(b: pa.Table, arr: pa.Array) -> pa.Table:
+            if WINDOW_COLUMN in b.schema.names:  # replace (ts IS window_start)
+                i = b.schema.get_field_index(WINDOW_COLUMN)
+                return b.set_column(i, WINDOW_COLUMN, arr)
+            return b.append_column(WINDOW_COLUMN, arr)
+
         w, s = self.width, self.slide
         if s == w:
             ws = (ts // w) * w  # numpy floor division: exact for negatives
-            return batch.append_column(WINDOW_COLUMN, pa.array(ws, pa.int64()))
+            return put(batch, pa.array(ws, pa.int64()))
         first = ((ts - w) // s + 1) * s  # smallest start with ts < start+w
         last = (ts // s) * s             # largest start ≤ ts
         counts = (last - first) // s + 1
@@ -144,7 +162,7 @@ class EventWindowView:
         ramp = np.arange(int(counts.sum())) - np.repeat(offsets, counts)
         ws = first[idx] + ramp * s
         out = batch.take(pa.array(idx))
-        return out.append_column(WINDOW_COLUMN, pa.array(ws, pa.int64()))
+        return put(out, pa.array(ws, pa.int64()))
 
 
 # the tumbling case reads better under its own name at call sites
@@ -494,3 +512,124 @@ def orphaned_window_outputs(view_dir: str) -> int:
             if m and int(m.group(1)) not in retained:
                 n += 1
     return n
+
+
+def relay_triggers(
+    view_dir: str,
+    dst_table: str,
+    num_partitions: int = 8,
+    fs: StorageAdapter | None = None,
+) -> dict:
+    """Feed a windowed view's finalized-window emissions into a
+    downstream CDC table, exactly-once — streaming DAG glue: a
+    fine-grained windowed view triggers into a table that can itself
+    carry subscriptions (coarser windowed views, relays, indexes), so
+    cascading rollups (minute → hour → day) compose out of the same two
+    primitives.
+
+    Each trigger epoch applies as pure inserts at the SOURCE epoch
+    number (windows fire exactly once, so there are no conflicts), keyed
+    ``doc_id = window_start|dim1|...`` — the destination's committed
+    epoch is the consumption watermark, so a crashed relay resumes from
+    the last commit and a rerun is a fenced no-op. Retention contract
+    (same as :func:`~gamechanger_data_ray.engine.diff.relay`): the view
+    must still retain the destination's committed epoch, else this
+    raises with the remedy instead of silently skipping fired windows."""
+    import numpy as np
+
+    from .cdc import apply_events_dataset
+
+    fs = default_fs(fs)
+    cur = mf.load_current(view_dir, fs)
+    if cur is None:
+        raise FileNotFoundError(f"trigger source has no committed state: {view_dir}")
+    dst_cur = mf.load_current(dst_table, fs)
+    dst_epoch = dst_cur.epoch if dst_cur is not None else None
+    result = {"src_epoch": cur.epoch, "dst_epoch_before": dst_epoch,
+              "applied_epochs": 0, "applied_rows": 0, "mode": "noop"}
+    if dst_epoch is not None and dst_epoch >= cur.epoch:
+        result["dst_epoch_after"] = dst_epoch
+        return result
+
+    history = list(_history(view_dir))
+    retained = {m.epoch for m in history}
+    if dst_epoch is not None and dst_epoch not in retained:
+        raise FileNotFoundError(
+            f"trigger-relay gap: view no longer retains epoch {dst_epoch} "
+            f"(the destination's watermark); raise the view's vacuum "
+            f"keep_epochs above the relay lag, or relay into a fresh "
+            f"table for a bootstrap"
+        )
+
+    group_cols = None
+    for m in history:
+        if dst_epoch is not None and m.epoch <= dst_epoch:
+            continue
+        rel = m.epoch_counters.get("trigger_file")
+        if not rel:
+            continue
+        t = fs.read_parquet(os.path.join(view_dir, rel))
+        if group_cols is None:
+            group_cols = [c for c in m.epoch_counters.get("group_by", [])]
+        if t.num_rows:
+            key = pc.cast(t[WINDOW_COLUMN], pa.string())
+            for c in group_cols:
+                if c != WINDOW_COLUMN:
+                    key = pc.binary_join_element_wise(
+                        key, pc.cast(t[c], pa.string()), "|"
+                    )
+            n = t.num_rows
+            ev = t.append_column("doc_id", key)
+            ev = ev.append_column("op", pa.array(["I"] * n, pa.string()))
+            ev = ev.append_column(
+                "lsn", pa.array(np.full(n, m.epoch, dtype=np.int64)))
+            ev = ev.append_column(
+                "seq", pa.array(np.arange(n, dtype=np.int64)))
+            apply_events_dataset(
+                ray.data.from_arrow(ev), dst_table, m.epoch, ev.schema,
+                num_partitions=(dst_cur.num_partitions if dst_cur is not None
+                                else num_partitions),
+            )
+            result["applied_rows"] += n
+        else:
+            # an empty trigger epoch still advances the watermark
+            apply_events_dataset(
+                ray.data.from_arrow(
+                    pa.table({
+                        "op": pa.array([], pa.string()),
+                        "lsn": pa.array([], pa.int64()),
+                        "seq": pa.array([], pa.int64()),
+                        "doc_id": pa.array([], pa.string()),
+                    })
+                ),
+                dst_table, m.epoch,
+                pa.schema([("op", pa.string()), ("lsn", pa.int64()),
+                           ("seq", pa.int64()), ("doc_id", pa.string())]),
+                num_partitions=(dst_cur.num_partitions if dst_cur is not None
+                                else num_partitions),
+            )
+        dst_cur = mf.load_current(dst_table, fs)
+        result["applied_epochs"] += 1
+    # epochs with no trigger file still advance the destination's
+    # watermark (one empty fenced commit at the head), keeping the two
+    # epoch ladders aligned so the retention check stays tight
+    dst_cur = mf.load_current(dst_table, fs)
+    if dst_cur is not None and dst_cur.epoch < cur.epoch:
+        apply_events_dataset(
+            ray.data.from_arrow(
+                pa.table({
+                    "op": pa.array([], pa.string()),
+                    "lsn": pa.array([], pa.int64()),
+                    "seq": pa.array([], pa.int64()),
+                    "doc_id": pa.array([], pa.string()),
+                })
+            ),
+            dst_table, cur.epoch,
+            pa.schema([("op", pa.string()), ("lsn", pa.int64()),
+                       ("seq", pa.int64()), ("doc_id", pa.string())]),
+            num_partitions=dst_cur.num_partitions or num_partitions,
+        )
+    dst_cur = mf.load_current(dst_table, fs)
+    result["dst_epoch_after"] = dst_cur.epoch if dst_cur else dst_epoch
+    result["mode"] = "relay" if result["applied_epochs"] else "noop"
+    return result

@@ -563,3 +563,67 @@ def test_windowed_view_with_group_dimension(ray_session, tmp_path):
     # bootstrap trigger carried the dimension column
     trig = triggers_since(vd, 0)
     assert set(trig.schema.names) >= {"window_start", "source", "n_rows", "sum_amt"}
+
+
+def test_trigger_relay_cascading_rollup(ray_session, tmp_path):
+    """Streaming DAG: fine windows (width 10) trigger into a CDC table;
+    a COARSE windowed view (width 100 over the fired window_start) on
+    that table rolls the finalized minutes into hours — cascading
+    rollups out of the two primitives, exactly-once at each hop."""
+    from gamechanger_data_ray.engine.cdc import table_to_arrow
+    from gamechanger_data_ray.engine.window_view import relay_triggers
+
+    tb = str(tmp_path / "tb")
+    vd, mid, vd2 = (str(tmp_path / p) for p in ("wv", "mid", "wv2"))
+    fine = TumblingWindowView("event_ts", width=10, lateness=0,
+                              sums={"sum_amt": "amount"})
+    coarse = TumblingWindowView("window_start", width=100, lateness=0,
+                                sums={"amt": "sum_amt"})
+
+    _apply(tb, 1, [("I", 1, 0, "a", 5, 1), ("I", 1, 1, "b", 15, 2),
+                   ("I", 1, 2, "c", 115, 4), ("I", 1, 3, "d", 250, 8)])
+    refresh_windowed(fine, vd, tb, num_partitions=4)  # wm 250: ws 0,10,110 fire
+    r1 = relay_triggers(vd, mid, num_partitions=4)
+    assert r1["mode"] == "relay" and r1["applied_rows"] == 3
+    got = table_to_arrow(mid)
+    assert sorted(got["window_start"].to_pylist()) == [0, 10, 110]
+    refresh_windowed(coarse, vd2, mid, num_partitions=4)
+    cells = _coarse_cells(vd2)
+    # fired minutes 0,10 → hour 0 (1+2); minute 110 → hour 100 (4);
+    # minute 240 has NOT fired (wm 250 = its end? end 250 ≤ 250 fires too!)
+    assert cells[0] == 3 and cells[100] == 4
+
+    # fenced rerun: no double-apply anywhere
+    r2 = relay_triggers(vd, mid)
+    assert r2["mode"] == "noop"
+    _apply(tb, 2, [("I", 2, 0, "e", 400, 16)])  # wm 400: ws 240+250 fire
+    refresh_windowed(fine, vd, tb)
+    r3 = relay_triggers(vd, mid)
+    assert r3["mode"] == "relay"
+    refresh_windowed(coarse, vd2, mid)
+    cells = _coarse_cells(vd2)
+    assert cells[200] == 8  # minute 250 landed in hour 200
+
+
+def _coarse_cells(vd2: str) -> dict[int, int]:
+    t = read_windowed(vd2)
+    return {int(w): int(a) for w, a in zip(
+        t["window_start"].to_pylist(), t["amt"].to_pylist())}
+
+
+def test_trigger_relay_gap_raises_with_remedy(ray_session, tmp_path):
+    from gamechanger_data_ray.engine.maintenance import vacuum
+    from gamechanger_data_ray.engine.window_view import relay_triggers
+
+    tb, vd, mid = (str(tmp_path / p) for p in ("tb", "wv", "mid"))
+    view = TumblingWindowView("event_ts", width=10, lateness=0,
+                              sums={"sum_amt": "amount"})
+    _apply(tb, 1, [("I", 1, 0, "a", 5, 1), ("I", 1, 1, "z", 95, 1)])
+    refresh_windowed(view, vd, tb, num_partitions=4)
+    relay_triggers(vd, mid, num_partitions=4)  # dst at epoch 1
+    for e in (2, 3, 4, 5):
+        _apply(tb, e, [("I", e, 0, f"d{e}", 90 + e * 10, 1)])
+        refresh_windowed(view, vd, tb)
+    vacuum(vd, keep_epochs=1)  # view drops epoch-1 manifest (dst watermark)
+    with pytest.raises(FileNotFoundError, match="relay lag"):
+        relay_triggers(vd, mid)
