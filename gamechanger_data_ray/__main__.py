@@ -417,6 +417,12 @@ def main(argv: list[str] | None = None) -> int:
     wt.add_argument("--view", required=True)
     wt.add_argument("--after-epoch", type=int, default=0)
 
+    wr = sub.add_parser("window-relay", help="feed finalized windows into a "
+                        "downstream CDC table exactly-once (cascading rollups)")
+    wr.add_argument("--view", required=True)
+    wr.add_argument("--table", required=True, help="destination CDC table")
+    wr.add_argument("--partitions", type=int, default=8)
+
     ai = sub.add_parser("ann-view", help="build/refresh the incrementally-"
                                          "maintained ANN index (LSH-bucket postings view)")
     ai.add_argument("--table", required=True)
@@ -1155,6 +1161,12 @@ def main(argv: list[str] | None = None) -> int:
                 {"rows": 0 if t is None else t.num_rows,
                  "windows": [] if t is None
                  else sorted(set(t["window_start"].to_pylist()))}))
+        elif args.cmd == "window-relay":
+            from gamechanger_data_ray.engine.window_view import relay_triggers
+
+            out = relay_triggers(args.view, args.table,
+                                 num_partitions=args.partitions)
+            print(json.dumps(out))
         elif args.cmd == "ann-view":
             from gamechanger_data_ray.engine.ann_index import ann_index_view
             from gamechanger_data_ray.engine.views import refresh
