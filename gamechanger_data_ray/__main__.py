@@ -161,6 +161,16 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--epoch", type=int, required=True)
     s.add_argument("--partitions", type=int, default=32)
 
+    dw = sub.add_parser("delete-where", help="CDC-native bulk predicate delete: "
+                        "matching rows become D events in one fenced epoch "
+                        "(zone-map pruned scan; subscribers retract)")
+    dw.add_argument("--table", required=True)
+    dw.add_argument("--bounds", action="append", default=[], metavar="COL:LO:HI",
+                    help="closed interval on a payload column; repeatable "
+                         "(ANDed); empty side = unbounded")
+    dw.add_argument("--key-column", default="doc_id")
+    dw.add_argument("--partitions", type=int, default=None)
+
     st = sub.add_parser("status", help="print the committed manifest summary")
     st.add_argument("--table", required=True)
     st.add_argument("--partitions", action="store_true",
@@ -729,6 +739,32 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps({"committed": m is not None,
                           "epoch": m.epoch if m else None,
                           "rev": m.rev if m else None}))
+        return 0
+
+    if args.cmd == "delete-where":
+        from gamechanger_data_ray.engine.maintenance import delete_where
+
+        def side_dw(v):
+            if v == "":
+                return None
+            for cast in (int, float):
+                try:
+                    return cast(v)
+                except ValueError:
+                    continue
+            return v
+
+        bounds_dw = {}
+        for spec in args.bounds:
+            parts_ = spec.split(":", 2)
+            if len(parts_) != 3:
+                p.error(f"--bounds expects COL:LO:HI (empty side = "
+                        f"unbounded), got {spec!r}")
+            col, lo, hi = parts_
+            bounds_dw[col] = (side_dw(lo), side_dw(hi))
+        print(json.dumps(delete_where(
+            args.table, bounds=bounds_dw or None,
+            key_column=args.key_column, num_partitions=args.partitions)))
         return 0
 
     if args.cmd == "drop-column":

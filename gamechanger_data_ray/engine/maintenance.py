@@ -1347,3 +1347,94 @@ def backfill(
     sync(table_dir, fs)
     docs = int(m.epoch_counters.get("events_in", 0)) if m is not None else 0
     return {"epoch": epoch, "lsn": new_lsn, "docs": docs}
+
+
+def delete_where(
+    table_dir: str,
+    *,
+    bounds: dict | None = None,
+    predicate=None,
+    key_column: str = "doc_id",
+    num_partitions: int | None = None,
+    fs=None,
+) -> dict:
+    """CDC-native bulk predicate delete — row TTL / compliance purges /
+    expired-source removal as ONE new change epoch of D events, never an
+    in-place rewrite (which would silently desync every derived index;
+    the reference's delete path is per-id only,
+    ``gc_ingest/tools/load/utils.py`` remove-by-filename).
+
+    ``bounds`` (``{col: (lo, hi)}``, closed, either side None) rides the
+    committed zone maps: partitions that provably contain no matching
+    row are never opened, and the parquet scan row-group-prunes inside
+    the rest — so a TTL sweep of a mostly-young table reads only the old
+    tail. ``predicate`` (a ``pyarrow.dataset`` expression) composes for
+    conditions zone maps can't express.
+
+    Only the KEY column of matching rows flows to the exchange (skinny
+    events); they apply at ``lsn = watermark + 1`` through the standard
+    fenced commit and subscribers sync — every maintained view/index
+    retracts the deleted rows exactly as if the upstream had revoked
+    them. A rerun finds no matching rows (they're gone) and commits
+    nothing: idempotent end to end."""
+    import numpy as np
+    import pyarrow as pa
+
+    from ..state.fs import default_fs
+    from .cdc import apply_events_dataset, read_table
+    from .subscriptions import sync
+
+    if bounds is None and predicate is None:
+        raise ValueError("refusing a full-table delete: pass bounds and/or "
+                         "predicate (to truncate, remove the table dir)")
+    fs = default_fs(fs)
+    cur = mf.load_current(table_dir, fs)
+    if cur is None or not cur.partitions:
+        return {"epoch": None, "deletes": 0, "mode": "noop"}
+    new_lsn = 1 + max(
+        int(e.get("watermark_lsn", 0)) for e in cur.partitions.values()
+    )
+    epoch = cur.epoch + 1
+
+    def to_deletes(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table({
+            "op": pa.array(["D"] * n, pa.string()),
+            "lsn": pa.array(np.full(n, new_lsn, dtype=np.int64)),
+            "seq": pa.array(np.zeros(n, dtype=np.int64)),
+            key_column: t[key_column],
+        })
+
+    from .cdc import _stats_overlap
+
+    skipped = 0
+    if bounds:
+        skipped = sum(1 for e in cur.partitions.values()
+                      if not _stats_overlap(e.get("col_stats"), bounds))
+    matches = read_table(
+        table_dir, columns=[key_column], bounds=bounds, predicate=predicate,
+        fs=fs,
+    )
+    events = matches.map_batches(to_deletes, batch_format="pyarrow")
+    # a predicate matching nothing must NOT burn an epoch (idempotence:
+    # the second run of the same delete is a clean no-op, not an empty
+    # commit) — counting the skinny key column is one pruned scan
+    n_match = matches.count()
+    if n_match == 0:
+        return {"epoch": None, "deletes": 0, "mode": "noop",
+                "partitions_skipped": skipped}
+    incoming = pa.schema(
+        [pa.field("op", pa.string()), pa.field("lsn", pa.int64()),
+         pa.field("seq", pa.int64()),
+         pa.field(key_column, cur.schema.field(key_column).type)]
+    )
+    m = apply_events_dataset(
+        events, table_dir, epoch, incoming,
+        num_partitions=num_partitions or (cur.num_partitions
+                                          or len(cur.partitions)),
+        fs=fs,
+    )
+    sync(table_dir, fs)
+    return {"epoch": epoch, "lsn": new_lsn,
+            "deletes": int(m.epoch_counters.get("deletes", 0)) if m else 0,
+            "mode": "delete", "partitions_skipped": skipped}
