@@ -553,6 +553,16 @@ def main(argv: list[str] | None = None) -> int:
     rm.add_argument("--shingle", type=int, default=5)
     rm.add_argument("--partitions", type=int, default=32)
 
+    tp = sub.add_parser("ttl-policy",
+                        help="record (or clear with --keep 0) a standing "
+                             "row TTL: rows whose COLUMN falls KEEP or "
+                             "more units behind the committed max expire; "
+                             "autopilot plans the delete-where sweep from "
+                             "zone maps alone")
+    tp.add_argument("--table", required=True)
+    tp.add_argument("--column", required=True)
+    tp.add_argument("--keep", type=int, required=True)
+
     qp = sub.add_parser("quarantine-policy",
                         help="record (or clear with 0) the standing "
                              "quarantine retention: keep the newest N "
@@ -1313,6 +1323,11 @@ def main(argv: list[str] | None = None) -> int:
                 mode=gate_modes, k=args.shingle,
             )
             print(json.dumps(out))
+        elif args.cmd == "ttl-policy":
+            from gamechanger_data_ray.engine.maintenance import set_ttl_policy
+
+            print(json.dumps(set_ttl_policy(args.table, args.column,
+                                            args.keep)))
         elif args.cmd == "quarantine-policy":
             from gamechanger_data_ray.engine.ingest_gate import (
                 set_quarantine_policy,

@@ -165,6 +165,17 @@ def plan(
                               f"view manifests",
                 })
 
+    ttl = maintenance.ttl_cutoff(table_dir, current)
+    if ttl is not None and ttl[1] > 0:
+        pol = maintenance.ttl_policy(table_dir)
+        actions.append({
+            "op": "delete-where",
+            "bounds": {pol["column"]: [None, ttl[0]]},
+            "reason": f"row TTL: {ttl[1]} partition(s) hold rows with "
+                      f"{pol['column']} <= {ttl[0]} "
+                      f"(committed max - keep {pol['keep']})",
+        })
+
     from .ingest_gate import list_quarantine_epochs, quarantine_policy
 
     pol = quarantine_policy(table_dir)
@@ -225,6 +236,11 @@ def apply(
             out = expire_quarantine(table_dir, a["keep_epochs"])
             report.append({"op": op, "removed": len(out["removed"]),
                            "kept": out["kept"]})
+        elif op == "delete-where":
+            out = maintenance.delete_where(
+                table_dir,
+                bounds={c: tuple(v) for c, v in a["bounds"].items()}, fs=fs)
+            report.append({"op": op, **out})
         elif op == "expire-window-outputs":
             from .window_view import expire_window_outputs
 

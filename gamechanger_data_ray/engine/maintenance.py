@@ -1438,3 +1438,68 @@ def delete_where(
     return {"epoch": epoch, "lsn": new_lsn,
             "deletes": int(m.epoch_counters.get("deletes", 0)) if m else 0,
             "mode": "delete", "partitions_skipped": skipped}
+
+
+TTL_FILE = "_ttl_policy.json"
+
+
+def set_ttl_policy(table_dir: str, column: str, keep: int) -> dict:
+    """Record a standing row-TTL policy (atomic write): rows whose
+    ``column`` value falls ``keep`` or more units behind the column's
+    committed maximum are expired by :func:`delete_where` — directly or
+    via the maintenance autopilot, which plans the sweep whenever the
+    committed zone maps prove expired rows exist. The cutoff derives
+    from COMMITTED METADATA (global column max − keep), never a wall
+    clock, so planning is deterministic and testable. ``keep <= 0``
+    clears the policy."""
+    import json as _json
+
+    path = os.path.join(table_dir, TTL_FILE)
+    if keep <= 0:
+        if os.path.exists(path):
+            os.remove(path)
+        return {"policy": None}
+    os.makedirs(table_dir, exist_ok=True)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        _json.dump({"column": column, "keep": int(keep)}, f)
+    os.replace(tmp, path)
+    return {"policy": {"column": column, "keep": int(keep)}}
+
+
+def ttl_policy(table_dir: str) -> dict | None:
+    import json as _json
+
+    path = os.path.join(table_dir, TTL_FILE)
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        return _json.load(f)
+
+
+def ttl_cutoff(table_dir: str, cur=None) -> tuple[int, int] | None:
+    """(cutoff, expired_partition_count) for the recorded policy, from
+    committed zone maps alone: cutoff = max over partitions of the TTL
+    column's max, minus keep; a partition is possibly-expired when its
+    recorded min ≤ cutoff (widened delta bounds can only over-report —
+    the sweep itself burns no epoch when nothing truly matches). None
+    when no policy, no committed state, or no bounds for the column."""
+    pol = ttl_policy(table_dir)
+    if pol is None:
+        return None
+    if cur is None:
+        cur = mf.load_current(table_dir)
+    if cur is None or not cur.partitions:
+        return None
+    col = pol["column"]
+    maxes = [e["col_stats"][col][1] for e in cur.partitions.values()
+             if e.get("col_stats", {}).get(col)]
+    if not maxes:
+        return None
+    cutoff = max(maxes) - int(pol["keep"])
+    expired = sum(
+        1 for e in cur.partitions.values()
+        if e.get("col_stats", {}).get(col)
+        and e["col_stats"][col][0] <= cutoff
+    )
+    return cutoff, expired

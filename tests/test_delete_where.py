@@ -119,3 +119,39 @@ def test_delete_where_cli(tmp_path):
     assert out["mode"] == "delete" and out["deletes"] > 0
     st2 = run("status", "--table", tb)
     assert st2["totals"]["rows"] == rows_before - out["deletes"]
+
+
+def test_ttl_policy_autopilot_plans_and_applies(ray_session, tmp_path):
+    """Standing row TTL: cutoff derives from committed zone maps (global
+    column max - keep), autopilot plans the delete-where sweep, applies
+    it, and the next plan is quiet (remaining mins sit above cutoff)."""
+    from gamechanger_data_ray.engine import autopilot
+    from gamechanger_data_ray.engine.maintenance import (
+        set_ttl_policy,
+        ttl_cutoff,
+        ttl_policy,
+    )
+
+    tb = str(tmp_path / "tb")
+    rows = [("I", 1, i, f"d{i:03d}", 10 * (i + 1), f"s{i % 2}")
+            for i in range(20)]  # n_tok 10..200 doubles as the TTL axis
+    e1 = _events(rows)
+    apply_events_dataset(ray.data.from_arrow(e1), tb, 1, e1.schema,
+                         num_partitions=4)
+    assert ttl_policy(tb) is None and ttl_cutoff(tb) is None
+    set_ttl_policy(tb, "n_tok", keep=50)  # keep rows with n_tok > 150
+    cutoff, expired = ttl_cutoff(tb)
+    assert cutoff == 150 and expired > 0
+
+    plan = autopilot.plan(tb)
+    dw = [a for a in plan if a["op"] == "delete-where"]
+    assert dw and dw[0]["bounds"] == {"n_tok": [None, 150]}
+    report = autopilot.apply(tb, dw)
+    assert report[0]["mode"] == "delete" and report[0]["deletes"] == 15
+    t = table_to_arrow(tb)
+    assert sorted(t["n_tok"].to_pylist()) == [160, 170, 180, 190, 200]
+    # quiescent: nothing expired anymore → no delete planned
+    assert not [a for a in autopilot.plan(tb) if a["op"] == "delete-where"]
+    # clearing the policy stops planning entirely
+    set_ttl_policy(tb, "n_tok", keep=0)
+    assert ttl_policy(tb) is None
