@@ -186,3 +186,84 @@ SELECT source, CAST(COUNT(*) AS BIGINT) AS n_rows,
        CAST(COALESCE(SUM(n_chars), 0) AS BIGINT) AS sum_chars
 FROM state GROUP BY source
 """
+
+
+_WIN_W = 172_800_000_000  # 2 days in µs
+_WIN_L = 86_400_000_000   # 1 day allowed lateness
+
+
+def cdc_window_rollup(sf_dir: str):
+    """Event-time tumbling-window view driven end-to-end through the real
+    engine (`engine/window_view.py`) with WATERMARK + allowed-lateness
+    semantics exercised for real: arrival epochs derive from
+    ``event_id % 3`` while event TIME is the independent ``ts`` column,
+    so every epoch genuinely delivers out-of-order rows — some land
+    behind the committed watermark and divert to the late side output
+    instead of mutating finalized windows. Returns the final window
+    table (window_start, n_rows, sum_amt). The DuckDB oracle recomputes
+    the SAME semantics declaratively: per-epoch max event time → running
+    watermark → a row folds iff its window end clears the PREVIOUS
+    epoch's watermark — so incremental maintenance, finalization and
+    late diversion must all agree with the closed-form recompute."""
+    import tempfile
+
+    from ..engine.cdc import apply_events_dataset
+    from ..engine.window_view import (
+        EventWindowView,
+        read_windowed,
+        refresh_windowed,
+    )
+
+    base = tempfile.mkdtemp(prefix="gcdr_winq_", dir="/tmp")
+    table_dir, view_dir = f"{base}/table", f"{base}/view"
+
+    ev = cm.read(sf_dir, "events", columns=["event_id", "ts", "user_id"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        eid = t["event_id"]
+        ep = (eid.to_numpy(zero_copy_only=False) % 3 + 1).astype(np.int64)
+        return pa.table({
+            "op": pa.array(["I"] * t.num_rows, pa.string()),
+            "lsn": pa.array(ep),
+            "seq": eid,
+            "doc_id": eid,
+            "event_ts": pc.cast(t["ts"], pa.int64()),
+            "amt": t["user_id"],
+        })
+
+    schema = pa.schema([
+        ("op", pa.string()), ("lsn", pa.int64()), ("seq", pa.int64()),
+        ("doc_id", pa.int64()), ("event_ts", pa.int64()), ("amt", pa.int64()),
+    ])
+    view = EventWindowView("event_ts", width=_WIN_W,
+                           sums={"sum_amt": "amt"}, lateness=_WIN_L)
+    events = ev.map_batches(derive, batch_format="pyarrow").materialize()
+    for epoch in (1, 2, 3):
+        e = events.filter(expr=f"lsn == {epoch}")
+        apply_events_dataset(e, table_dir, epoch, schema, num_partitions=8)
+        refresh_windowed(view, view_dir, table_dir, num_partitions=4)
+    t = read_windowed(view_dir)
+    out = t.to_pandas().astype({"window_start": "int64", "n_rows": "int64",
+                                "sum_amt": "int64"})
+    return out.sort_values("window_start").reset_index(drop=True)
+
+
+ORACLES["cdc_window_rollup"] = f"""
+WITH ev AS (
+  SELECT event_id % 3 + 1 AS ep, epoch_us(ts) AS t, user_id AS amt FROM events
+), em AS (SELECT ep, MAX(t) AS mx FROM ev GROUP BY ep),
+j AS (
+  SELECT e.*,
+         (SELECT MAX(mx) - {_WIN_L} FROM em WHERE em.ep < e.ep) AS prev_wm
+  FROM ev e
+),
+ontime AS (
+  SELECT (t // {_WIN_W}) * {_WIN_W} AS window_start, amt FROM j
+  WHERE prev_wm IS NULL OR ((t // {_WIN_W}) * {_WIN_W} + {_WIN_W}) > prev_wm
+)
+SELECT window_start, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(amt) AS BIGINT) AS sum_amt
+FROM ontime GROUP BY 1 ORDER BY 1
+"""
