@@ -32,6 +32,11 @@ distinct_users_hll (rows-only; the ±bound property stays pytest-checked
 in its module) for multimodal_gif_frames, the REAL animated-GIF
 decode → frame-sample → resize video-analog with an exact integer
 DuckDB oracle, leaving dedup_minhash_lsh as the single rows-only face.
+Round 5 closed that last gap: dedup_minhash_lsh's registered face now
+EXACT-CONFIRMS its LSH candidates (integer shingle-Jaccard counts) and
+carries a full DuckDB oracle — all 50 registered queries are
+SQL-oracled; the signature-estimated variant stays module-level
+(dedup_minhash_lsh_est) with its recall/precision pytest.
 
 Ray is initialised by the driver BEFORE this module is imported: nothing
 here calls ``ray.init()`` / ``ray.shutdown()``.
@@ -158,10 +163,10 @@ def all_module_oracles() -> dict[str, str]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-equivalent SQL per REGISTERED query. Omitted only for
-    genuinely approximate ops — currently just the MinHash-LSH
-    candidate-pair set — which the driver records as rows-only checks;
-    those are verified against pure-python oracles in tests/. Exact ops
+    """DuckDB-equivalent SQL per REGISTERED query — since round 5 every
+    one of the 50 has one (the MinHash-LSH face exact-confirms its
+    candidates, so even it is SQL-expressible; the signature-estimated
+    variant lives module-level with a pure-python pytest oracle). Exact ops
     that merely USE a sketch or an index (hot_keys_countmin's CMS-prune +
     exact-verify, ann_ivf's probe-all face, dedup_ngram_jaccard's
     inverted index, dedup_token_spans' rolling hash) DO carry oracles."""

@@ -8,9 +8,11 @@ Env:
   GRAFT_SF_DIR    input dir (default /root/testdata/sf0.1)
   RAY_GRAFT_CPUS  num_cpus for ray.init (default 32)
 
-``python bench.py --scaling`` runs the headline job at num_cpus=8 and 32 in
-fresh subprocesses on the same input and reports throughputs + scaling
-efficiency (the two-cluster-size criterion evidence; BASELINE.md).
+``python bench.py --scaling`` runs the headline job as PAIRED N-vs-4N
+rounds (GRAFT_SCALING_CPUS, default "2,8" — interleaved fresh
+subprocesses so the host's throughput swing hits both arms equally) on
+the same input and reports throughputs + scaling efficiency (the
+two-cluster-size criterion evidence; BASELINE.md).
 """
 
 from __future__ import annotations

@@ -604,17 +604,115 @@ def _verified_minhash_pairs(sigs: ray.data.Dataset, tau: float) -> pd.DataFrame:
     return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
 
-def dedup_minhash_lsh(sf_dir: str, tau: float = 0.5):
-    """MinHash+LSH near-dup pairs: shingle → minhash sigs (actor pool) →
-    band explode → bucket groupby → candidate pairs → distributed
-    signature-join verify (est Jaccard ≥ tau; see
-    :func:`_verified_minhash_pairs`). Rows-only driver check;
-    recall/precision vs exact Jaccard verified in tests."""
+def dedup_minhash_lsh_est(sf_dir: str, tau: float = 0.5):
+    """MinHash+LSH near-dup pairs, SIGNATURE-ESTIMATED variant (module
+    level): shingle → minhash sigs (actor pool) → band explode → bucket
+    groupby → candidate pairs → distributed signature-join verify (est
+    Jaccard ≥ tau; see :func:`_verified_minhash_pairs`). Approximate by
+    construction; recall/precision vs exact Jaccard verified in tests.
+    The REGISTERED face is :func:`dedup_minhash_lsh`, which exact-confirms
+    the same LSH candidates and therefore takes a full DuckDB oracle."""
     ds = _with_near_copies(sf_dir)
     sigs = ds.map_batches(
         dd.MinHasher, batch_format="pandas", concurrency=(1, cm.pool_size())
     )  # streams straight into the band pass (sigs travel WITH the band rows)
     return _verified_minhash_pairs(sigs, tau)
+
+
+def dedup_minhash_lsh(sf_dir: str, tau_num: int = 1, tau_den: int = 2, k: int = 3):
+    """MinHash+LSH near-dup pairs, EXACT-CONFIRMED (the registered face):
+
+    1. shingle → minhash sigs (actor pool, ``dd.MinHasher``) → band
+       explode → ONE routed bucket groupby → candidate pairs (skew-capped,
+       ``dd.routed_bucket_pairs``);
+    2. candidates deduped DISTRIBUTED (routed groupby — a pair colliding
+       in several bands surfaces once per band);
+    3. exact confirm: two bucketed hash joins ship each candidate's TEXT
+       to the pair row (candidates are a vanishing fraction of n², so the
+       per-pair shingle-set intersection loop is bounded by the candidate
+       count, not the corpus), and the τ-test runs in INTEGER arithmetic
+       (n_inter·tau_den ≥ tau_num·n_union; default 1/2 = 0.5) so no float
+       enters the driver hash.
+
+    Output (id_a, id_b, n_inter, n_union) — exact word-3-shingle overlap
+    counts, oracle-able in DuckDB the same way as
+    :func:`dedup_ngram_jaccard`. LSH banding (16 bands × 4 rows) has
+    ~1-4e-8 miss probability at the planted-pair J≈0.9 and the planted
+    corpus has no natural pairs in the τ-marginal zone, so the candidate
+    set covers every ≥τ pair here; recall properties of the banding are
+    separately pytest-verified on :func:`dedup_minhash_lsh_est`.
+    Reference semantics anchor: ``create_views.sql`` dedup +
+    ``rpa_landing_zone_mover.py:100-129``."""
+    from .joins import bucketed_hash_join
+
+    corpus = _with_near_copies(sf_dir)
+    sigs = corpus.map_batches(
+        dd.MinHasher, batch_format="pandas", concurrency=(1, cm.pool_size())
+    )
+    bands = sigs.map_batches(dd.lsh_bands, batch_format="pandas").map_batches(
+        dd.with_route, batch_format="pyarrow"
+    )
+    cand = bands.groupby("route").map_groups(
+        dd.routed_bucket_pairs, batch_format="pandas"
+    )
+    # distributed candidate dedup (multi-band collisions → one row)
+    cand = cm.routed_grouped_agg(
+        cand.map_batches(lambda df: df.assign(_one=1), batch_format="pandas"),
+        ["id_a", "id_b"], {"_one": "min"},
+    ).map_batches(lambda df: df[["id_a", "id_b"]], batch_format="pandas")
+
+    text_a = corpus.map_batches(
+        lambda df: df.rename(columns={"doc_id": "id_a", "text": "text_a"}),
+        batch_format="pandas")
+    text_b = corpus.map_batches(
+        lambda df: df.rename(columns={"doc_id": "id_b", "text": "text_b"}),
+        batch_format="pandas")
+    j = bucketed_hash_join(cand, text_a, on="id_a", num_buckets=16)
+    j = bucketed_hash_join(j, text_b, on="id_b", num_buckets=16)
+
+    def confirm(df: pd.DataFrame) -> pd.DataFrame:
+        n_inter = np.empty(len(df), dtype=np.int64)
+        n_union = np.empty(len(df), dtype=np.int64)
+        for i, (ta, tb) in enumerate(zip(df["text_a"], df["text_b"])):
+            sa = set(dd.word_shingles(ta, k))
+            sb = set(dd.word_shingles(tb, k))
+            n_inter[i] = len(sa & sb)
+            n_union[i] = len(sa | sb)
+        out = pd.DataFrame({
+            "id_a": df["id_a"].astype("int64").to_numpy(),
+            "id_b": df["id_b"].astype("int64").to_numpy(),
+            "n_inter": n_inter, "n_union": n_union,
+        })
+        return out[out["n_inter"] * tau_den >= tau_num * out["n_union"]]
+
+    out = j.map_batches(confirm, batch_format="pandas").to_pandas()
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+ORACLES["dedup_minhash_lsh"] = f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {_COPY_OFFSET},
+         array_to_string(list_slice(string_split(text, ' '), 1,
+                                    len(string_split(text, ' ')) - 5), ' ')
+  FROM documents WHERE doc_id % 10 = 0
+), w AS (SELECT doc_id, string_split(text, ' ') AS w FROM corpus),
+sh AS (
+  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+  FROM w, unnest(range(1, len(w) - 1)) AS t(i)
+), sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(COUNT(*) AS BIGINT) AS n_inter
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT i.id_a, i.id_b, i.n_inter,
+       CAST(sa.n + sb.n - i.n_inter AS BIGINT) AS n_union
+FROM inter i JOIN sizes sa ON sa.doc_id = i.id_a
+             JOIN sizes sb ON sb.doc_id = i.id_b
+WHERE i.n_inter * 2 >= 1 * (sa.n + sb.n - i.n_inter)
+"""
 
 
 def dedup_tokens_minhash(sf_dir: str, tau: float = 0.5):

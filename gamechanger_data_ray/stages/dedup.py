@@ -377,6 +377,28 @@ def with_route(
     )
 
 
+def routed_bucket_pairs(
+    group: pd.DataFrame, id_col: str = "doc_id", max_bucket: int = 200
+) -> pd.DataFrame:
+    """Plain CANDIDATE pairs within one ROUTE group (no signature
+    estimate — the exact-confirm pipeline re-scores candidates against
+    the raw shingle sets downstream): a vectorized ``duplicated`` mask
+    drops singleton buckets in one pass, then the few real buckets run
+    :func:`bucket_pairs` each."""
+    empty = pd.DataFrame(
+        {"id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64")}
+    )
+    g = group[group.duplicated(["band_id", "band_hash"], keep=False)]
+    if g.empty:
+        return empty
+    out = [
+        bucket_pairs(sub, id_col, max_bucket)
+        for _, sub in g.groupby(["band_id", "band_hash"], sort=False)
+    ]
+    out = [o for o in out if len(o)]
+    return pd.concat(out, ignore_index=True) if out else empty
+
+
 def routed_bucket_pairs_est(
     group: pd.DataFrame, id_col: str = "doc_id", tau: float = 0.0, max_bucket: int = 200
 ) -> pd.DataFrame:

@@ -99,17 +99,49 @@ def test_dedup_queries_find_seeded_pairs(sf_dir):
     """The seeded near-copies (doc_id + 100000) must be recovered."""
     from gamechanger_data_ray.pipelines.analysis_queries import (
         dedup_minhash_lsh,
-        dedup_simhash,
     )
 
     mh = dedup_minhash_lsh(sf_dir)
     seeded = mh[mh["id_b"] == mh["id_a"] + 100_000]
     assert len(seeded) >= 40  # 50 seeded near-copies, high recall expected
+    # exact-confirmed face: every reported pair really clears τ = 1/2
+    assert (mh["n_inter"] * 2 >= mh["n_union"]).all()
 
-    # SimHash chunk-bucketing guarantees recall only for hamming ≤ 3
-    # (pigeonhole over 4 × 16-bit chunks); verify that guarantee exactly,
-    # plus that every emitted pair respects the hamming cutoff.
+
+def test_minhash_est_face_recall_precision(sf_dir):
+    """The module-level signature-ESTIMATED variant: recovers the seeded
+    near-copies and its est_jaccard tracks exact Jaccard (the pairs it
+    emits are genuinely similar — precision via a loose exact floor)."""
     import pyarrow.parquet as pq
+
+    from gamechanger_data_ray.pipelines.analysis_queries import (
+        dedup_minhash_lsh_est,
+    )
+    from gamechanger_data_ray.stages import dedup as dd
+
+    est = dedup_minhash_lsh_est(sf_dir)
+    seeded = est[est["id_b"] == est["id_a"] + 100_000]
+    assert len(seeded) >= 40
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    texts = dict(zip(t["doc_id"].to_pylist(), t["text"].to_pylist()))
+
+    def text_of(i):
+        base = texts[i % 100_000]
+        return base if i < 100_000 else " ".join(base.split()[:-5])
+
+    for _, r in est.head(50).iterrows():
+        exact = dd.exact_jaccard(text_of(int(r["id_a"])), text_of(int(r["id_b"])))
+        assert exact >= r["est_jaccard"] - 0.3, (r["id_a"], r["id_b"], exact)
+
+
+def test_simhash_guaranteed_recall(sf_dir):
+    """SimHash chunk-bucketing guarantees recall only for hamming ≤ 3
+    (pigeonhole over 4 × 16-bit chunks); verify that guarantee exactly,
+    plus that every emitted pair respects the hamming cutoff."""
+    import pyarrow.parquet as pq
+
+    from gamechanger_data_ray.pipelines.analysis_queries import dedup_simhash
+    from gamechanger_data_ray.stages import dedup as dd
 
     t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     texts = dict(zip(t["doc_id"].to_pylist(), t["text"].to_pylist()))
