@@ -625,14 +625,19 @@ def dedup_minhash_lsh(sf_dir: str, tau_num: int = 1, tau_den: int = 2, k: int = 
     1. shingle → minhash sigs (actor pool, ``dd.MinHasher``) → band
        explode → ONE routed bucket groupby → candidate pairs (skew-capped,
        ``dd.routed_bucket_pairs``);
-    2. candidates deduped DISTRIBUTED (routed groupby — a pair colliding
-       in several bands surfaces once per band);
-    3. exact confirm: two bucketed hash joins ship each candidate's TEXT
-       to the pair row (candidates are a vanishing fraction of n², so the
-       per-pair shingle-set intersection loop is bounded by the candidate
-       count, not the corpus), and the τ-test runs in INTEGER arithmetic
-       (n_inter·tau_den ≥ tau_num·n_union; default 1/2 = 0.5) so no float
-       enters the driver hash.
+    2. candidate pairs to the driver — O(near-dup pairs), a vanishing
+       fraction of n² (annotated driver collection, like decontam's
+       probe set);
+    3. exact confirm DISTRIBUTED: the candidate docs' texts are gathered
+       once (map-side broadcast-set filter → O(candidate docs) rows),
+       ``ray.put`` once, and a task pool re-scores the pair rows against
+       the broadcast texts — no shuffle join (the CLAUDE.md
+       broadcast-small-side idiom; at a candidate volume too big to
+       broadcast, swap the tail for two ``bucketed_hash_join``s of the
+       pair rows against the corpus — same output, all-shuffle path).
+       The τ-test runs in INTEGER arithmetic (n_inter·tau_den ≥
+       tau_num·n_union; default 1/2 = 0.5) so no float enters the
+       driver hash.
 
     Output (id_a, id_b, n_inter, n_union) — exact word-3-shingle overlap
     counts, oracle-able in DuckDB the same way as
@@ -643,8 +648,6 @@ def dedup_minhash_lsh(sf_dir: str, tau_num: int = 1, tau_den: int = 2, k: int = 
     separately pytest-verified on :func:`dedup_minhash_lsh_est`.
     Reference semantics anchor: ``create_views.sql`` dedup +
     ``rpa_landing_zone_mover.py:100-129``."""
-    from .joins import bucketed_hash_join
-
     corpus = _with_near_copies(sf_dir)
     sigs = corpus.map_batches(
         dd.MinHasher, batch_format="pandas", concurrency=(1, cm.pool_size())
@@ -655,29 +658,38 @@ def dedup_minhash_lsh(sf_dir: str, tau_num: int = 1, tau_den: int = 2, k: int = 
     cand = bands.groupby("route").map_groups(
         dd.routed_bucket_pairs, batch_format="pandas"
     )
-    # distributed candidate dedup (multi-band collisions → one row)
-    cand = cm.routed_grouped_agg(
-        cand.map_batches(lambda df: df.assign(_one=1), batch_format="pandas"),
-        ["id_a", "id_b"], {"_one": "min"},
-    ).map_batches(lambda df: df[["id_a", "id_b"]], batch_format="pandas")
+    # O(candidate pairs) driver rows (multi-band collisions deduped here)
+    pairs = cand.to_pandas().drop_duplicates(["id_a", "id_b"])
+    if pairs.empty:
+        return pd.DataFrame({c: pd.Series(dtype="int64")
+                             for c in ("id_a", "id_b", "n_inter", "n_union")})
+    idset = set(pairs["id_a"].tolist()) | set(pairs["id_b"].tolist())
+    ids_ref = cm.broadcast(idset)
 
-    text_a = corpus.map_batches(
-        lambda df: df.rename(columns={"doc_id": "id_a", "text": "text_a"}),
-        batch_format="pandas")
-    text_b = corpus.map_batches(
-        lambda df: df.rename(columns={"doc_id": "id_b", "text": "text_b"}),
-        batch_format="pandas")
-    j = bucketed_hash_join(cand, text_a, on="id_a", num_buckets=16)
-    j = bucketed_hash_join(j, text_b, on="id_b", num_buckets=16)
+    def pick(df: pd.DataFrame) -> pd.DataFrame:
+        keep = ray.get(ids_ref)
+        return df[df["doc_id"].isin(keep)][["doc_id", "text"]]
+
+    # O(candidate docs) texts, broadcast once for the confirm pool
+    texts = corpus.map_batches(pick, batch_format="pandas").to_pandas()
+    texts_ref = cm.broadcast(dict(zip(texts["doc_id"], texts["text"])))
 
     def confirm(df: pd.DataFrame) -> pd.DataFrame:
+        tx = ray.get(texts_ref)
+        cache: dict[int, set] = {}
+
+        def sh(i: int) -> set:
+            s = cache.get(i)
+            if s is None:
+                s = cache[i] = set(dd.word_shingles(tx[i], k))
+            return s
+
         n_inter = np.empty(len(df), dtype=np.int64)
         n_union = np.empty(len(df), dtype=np.int64)
-        for i, (ta, tb) in enumerate(zip(df["text_a"], df["text_b"])):
-            sa = set(dd.word_shingles(ta, k))
-            sb = set(dd.word_shingles(tb, k))
-            n_inter[i] = len(sa & sb)
-            n_union[i] = len(sa | sb)
+        for j, (ia, ib) in enumerate(zip(df["id_a"], df["id_b"])):
+            sa, sb = sh(int(ia)), sh(int(ib))
+            n_inter[j] = len(sa & sb)
+            n_union[j] = len(sa | sb)
         out = pd.DataFrame({
             "id_a": df["id_a"].astype("int64").to_numpy(),
             "id_b": df["id_b"].astype("int64").to_numpy(),
@@ -685,7 +697,11 @@ def dedup_minhash_lsh(sf_dir: str, tau_num: int = 1, tau_den: int = 2, k: int = 
         })
         return out[out["n_inter"] * tau_den >= tau_num * out["n_union"]]
 
-    out = j.map_batches(confirm, batch_format="pandas").to_pandas()
+    out = (
+        ray.data.from_pandas(pairs[["id_a", "id_b"]])
+        .map_batches(confirm, batch_format="pandas", batch_size=4096)
+        .to_pandas()
+    )
     return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
 

@@ -10,6 +10,7 @@ never re-shipped per batch and never shuffled.
 
 from __future__ import annotations
 
+import functools
 import os
 from typing import Any, Iterable
 
@@ -30,11 +31,27 @@ def pool_size(frac: float = 0.5, minimum: int = 1) -> int:
     return max(minimum, min(total - 2, int(total * frac)))
 
 
+@functools.lru_cache(maxsize=256)
+def _stripped_schema(path: str) -> "pa.Schema":
+    """File schema with key-value metadata removed — pyarrow 16's
+    ``Schema.__hash__`` raises on metadata (it hashes the dict), which
+    makes every downstream ``unify_schemas`` dedup fall back and spam
+    'Failed to hash the schemas' from the workers. One cached footer
+    read per path; no data bytes."""
+    import pyarrow.parquet as pq
+
+    return pq.read_schema(path).remove_metadata()
+
+
 def read(sf_dir: str, table: str, columns: list[str] | None = None) -> ray.data.Dataset:
-    """Pruned parquet read of one testdata table (SURVEY.md §2.1 S1/S4)."""
-    return ray.data.read_parquet(
-        os.path.join(sf_dir, f"{table}.parquet"), columns=columns
-    )
+    """Pruned parquet read of one testdata table (SURVEY.md §2.1 S1/S4).
+    Passes the metadata-stripped file schema so block schemas stay
+    hashable (see :func:`_stripped_schema`)."""
+    path = os.path.join(sf_dir, f"{table}.parquet")
+    schema = _stripped_schema(path)
+    if columns is not None:  # the schema= arg must match the projection
+        schema = pa.schema([schema.field(c) for c in columns])
+    return ray.data.read_parquet(path, columns=columns, schema=schema)
 
 
 def table_num_rows(sf_dir: str, table: str) -> int:

@@ -372,6 +372,11 @@ def with_route(
     a = t[cols[0]].to_numpy(zero_copy_only=False).astype(np.uint64)
     b = t[cols[1]].to_numpy(zero_copy_only=False).astype(np.uint64)
     mixed = (b ^ (a * np.uint64(0x9E3779B97F4A7C15))) * _FNV_PRIME
+    # strip the b'pandas' schema metadata the pandas→arrow boundary
+    # attaches: pyarrow 16's Schema.__hash__ raises on metadata, which
+    # makes the downstream shuffle's schema-dedup fall back (extra
+    # serialization + 'Failed to hash the schemas' worker spam)
+    t = t.replace_schema_metadata(None)
     return t.append_column(
         "route", pa.array((mixed % np.uint64(NUM_ROUTES)).astype(np.int64), pa.int64())
     )
