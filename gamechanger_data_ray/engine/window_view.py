@@ -44,12 +44,13 @@ from __future__ import annotations
 
 import os
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
 
 from ..core.diff import SIGN_COLUMN
-from ..core.hashing import partition_ids
+from ..core.hashing import fnv1a64, partition_ids
 from ..state import manifest as mf
 from ..state.fs import StorageAdapter, default_fs
 from .cdc import PART_COLUMN, read_table
@@ -57,6 +58,8 @@ from .diff import diff_table_epochs
 from .views import ViewDef, _make_fold, _make_part_merger, _view_schema
 
 WINDOW_COLUMN = "window_start"
+_SALT_COLUMN = "_late_salt"
+_LATE_SALTS = 8  # per-row salt: bounds a hot late window's write group
 
 
 class EventWindowView:
@@ -265,13 +268,15 @@ def refresh_windowed(
             late_ds = src.map_batches(split(True), batch_format="pyarrow")
             ontime = src.map_batches(split(False), batch_format="pyarrow")
 
-            # late side output: routed to deterministic per-partition
-            # files (idempotent on retry), recorded in the manifest
+            # late side output: routed to deterministic per-(partition,
+            # salt) files (idempotent on retry), recorded in the manifest
             def write_late(group: pa.Table) -> pa.Table:
                 part = group.column(PART_COLUMN)[0].as_py()
-                out = group.drop_columns([PART_COLUMN])
+                salt = group.column(_SALT_COLUMN)[0].as_py()
+                out = group.drop_columns([PART_COLUMN, _SALT_COLUMN])
                 rel = os.path.join(
-                    f"late/e{epoch:06d}", f"part-{int(part)}.parquet"
+                    f"late/e{epoch:06d}",
+                    f"part-{int(part)}-s{int(salt):02d}.parquet",
                 )
                 fs.makedirs(os.path.join(view_dir, f"late/e{epoch:06d}"))
                 fs.write_parquet_atomic(out, os.path.join(view_dir, rel))
@@ -281,16 +286,30 @@ def refresh_windowed(
                 })
 
             def route_late(t: pa.Table) -> pa.Table:
-                return t.append_column(
+                # window routing alone lets ONE hot late window form a
+                # whole-window raw-row group (the skew gate's 10^6-events
+                # one-key discipline); a deterministic per-ROW salt bounds
+                # every group to ~1/_LATE_SALTS of its window. Row hash,
+                # not block position → same rows land in the same file on
+                # retry regardless of batching.
+                t = t.append_column(
                     PART_COLUMN,
                     partition_ids(
                         pc.cast(t[WINDOW_COLUMN], pa.int64()), num_partitions
                     ),
                 )
+                key = (t["doc_id"] if "doc_id" in t.schema.names
+                       else pc.cast(t[view.ts_column], pa.string()))
+                h = fnv1a64(pc.cast(key, pa.string()))
+                return t.append_column(
+                    _SALT_COLUMN,
+                    pa.array((h % np.uint64(_LATE_SALTS)).astype(np.int32),
+                             pa.int32()),
+                )
 
             late_stats = (
                 late_ds.map_batches(route_late, batch_format="pyarrow")
-                .groupby(PART_COLUMN)
+                .groupby([PART_COLUMN, _SALT_COLUMN])
                 .map_groups(write_late, batch_format="pyarrow")
                 .take_all()
             )
