@@ -108,6 +108,11 @@ def main(argv: list[str] | None = None) -> int:
     pb.add_argument("--require-clean", action="store_true",
                     help="run validate_table on the staged state first; "
                          "refuse to publish if it reports violations")
+    pb.add_argument("--audit-schema", default=None,
+                    help="declarative output-contract audit: path to a "
+                         "JSON schema spec (or the builtin name 'tokens') "
+                         "the staged payload rows must satisfy — one "
+                         "violation refuses the publish")
 
     rb = sub.add_parser("rebase-branch", help="non-fast-forward recovery: "
                         "re-fork from the parent's new head and re-apply the "
@@ -1032,8 +1037,18 @@ def main(argv: list[str] | None = None) -> int:
         elif args.cmd == "publish-branch":
             from gamechanger_data_ray.engine.branches import branch_publish
 
+            spec = None
+            if args.audit_schema:
+                from gamechanger_data_ray.stages.validate import (
+                    TOKENS_TABLE_SCHEMA,
+                    load_spec,
+                )
+
+                spec = (TOKENS_TABLE_SCHEMA if args.audit_schema == "tokens"
+                        else load_spec(args.audit_schema))
             print(json.dumps(branch_publish(
-                args.table, args.name, require_clean=args.require_clean)))
+                args.table, args.name, require_clean=args.require_clean,
+                audit_schema=spec)))
         elif args.cmd == "rebase-branch":
             from gamechanger_data_ray.engine.branches import branch_rebase
 

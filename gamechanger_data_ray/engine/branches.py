@@ -163,6 +163,7 @@ def branch_publish(
     table_dir: str,
     name: str,
     require_clean: bool = False,
+    audit_schema: dict | None = None,
     fs: StorageAdapter | None = None,
 ) -> dict:
     """Fast-forward the parent to the branch head — the audited epochs
@@ -180,7 +181,13 @@ def branch_publish(
     pass ``maintenance.validate_table`` (duplicate keys, n_tok/tokens
     mismatches, zone-map violations, ...) or publish refuses with the
     violation summary — nothing reaches readers unvalidated even if the
-    operator forgot to audit by hand."""
+    operator forgot to audit by hand.
+
+    ``audit_schema`` is the DECLARATIVE output-contract audit (the
+    reference's ``--verify`` against ``output_schema.json``, run at
+    publish time instead of parse time): the staged payload rows stream
+    through ``stages.validate.validate_docs(mode='strict')`` and a
+    single contract violation refuses the publish."""
     fs = default_fs(fs)
     bdir = branch_path(table_dir, name)
     fork = _fork_info(bdir, fs)
@@ -194,6 +201,24 @@ def branch_publish(
             raise RuntimeError(
                 f"branch {name!r} failed the publish audit: "
                 f"{rep['violations']} — fix or discard; nothing published")
+    if audit_schema is not None:
+        from ..stages.validate import SchemaError, validate_docs
+        from .cdc import read_table
+
+        try:
+            # strict mode raises from the first offending task; the
+            # consuming count() just drives the stream
+            validate_docs(read_table(bdir, payload_only=True, fs=fs),
+                          audit_schema, mode="strict").count()
+        except Exception as e:  # ray wraps worker SchemaError
+            msg = str(e)
+            if isinstance(e, SchemaError) or "SchemaError" in msg or \
+                    "failed schema validation" in msg:
+                raise RuntimeError(
+                    f"branch {name!r} failed the declared-schema audit: "
+                    f"{msg.splitlines()[-1] if msg else msg} — fix or "
+                    "discard; nothing published") from e
+            raise
     cur = mf.load_current(table_dir, fs)
     if cur is None or (cur.epoch, cur.rev) != (fork["parent_epoch"], fork["parent_rev"]):
         raise RuntimeError(

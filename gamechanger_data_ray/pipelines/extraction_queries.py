@@ -929,3 +929,97 @@ SELECT doc_id,
        doc_id % 3 = 0 AS was_repaired
 FROM documents
 """
+
+
+# ---------------------------------------------------------------------------
+# Composed parsed-doc output + the declarative validation gate (the
+# reference's parse --verify: common/document_parser/cli.py:75-81 →
+# validators.py::verify → output_schema.json:1-385). Module-level,
+# pytest-verified (tests/test_validate.py).
+# ---------------------------------------------------------------------------
+
+
+def parsed_docs(sf_dir: str, verify: bool = False):
+    """The full nested doc_dict-shaped output row per document — the
+    repo analog of the reference's parsed-JSON contract: top-level
+    metadata (word_count, version_hash), ref_list, the entities buckets,
+    and the nested pages→paragraphs shape (same 40-word pages / 10-word
+    paragraphs as :func:`docs_paragraphs`). One map_batches — page and
+    paragraph assembly never crosses docs, so there is no shuffle; the
+    nested-object construction is inherently per-row (it builds ONE
+    struct per document, the parse-output shape itself), bounded by
+    batch size like the reference's per-file json.dump.
+
+    ``verify=True`` streams the output through the declarative schema
+    gate (``stages/validate.py::validate_docs(mode='strict')``) — the
+    ``--verify`` switch of the reference's parse CLI."""
+    from ..core.hashing import version_hash_column
+    from ..stages.extract import make_ref_patterns, parse_entities
+    from ..stages.validate import DOC_OUTPUT_SCHEMA, validate_docs
+
+    ds = cm.read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    _PAGE, _PAR = _PAGE_WORDS, _PAR_WORDS
+
+    class Assemble:
+        def __init__(self):
+            from ..stages.extract import collect_refs_batched  # noqa: F401
+
+            self.patterns = make_ref_patterns()
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            from ..stages.extract import collect_refs_batched
+
+            texts = t["text"].to_pylist()
+            ids = t["doc_id"].to_pylist()
+            vhash = version_hash_column(t, ["text"]).to_pylist()
+            refs = collect_refs_batched(texts, self.patterns)
+            docs = []
+            for did, text, vh, ref in zip(ids, texts, vhash, refs):
+                words = text.split()
+                pages = []
+                for p0 in range(0, len(words), _PAGE):
+                    pw = words[p0 : p0 + _PAGE]
+                    paragraphs = [
+                        {
+                            "par_num": j // _PAR,
+                            "par_text": " ".join(pw[j : j + _PAR]),
+                            "n_words": len(pw[j : j + _PAR]),
+                        }
+                        for j in range(0, len(pw), _PAR)
+                    ]
+                    pages.append({"page_num": p0 // _PAGE,
+                                  "paragraphs": paragraphs})
+                ents = parse_entities(text)
+                docs.append({
+                    "doc_id": f"doc-{did:08d}",
+                    "filename": f"doc-{did:08d}.pdf",
+                    "page_count": len(pages),
+                    "par_count": sum(len(p["paragraphs"]) for p in pages),
+                    "word_count": len(words),
+                    "version_hash": vh,
+                    "ref_list": sorted(ref),
+                    "entities": {"ORG_s": ents, "PERSON_s": []},
+                    "pages": pages,
+                })
+            par_t = pa.struct([("par_num", pa.int64()),
+                               ("par_text", pa.string()),
+                               ("n_words", pa.int64())])
+            page_t = pa.struct([("page_num", pa.int64()),
+                                ("paragraphs", pa.list_(par_t))])
+            schema = pa.schema([
+                ("doc_id", pa.string()), ("filename", pa.string()),
+                ("page_count", pa.int64()), ("par_count", pa.int64()),
+                ("word_count", pa.int64()), ("version_hash", pa.string()),
+                ("ref_list", pa.list_(pa.string())),
+                ("entities", pa.struct([("ORG_s", pa.list_(pa.string())),
+                                        ("PERSON_s", pa.list_(pa.string()))])),
+                ("pages", pa.list_(page_t)),
+            ])
+            return pa.Table.from_pylist(docs, schema=schema)
+
+    out = ds.map_batches(Assemble, batch_format="pyarrow",
+                         concurrency=(1, cm.pool_size()))
+    if verify:
+        out = validate_docs(out, DOC_OUTPUT_SCHEMA, mode="strict")
+    return out
