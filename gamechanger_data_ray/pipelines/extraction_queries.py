@@ -885,11 +885,14 @@ def docs_ocr_glyph(sf_dir: str):
     codec, with doc_id-seeded scanner noise); every third doc's TEXT
     column arrives destroyed (replacement-char flood). The
     ``PageImageReocrRouter`` actor pool flags exactly those rows and
-    recovers their text from the page image by fixed-pitch
-    template-matching OCR — so the oracle's exact text match proves the
+    recovers their text from the page image by template-matching OCR —
+    so the oracle's exact text match proves the
     rasterize→corrupt→flag→recognize→rejoin loop bit-for-bit, noise
-    included. Clean rows never decode their payload."""
-    from ..stages.glyph_ocr import render_page_ppm
+    included. Clean rows never decode their payload. MIXED FONTS
+    (round 5): even doc_ids render in the fixed-pitch 5×7 atlas, odd in
+    the proportional valley-segmented 7×9 atlas — the engine's per-page
+    confidence router must pick the right recognizer for every page."""
+    from ..stages.glyph_ocr import render_page_ppm, render_page_ppm_prop
     from ..stages.ocr import PageImageReocrRouter
 
     ds = cm.read(sf_dir, "documents", columns=["doc_id"])
@@ -906,7 +909,8 @@ def docs_ocr_glyph(sf_dir: str):
              "text": [("�" * 12) if i % 3 == 0 else t
                       for i, t in zip(ids, true_text)],
              "page_image": [
-                 render_page_ppm(t, noise_bits=int(i % 3), seed=int(i))
+                 (render_page_ppm if i % 2 == 0 else render_page_ppm_prop)(
+                     t, noise_bits=int(i % 3), seed=int(i))
                  for i, t in zip(ids, true_text)
              ]}
         )

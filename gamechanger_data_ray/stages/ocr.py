@@ -73,6 +73,38 @@ class MojibakeRepairer(Repairer):
         return repair_mojibake(text)
 
 
+class TesseractOcr:
+    """The external-binary plug point, bound (reference:
+    ``gc_ocr/utils.py:49-158`` shells out to ocrmypdf/tesseract). When
+    the ``tesseract`` binary exists this adapter shells a page image
+    through it (stdin TIFF/PNM → stdout text, the same per-page call
+    ocrmypdf makes); in this sandbox it raises the documented
+    NotImplementedError so deployments know exactly where the binary
+    plugs in. ``available()`` gates call sites — the glyph engine
+    (``glyph_ocr.GlyphOcr``) remains the in-sandbox recognizer."""
+
+    @staticmethod
+    def available() -> bool:
+        import shutil
+
+        return shutil.which("tesseract") is not None
+
+    def read_page(self, payload: bytes, lang: str = "eng") -> str:
+        if not self.available():
+            raise NotImplementedError(
+                "external OCR binding: tesseract binary not present — "
+                "in-sandbox pages go through glyph_ocr.GlyphOcr instead"
+            )
+        import subprocess
+
+        # tesseract reads NetPBM directly; '-' streams stdin → stdout
+        out = subprocess.run(
+            ["tesseract", "-", "-", "-l", lang, "--psm", "6"],
+            input=payload, capture_output=True, check=True,
+        )
+        return out.stdout.decode("utf-8", errors="replace").rstrip("\n")
+
+
 class ReocrRouter:
     """Fused gate + heavy-path router (the ``process.py:189-239``
     orchestration as one actor-pool stage): flag rows whose text shows

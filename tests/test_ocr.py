@@ -134,3 +134,61 @@ def test_page_image_router_reocrs_only_flagged_rows():
     out = PageImageReocrRouter()(df)
     assert out["text"].tolist() == [clean, garbled]
     assert out["was_repaired"].tolist() == [False, True]
+
+
+def test_prop_atlas_roundtrip_and_router():
+    """Round 5: the proportional 7×9 valley-segmented atlas round-trips
+    exactly (spaces reconstructed from valley widths, per-glyph noise
+    absorbed) and the per-page confidence router picks the right
+    recognizer for BOTH font styles on the same engine instance."""
+    from gamechanger_data_ray.stages.glyph_ocr import (
+        GlyphOcr,
+        render_page_ppm,
+        render_page_ppm_prop,
+    )
+
+    eng = GlyphOcr()
+    texts = [
+        "HELLO WORLD: 42.",
+        "A-B, C: 0123456789.\nSECOND LINE HERE.",
+        "W I D E AND NARROW II WW.",
+    ]
+    for i, t in enumerate(texts):
+        assert eng.read_page(render_page_ppm_prop(t, noise_bits=i, seed=i)) == t
+        assert eng.read_page(render_page_ppm(t, noise_bits=i, seed=i)) == t
+
+
+def test_prop_glyphs_are_proportional():
+    """The second atlas is genuinely proportional — trimmed widths
+    differ across glyphs — and its templates are pairwise distinct."""
+    import numpy as np
+
+    from gamechanger_data_ray.stages.glyph_ocr import (
+        _PROP_GLYPHS,
+        _PROP_TEMPLATES,
+    )
+
+    widths = {c: g.shape[1] for c, g in _PROP_GLYPHS.items()}
+    assert len(set(widths.values())) > 1, widths
+    assert widths["I"] < widths["W"]
+    d = (_PROP_TEMPLATES[:, None, :] != _PROP_TEMPLATES[None, :, :]).sum(axis=2)
+    np.fill_diagonal(d, 10**9)
+    assert d.min() >= 1
+
+
+def test_tesseract_plug_point():
+    """The external-binary adapter: refuses loudly without the binary,
+    and (skip-if-absent) round-trips a rendered page through the real
+    tesseract when one exists."""
+    import pytest
+
+    from gamechanger_data_ray.stages.glyph_ocr import render_page_ppm
+    from gamechanger_data_ray.stages.ocr import TesseractOcr
+
+    eng = TesseractOcr()
+    if not TesseractOcr.available():
+        with pytest.raises(NotImplementedError):
+            eng.read_page(b"P6 1 1 255 \x00\x00\x00")
+        pytest.skip("tesseract binary not present (documented plug point)")
+    got = eng.read_page(render_page_ppm("HELLO 42."))
+    assert "HELLO" in got.upper()
