@@ -944,9 +944,8 @@ def q17_small_quantity_revenue(sf_dir: str):
         lambda df: df[df["l_quantity"] < df["thr"]][["l_extendedprice"]],
         batch_format="pandas",
     )
-    total = 0.0
-    for b in filtered.iter_batches(batch_format="pandas"):
-        total += float(b["l_extendedprice"].sum())
+    # in-cluster reduction — the driver receives one scalar
+    total = float(filtered.sum("l_extendedprice") or 0.0)
     return pd.DataFrame({"avg_yearly": [total / 7.0]})
 
 
