@@ -2330,3 +2330,133 @@ reach(node, label) AS (
 )
 SELECT node AS doc_id, MIN(label) AS cluster FROM reach GROUP BY node
 """
+
+
+# ---------------------------------------------------------------------------
+# PDF-page raster thumbnail (K12 residue closed, round 5): the reference
+# rasterizes a PDF's first page to a thumbnail via fitz pixmap
+# (gc_thumbnails/utils.py:38-47); this is the same loop with the repo's
+# own real components — FlateDecode PDF parse → glyph rasterizer →
+# nearest-neighbor resample — and an exact INTEGER DuckDB oracle
+# (per-character ink popcounts + integer thumbnail geometry).
+# ---------------------------------------------------------------------------
+
+_THUMB_SIDE = 16
+
+
+def _thumb_dims(w: int, h: int, side: int = _THUMB_SIDE) -> tuple[int, int]:
+    """Integer round-half-up scaling both sides replicate in SQL."""
+    m = max(w, h)
+    if m <= side:
+        return w, h
+    return (max(1, (2 * w * side + m) // (2 * m)),
+            max(1, (2 * h * side + m) // (2 * m)))
+
+
+class _PdfThumbRaster:
+    """Actor-pool stage: REAL PDF text decode → REAL rasterization
+    (fixed-pitch glyph renderer through the PPM codec) → REAL
+    nearest-neighbor thumbnail; emits exact integer facts: page
+    geometry, ink pixel count of the rendered page, thumbnail geometry
+    + re-encoded byte size."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..stages import codecs as cdx
+        from ..stages.glyph_ocr import render_page_ppm
+
+        ids, pw, ph, ink, tw, th, tb = [], [], [], [], [], [], []
+        for mid, payload in zip(batch["media_id"].to_pylist(),
+                                batch["payload"].to_pylist()):
+            text = cdx.extract_pdf_text(payload)[0]
+            img = cdx.parse_ppm(render_page_ppm(text))
+            h, w = img.shape[:2]
+            dark = (img.mean(axis=2) < 128)
+            ow, oh = _thumb_dims(w, h)
+            thumb = cdx.resize_nearest(img, ow, oh)
+            ids.append(mid)
+            pw.append(w)
+            ph.append(h)
+            ink.append(int(dark.sum()))
+            tw.append(ow)
+            th.append(oh)
+            tb.append(len(cdx.build_ppm(thumb)))
+        return pa.table(
+            {"media_id": pa.array(ids, pa.int64()),
+             "page_w": pa.array(pw, pa.int64()),
+             "page_h": pa.array(ph, pa.int64()),
+             "ink_px": pa.array(ink, pa.int64()),
+             "thumb_w": pa.array(tw, pa.int64()),
+             "thumb_h": pa.array(th, pa.int64()),
+             "thumb_bytes": pa.array(tb, pa.int64())}
+        )
+
+
+def multimodal_pdf_thumbnail(sf_dir: str):
+    """PDF first-page raster thumbnail (K12,
+    ``gc_thumbnails/utils.py:38-47``): a deterministic one-line page
+    text per doc becomes a REAL FlateDecode PDF; the actor pool decodes
+    the text back out of the PDF, rasterizes it with the glyph engine's
+    renderer, thumbnails by nearest-neighbor, and reports exact integer
+    stats the SQL oracle recomputes from the text alone — ink pixels =
+    the summed dot-matrix popcounts of the characters, geometry = the
+    renderer's grid arithmetic, thumbnail size = P6 header + 3·w·h."""
+    from ..stages import codecs as cdx
+
+    docs = cm.read(sf_dir, "documents", columns=["doc_id"])
+
+    def to_pdf(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        payloads = [cdx.build_pdf([f"DOC {d} P1."]) for d in ids]
+        return mm.to_media_table(ids, payloads, "application/pdf")
+
+    media = docs.map_batches(to_pdf, batch_format="pyarrow", batch_size=64)
+    return media.map_batches(
+        _PdfThumbRaster,
+        batch_format="pyarrow",
+        concurrency=(1, cm.pool_size()),
+        batch_size=64,
+    )
+
+
+def _pdf_thumb_oracle() -> str:
+    from ..stages.glyph_ocr import CELL_H, CELL_W, MARGIN, _glyph_bits
+
+    # per-character ink popcount CASE arm table, generated from the font
+    chars = "DOCP1. 0123456789"
+    arms = " ".join(
+        f"WHEN '{c}' THEN {int(_glyph_bits(c).sum())}" for c in sorted(set(chars))
+    )
+    s = _THUMB_SIDE
+    return f"""
+WITH t AS (
+  SELECT doc_id, 'DOC ' || doc_id || ' P1.' AS txt FROM documents
+), geo AS (
+  SELECT doc_id, txt,
+         CAST({2 * MARGIN} + len(txt) * {CELL_W} AS BIGINT) AS page_w,
+         CAST({2 * MARGIN + CELL_H} AS BIGINT) AS page_h
+  FROM t
+), ink AS (
+  SELECT g.doc_id,
+         CAST(SUM(CASE substring(g.txt, i.i + 1, 1) {arms} ELSE 0 END)
+              AS BIGINT) AS ink_px
+  FROM geo g, LATERAL (SELECT UNNEST(range(len(g.txt))) AS i) i
+  GROUP BY g.doc_id
+), dims AS (
+  SELECT doc_id, page_w, page_h,
+         CASE WHEN GREATEST(page_w, page_h) <= {s} THEN page_w
+              ELSE GREATEST(1, (2 * page_w * {s} + GREATEST(page_w, page_h))
+                               // (2 * GREATEST(page_w, page_h))) END AS tw,
+         CASE WHEN GREATEST(page_w, page_h) <= {s} THEN page_h
+              ELSE GREATEST(1, (2 * page_h * {s} + GREATEST(page_w, page_h))
+                               // (2 * GREATEST(page_w, page_h))) END AS th
+  FROM geo
+)
+SELECT d.doc_id AS media_id, d.page_w, d.page_h, i.ink_px,
+       CAST(d.tw AS BIGINT) AS thumb_w, CAST(d.th AS BIGINT) AS thumb_h,
+       CAST(9 + len(CAST(d.tw AS VARCHAR)) + len(CAST(d.th AS VARCHAR))
+            + 3 * d.tw * d.th AS BIGINT) AS thumb_bytes
+FROM dims d JOIN ink i USING (doc_id)
+"""
+
+
+ORACLES["multimodal_pdf_thumbnail"] = _pdf_thumb_oracle()

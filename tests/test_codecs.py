@@ -392,3 +392,28 @@ def test_gif_frame_sampler_stage():
         f = frames[r["frame_idx"]]
         assert r["sum_v"] == int(f[:, :, 0].astype(np.int64).sum())
         assert r["thumb_bytes"] == len(c.build_ppm(c.resize_nearest(f, 4, 3)))
+
+
+def test_pdf_thumbnail_nn_content_matches_numpy():
+    """K12 residue: the PDF→raster→thumbnail loop's resample content
+    (not just geometry) matches a direct numpy nearest-neighbor
+    reference on the rendered page."""
+    import numpy as np
+
+    from gamechanger_data_ray.pipelines.analysis_queries import _thumb_dims
+    from gamechanger_data_ray.stages import codecs as cdx
+    from gamechanger_data_ray.stages.glyph_ocr import render_page_ppm
+
+    for did in (7, 123, 98765):
+        text = f"DOC {did} P1."
+        pdf = cdx.build_pdf([text])
+        back = cdx.extract_pdf_text(pdf)[0]
+        assert back == text
+        img = cdx.parse_ppm(render_page_ppm(back))
+        h, w = img.shape[:2]
+        ow, oh = _thumb_dims(w, h)
+        thumb = cdx.resize_nearest(img, ow, oh)
+        ys = (np.arange(oh) * h) // oh
+        xs = (np.arange(ow) * w) // ow
+        ref = img[np.ix_(ys, xs)]
+        assert np.array_equal(thumb, ref)
