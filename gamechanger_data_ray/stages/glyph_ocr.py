@@ -146,6 +146,18 @@ class GlyphOcr:
     def read_page(self, payload: bytes) -> str:
         img = parse_ppm(payload)
         ink = img.mean(axis=2) < 128
+        # geometry pre-router: the renderers' line pitches differ (9 vs
+        # 11), so page height usually identifies the atlas outright —
+        # h = 2·MARGIN + r·CELL_H (fixed) vs 2·MARGIN + r·LINE_H (prop).
+        # Only height-ambiguous pages (both pitches divide, e.g. 99 rows
+        # of pixels) pay the dual decode + confidence vote.
+        body = ink.shape[0] - 2 * MARGIN
+        fixed_ok = body > 0 and body % CELL_H == 0
+        prop_ok = body > 0 and body % LINE_H == 0
+        if fixed_ok and not prop_ok:
+            return _read_page_fixed(ink)[0]
+        if prop_ok and not fixed_ok:
+            return _read_page_prop(ink)[0]
         fixed_text, fixed_score = _read_page_fixed(ink)
         prop_text, prop_score = _read_page_prop(ink)
         return fixed_text if fixed_score <= prop_score else prop_text
