@@ -110,3 +110,121 @@ class CountMin:
         out = CountMin(int(self.width), self.depth)
         out.table = self.table + other.table
         return out
+
+
+class KLL:
+    """KLL quantile sketch (Karnin–Lang–Liberty 2016) — fixed-memory
+    mergeable rank/quantile estimation for CONTINUOUS domains, where
+    :mod:`..pipelines.tokens`'s exact bincount trick (bounded integers)
+    cannot apply and the exact answer is a full sort of 10^10 rows.
+
+    Standard simplified form: a stack of buffers, level ℓ items carry
+    weight 2^ℓ; a full level sorts and promotes every other item (the
+    compaction offset drawn from a seeded per-instance RNG — the sketch
+    is randomized by construction, so the tests pin the RANK-ERROR BOUND
+    under arbitrary merge orders, not byte equality). All per-batch work
+    is numpy; ``add_many`` is one concatenate + possible compaction
+    cascade per batch, not per row.
+
+    Memory: O(k·log(n/k)) floats. Rank error: ~1.7/k·√log₂(n/k) with
+    high probability — k=200 keeps observed error well under 1% of n at
+    10^6 items (pinned in tests/test_kll.py over adversarial inputs)."""
+
+    def __init__(self, k: int = 200, seed: int = 0x5EED):
+        if k < 8:
+            raise ValueError("k too small")
+        self.k = int(k)
+        self.levels: list[np.ndarray] = [np.empty(0, dtype=np.float64)]
+        self.n = 0
+        self._rng = np.random.default_rng(seed)
+
+    def _capacity(self, level: int) -> int:
+        # geometrically decaying capacities, floor 8 (KLL's c^h schedule)
+        return max(8, int(round(self.k * (2.0 / 3.0) ** (len(self.levels) - 1 - level))))
+
+    def add_many(self, values: np.ndarray) -> None:
+        v = np.asarray(values, dtype=np.float64)
+        v = v[~np.isnan(v)]
+        if not len(v):
+            return
+        self.n += len(v)
+        self.levels[0] = np.concatenate([self.levels[0], v])
+        self._compress()
+
+    def _compress(self) -> None:
+        lv = 0
+        while lv < len(self.levels):
+            if len(self.levels[lv]) <= self._capacity(lv):
+                lv += 1
+                continue
+            buf = np.sort(self.levels[lv])
+            off = int(self._rng.integers(2))
+            promoted = buf[off::2]
+            self.levels[lv] = np.empty(0, dtype=np.float64)
+            if lv + 1 == len(self.levels):
+                self.levels.append(np.empty(0, dtype=np.float64))
+            self.levels[lv + 1] = np.concatenate([self.levels[lv + 1], promoted])
+            lv += 1
+
+    def merge(self, other: "KLL") -> "KLL":
+        out = KLL(self.k, seed=int(self._rng.integers(1 << 31)))
+        out.n = self.n + other.n
+        depth = max(len(self.levels), len(other.levels))
+        out.levels = []
+        for lv in range(depth):
+            parts = []
+            if lv < len(self.levels):
+                parts.append(self.levels[lv])
+            if lv < len(other.levels):
+                parts.append(other.levels[lv])
+            out.levels.append(np.concatenate(parts) if parts
+                              else np.empty(0, dtype=np.float64))
+        out._compress()
+        return out
+
+    def _weighted(self) -> tuple[np.ndarray, np.ndarray]:
+        items, weights = [], []
+        for lv, buf in enumerate(self.levels):
+            if len(buf):
+                items.append(buf)
+                weights.append(np.full(len(buf), 1 << lv, dtype=np.int64))
+        if not items:
+            return np.empty(0), np.empty(0, dtype=np.int64)
+        v = np.concatenate(items)
+        w = np.concatenate(weights)
+        order = np.argsort(v, kind="stable")
+        return v[order], w[order]
+
+    def quantile(self, q: float) -> float:
+        """Approximate q-quantile (quantile_disc semantics: smallest
+        item whose cumulative weight reaches ⌈q·n⌉)."""
+        v, w = self._weighted()
+        if not len(v):
+            return float("nan")
+        cum = np.cumsum(w)
+        rank = max(1, int(np.ceil(q * cum[-1])))
+        return float(v[np.searchsorted(cum, rank)])
+
+    def rank(self, x: float) -> int:
+        """Approximate number of items ≤ x."""
+        v, w = self._weighted()
+        if not len(v):
+            return 0
+        return int(np.cumsum(w)[np.searchsorted(v, x, side="right") - 1]) \
+            if np.searchsorted(v, x, side="right") > 0 else 0
+
+    def to_bytes(self) -> bytes:
+        import pickle
+
+        return pickle.dumps({"k": self.k, "n": self.n,
+                             "levels": [b.tolist() for b in self.levels]})
+
+    @classmethod
+    def from_bytes(cls, data: bytes) -> "KLL":
+        import pickle
+
+        d = pickle.loads(data)
+        out = cls(d["k"])
+        out.n = d["n"]
+        out.levels = [np.asarray(b, dtype=np.float64) for b in d["levels"]]
+        return out

@@ -381,3 +381,39 @@ ORACLES["hot_keys_countmin"] = """
 SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events
 FROM events GROUP BY user_id HAVING COUNT(*) >= 70
 """
+
+
+def price_quantiles_kll(sf_dir: str, k: int = 200):
+    """Approximate quantiles of a CONTINUOUS column
+    (``lineitem.l_extendedprice``) via the mergeable KLL sketch — the
+    10^10-row path where :func:`..tokens.ntok_quantiles`'s exact
+    bounded-integer histogram cannot apply and an exact answer is a
+    full sort. Per-batch partial sketches (fixed O(k·log n) floats
+    each) ride to the driver as bytes — O(#blocks) sketch rows, never
+    the column — and merge associatively like every other combiner in
+    the repo. Approximate by construction → module-level face; the
+    ±rank-ε bound vs DuckDB's exact quantiles is pinned in
+    tests/test_kll.py."""
+    import numpy as np
+
+    from ..core.sketch import KLL
+
+    ds = cm.read(sf_dir, "lineitem", columns=["l_extendedprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        s = KLL(k)
+        s.add_many(t["l_extendedprice"].to_numpy(zero_copy_only=False))
+        return pa.table({"sketch": pa.array([s.to_bytes()], pa.binary())})
+
+    merged = KLL(k)
+    for b in ds.map_batches(partial, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        for raw in b["sketch"].to_pylist():
+            merged = merged.merge(KLL.from_bytes(raw))
+    return pd.DataFrame({
+        "p50": [merged.quantile(0.5)],
+        "p90": [merged.quantile(0.9)],
+        "p99": [merged.quantile(0.99)],
+        "n": [int(merged.n)],
+    })
