@@ -262,6 +262,42 @@ def make_ref_patterns() -> dict[str, re.Pattern]:
     return p
 
 
+def _head_literal(alt: str) -> str | None:
+    """Conservative REQUIRED literal of one head alternative: the
+    leading [a-z0-9] run, trimmed by one when the next regex char makes
+    its last character optional. None = no usable literal (caller must
+    always run the pattern)."""
+    m = re.match(r"[a-z0-9]+", alt)
+    if not m:
+        return None
+    lit = m.group(0)
+    rest = alt[m.end():]
+    if rest[:1] in ("?", "*") or rest[:2] == "{0":
+        lit = lit[:-1]
+    return lit if len(lit) >= 2 else None
+
+
+def make_ref_prefilters() -> dict[str, list[str] | None]:
+    """Citation-type → list of literal strings, at least one of which
+    MUST appear (lowercased) in a text for that type's pattern to
+    possibly match — or None when no sound literal exists. Derived from
+    the head alternations of ``_CITE_TABLE``: every head alternative
+    starts with a mandatory literal run ("dod", "cjcs", "chairman", …),
+    so a batch whose joined text contains none of them cannot match and
+    the regex pass is skipped outright. Soundness (never skips a
+    matching pattern) is property-tested against per-type sample
+    corpora in tests/test_citations.py."""
+    out: dict[str, list[str] | None] = {}
+    for typ, heads, _shape in _CITE_TABLE:
+        lits = [_head_literal(a) for a in heads.split("|")]
+        out[typ] = None if any(l is None for l in lits) else lits  # type: ignore[misc]
+    # handwritten multi-shape patterns: no single sound literal
+    out["Title"] = None
+    out["CFR Title"] = None
+    out["PL"] = None
+    return out
+
+
 # numeric range guards (ref_list.py:41-56): out-of-range numbers are not refs
 _RANGE_GUARDS = {"Title": (1, 53), "CFR Title": (1, 50)}
 
@@ -294,7 +330,8 @@ def collect_refs(text: str, patterns: dict[str, re.Pattern]) -> dict[str, int]:
 
 
 def collect_refs_batched(
-    texts: list[str], patterns: dict[str, re.Pattern]
+    texts: list[str], patterns: dict[str, re.Pattern],
+    prefilters: dict[str, list[str] | None] | None = None,
 ) -> list[dict[str, int]]:
     """:func:`collect_refs` over a whole batch with ONE ``finditer`` per
     pattern: texts are joined on ``\\x00`` (no citation pattern can match
@@ -310,7 +347,13 @@ def collect_refs_batched(
     joined = "\x00".join(pre)
     bounds = np.cumsum([len(p) + 1 for p in pre])  # exclusive doc ends
     out: list[dict[str, int]] = [{} for _ in texts]
+    if prefilters is None:
+        prefilters = make_ref_prefilters()
+    joined_l = joined.lower()  # patterns are IGNORECASE; one C-level pass
     for ref_type, pattern in patterns.items():
+        lits = prefilters.get(ref_type)
+        if lits is not None and not any(l in joined_l for l in lits):
+            continue  # no head literal present → the pattern cannot match
         guard = _RANGE_GUARDS.get(ref_type)
         for m in pattern.finditer(joined):
             vals = [g for g in m.groups() if g] if m.groups() else []

@@ -389,3 +389,64 @@ def test_navy_letter_dot_subsection():
     assert get_letter_dot_section(sit, "purpose") == "a. Purpose. To publish the change."
     assert get_letter_dot_section(sit, "missing") == ""
     assert get_letter_dot_section("", "purpose") == ""
+
+
+def test_ref_prefilter_soundness_per_type():
+    """Round 5: the literal prefilter must NEVER skip a pattern that
+    would match — for every citation type, a synthetic text matching
+    that type's pattern must produce identical results with and without
+    the prefilter (and the prefiltered batched scan must equal the
+    per-doc loop)."""
+    import re as _re
+
+    from gamechanger_data_ray.stages.extract import (
+        _CITE_TABLE,
+        collect_refs,
+        collect_refs_batched,
+        make_ref_patterns,
+        make_ref_prefilters,
+    )
+
+    patterns = make_ref_patterns()
+    pre = make_ref_prefilters()
+
+    # build one sample text per type from the FIRST head alternative's
+    # literal + a plausible numeric shape, plus the handwritten shapes
+    samples = []
+    for typ, heads, _shape in _CITE_TABLE:
+        head = _re.sub(r"[^a-z0-9 ]", "", heads.split("|")[0].replace(" ?", " "))
+        samples.append(f"see {head} 5101.1 for details")
+    samples += ["under 10 U.S.C. rules", "per 32 CFR part", "Public Law 117-81"]
+
+    no_filter = {t: None for t in patterns}
+    with_f = collect_refs_batched(samples, patterns, prefilters=pre)
+    without = collect_refs_batched(samples, patterns, prefilters=no_filter)
+    assert with_f == without
+    per_doc = [collect_refs(t, patterns) for t in samples]
+    assert with_f == per_doc
+    # at least one sample must actually fire per handwritten type
+    fired = {r.split(" ")[0] for d in with_f for r in d}
+    assert {"Title", "PL"} <= fired
+
+
+def test_ref_prefilter_literals_are_required():
+    """Every derived literal really is REQUIRED: munging it out of a
+    matching text kills the match under the raw pattern too (i.e. the
+    filter can only skip true negatives)."""
+    from gamechanger_data_ray.stages.extract import (
+        make_ref_patterns,
+        make_ref_prefilters,
+        preprocess_text,
+    )
+
+    patterns = make_ref_patterns()
+    for typ, lits in make_ref_prefilters().items():
+        if lits is None:
+            continue
+        pat = patterns[typ]
+        # a text with NO occurrence of any literal can never match
+        probe = preprocess_text("x 5101.1 42-081 1234-567-8 q")
+        low = probe.lower()
+        if any(l in low for l in lits):
+            continue  # probe accidentally contains a literal; skip type
+        assert pat.search(probe) is None, (typ, lits)
