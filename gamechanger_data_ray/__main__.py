@@ -336,6 +336,16 @@ def main(argv: list[str] | None = None) -> int:
     hi = sub.add_parser("history", help="per-epoch lineage counters from retained manifests")
     hi.add_argument("--table", required=True)
 
+    qt = sub.add_parser("quantiles", help="committed distribution telemetry: "
+                        "per-epoch payload quantiles from the manifest "
+                        "sketches alone (no data files opened)")
+    qt.add_argument("--table", required=True)
+    qt.add_argument("--column", default="n_tok")
+    qt.add_argument("--history", action="store_true",
+                    help="quantile trajectory across every retained epoch")
+    qt.add_argument("--drift-from", type=int, default=None,
+                    help="relative quantile shift from this epoch to the head")
+
     jb = sub.add_parser("jobs", help="job-status lifecycle rows for this table")
     jb.add_argument("--table", required=True)
 
@@ -683,6 +693,22 @@ def main(argv: list[str] | None = None) -> int:
 
         print(json.dumps(vacuum(args.table, keep_epochs=args.keep_epochs,
                                 keep_seconds=args.keep_seconds)))
+        return 0
+
+    if args.cmd == "quantiles":
+        from gamechanger_data_ray.engine.telemetry import (
+            epoch_quantiles,
+            quantile_drift,
+            quantile_history,
+        )
+
+        if args.drift_from is not None:
+            print(json.dumps(quantile_drift(
+                args.table, args.drift_from, column=args.column)))
+        elif args.history:
+            print(json.dumps(quantile_history(args.table, args.column)))
+        else:
+            print(json.dumps(epoch_quantiles(args.table)))
         return 0
 
     if args.cmd == "history":

@@ -228,3 +228,37 @@ class KLL:
         out.n = d["n"]
         out.levels = [np.asarray(b, dtype=np.float64) for b in d["levels"]]
         return out
+
+
+# compact wire form for manifest embedding (telemetry rides JSON
+# manifests — pickle is bulky and non-portable across versions)
+def kll_to_compact(s: "KLL") -> bytes:
+    import struct
+    import zlib
+
+    parts = [struct.pack("<III", s.k, len(s.levels), int(s.n))]
+    for buf in s.levels:
+        b = np.asarray(buf, dtype=np.float32).tobytes()
+        parts.append(struct.pack("<I", len(buf)))
+        parts.append(b)
+    return zlib.compress(b"".join(parts), 6)
+
+
+def kll_from_compact(data: bytes) -> "KLL":
+    import struct
+    import zlib
+
+    raw = zlib.decompress(data)
+    k, depth, n = struct.unpack_from("<III", raw, 0)
+    off = 12
+    out = KLL(k)
+    out.n = n
+    out.levels = []
+    for _ in range(depth):
+        (cnt,) = struct.unpack_from("<I", raw, off)
+        off += 4
+        buf = np.frombuffer(raw, dtype=np.float32, count=cnt, offset=off
+                            ).astype(np.float64)
+        off += 4 * cnt
+        out.levels.append(buf)
+    return out

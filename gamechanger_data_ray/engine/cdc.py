@@ -284,9 +284,12 @@ def _merge_one_partition(
         fs.write_parquet_atomic(merged, out_abs)
         _write_bloom_sidecar(merged, out_abs, fs)
         kmin, kmax = _key_range(merged)
+        from .telemetry import sketch_stats_json
+
         return {"part": part, "file": out_rel, "delta": "",
                 "key_min": kmin, "key_max": kmax,
                 "col_stats": _col_stats_json(merged),
+                "col_sketch": sketch_stats_json(merged),
                 "content_sig": state_content_sig(merged),
                 "cell_writes": counters.pop("cell_writes", ""),
                 **{k: int(counters[k]) for k in COUNTER_KEYS}}
@@ -310,10 +313,13 @@ def _merge_one_partition(
     fs.makedirs(os.path.dirname(out_abs))
     fs.write_parquet_atomic(body, out_abs)
     kmin, kmax = _key_range(merged_idx)  # zone map covers the FULL alive state
+    from .telemetry import sketch_stats_json
+
     return {"part": part, "file": "", "delta": out_rel,
             # delta-body stats only; the driver widens them into the
             # previous bounds so the manifest covers the resolved state
             "col_stats": _col_stats_json(body),
+            "col_sketch": sketch_stats_json(body),
             # identity of the RESOLVED state (from the skinny index), so
             # a later compaction of this stack keeps the same sig
             "content_sig": state_content_sig(merged_idx),
@@ -421,6 +427,7 @@ def make_staged_merger(
                 {"part": pa.array([], pa.int64()), "file": pa.array([], pa.string()),
                  "delta": pa.array([], pa.string()),
                  "col_stats": pa.array([], pa.string()),
+                 "col_sketch": pa.array([], pa.string()),
                  "cell_writes": pa.array([], pa.string()),
                  "key_min": pa.array([], pa.string()), "key_max": pa.array([], pa.string())}
                 | {k: pa.array([], pa.int64()) for k in COUNTER_KEYS}
@@ -770,6 +777,21 @@ def apply_events_dataset(
                 partitions[p]["col_stats"] = _widen_col_stats(
                     prev["col_stats"], new_stats)
             # else: prev predates payload stats → bounds unknown, stay absent
+        if r.get("col_sketch") is not None:
+            import json as _json3
+
+            from .telemetry import merge_sketch_json
+
+            new_sk = _json3.loads(r["col_sketch"]) if r["col_sketch"] else {}
+            if not r.get("delta") or not prev:
+                partitions[p]["col_sketch"] = new_sk
+                partitions[p].pop("col_sketch_mor", None)
+            elif prev.get("col_sketch") is not None:
+                # MOR fold: approximate until the next physical rewrite
+                # (over-weights overwritten rows, like the widened bounds)
+                partitions[p]["col_sketch"] = merge_sketch_json(
+                    prev["col_sketch"], new_sk)
+                partitions[p]["col_sketch_mor"] = True
         if r.get("cell_writes"):
             import json as _json2
 

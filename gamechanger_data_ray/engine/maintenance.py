@@ -122,6 +122,7 @@ def _rewrite_partitions(
     from ..core.merge import collapse_deltas
     from ..core.reconcile import conform
     from .cdc import _col_stats_json, _write_bloom_sidecar
+    from .telemetry import sketch_stats_json as _sketch_json
 
     b64 = current.schema_b64
     new_rev = current.rev + 1
@@ -161,6 +162,7 @@ def _rewrite_partitions(
                          # exact again: rewrites re-tighten the wide union
                          # bounds accumulated by delta commits
                          "col_stats": _col_stats_json(merged),
+                         "col_sketch": _sketch_json(merged),
                          "content_sig": state_content_sig(merged)})
         return pa.table({k: [r[k] for r in rows] for k in rows[0]})
 
@@ -180,6 +182,9 @@ def _rewrite_partitions(
             "key_max": r["key_max"],
             "col_stats": json.loads(r["col_stats"]) if r.get("col_stats") else {},
         }
+        if r.get("col_sketch"):
+            # exact again post-rewrite: drop any MOR-approx marker
+            partitions[p]["col_sketch"] = json.loads(r["col_sketch"])
         if r.get("content_sig"):
             partitions[p]["content_sig"] = r["content_sig"]
     manifest = mf.TableManifest(
@@ -399,6 +404,7 @@ def restamp_stats(table_dir: str, fs=None) -> mf.TableManifest | None:
     from ..core.reconcile import conform
     from ..state.fs import default_fs
     from .cdc import _STATS_EXCLUDE, _col_stats_json
+    from .telemetry import sketch_stats_json as _sketch_json2
 
     fs = default_fs(fs)
     current = mf.load_current(table_dir, fs)
@@ -428,7 +434,8 @@ def restamp_stats(table_dir: str, fs=None) -> mf.TableManifest | None:
                     proj))
             t = collapse_deltas(tabs)
             rows.append({"part": int(row["part"]),
-                         "col_stats": _col_stats_json(t)})
+                         "col_stats": _col_stats_json(t),
+                         "col_sketch": _sketch_json2(t)})
         return pa.table({k: [r[k] for r in rows] for k in rows[0]})
 
     work = [
@@ -449,6 +456,9 @@ def restamp_stats(table_dir: str, fs=None) -> mf.TableManifest | None:
         p = str(r["part"])
         partitions[p] = {**partitions[p],
                          "col_stats": json.loads(r["col_stats"]) if r["col_stats"] else {}}
+        if r.get("col_sketch"):
+            partitions[p]["col_sketch"] = json.loads(r["col_sketch"])
+            partitions[p].pop("col_sketch_mor", None)  # exact again
     manifest = mf.TableManifest(
         epoch=current.epoch,
         schema_b64=b64,

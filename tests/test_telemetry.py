@@ -1,0 +1,152 @@
+"""Committed distribution telemetry (round 5): per-partition KLL
+sketches ride every commit, epoch quantiles come from the manifest
+alone (±ε vs the data), MOR stacks are marked approximate until a
+physical rewrite re-exacts them, history survives data vacuum, and the
+CLI verb round-trips."""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data
+
+from gamechanger_data_ray.engine.cdc import apply_events_dataset
+from gamechanger_data_ray.engine.telemetry import (
+    epoch_quantiles,
+    quantile_drift,
+    quantile_history,
+)
+
+EPS = 0.05  # k=48 manifest sketches: looser than the k=200 pipeline bound
+
+
+def _events(n, lsn0=0, mean_tok=50, seed=0):
+    rng = np.random.default_rng(seed)
+    lens = rng.integers(mean_tok // 2, mean_tok * 2, n)
+    return pa.table({
+        "op": pa.array(["I"] * n),
+        "lsn": pa.array(np.arange(lsn0, lsn0 + n, dtype=np.int64)),
+        "seq": pa.array(np.arange(n, dtype=np.int64)),
+        "doc_id": pa.array([f"d{i}" for i in range(n)]),
+        "tokens": pa.array([[1, 2]] * n, pa.list_(pa.int32())),
+        "n_tok": pa.array(lens.astype(np.int32)),
+        "source": pa.array(["s"] * n),
+    })
+
+
+def _rank_ok(data, got, q, eps=EPS):
+    lo, hi = (data < got).sum(), (data <= got).sum()
+    target = q * len(data)
+    if lo <= target <= hi:
+        return True
+    return min(abs(target - lo), abs(target - hi)) / len(data) <= eps
+
+
+def test_sketch_rides_commit_and_matches_data(ray_session, tmp_path):
+    tb = str(tmp_path / "tb")
+    e = _events(4000, mean_tok=64, seed=1)
+    apply_events_dataset(ray.data.from_arrow(e), tb, 1, e.schema,
+                         num_partitions=8)
+    out = epoch_quantiles(tb)
+    assert out["epoch"] == 1 and not out["mor_approx"]
+    stats = out["columns"]["n_tok"]
+    data = e["n_tok"].to_numpy()
+    assert stats["n"] == 4000
+    for q in (0.5, 0.9, 0.99):
+        assert _rank_ok(data, stats[f"p{int(q*100)}"], q)
+
+
+def test_history_and_drift_from_metadata_only(ray_session, tmp_path):
+    """Three epochs with a deliberate length collapse in the third; the
+    trajectory and the drift verdict come from manifests alone — proven
+    by reading them AFTER the data files are deleted."""
+    import shutil
+
+    tb = str(tmp_path / "tb")
+    for ep, mean in ((1, 64), (2, 64), (3, 16)):  # epoch 3: collapse
+        e = _events(2000, lsn0=ep * 100_000, mean_tok=mean, seed=ep)
+        apply_events_dataset(ray.data.from_arrow(e), tb, ep, e.schema,
+                             num_partitions=4)
+    hist = quantile_history(tb, "n_tok")
+    assert [h["epoch"] for h in hist] == [1, 2, 3]
+    assert hist[2]["p50"] < hist[0]["p50"] / 2  # the collapse is visible
+
+    drift = quantile_drift(tb, 2, 3, column="n_tok")
+    assert drift["relative_shift"]["p50"] < -0.5
+
+    # metadata-only: nuke every data file, telemetry still answers
+    for root, _, files in os.walk(tb):
+        for f in files:
+            if f.endswith(".parquet"):
+                os.unlink(os.path.join(root, f))
+    hist2 = quantile_history(tb, "n_tok")
+    assert hist2 == hist
+
+
+def test_mor_marks_approx_and_rewrite_re_exacts(ray_session, tmp_path):
+    from gamechanger_data_ray.engine.maintenance import compact
+
+    tb = str(tmp_path / "tb")
+    e1 = _events(3000, mean_tok=64, seed=4)
+    apply_events_dataset(ray.data.from_arrow(e1), tb, 1, e1.schema,
+                         num_partitions=4)
+    # delta commit on top (merge-on-read)
+    e2 = _events(500, lsn0=10_000, mean_tok=64, seed=5)
+    apply_events_dataset(ray.data.from_arrow(e2), tb, 2, e2.schema,
+                         num_partitions=4, merge_policy="delta")
+    out = epoch_quantiles(tb)
+    assert out["mor_approx"] is True
+    # overwritten rows are over-weighted, but n is bounded by the union
+    assert out["columns"]["n_tok"]["n"] >= 3000
+
+    assert compact(tb) is not None
+    out2 = epoch_quantiles(tb)
+    assert out2["mor_approx"] is False
+    # exact again: n equals the resolved live row count
+    from gamechanger_data_ray.state import manifest as mf
+
+    cur = mf.load_current(tb)
+    assert out2["columns"]["n_tok"]["n"] == cur.totals["rows"]
+
+
+def test_restamp_refreshes_sketches(ray_session, tmp_path):
+    from gamechanger_data_ray.engine.maintenance import restamp_stats
+
+    tb = str(tmp_path / "tb")
+    e = _events(1000, mean_tok=32, seed=7)
+    apply_events_dataset(ray.data.from_arrow(e), tb, 1, e.schema,
+                         num_partitions=4)
+    before = epoch_quantiles(tb)["columns"]["n_tok"]
+    assert restamp_stats(tb) is not None
+    after = epoch_quantiles(tb)["columns"]["n_tok"]
+    assert after["n"] == before["n"]
+    data = e["n_tok"].to_numpy()
+    for q in (0.5, 0.9):
+        assert _rank_ok(data, after[f"p{int(q*100)}"], q)
+
+
+def test_cli_quantiles_verb(ray_session, tmp_path):
+    tb = str(tmp_path / "tb")
+    e = _events(1500, mean_tok=48, seed=9)
+    apply_events_dataset(ray.data.from_arrow(e), tb, 1, e.schema,
+                         num_partitions=4)
+
+    def run(*argv):
+        out = subprocess.run(
+            [sys.executable, "-m", "gamechanger_data_ray", *argv],
+            capture_output=True, text=True, cwd="/root/repo",
+            env={**os.environ, "RAY_ADDRESS": "local"},
+        )
+        assert out.returncode == 0, out.stderr[-800:]
+        return json.loads(out.stdout.strip().splitlines()[-1])
+
+    head = run("quantiles", "--table", tb)
+    assert head["columns"]["n_tok"]["n"] == 1500
+    hist = run("quantiles", "--table", tb, "--history")
+    assert hist[0]["epoch"] == 1
