@@ -511,13 +511,19 @@ def main(argv: list[str] | None = None) -> int:
                          "Jaccard confirm; exact = sha256 content-hash "
                          "postings; quality = stateless Gopher-rule screen "
                          "(no index); decontam = eval-bench n-gram "
-                         "contamination (needs --bench). E.g. --mode "
-                         "quality,decontam,exact. At most one index screen "
-                         "per gate.")
+                         "contamination (needs --bench); drift = EPOCH-level "
+                         "distribution guard vs the committed manifest "
+                         "sketches (quarantines the whole epoch when token-"
+                         "length p50/p90 shift beyond --max-drift). E.g. "
+                         "--mode drift,quality,exact. At most one index "
+                         "screen per gate.")
     rg.add_argument("--partitions", type=int, default=32)
     rg.add_argument("--threshold", type=float, default=0.5)
     rg.add_argument("--shingle", type=int, default=5)
     rg.add_argument("--tokens-column", default="tokens")
+    rg.add_argument("--max-drift", type=float, default=0.5,
+                    help="drift mode: max relative p50/p90 token-length "
+                         "shift vs the committed distribution")
     rg.add_argument("--key-column", default="doc_id")
     rg.add_argument("--max-candidates", type=int, default=500)
     rg.add_argument("--branch", default=None,
@@ -1313,7 +1319,7 @@ def main(argv: list[str] | None = None) -> int:
             from gamechanger_data_ray.engine.ingest_gate import replay_gated
 
             modes = [m.strip() for m in args.mode.split(",") if m.strip()]
-            if any(m not in ("quality", "decontam") for m in modes) and not args.view:
+            if any(m not in ("quality", "decontam", "drift") for m in modes) and not args.view:
                 raise SystemExit("replay-gated: --view is required for "
                                  f"mode={args.mode!r}")
             if "decontam" in modes and not args.bench:
@@ -1340,6 +1346,7 @@ def main(argv: list[str] | None = None) -> int:
                 mode=modes, min_tok=args.min_tok, max_tok=args.max_tok,
                 max_top_frac=args.max_top_frac,
                 bench_path=args.bench, ngram=args.ngram,
+                max_drift=args.max_drift,
             )
             print(json.dumps(out))
         elif args.cmd == "backfill":

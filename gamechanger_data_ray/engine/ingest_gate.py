@@ -94,11 +94,13 @@ def _gate_view_def(mode: str, *, k: int, seed: int, tokens_column: str,
     if mode == "neardup":
         return neardup_index_view(tokens_column=tokens_column,
                                   key_column=key_column, k=k, seed=seed)
-    if mode in ("quality", "decontam"):
-        return None  # stateless screens — nothing to maintain
+    if mode in ("quality", "decontam", "drift"):
+        # stateless screens — nothing to maintain (drift's committed
+        # side is the manifest sketch, maintained by every commit)
+        return None
     raise ValueError(
         f"unknown gate mode {mode!r} (expected 'neardup', 'exact', "
-        "'quality' or 'decontam')")
+        "'quality', 'decontam' or 'drift')")
 
 
 def _check_view(view_dir: str, table_dir: str, *, k: int, seed: int,
@@ -586,6 +588,73 @@ def _decontam_task(batch: pa.Table, *, state_ref, ngram: int,
     return screen(batch)
 
 
+def epoch_distribution_verdict(
+    events_ds: ray.data.Dataset,
+    table_dir: str,
+    *,
+    tokens_column: str = "tokens",
+    max_drift: float = 0.5,
+    fs: StorageAdapter | None = None,
+) -> str | None:
+    """EPOCH-level distribution guard (the bad-crawl detector): compare
+    the incoming epoch's token-length quantiles against the table's
+    COMMITTED manifest sketches (``engine/telemetry.py`` — zero data
+    reads on the committed side) and return a quarantine reason when
+    p50 or p90 shifts by more than ``max_drift`` relative. None = pass.
+
+    The incoming side costs one skinny pass over the epoch (list
+    lengths → per-batch KLL partials, merged on the driver — O(#blocks)
+    sketch rows). A fresh table (no committed sketch) always passes:
+    there is no distribution to defend yet."""
+    from ..core.sketch import KLL, kll_from_compact, kll_to_compact
+    from .telemetry import SKETCH_K, epoch_quantiles
+
+    try:
+        committed = epoch_quantiles(table_dir, fs=fs)["columns"].get("n_tok")
+    except FileNotFoundError:
+        return None
+    if not committed:
+        return None
+
+    def partial(t: pa.Table) -> pa.Table:
+        # the SAME column the committed sketch tracks: n_tok when the
+        # events carry it, else the tokens list lengths (equal under the
+        # payload contract; the column is authoritative when present)
+        if "n_tok" in t.schema.names:
+            vals = pc.cast(t["n_tok"], pa.float64())
+            keep = pc.and_(vals.is_valid(), pc.not_equal(t["op"], "D"))
+            lens = vals.to_numpy(zero_copy_only=False)
+        else:
+            col = t[tokens_column]
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            keep = pc.and_(col.is_valid(), pc.not_equal(t["op"], "D"))
+            lens = pc.list_value_length(col).to_numpy(
+                zero_copy_only=False).astype(np.float64)
+        lens = lens[keep.to_numpy(zero_copy_only=False)]
+        s = KLL(SKETCH_K)
+        s.add_many(lens.astype(np.float64))
+        return pa.table({"sk": pa.array([kll_to_compact(s)], pa.binary())})
+
+    merged = KLL(SKETCH_K)
+    for b in events_ds.map_batches(partial, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        for raw in b["sk"].to_pylist():
+            merged = merged.merge(kll_from_compact(raw))
+    if merged.n == 0:
+        return None
+    for name, q in (("p50", 0.5), ("p90", 0.9)):
+        base = committed.get(name)
+        if not base:
+            continue
+        shift = (merged.quantile(q) - base) / abs(base)
+        if abs(shift) > max_drift:
+            return (f"distribution_drift:{name}{shift:+.0%}"
+                    f"(|shift|>{max_drift:.0%} vs committed epoch)")
+    return None
+
+
 def screen_events(
     events_ds: ray.data.Dataset,
     table_dir: str,
@@ -605,6 +674,7 @@ def screen_events(
     max_top_frac: float = 0.2,
     bench_path: str | None = None,
     ngram: int = 8,
+    max_drift: float = 0.5,
     decontam_state_ref=None,
     fs: StorageAdapter | None = None,
 ) -> ray.data.Dataset:
@@ -631,9 +701,9 @@ def screen_events(
     if not modes:
         raise ValueError("at least one gate mode required")
     for m in modes:
-        if m not in ("quality", "exact", "neardup", "decontam"):
+        if m not in ("quality", "exact", "neardup", "decontam", "drift"):
             raise ValueError(f"unknown gate mode {m!r} (expected 'neardup', "
-                             "'exact', 'quality' or 'decontam')")
+                             "'exact', 'quality', 'decontam' or 'drift')")
     if "decontam" in modes and not bench_path:
         raise ValueError("decontam mode requires bench_path (the eval "
                          "benchmark parquet to screen against)")
@@ -642,8 +712,36 @@ def screen_events(
         raise ValueError(
             f"at most one index screen per gate, got {index_modes}")
 
+    drift_reason = None
+    if "drift" in modes:
+        # whole-epoch verdict computed ONCE from the pristine epoch
+        # (distribution is judged on the incoming payload as a whole)
+        drift_reason = epoch_distribution_verdict(
+            events_ds, table_dir, tokens_column=tokens_column,
+            max_drift=max_drift, fs=fs)
+
     ds = events_ds
     for m in modes:
+        if m == "drift":
+            def drift_flag(batch: pa.Table, _r=drift_reason) -> pa.Table:
+                batch, pm, pj = _split_prior(batch)
+                n = batch.num_rows
+                if _r is None:
+                    flags = pa.nulls(n, pa.string())
+                else:  # refuse the epoch wholesale: every non-D payload row
+                    flags = pc.if_else(
+                        pc.equal(batch["op"], "D"),
+                        pa.nulls(n, pa.string()),
+                        pa.array([_r] * n, pa.string()),
+                    )
+                matched, jac = _merge_prior(flags, pa.nulls(n, pa.float64()),
+                                            pm, pj)
+                out = batch.append_column(MATCH_COLUMN, matched)
+                return out.append_column(JACCARD_COLUMN, jac)
+
+            ds = ds.map_batches(drift_flag, batch_format="pyarrow",
+                                batch_size=batch_size)
+            continue
         if m == "quality":
             # stateless: no index to check, screens even a fresh table.
             # Plain tasks, not an actor pool — the screen's only "state"
@@ -790,6 +888,7 @@ def apply_with_neardup_gate(
     max_top_frac: float = 0.2,
     bench_path: str | None = None,
     ngram: int = 8,
+    max_drift: float = 0.5,
     decontam_state_ref=None,
     fs: StorageAdapter | None = None,
 ) -> dict:
@@ -822,7 +921,7 @@ def apply_with_neardup_gate(
         tokens_column=tokens_column, key_column=key_column,
         max_candidates=max_candidates, mode=mode, min_tok=min_tok,
         max_tok=max_tok, max_top_frac=max_top_frac,
-        bench_path=bench_path, ngram=ngram,
+        bench_path=bench_path, ngram=ngram, max_drift=max_drift,
         decontam_state_ref=decontam_state_ref, fs=fs,
     ).materialize()
 
@@ -883,6 +982,7 @@ def replay_gated(
     max_top_frac: float = 0.2,
     bench_path: str | None = None,
     ngram: int = 8,
+    max_drift: float = 0.5,
     fs: StorageAdapter | None = None,
 ) -> dict:
     """Tail-and-apply with the near-dup gate: every ready epoch past the
@@ -928,7 +1028,7 @@ def replay_gated(
             max_candidates=max_candidates, merge_policy=merge_policy,
             mode=mode, min_tok=min_tok, max_tok=max_tok,
             max_top_frac=max_top_frac, bench_path=bench_path, ngram=ngram,
-            decontam_state_ref=decontam_ref, fs=fs,
+            max_drift=max_drift, decontam_state_ref=decontam_ref, fs=fs,
         )
         total_sup += r["suppressed"]
         total_applied += r["applied"]

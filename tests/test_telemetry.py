@@ -26,15 +26,19 @@ from gamechanger_data_ray.engine.telemetry import (
 EPS = 0.05  # k=48 manifest sketches: looser than the k=200 pipeline bound
 
 
-def _events(n, lsn0=0, mean_tok=50, seed=0):
+def _events(n, lsn0=0, mean_tok=50, seed=0, prefix="d"):
     rng = np.random.default_rng(seed)
-    lens = rng.integers(mean_tok // 2, mean_tok * 2, n)
+    lens = rng.integers(mean_tok // 2, mean_tok * 2, n).astype(np.int64)
+    offs = np.concatenate([[0], lens.cumsum()])
+    vals = rng.integers(0, 50257, int(lens.sum())).astype(np.int32)
+    toks = pa.ListArray.from_arrays(
+        pa.array(offs, pa.int64()).cast(pa.int32()), pa.array(vals))
     return pa.table({
         "op": pa.array(["I"] * n),
         "lsn": pa.array(np.arange(lsn0, lsn0 + n, dtype=np.int64)),
         "seq": pa.array(np.arange(n, dtype=np.int64)),
-        "doc_id": pa.array([f"d{i}" for i in range(n)]),
-        "tokens": pa.array([[1, 2]] * n, pa.list_(pa.int32())),
+        "doc_id": pa.array([f"{prefix}{i}" for i in range(n)]),
+        "tokens": toks,
         "n_tok": pa.array(lens.astype(np.int32)),
         "source": pa.array(["s"] * n),
     })
@@ -150,3 +154,74 @@ def test_cli_quantiles_verb(ray_session, tmp_path):
     assert head["columns"]["n_tok"]["n"] == 1500
     hist = run("quantiles", "--table", tb, "--history")
     assert hist[0]["epoch"] == 1
+
+
+def test_drift_gate_quarantines_collapsed_epoch(ray_session, tmp_path):
+    """The distribution-drift ingest screen (mode='drift'): an epoch
+    whose token lengths collapse vs the committed distribution is
+    quarantined WHOLESALE with the drift reason; a same-shape epoch
+    passes untouched; a fresh table (no committed sketch) always
+    passes; readmit recovers the refused epoch after inspection."""
+    from gamechanger_data_ray.engine.ingest_gate import (
+        apply_with_neardup_gate,
+        read_quarantine,
+        readmit,
+    )
+    from gamechanger_data_ray.state import manifest as mf
+
+    tb = str(tmp_path / "tb")
+
+    # fresh table: drift mode must pass (nothing to defend yet)
+    e1 = _events(2000, mean_tok=64, seed=21)
+    r1 = apply_with_neardup_gate(
+        ray.data.from_arrow(e1), tb, None, 1, e1.schema,
+        num_partitions=4, mode="drift")
+    assert r1["suppressed"] == 0 and r1["applied"] == 2000
+
+    # same-shape epoch: passes
+    e2 = _events(1000, lsn0=100_000, mean_tok=64, seed=22)
+    r2 = apply_with_neardup_gate(
+        ray.data.from_arrow(e2), tb, None, 2, e2.schema,
+        num_partitions=4, mode="drift")
+    assert r2["suppressed"] == 0
+
+    # collapsed epoch (mean 8 vs 64): refused wholesale
+    e3 = _events(1000, lsn0=200_000, mean_tok=8, seed=23, prefix="x")
+    r3 = apply_with_neardup_gate(
+        ray.data.from_arrow(e3), tb, None, 3, e3.schema,
+        num_partitions=4, mode="drift", max_drift=0.5)
+    assert r3["suppressed"] == 1000 and r3["applied"] == 0
+    q = read_quarantine(tb, 3)
+    reasons = set(q["neardup_of"].to_pylist())
+    assert len(reasons) == 1 and "distribution_drift" in next(iter(reasons))
+
+    # table state unchanged by the refused epoch (epoch advanced, rows not)
+    cur = mf.load_current(tb)
+    assert cur.epoch == 3 and cur.totals["rows"] == 2000
+
+    # operator inspected the crawl, decided it is legitimate → readmit
+    out = readmit(tb, 3)
+    assert out["readmitted"] == 1000
+    assert mf.load_current(tb).totals["rows"] == 3000
+
+
+def test_drift_gate_chains_first_flag_wins(ray_session, tmp_path):
+    """drift,quality chain: when drift refuses the epoch, EVERY payload
+    row carries the drift reason (first flag wins) even rows quality
+    would also have flagged."""
+    from gamechanger_data_ray.engine.ingest_gate import (
+        apply_with_neardup_gate,
+        read_quarantine,
+    )
+
+    tb = str(tmp_path / "tb")
+    e1 = _events(1500, mean_tok=64, seed=31)
+    apply_with_neardup_gate(ray.data.from_arrow(e1), tb, None, 1, e1.schema,
+                            num_partitions=4, mode="quality")
+    e2 = _events(800, lsn0=50_000, mean_tok=6, seed=32)  # short AND collapsed
+    r = apply_with_neardup_gate(
+        ray.data.from_arrow(e2), tb, None, 2, e2.schema,
+        num_partitions=4, mode=["drift", "quality"], min_tok=10)
+    assert r["suppressed"] == 800
+    q = read_quarantine(tb, 2)
+    assert all("distribution_drift" in v for v in q["neardup_of"].to_pylist())
