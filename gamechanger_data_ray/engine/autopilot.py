@@ -189,6 +189,21 @@ def plan(
                           f"retention {keep_q}",
             })
 
+    # MOR-approximate telemetry: delta commits fold sketches (and widen
+    # bounds) until a physical rewrite — shallow stacks below the
+    # compact threshold would stay approximate forever; a restamp is a
+    # manifest-only rev that re-exacts both. Skipped when a planned
+    # cluster/compact resolves the stacks anyway.
+    if not cluster_planned and not any(a["op"] == "compact" for a in actions):
+        approx = [p for p, e in current.partitions.items()
+                  if e.get("col_sketch_mor")]
+        if approx:
+            actions.append({
+                "op": "restamp-stats",
+                "reason": f"{len(approx)} partition(s) carry MOR-approximate "
+                          f"sketches/bounds (manifest-only re-exact)",
+            })
+
     retained = maintenance.list_manifests(table_dir)
     if len(retained) > keep_manifests:
         actions.append({
@@ -246,6 +261,10 @@ def apply(
 
             out = expire_window_outputs(a["view_dir"], fs)
             report.append({"op": op, "view_dir": a["view_dir"], **out})
+        elif op == "restamp-stats":
+            m = maintenance.restamp_stats(table_dir, fs=fs)
+            report.append({"op": op, "done": m is not None,
+                           "rev": m.rev if m else None})
         elif op == "vacuum":
             out = maintenance.vacuum(table_dir, keep_epochs=a["keep_epochs"])
             report.append({"op": op, **out})

@@ -225,3 +225,40 @@ def test_drift_gate_chains_first_flag_wins(ray_session, tmp_path):
     assert r["suppressed"] == 800
     q = read_quarantine(tb, 2)
     assert all("distribution_drift" in v for v in q["neardup_of"].to_pylist())
+
+
+def test_autopilot_restamps_mor_sketches(ray_session, tmp_path):
+    """A shallow MOR stack (below the compact threshold) leaves
+    approximate sketches; autopilot plans a manifest-only restamp,
+    applying it re-exacts the sketches, and the replanned list drops
+    the signal (fixpoint)."""
+    from gamechanger_data_ray.engine import autopilot
+
+    tb = str(tmp_path / "tb")
+    e1 = _events(2000, mean_tok=64, seed=41)
+    apply_events_dataset(ray.data.from_arrow(e1), tb, 1, e1.schema,
+                         num_partitions=4)
+    e2 = _events(300, lsn0=50_000, mean_tok=64, seed=42)
+    apply_events_dataset(ray.data.from_arrow(e2), tb, 2, e2.schema,
+                         num_partitions=4, merge_policy="delta")
+    assert epoch_quantiles(tb)["mor_approx"] is True
+
+    plan = autopilot.plan(tb, max_delta_depth=3)  # 1 delta < threshold
+    ops = [a["op"] for a in plan]
+    assert "restamp-stats" in ops and "compact" not in ops
+
+    report = autopilot.apply(tb, plan)
+    done = {r["op"]: r for r in report}
+    assert done["restamp-stats"]["done"] is True
+    assert epoch_quantiles(tb)["mor_approx"] is False
+
+    # fixpoint: the signal is gone
+    assert "restamp-stats" not in [a["op"] for a in autopilot.plan(
+        tb, max_delta_depth=3)]
+
+    # and when the stack IS deep enough, compact subsumes the restamp
+    e3 = _events(300, lsn0=90_000, mean_tok=64, seed=43)
+    apply_events_dataset(ray.data.from_arrow(e3), tb, 3, e3.schema,
+                         num_partitions=4, merge_policy="delta")
+    ops3 = [a["op"] for a in autopilot.plan(tb, max_delta_depth=1)]
+    assert "compact" in ops3 and "restamp-stats" not in ops3
