@@ -262,3 +262,37 @@ def test_autopilot_restamps_mor_sketches(ray_session, tmp_path):
                          num_partitions=4, merge_policy="delta")
     ops3 = [a["op"] for a in autopilot.plan(tb, max_delta_depth=1)]
     assert "compact" in ops3 and "restamp-stats" not in ops3
+
+
+def test_drift_gate_all_or_nothing_fuzz(ray_session, tmp_path):
+    """Seeded walk: whatever the epoch shapes, the drift screen is
+    ALL-or-NOTHING per epoch — every payload row admitted, or every one
+    quarantined under the single drift reason — and admitted epochs'
+    committed totals always equal the serial count of admitted rows."""
+    from gamechanger_data_ray.engine.ingest_gate import (
+        apply_with_neardup_gate,
+        read_quarantine,
+    )
+    from gamechanger_data_ray.state import manifest as mf
+
+    rng = np.random.default_rng(int(os.environ.get("GRAFT_FUZZ_SEEDS", "77")))
+    tb = str(tmp_path / "tb")
+    admitted = 0
+    for ep in range(1, 7):
+        mean = int(rng.choice([64, 64, 64, 8, 200]))
+        n = int(rng.integers(300, 900))
+        e = _events(n, lsn0=ep * 1_000_000, mean_tok=mean, seed=100 + ep,
+                    prefix=f"e{ep}-")
+        r = apply_with_neardup_gate(
+            ray.data.from_arrow(e), tb, None, ep, e.schema,
+            num_partitions=4, mode="drift", max_drift=0.6)
+        assert (r["suppressed"], r["applied"]) in ((0, n), (n, 0)), (ep, r)
+        if r["applied"]:
+            admitted += n
+        else:
+            q = read_quarantine(tb, ep)
+            assert q.num_rows == n
+            reasons = set(q["neardup_of"].to_pylist())
+            assert len(reasons) == 1
+            assert "distribution_drift" in next(iter(reasons))
+        assert mf.load_current(tb).totals["rows"] == admitted
