@@ -204,3 +204,99 @@ def test_wap_publish_audit_schema(ray_session, tmp_path):
                          2, good.schema, num_partitions=4)
     out = branch_publish(tb, "good", audit_schema=TOKENS_TABLE_SCHEMA)
     assert out["epoch"] == 2
+
+
+def test_validator_matches_serial_reference_property():
+    """Property (hypothesis): over randomized doc rows — nulls anywhere,
+    empty nested lists, missing-by-null struct members — the vectorized
+    validator's per-row verdict equals a dumb per-row Python reference
+    walking the same spec."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    def ref_check(value, spec, path):
+        """First violation string or None — the slow obvious walk."""
+        if value is None:
+            if not spec.get("nullable", False):
+                return f"{path}: null"
+            return None
+        typ = spec.get("type")
+        if typ == "array":
+            mi = spec.get("minItems")
+            if mi is not None and len(value) < mi:
+                return f"{path}: fewer than {mi} items"
+            items = spec.get("items")
+            if items is not None:
+                for v in value:
+                    e = ref_check(v, items, f"{path}[]")
+                    if e:
+                        return e
+            return None
+        if typ == "object":
+            for name, sub in (spec.get("properties") or {}).items():
+                e = ref_check(value.get(name), sub, f"{path}.{name}")
+                if e:
+                    return e
+            return None
+        return None
+
+    par = st.fixed_dictionaries({
+        "par_num": st.one_of(st.none(), st.integers(0, 5)),
+        "par_text": st.one_of(st.none(), st.text(max_size=5)),
+        "n_words": st.one_of(st.none(), st.integers(0, 9)),
+    })
+    page = st.fixed_dictionaries({
+        "page_num": st.one_of(st.none(), st.integers(0, 3)),
+        "paragraphs": st.lists(par, max_size=3),
+    })
+    doc = st.fixed_dictionaries({
+        "doc_id": st.one_of(st.none(), st.text(min_size=1, max_size=4)),
+        "ref_list": st.one_of(st.none(),
+                              st.lists(st.text(max_size=3), max_size=3)),
+        "pages": st.lists(page, max_size=3),
+    })
+
+    spec = {
+        "type": "object",
+        "required": ["doc_id", "pages"],
+        "properties": {
+            "doc_id": {"type": "string"},
+            "ref_list": {"type": "array", "nullable": True,
+                         "items": {"type": "string"}},
+            "pages": {"type": "array", "minItems": 1, "items": {
+                "type": "object",
+                "properties": {
+                    "page_num": {"type": "integer"},
+                    "paragraphs": {"type": "array", "minItems": 1, "items": {
+                        "type": "object",
+                        "properties": {
+                            "par_num": {"type": "integer"},
+                            "par_text": {"type": "string"},
+                            "n_words": {"type": "integer"},
+                        }}},
+                }}},
+        },
+    }
+    schema = pa.schema([
+        ("doc_id", pa.string()),
+        ("ref_list", pa.list_(pa.string())),
+        ("pages", pa.list_(pa.struct([
+            ("page_num", pa.int64()),
+            ("paragraphs", pa.list_(pa.struct([
+                ("par_num", pa.int64()), ("par_text", pa.string()),
+                ("n_words", pa.int64())]))),
+        ]))),
+    ])
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.lists(doc, min_size=1, max_size=6))
+    def run(rows):
+        t = pa.Table.from_pylist(rows, schema=schema)
+        out = validate_batch(t, spec)
+        got = out["_valid"].to_pylist()
+        want = [all(ref_check(r.get(name), sub, name) is None
+                    for name, sub in spec["properties"].items())
+                for r in rows]
+        assert got == want, (rows, out["_verr"].to_pylist())
+
+    run()
